@@ -1,0 +1,178 @@
+"""Column-filter predicate DSL — the engine's public query-filter API.
+
+The reference exposes a 31-column filter DSL: every event column has a
+``col`` value plus a ``col_where`` operator override, compiled into API
+query params (``acled_request_config.py:326-417`` fields, ``:425-454``
+``build_params``).  Default operators there: LIKE (contains) for text,
+``=`` for numerics/enums, ``>=`` for timestamps.
+
+Here the same DSL compiles to BOTH:
+- a Spark ``Column`` predicate (AND-composed, Catalyst pushes it into the
+  parquet scan as ``PushedFilters``), and
+- an equivalent ANSI-SQL ``WHERE`` fragment (used to auto-generate the
+  DuckDB oracle, so the DSL itself is the artifact under test).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass
+from datetime import date, datetime
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_OPS = {
+    "eq",
+    "ne",
+    "gt",
+    "ge",
+    "lt",
+    "le",
+    "like",      # contains semantics: LIKE '%v%' (reference default for text)
+    "prefix",    # LIKE 'v%'
+    "in",
+    "between",
+    "isnull",
+    "notnull",
+}
+
+
+@dataclass(frozen=True)
+class Predicate:
+    """One column predicate: (column, operator, value)."""
+
+    column: str
+    op: str
+    value: object = None
+
+    def __post_init__(self) -> None:
+        if self.op not in _OPS:
+            raise ValueError(f"unknown filter op: {self.op!r} (valid: {sorted(_OPS)})")
+
+    # -- Spark side ---------------------------------------------------------
+    def to_column(self) -> Column:
+        c = F.col(self.column)
+        op, v = self.op, self.value
+        if op == "eq":
+            return c == v
+        if op == "ne":
+            return c != v
+        if op == "gt":
+            return c > v
+        if op == "ge":
+            return c >= v
+        if op == "lt":
+            return c < v
+        if op == "le":
+            return c <= v
+        if op == "like":
+            return c.contains(v)
+        if op == "prefix":
+            return c.startswith(v)
+        if op == "in":
+            return c.isin(list(v))
+        if op == "between":
+            lo, hi = v
+            return c.between(_spark_lit(lo), _spark_lit(hi))
+        if op == "isnull":
+            return c.isNull()
+        if op == "notnull":
+            return c.isNotNull()
+        raise AssertionError(op)
+
+    # -- SQL side (oracle generation) ---------------------------------------
+    def to_sql(self) -> str:
+        col, op, v = self.column, self.op, self.value
+        if op == "eq":
+            return f"{col} = {_sql_lit(v)}"
+        if op == "ne":
+            return f"{col} <> {_sql_lit(v)}"
+        if op == "gt":
+            return f"{col} > {_sql_lit(v)}"
+        if op == "ge":
+            return f"{col} >= {_sql_lit(v)}"
+        if op == "lt":
+            return f"{col} < {_sql_lit(v)}"
+        if op == "le":
+            return f"{col} <= {_sql_lit(v)}"
+        if op == "like":
+            return f"{col} LIKE {_sql_lit(f'%{v}%')}"
+        if op == "prefix":
+            return f"{col} LIKE {_sql_lit(f'{v}%')}"
+        if op == "in":
+            vals = ", ".join(_sql_lit(x) for x in v)
+            return f"{col} IN ({vals})"
+        if op == "between":
+            lo, hi = v
+            return f"{col} BETWEEN {_sql_lit(lo)} AND {_sql_lit(hi)}"
+        if op == "isnull":
+            return f"{col} IS NULL"
+        if op == "notnull":
+            return f"{col} IS NOT NULL"
+        raise AssertionError(op)
+
+
+def _spark_lit(v: object) -> Column:
+    if isinstance(v, datetime):
+        return F.lit(v.isoformat(sep=" ")).cast("timestamp_ntz")
+    if isinstance(v, date):
+        return F.lit(v.isoformat()).cast("date")
+    return F.lit(v)
+
+
+def _sql_lit(v: object) -> str:
+    if isinstance(v, str):
+        escaped = v.replace("'", "''")
+        return f"'{escaped}'"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, date):
+        return f"DATE '{v.isoformat()}'"
+    return repr(v)
+
+
+@dataclass(frozen=True)
+class FilterSpec:
+    """AND-composition of predicates — mirrors ``build_params`` semantics
+    (every configured column predicate applies conjunctively,
+    ref acled_request_config.py:425-454)."""
+
+    predicates: Sequence[Predicate]
+
+    def to_column(self) -> Column:
+        if not self.predicates:
+            return F.lit(True)
+        out = self.predicates[0].to_column()
+        for p in self.predicates[1:]:
+            out = out & p.to_column()
+        return out
+
+    def to_sql(self) -> str:
+        if not self.predicates:
+            return "TRUE"
+        return " AND ".join(p.to_sql() for p in self.predicates)
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return df.filter(self.to_column())
+
+
+def build_filter(spec: dict[str, object]) -> FilterSpec:
+    """Reference-style config dict -> FilterSpec.
+
+    Mirrors ``AcledConfig``'s ``col`` / ``col_where`` pairs: a plain
+    ``{"column": value}`` entry uses the column's default operator
+    (``like`` for str, ``eq`` otherwise), while ``{"column__op": value}``
+    overrides it (``acled_request_config.py:326-417``).
+    """
+    preds = []
+    for key, value in spec.items():
+        if "__" in key:
+            column, op = key.rsplit("__", 1)
+        else:
+            column = key
+            op = "like" if isinstance(value, str) else "eq"
+        preds.append(Predicate(column, op, value))
+    return FilterSpec(tuple(preds))

@@ -1,0 +1,379 @@
+"""Deduplication operator family over ``documents`` / ``embeddings``
+(extended surface; SURVEY §7.2 step 9).
+
+Five dedup strategies, each shuffle-aware for 100 TB:
+
+- exact: hash-groupBy on a normalized fingerprint — one shuffle on the
+  16-byte digest, never on the raw text;
+- n-gram Jaccard: inverted shingle->doc index self-joined on the shingle
+  (candidate generation is O(matching pairs), not O(n²));
+- MinHash + LSH banding: constant-size signature per doc, pairs only
+  within equal band buckets;
+- SimHash: 32-bit signature via word-hash bit voting — hamming-distance
+  dedup on a fixed-width key;
+- embedding cosine: blocked (per-label) pair generation + exact cosine.
+
+Cross-engine determinism trick: all hashing is md5 (identical in Spark
+and DuckDB), minhash = lexicographic MIN over hex digests — no engine-
+specific hash functions anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from acled_spark.queries.text import FINGERPRINT_SQL, fingerprint_spark
+from acled_spark.registry import query
+from acled_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# shared shingling (word 3-grams over normalized tokens)
+# ---------------------------------------------------------------------------
+NGRAM = 3
+
+# DuckDB list slicing is 1-based and end-inclusive: w[i+1:i+3] = 3 words.
+_SHINGLES_SQL = f"""
+    list_distinct(list_transform(
+        range(0, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - {NGRAM - 1}, 0)),
+        i -> array_to_string(string_split_regex(lower(trim(text)), '\\s+')[i+1:i+{NGRAM}], ' ')
+    ))
+"""
+
+
+def shingles_spark(text: Column) -> Column:
+    """Distinct word 3-gram shingles of a document (JVM-side HOFs only)."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    n = F.greatest(F.size(words) - (NGRAM - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, NGRAM)),
+    )
+    # sequence(0, -1) yields [0, -1] descending — guard the empty case
+    return F.when(n == 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(grams)
+    )
+
+
+# --- exact dedup ------------------------------------------------------------
+@query(
+    "dedup_exact",
+    oracle=f"""
+    WITH fp AS (SELECT doc_id, {FINGERPRINT_SQL} AS fingerprint FROM documents),
+    g AS (SELECT fingerprint, COUNT(*) AS cnt, MIN(doc_id) AS canonical_doc
+          FROM fp GROUP BY fingerprint)
+    SELECT COUNT(*) AS unique_docs,
+           CAST(SUM(cnt) AS BIGINT) AS total_docs,
+           CAST(SUM(cnt) - COUNT(*) AS BIGINT) AS duplicate_docs,
+           COUNT(CASE WHEN cnt > 1 THEN 1 END) AS dup_groups
+    FROM g
+    """,
+    tags=("dedup", "extended"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via normalized-fingerprint hash-groupBy.
+
+    Scale: the shuffle key is the 32-hex digest, not the document text —
+    at 100 TB the exchange carries ~50 bytes/doc.  Canonical row = min
+    doc_id per group (deterministic survivor policy).
+    """
+    docs = load(spark, sf_dir, "documents")
+    g = (
+        docs.select("doc_id", fingerprint_spark(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("cnt"), F.min("doc_id").alias("canonical_doc"))
+    )
+    return g.agg(
+        F.count("*").alias("unique_docs"),
+        F.sum("cnt").cast("long").alias("total_docs"),
+        (F.sum("cnt") - F.count("*")).cast("long").alias("duplicate_docs"),
+        F.count(F.when(F.col("cnt") > 1, 1)).alias("dup_groups"),
+    )
+
+
+# --- n-gram Jaccard near-dup (inverted shingle index) -----------------------
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, lang, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY doc1, doc2
+    )
+    SELECT p.doc1, p.doc2,
+           ROUND(CAST(p.inter AS DOUBLE) / (s1.n_sh + s2.n_sh - p.inter), 4) AS jaccard
+    FROM pairs p
+    JOIN sizes s1 ON p.doc1 = s1.doc_id
+    JOIN sizes s2 ON p.doc2 = s2.doc_id
+    ORDER BY jaccard DESC, doc1, doc2 LIMIT 20
+    """,
+    tags=("dedup", "extended"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top near-dup pairs by word-3-gram Jaccard, via inverted shingle index.
+
+    Candidate pairs come from a self-join of (shingle, doc) — cost scales
+    with actual shingle collisions, not |docs|².  Language is the blocking
+    key (near-dups across languages are not meaningful).  At 100 TB, add
+    a frequency cap dropping shingles shared by >X docs (stopword-grams)
+    to bound the join fan-out.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "lang", F.explode(shingles_spark(F.col("text"))).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    return (
+        pairs.join(s1, pairs.doc1 == F.col("s1.doc_id"))
+        .join(s2, pairs.doc2 == F.col("s2.doc_id"))
+        .select(
+            "doc1",
+            "doc2",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("s1.n_sh") + F.col("s2.n_sh") - F.col("inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "doc1", "doc2")
+        .limit(20)
+    )
+
+
+# --- MinHash + LSH banding --------------------------------------------------
+N_HASHES = 8
+BAND_SIZE = 2  # 4 bands of 2 minhashes
+
+
+def _minhash_cols_sql() -> list[str]:
+    return [
+        f"min(md5('s{i}:' || shingle)) AS mh{i}" for i in range(N_HASHES)
+    ]
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+    ),
+    sig AS (
+      SELECT doc_id, {", ".join(_minhash_cols_sql())}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, md5(mh{b * BAND_SIZE} || mh{b * BAND_SIZE + 1}) AS band_key FROM sig"
+        for b in range(N_HASHES // BAND_SIZE)
+      )}
+    ),
+    buckets AS (
+      SELECT band_id, band_key, COUNT(*) AS bucket_size
+      FROM bands GROUP BY band_id, band_key
+    )
+    SELECT CAST(band_id AS INTEGER) AS band_id,
+           COUNT(*) AS n_buckets,
+           CAST(SUM(CASE WHEN bucket_size > 1 THEN 1 ELSE 0 END) AS BIGINT) AS colliding_buckets,
+           CAST(SUM(bucket_size * (bucket_size - 1) / 2) AS BIGINT) AS candidate_pairs
+    FROM buckets GROUP BY band_id ORDER BY band_id
+    """,
+    tags=("dedup", "lsh", "extended"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature (8 perms) + LSH banding (4 bands × 2) audit.
+
+    MinHash permutation i = lexicographic MIN of md5 over salted
+    shingles — deterministic across engines, no engine hash involved.
+    Candidate near-dup pairs live in colliding band buckets; this query
+    reports the per-band bucket census (the LSH tuning signal).
+    Scale: signatures are fixed-size rows; banding shuffles on the
+    16-byte band key only.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.explode(shingles_spark(F.col("text"))).alias("shingle"))
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"s{i}:"), F.col("shingle")))).alias(f"mh{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    band_frames = [
+        sig.select(
+            "doc_id",
+            F.lit(b).alias("band_id"),
+            F.md5(
+                F.concat(F.col(f"mh{b * BAND_SIZE}"), F.col(f"mh{b * BAND_SIZE + 1}"))
+            ).alias("band_key"),
+        )
+        for b in range(N_HASHES // BAND_SIZE)
+    ]
+    bands = band_frames[0]
+    for bf in band_frames[1:]:
+        bands = bands.unionByName(bf)
+    buckets = bands.groupBy("band_id", "band_key").agg(
+        F.count("*").alias("bucket_size")
+    )
+    return (
+        buckets.groupBy(F.col("band_id").cast("int").alias("band_id"))
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum((F.col("bucket_size") > 1).cast("long")).alias("colliding_buckets"),
+            F.sum(
+                (F.col("bucket_size") * (F.col("bucket_size") - 1) / 2).cast("long")
+            ).alias("candidate_pairs"),
+        )
+        .orderBy("band_id")
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+SIMHASH_BITS = 32
+
+
+def _simhash_bit_sql(j: int) -> str:
+    """Bit j of md5(word) as ±1 vote: hex digit (j//4), bit (j%4)."""
+    pos = j // 4 + 1
+    shift = j % 4
+    return (
+        f"CASE WHEN ((instr('0123456789abcdef', substr(md5(word), {pos}, 1)) - 1) "
+        f"// {2 ** shift}) % 2 = 1 THEN 1 ELSE -1 END"
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS word
+      FROM documents
+    ),
+    votes AS (
+      SELECT doc_id,
+             {", ".join(f"SUM({_simhash_bit_sql(j)}) AS v{j}" for j in range(SIMHASH_BITS))}
+      FROM w GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST({" + ".join(f"(CASE WHEN v{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(SIMHASH_BITS))} AS BIGINT) AS simhash
+    FROM votes ORDER BY doc_id LIMIT 200
+    """,
+    tags=("dedup", "extended"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document via md5 bit voting.
+
+    Each distinct word votes ±1 on 32 bit positions (bit j of its md5);
+    the signature takes the sign.  Near-dup docs differ in few bits —
+    dedup then groups by signature or hamming-neighborhood.  Signature
+    values themselves are parity-checked against the oracle.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        ).alias("word"),
+    )
+    digit = lambda pos: (  # noqa: E731 — hex digit at 1-based pos as int
+        F.instr(F.lit("0123456789abcdef"), F.substring(F.md5("word"), pos, 1)) - 1
+    )
+    votes = words.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    ((digit(j // 4 + 1) / (2 ** (j % 4))).cast("int") % 2) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    simhash = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return (
+        votes.select("doc_id", simhash.cast("long").alias("simhash"))
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+# --- embedding-cosine near-dup ----------------------------------------------
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+             SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec1, b.vec_id AS vec2, a.label AS label,
+           ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS cosine
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    ORDER BY cosine DESC, vec1, vec2 LIMIT 20
+    """,
+    tags=("dedup", "vector", "extended"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top embedding near-dup pairs by exact cosine, blocked by label.
+
+    Blocking on the cluster label keeps pair generation O(block²) per
+    block instead of O(n²) global — at 100 TB the label comes from a
+    coarse quantizer (IVF centroid / LSH bucket, see sim_ann_lsh).
+    Dot products ride zip_with/aggregate HOFs — JVM-side, no Python.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    v = e.select(
+        "vec_id",
+        "label",
+        dbl.alias("e"),
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(dbl, dbl, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("nrm"),
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec1"),
+            F.col("b.vec_id").alias("vec2"),
+            F.col("a.label").alias("label"),
+            F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec1", "vec2")
+        .limit(20)
+    )

@@ -1,0 +1,160 @@
+"""Filter/projection operators P2-P6 (SURVEY.md §2.2), built on the
+predicate DSL in :mod:`acled_spark.filters`.
+
+The oracle WHERE clauses are generated from the very same FilterSpec the
+Spark plan uses, so the DSL compilation is the artifact under test.
+
+Scale note: every predicate here lands in the parquet scan as
+``PushedFilters`` (verified via .explain in tests) — on 100 TB, row-group
+statistics skip non-matching files before a single byte decompresses.
+"""
+
+from __future__ import annotations
+
+from datetime import date
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from acled_spark.filters import build_filter
+from acled_spark.registry import query
+from acled_spark.tables import load
+
+# --- P2: the 31-column filter-predicate DSL ---------------------------------
+# Ref: acled_request_config.py:326-417 (fields), :425-454 (build_params).
+_P2_SPEC = build_filter(
+    {
+        "event_type": "purch",          # text default: contains/LIKE
+        "value__ge": 50.0,              # operator override
+        "user_id__in": [1, 2, 3, 5, 8, 13, 21],
+    }
+)
+
+
+@query(
+    "p2_filter_dsl",
+    oracle=f"""
+    SELECT event_id, user_id, event_type, ROUND(value, 2) AS value
+    FROM events
+    WHERE {_P2_SPEC.to_sql()}
+    ORDER BY event_id
+    """,
+    tags=("filter", "dsl"),
+)
+def p2_filter_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-DSL filter: LIKE + >= + IN conjunction (ref acled_request_config.py:425-454)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        _P2_SPEC.apply(ev)
+        .select("event_id", "user_id", "event_type", F.round("value", 2).alias("value"))
+        .orderBy("event_id")
+    )
+
+
+# --- P3: date-range predicate (partition-pruning shape) ---------------------
+# Ref: assets/report.py:55-58 (WHERE event_date >= %s AND event_date <= %s).
+_P3_SPEC = build_filter({"ts__between": (date(2024, 1, 10), date(2024, 1, 20))})
+
+
+@query(
+    "p3_date_range",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS day, COUNT(*) AS event_count,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    WHERE {_P3_SPEC.to_sql()}
+    GROUP BY day ORDER BY day
+    """,
+    tags=("filter", "time"),
+)
+def p3_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Between-dates predicate + rollup (ref report.py:55-58).
+
+    On date-partitioned storage this predicate prunes partitions before
+    the scan (SURVEY §4 'partition pruning').
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        _P3_SPEC.apply(ev)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count("*").alias("event_count"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("day")
+    )
+
+
+# --- P4: null / non-null predicates -----------------------------------------
+# Ref: assets/ml.py:207-210 (training filter: NOT NULL AND > 0).
+_P4_SPEC = build_filter(
+    {"l_quantity__notnull": None, "l_quantity__gt": 0.0, "l_discount__notnull": None}
+)
+
+
+@query(
+    "p4_null_threshold",
+    oracle=f"""
+    SELECT COUNT(*) AS n_training_rows,
+           ROUND(AVG(l_quantity), 4) AS avg_qty
+    FROM lineitem WHERE {_P4_SPEC.to_sql()}
+    """,
+    tags=("filter",),
+)
+def p4_null_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set filter: non-null + positive (ref ml.py:207-210)."""
+    li = load(spark, sf_dir, "lineitem")
+    return _P4_SPEC.apply(li).agg(
+        F.count("*").alias("n_training_rows"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+    )
+
+
+# --- P5: equality filter on a dimension -------------------------------------
+# Ref: assets/report.py:107 (country = 'Ukraine').
+_P5_SPEC = build_filter({"c_mktsegment__eq": "BUILDING"})
+
+
+@query(
+    "p5_eq_filter",
+    oracle=f"""
+    SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal
+    FROM customer WHERE {_P5_SPEC.to_sql()}
+    ORDER BY c_custkey
+    """,
+    tags=("filter",),
+)
+def p5_eq_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension equality filter (ref report.py:107)."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        _P5_SPEC.apply(c)
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"))
+        .orderBy("c_custkey")
+    )
+
+
+# --- P6: value-threshold filter + deterministic top-K -----------------------
+# Ref: assets/ml.py:873-888 (fatalities >= 10 ... LIMIT 20).
+@query(
+    "p6_threshold_topk",
+    oracle="""
+    SELECT event_id, user_id, event_type, ROUND(value, 2) AS value
+    FROM events WHERE value >= 150
+    ORDER BY value DESC, event_id LIMIT 20
+    """,
+    tags=("filter", "topk"),
+)
+def p6_threshold_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold + ORDER BY DESC LIMIT k, unique tiebreak (ref ml.py:873-888).
+
+    Spark plans TakeOrderedAndProject — per-partition top-k then a k-row
+    merge on the driver, never a full sort of the fact table.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("value") >= 150)
+        .select("event_id", "user_id", "event_type", F.round("value", 2).alias("value"))
+        .orderBy(F.desc("value"), "event_id")
+        .limit(20)
+    )

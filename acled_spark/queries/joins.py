@@ -1,0 +1,290 @@
+"""Join operators J1-J6 and set operations (SURVEY.md §2.3, §2.7).
+
+The reference is single-table; its join-*like* computations (dict/map
+lookups, target-stat joins, set differences) become real Spark joins
+here, plus the inner/semi/anti/multiway surface any engine user needs.
+
+Scale strategy:
+- dimension joins (nation, region, per-category stats): ``broadcast()`` —
+  no shuffle of the fact table;
+- fact-fact joins (orders ⋈ lineitem): shuffle hash / sort-merge on the
+  key, AQE handles skew; at 100 TB bucket both tables on the join key to
+  make this a zero-shuffle co-located join;
+- anti/semi joins never materialize the probe side's payload columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from acled_spark.registry import query
+from acled_spark.tables import load
+
+
+# --- J1: target-stat lookup (key -> smoothed mean) --------------------------
+# Ref: assets/ml.py:63-68,100-107 — map per-category smoothed target mean onto
+# rows, missing -> global mean.  Semantically a broadcast left join.
+_SMOOTHING = 10
+
+
+@query(
+    "j1_target_stat_lookup",
+    oracle=f"""
+    WITH joined AS (
+      SELECT c.c_mktsegment, o.o_totalprice
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    g AS (SELECT AVG(o_totalprice) AS gmean FROM joined),
+    stats AS (
+      SELECT c_mktsegment,
+             COUNT(*) AS cnt,
+             AVG(o_totalprice) AS mean_price
+      FROM joined GROUP BY c_mktsegment
+    )
+    SELECT c.c_custkey, c.c_mktsegment,
+           ROUND(COALESCE(
+             (s.cnt * s.mean_price + {_SMOOTHING} * g.gmean) / (s.cnt + {_SMOOTHING}),
+             g.gmean), 4) AS segment_encoded
+    FROM customer c
+    LEFT JOIN stats s ON c.c_mktsegment = s.c_mktsegment
+    CROSS JOIN g
+    ORDER BY c.c_custkey
+    """,
+    tags=("join", "ml"),
+)
+def j1_target_stat_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target-stat broadcast join, null -> global mean (ref ml.py:63-68).
+
+    stats has one row per category → always broadcastable; the global mean
+    is a 1-row cross join (also broadcast).  The fact side never shuffles.
+    """
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    joined = orders.join(
+        cust.select("c_custkey", "c_mktsegment"),
+        orders.o_custkey == cust.c_custkey,
+    )
+    g = joined.agg(F.avg("o_totalprice").alias("gmean"))
+    stats = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("cnt"), F.avg("o_totalprice").alias("mean_price")
+    )
+    smoothed = (F.col("cnt") * F.col("mean_price") + _SMOOTHING * F.col("gmean")) / (
+        F.col("cnt") + _SMOOTHING
+    )
+    return (
+        cust.select("c_custkey", "c_mktsegment")
+        .join(F.broadcast(stats), "c_mktsegment", "left")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round(F.coalesce(smoothed, F.col("gmean")), 4).alias("segment_encoded"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# --- J2: static dict lookup -------------------------------------------------
+# Ref: assets/report.py:590-622 (admin1 -> pygal region-code literal mapping).
+_REGION_CODES = {
+    "AFRICA": "AF",
+    "AMERICA": "AM",
+    "ASIA": "AS",
+    "EUROPE": "EU",
+    "MIDDLE EAST": "ME",
+}
+
+
+@query(
+    "j2_static_map_lookup",
+    oracle="""
+    SELECT r_regionkey, r_name,
+           CASE r_name
+             WHEN 'AFRICA' THEN 'AF'
+             WHEN 'AMERICA' THEN 'AM'
+             WHEN 'ASIA' THEN 'AS'
+             WHEN 'EUROPE' THEN 'EU'
+             WHEN 'MIDDLE EAST' THEN 'ME'
+             ELSE 'XX' END AS region_code
+    FROM region ORDER BY r_regionkey
+    """,
+    tags=("join",),
+)
+def j2_static_map_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal-map enrichment, unknown -> 'XX' (ref report.py:590-622)."""
+    r = load(spark, sf_dir, "region")
+    mapping = F.create_map(
+        *[F.lit(x) for kv in _REGION_CODES.items() for x in kv]
+    )
+    return r.select(
+        "r_regionkey",
+        "r_name",
+        F.coalesce(mapping[F.col("r_name")], F.lit("XX")).alias("region_code"),
+    ).orderBy("r_regionkey")
+
+
+# --- J3: anti join (set difference / membership) ----------------------------
+# Ref: asset_checks/acled_checks.py:426-431 (actual - valid category sets).
+@query(
+    "j3_anti_join",
+    oracle="""
+    SELECT c.c_custkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c.c_custkey
+    """,
+    tags=("join", "setop"),
+)
+def j3_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti membership: customers with no orders (ref acled_checks.py:426-431)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+# --- J4: semi join ----------------------------------------------------------
+@query(
+    "j4_semi_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400)
+    ORDER BY c.c_custkey
+    """,
+    tags=("join",),
+)
+def j4_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers holding a high-value order."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+# --- J5: multiway fact join + aggregation (flagship) ------------------------
+@query(
+    "j5_multiway_revenue",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS line_count
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY segment, month
+    ORDER BY segment, month
+    """,
+    tags=("join", "agg", "flagship"),
+)
+def j5_multiway_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per segment × month over customer ⋈ orders ⋈ lineitem.
+
+    TPC-H Q3-shaped; the flagship multiway plan.  customer is the small
+    side of the first join (broadcast at low SF via AQE); orders ⋈
+    lineitem shuffles on the orderkey — at 100 TB, bucket both on
+    orderkey for a shuffle-free sort-merge join.
+    """
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("line_count"),
+        )
+        .orderBy("segment", "month")
+    )
+
+
+# --- J6: snowflake dim chain with broadcasts --------------------------------
+@query(
+    "j6_snowflake_dims",
+    oracle="""
+    SELECT r.r_name AS region_name,
+           COUNT(*) AS supplier_count,
+           ROUND(AVG(s.s_acctbal), 4) AS avg_balance
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY region_name
+    ORDER BY region_name
+    """,
+    tags=("join", "agg"),
+)
+def j6_snowflake_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop broadcast dim chain: supplier → nation → region."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count("*").alias("supplier_count"),
+            F.round(F.avg("s_acctbal"), 4).alias("avg_balance"),
+        )
+        .orderBy("region_name")
+    )
+
+
+# --- SO1: set operations (union / intersect / except) -----------------------
+# Ref: SURVEY §2.7 — category set differences; union of page batches.
+@query(
+    "so1_set_ops",
+    oracle="""
+    WITH flags AS (
+      SELECT user_id,
+             MAX(CASE WHEN CAST(ts AS DATE) <  DATE '2024-01-15' THEN 1 ELSE 0 END) AS in1,
+             MAX(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-15' THEN 1 ELSE 0 END) AS in2
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS union_users,
+           COUNT(CASE WHEN in1 = 1 AND in2 = 1 THEN 1 END) AS both_halves,
+           COUNT(CASE WHEN in1 = 1 AND in2 = 0 THEN 1 END) AS only_first_half
+    FROM flags
+    """,
+    tags=("setop",),
+)
+def so1_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union/intersect/except cardinalities over two time-windowed key sets.
+
+    Expressed as ONE membership-flag aggregation (single shuffle on
+    user_id) rather than three separate union/intersect/except plans —
+    identical semantics, one pass over the data (SURVEY §2.7).
+    """
+    ev = load(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("date")
+    flags = ev.groupBy("user_id").agg(
+        F.max((F.to_date("ts") < cutoff).cast("int")).alias("in1"),
+        F.max((F.to_date("ts") >= cutoff).cast("int")).alias("in2"),
+    )
+    return flags.agg(
+        F.count("*").alias("union_users"),
+        F.count(F.when((F.col("in1") == 1) & (F.col("in2") == 1), 1)).alias(
+            "both_halves"
+        ),
+        F.count(F.when((F.col("in1") == 1) & (F.col("in2") == 0), 1)).alias(
+            "only_first_half"
+        ),
+    )

@@ -1,0 +1,160 @@
+"""Scalar-function operators F1-F11 (SURVEY.md §2.8).
+
+Casts with null-on-error, JSON extraction, time extraction, string
+cleanup, math — all as native Column expressions (whole-stage codegen;
+the reference needed zero black-box UDFs and so do we, SURVEY §2.11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from acled_spark.registry import query
+from acled_spark.tables import load
+
+
+# --- F1: null-on-error casts + JSON extraction ------------------------------
+# Ref: assets/base_assets.py:120-131 (strict=False casts -> null on failure).
+# events.props is a JSON string — extraction is the modern analog of the
+# reference's flattened-JSON ingest (utils.py:12-16).
+@query(
+    "f1_try_cast_json",
+    oracle="""
+    SELECT
+      COUNT(*) AS n_rows,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
+      ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS k_avg,
+      COUNT(CASE WHEN TRY_CAST(event_type AS INTEGER) IS NULL THEN 1 END) AS non_numeric_types
+    FROM events
+    """,
+    tags=("scalar", "json"),
+)
+def f1_try_cast_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction + try_cast null-on-error (ref base_assets.py:120-131)."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(k).cast("long").alias("k_sum"),
+        F.round(F.avg(k), 4).alias("k_avg"),
+        F.count(F.when(F.expr("try_cast(event_type AS int)").isNull(), 1)).alias(
+            "non_numeric_types"
+        ),
+    )
+
+
+# --- F2/F3: timestamp component extraction / truncation ---------------------
+# Ref: base_assets.py:132-140 (epoch->timestamp; the loader in tables.py does
+# the epoch conversion); ml.py:863 (DATE_TRUNC).  Hourly profile:
+@query(
+    "f2_time_extract",
+    oracle="""
+    SELECT CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+           COUNT(*) AS cnt,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM events GROUP BY hour ORDER BY hour
+    """,
+    tags=("scalar", "time"),
+)
+def f2_time_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day extraction + profile (ref base_assets.py:132-140)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.hour("ts").alias("hour"))
+        .agg(F.count("*").alias("cnt"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .orderBy("hour")
+    )
+
+
+# --- F6: string replace / truncate / concat ---------------------------------
+# Ref: assets/report.py:307-312 (label cleanup: replace + truncate + suffix).
+@query(
+    "f6_string_cleanup",
+    oracle="""
+    SELECT p_partkey,
+           regexp_replace(upper(p_type), ' ', '_', 'g') AS type_code,
+           substr(p_name, 1, 12) || '...' AS short_name,
+           concat(p_brand, '/', p_type) AS brand_type
+    FROM part ORDER BY p_partkey LIMIT 50
+    """,
+    tags=("scalar", "string"),
+)
+def f6_string_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """replace/truncate/concat label cleanup (ref report.py:307-312)."""
+    p = load(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.regexp_replace(F.upper("p_type"), " ", "_").alias("type_code"),
+            F.concat(F.substring("p_name", 1, 12), F.lit("...")).alias("short_name"),
+            F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        )
+        .orderBy("p_partkey")
+        .limit(50)
+    )
+
+
+# --- F7/F8/F9/F10: round, coalesce, math, safe-divide -----------------------
+# Ref: ml.py:146-149 (euclidean distance), :660-661 (np.where safe percent),
+# report.py:63 (COALESCE(SUM,0)), acled_checks.py:973 (ROUND(AVG, 2)).
+@query(
+    "f9_math_suite",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS total,
+           ROUND(SQRT(AVG(POW(o_totalprice - 250.0, 2))), 4) AS rms_dev,
+           ROUND(AVG(ABS(o_totalprice - 250.0)), 4) AS mean_abs_dev,
+           ROUND(AVG(CASE WHEN o_totalprice > 0
+                          THEN ABS(o_totalprice - 250.0) / o_totalprice * 100
+                          ELSE 0 END), 4) AS mean_pct_err
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("scalar", "math"),
+)
+def f9_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sqrt/pow/abs/safe-percent/coalesce/round suite (ref ml.py:146-149,660-661)."""
+    o = load(spark, sf_dir, "orders")
+    dev = F.col("o_totalprice") - 250.0
+    safe_pct = F.when(
+        F.col("o_totalprice") > 0, F.abs(dev) / F.col("o_totalprice") * 100
+    ).otherwise(0.0)
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2).alias("total"),
+            F.round(F.sqrt(F.avg(F.pow(dev, 2))), 4).alias("rms_dev"),
+            F.round(F.avg(F.abs(dev)), 4).alias("mean_abs_dev"),
+            F.round(F.avg(safe_pct), 4).alias("mean_pct_err"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- F9b: vector math on array columns --------------------------------------
+# Extended surface: array<float> norm via higher-order functions — the
+# JVM-side scale path for embedding math (no Python in the loop).
+@query(
+    "f9b_vector_norm",
+    oracle="""
+    SELECT vec_id, label,
+           ROUND(SQRT(list_dot_product(embedding, embedding)), 4) AS l2_norm
+    FROM embeddings ORDER BY vec_id LIMIT 100
+    """,
+    tags=("scalar", "vector", "extended"),
+)
+def f9b_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norm of embedding vectors via aggregate() HOF (extended surface)."""
+    e = load(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return (
+        e.select(
+            "vec_id", "label", F.round(F.sqrt(sq_sum), 4).alias("l2_norm")
+        )
+        .orderBy("vec_id")
+        .limit(100)
+    )

@@ -1,0 +1,196 @@
+"""Similarity search over the ``embeddings`` table (extended surface).
+
+- brute-force cosine top-k: the correctness baseline (exact);
+- LSH-bucketed ANN: random-hyperplane signatures, search within bucket —
+  the 100 TB scale path (signature computation is a narrow map; the
+  probe join touches only same-bucket candidates).
+
+The hyperplane weights are literal constants generated from a seeded
+RNG at import time — both the Spark plan and the DuckDB oracle embed
+the same numbers, so results are engine-independent.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from acled_spark.registry import query
+from acled_spark.tables import load
+
+DIM = 64
+N_QUERIES = 5  # vec_id < 5 are the probe vectors
+TOP_K = 10
+
+# Random hyperplanes for LSH (deterministic: seeded, literal in both plans).
+_rng = random.Random(42)
+N_PLANES = 6
+PLANES = [
+    [round(_rng.gauss(0.0, 1.0), 6) for _ in range(DIM)] for _ in range(N_PLANES)
+]
+
+
+def _dbl(col: str | Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _plane_lit(p: list[float]) -> Column:
+    return F.array(*[F.lit(w) for w in p])
+
+
+def _plane_sql(p: list[float]) -> str:
+    return "[" + ", ".join(repr(w) for w in p) + "]"
+
+
+def _bucket_sql() -> str:
+    bits = [
+        f"(CASE WHEN list_dot_product(e, {_plane_sql(p)}) >= 0 THEN '1' ELSE '0' END)"
+        for p in PLANES
+    ]
+    return " || ".join(bits)
+
+
+def _bucket_spark(e: Column) -> Column:
+    bits = [
+        F.when(_dot(e, _plane_lit(p)) >= 0, "1").otherwise("0") for p in PLANES
+    ]
+    return F.concat(*bits)
+
+
+# --- brute-force cosine top-k (exact baseline) ------------------------------
+@query(
+    "sim_topk_bruteforce",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 4) AS cosine
+      FROM v q JOIN v c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, cosine,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rnk
+    """,
+    tags=("similarity", "vector", "extended"),
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k per probe vector (broadcast probes × all vectors).
+
+    The probe set is tiny → broadcast; each executor scores its slice of
+    the corpus and a per-query window takes top-k.  Ranking runs on the
+    ROUNDED cosine with neighbor_id tiebreak so ordering is independent
+    of last-ulp float differences between engines.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        _dbl("embedding").alias("e"),
+        F.sqrt(_dot(_dbl("embedding"), _dbl("embedding"))).alias("nrm"),
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm")), 4
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+        .orderBy("query_id", "rnk")
+    )
+
+
+# --- LSH-bucketed approximate nearest neighbors -----------------------------
+@query(
+    "sim_ann_lsh",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ),
+    b AS (SELECT vec_id, e, nrm, {_bucket_sql()} AS bucket FROM v),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket AS bucket,
+             ROUND(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 4) AS cosine
+      FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, bucket, cosine, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rnk
+    """,
+    tags=("similarity", "lsh", "extended"),
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH buckets, exact cosine within bucket.
+
+    {N_PLANES} signed projections → 2^{N_PLANES} buckets; the probe only
+    scores same-bucket candidates.  At 100 TB: repartition the corpus by
+    bucket once (signatures are cheap narrow maps), then every query is
+    a partition-local scan — recall tunes with N_PLANES / multi-probe.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        _dbl("embedding").alias("e"),
+        F.sqrt(_dot(_dbl("embedding"), _dbl("embedding"))).alias("nrm"),
+    ).withColumn("bucket", _bucket_spark(F.col("e")))
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = v.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qbucket").alias("bucket"),
+        F.round(
+            _dot(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm")), 4
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+        .orderBy("query_id", "rnk")
+    )

@@ -1,0 +1,121 @@
+"""Window-function operators W1-W4 (SURVEY.md §2.5).
+
+Reference citations under /root/reference/dagster_pipeline/dagster_acled/.
+
+Scale note: W1/W4 window over an already-aggregated daily frame (365
+rows/year after the rollup) — the window exchange is trivially small.
+Never window raw 100 TB rows when the frame can be pre-aggregated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from acled_spark.registry import query
+from acled_spark.tables import load
+
+
+def _daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("cnt")
+    )
+
+
+# --- W1: trailing 7-day moving average (min_periods=1) ----------------------
+# Ref: assets/report.py:283 (rolling(window=7, min_periods=1).mean()).
+@query(
+    "w1_moving_avg_7d",
+    oracle="""
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+               FROM events GROUP BY day)
+    SELECT day, cnt,
+           ROUND(AVG(cnt) OVER (ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+    FROM d ORDER BY day
+    """,
+    tags=("window", "time"),
+)
+def w1_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-row moving average with partial windows (ref report.py:283)."""
+    d = _daily_counts(spark, sf_dir)
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return d.select(
+        "day", "cnt", F.round(F.avg("cnt").over(w), 4).alias("ma7")
+    ).orderBy("day")
+
+
+# --- W2: global-total share window ------------------------------------------
+# Ref: asset_checks/acled_checks.py:853 (SUM(COUNT(*)) OVER ()).
+@query(
+    "w2_global_share",
+    oracle="""
+    WITH s AS (SELECT c_mktsegment, COUNT(*) AS cnt FROM customer GROUP BY c_mktsegment)
+    SELECT c_mktsegment, cnt,
+           ROUND(cnt * 100.0 / SUM(cnt) OVER (), 2) AS share_pct
+    FROM s ORDER BY cnt DESC, c_mktsegment
+    """,
+    tags=("window",),
+)
+def w2_global_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of global total via empty-frame window (ref acled_checks.py:853)."""
+    c = load(spark, sf_dir, "customer")
+    s = c.groupBy("c_mktsegment").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy()
+    return s.select(
+        "c_mktsegment",
+        "cnt",
+        F.round(F.col("cnt") * 100.0 / F.sum("cnt").over(w), 2).alias("share_pct"),
+    ).orderBy(F.desc("cnt"), "c_mktsegment")
+
+
+# --- W3: rank-by-order ------------------------------------------------------
+# Ref: assets/report.py:432-459 ("Region Rank" = position after sort).
+@query(
+    "w3_rank_rows",
+    oracle="""
+    WITH s AS (SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type)
+    SELECT event_type, cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, event_type) AS BIGINT) AS rnk
+    FROM s ORDER BY rnk
+    """,
+    tags=("window",),
+)
+def w3_rank_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number rank over sorted aggregate (ref report.py:432-459)."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), "event_type")
+    return s.select(
+        "event_type",
+        "cnt",
+        F.row_number().over(w).cast("long").alias("rnk"),
+    ).orderBy("rnk")
+
+
+# --- W4 (extended): lag delta day-over-day ----------------------------------
+# Beyond the reference's window surface; standard analytics-engine op.
+@query(
+    "w4_lag_delta",
+    oracle="""
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+               FROM events GROUP BY day)
+    SELECT day, cnt,
+           CAST(cnt - COALESCE(LAG(cnt, 1) OVER (ORDER BY day), 0) AS BIGINT) AS delta
+    FROM d ORDER BY day
+    """,
+    tags=("window", "time", "extended"),
+)
+def w4_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day delta via lag (extended window surface)."""
+    d = _daily_counts(spark, sf_dir)
+    w = Window.orderBy("day")
+    return d.select(
+        "day",
+        "cnt",
+        (F.col("cnt") - F.coalesce(F.lag("cnt", 1).over(w), F.lit(0)))
+        .cast("long")
+        .alias("delta"),
+    ).orderBy("day")

@@ -1,0 +1,81 @@
+"""Testdata table loaders with engine-parity normalization.
+
+The driver materializes a deterministic star schema + stream/LLM tables
+(``TESTDATA.md``) at ``/root/testdata/sf*/``.  Loading rules:
+
+- ``events.ts`` is parquet TIMESTAMP(NANOS); Spark reads it as a long
+  (``spark.sql.legacy.parquet.nanosAsLong``).  We convert with exact
+  integer division to micros -> TIMESTAMP_NTZ so values match DuckDB's
+  naive timestamps bit-for-bit regardless of session timezone.
+- ``orders.o_orderdate`` / ``lineitem.l_shipdate`` already arrive as
+  TIMESTAMP_NTZ (micros) — no conversion needed.
+
+Everything downstream (queries, benchmarks, tests) goes through
+``load`` so the normalization lives in exactly one place.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Tables small enough to broadcast at ANY scale factor (they grow sub-linearly
+# or are fixed-size dimension tables in the TPC-H-ish generator).
+BROADCASTABLE = {"region", "nation"}
+
+_PARITY_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def configure(spark: SparkSession) -> None:
+    """Apply runtime confs parity depends on (idempotent, cheap).
+
+    The correctness harness hands us ITS session; we cannot assume it was
+    built by :func:`acled_spark.session.get_spark`.
+    """
+    for k, v in _PARITY_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on some builds — then the builder set it
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table, normalized for engine parity."""
+    configure(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanos (long) -> micros (exact integral division) -> naive timestamp
+        df = df.withColumn(
+            "ts", F.expr("CAST(timestamp_micros(ts div 1000) AS timestamp_ntz)")
+        )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> None:
+    """Register all tables as temp views (for spark.sql entry points)."""
+    for name in TABLE_NAMES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name + suffix)
