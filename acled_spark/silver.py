@@ -1,0 +1,108 @@
+"""Silver-layer keyed upsert — the pipeline's idempotency backbone.
+
+The reference maintains its silver store with a primary-key upsert
+(``INSERT ... ON CONFLICT (event_id_cnty) DO UPDATE``, row-wise
+executemany — ref base_assets.py:197-233).  Re-running a partition is
+safe; late/corrected data is handled by replay (ref SURVEY §2.10 T4).
+
+Spark-first re-expression (no transactional table format required):
+
+- :func:`merge_updates` — pure DataFrame MERGE semantics: updates win
+  over existing rows on the key; deterministic survivor within each side.
+- :func:`upsert_partitioned` — storage path: merge only the partitions
+  the update batch touches, rewrite them with **dynamic partition
+  overwrite** (untouched partitions are never read or written).
+
+Scale notes (100 TB): the merge shuffles on the key once; with the
+target bucketed by key the exchange disappears entirely.  Dynamic
+overwrite bounds the rewrite to touched date partitions — the
+reference's "replay one day" contract maps to rewriting one partition
+directory, not the table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_SRC_COL = "__src_priority"
+_RN_COL = "__merge_rn"
+
+
+def merge_updates(
+    existing: DataFrame,
+    updates: DataFrame,
+    key: str | list[str],
+    order_col: str | None = None,
+) -> DataFrame:
+    """MERGE semantics as a DataFrame op: one surviving row per key.
+
+    Updates beat existing rows (``ON CONFLICT DO UPDATE``); within a
+    side, the row with the greatest ``order_col`` wins (replay of the
+    same batch is a no-op), falling back to arbitrary-but-deterministic
+    ordering on the key columns when ``order_col`` is None.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    cols = existing.columns
+    if set(cols) != set(updates.columns):
+        raise ValueError(
+            f"schema mismatch: existing={sorted(cols)} updates={sorted(updates.columns)}"
+        )
+    unioned = existing.select(*cols).withColumn(_SRC_COL, F.lit(0)).unionByName(
+        updates.select(*cols).withColumn(_SRC_COL, F.lit(1))
+    )
+    order = [F.desc(_SRC_COL)]
+    if order_col is not None:
+        order.append(F.desc(order_col))
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        unioned.withColumn(_RN_COL, F.row_number().over(w))
+        .filter(F.col(_RN_COL) == 1)
+        .drop(_SRC_COL, _RN_COL)
+    )
+
+
+def upsert_partitioned(
+    spark: SparkSession,
+    updates: DataFrame,
+    target_path: str,
+    key: str | list[str],
+    partition_col: str,
+    order_col: str | None = None,
+) -> None:
+    """Idempotent keyed upsert into a date-partitioned parquet table.
+
+    Only partitions present in ``updates`` are read, merged, and
+    rewritten (dynamic partition overwrite) — the Spark analog of the
+    reference's per-day replay (``base_assets.py:207-233``).
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    if _table_exists(spark, target_path):
+        touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
+        existing = (
+            spark.read.parquet(target_path)
+            .filter(F.col(partition_col).isin(touched))
+            .select(*updates.columns)
+        )
+        merged = merge_updates(existing, updates, key, order_col)
+    else:
+        merged = merge_updates(
+            updates.limit(0), updates, key, order_col
+        )
+    (
+        merged.write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(target_path)
+    )
+
+
+def _table_exists(spark: SparkSession, path: str) -> bool:
+    if not os.path.exists(path):
+        return False
+    # a partitioned parquet dir with at least one partition directory
+    return any(
+        not entry.startswith("_") for entry in os.listdir(path)
+    )

@@ -1,0 +1,113 @@
+"""Incremental / Structured Streaming surface (SURVEY §2.10 T1-T7).
+
+The reference is micro-batch by orchestration: an S3 file sensor
+discovers new daily partitions and an idempotent PK upsert lands them
+in silver (sensors.py:163-283, base_assets.py:197-233).  Spark-native
+re-expression:
+
+- file discovery  -> ``readStream`` file source (exactly-once via
+  checkpoint; T2/T5);
+- scheduled drain -> ``Trigger.AvailableNow`` (the daily-cron analog,
+  T6: process everything new, then stop);
+- PK upsert       -> ``foreachBatch`` + :func:`acled_spark.silver.
+  upsert_partitioned` (stateless MERGE, unbounded lateness — exactly
+  the reference's replay contract, T4);
+- tumbling daily windows with watermarks for the stateful-agg variant
+  the reference approximates with calendar partitions (T3).
+
+Scale notes: the file source lists incrementally (maxFilesPerTrigger
+bounds batch size); foreachBatch upsert rewrites only touched
+partitions.  State for windowed aggs is bounded by the watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from acled_spark.silver import upsert_partitioned
+
+
+def read_file_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Incremental file-arrival source over a bronze directory (T2).
+
+    Replaces the reference's polling S3 sensor: discovery, 'already
+    processed' bookkeeping, and lookback windows all collapse into the
+    source's checkpointed file log.
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
+
+
+def start_upsert_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    target_path: str,
+    key: str | list[str],
+    partition_col: str,
+    checkpoint_dir: str,
+    order_col: str | None = None,
+) -> StreamingQuery:
+    """Bronze->silver incremental upsert, ``Trigger.AvailableNow`` (T2+T4+T5).
+
+    Drains everything new since the last checkpoint through the
+    idempotent keyed MERGE, then stops — the streaming equivalent of
+    the reference's sensor-triggered partition runs.  Crash-safety:
+    re-delivered batches hit the same PK merge, so duplicates cannot
+    land (exactly-once effect from at-least-once delivery).
+    """
+    stream = read_file_stream(spark, source_dir, schema)
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_partitioned(
+            spark, batch_df, target_path, key, partition_col, order_col
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_len: str = "1 day",
+    watermark: str | None = "1 day",
+) -> DataFrame:
+    """Tumbling-window count+sum — one expression for batch AND stream (T3).
+
+    In streaming mode the watermark bounds state: windows older than
+    the watermark finalize and evict.  Batch mode ignores the watermark,
+    so parity tests can compare the streaming result to the identical
+    batch plan (see t3_tumbling_window in the query registry).
+    """
+    if watermark is not None and events.isStreaming:
+        # Watermarks require TIMESTAMP (tz) event time; NTZ inputs are cast
+        # under the UTC-pinned session so wall-clock semantics are unchanged.
+        events = events.withColumn(
+            ts_col, F.col(ts_col).cast("timestamp")
+        ).withWatermark(ts_col, watermark)
+    return (
+        events.groupBy(F.window(ts_col, window_len).alias("w"))
+        .agg(
+            F.count("*").alias("event_count"),
+            F.round(F.sum(value_col), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_count", "total_value")
+    )

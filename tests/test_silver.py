@@ -1,0 +1,89 @@
+"""Silver upsert: replay idempotency + partition-scoped rewrite
+(SURVEY §5.3 — the ON CONFLICT contract of base_assets.py:207-212)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from acled_spark.silver import merge_updates, upsert_partitioned
+from acled_spark.tables import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _events_with_day(spark):
+    return load(spark, SF_DIR, "events").withColumn("day", F.to_date("ts"))
+
+
+def _snapshot(spark, path):
+    df = spark.read.parquet(path)
+    rows = df.count()
+    chk = df.agg(
+        F.round(F.sum("value"), 2).alias("v"),
+        F.sum(F.col("event_id")).alias("k"),
+    ).collect()[0]
+    return rows, chk["v"], chk["k"]
+
+
+def test_replay_idempotent(spark, tmp_path):
+    """Applying the same partition twice leaves the table bit-identical."""
+    target = os.path.join(str(tmp_path), "silver")
+    ev = _events_with_day(spark)
+    batch = ev.filter(F.col("day") == "2024-01-05")
+
+    upsert_partitioned(spark, batch, target, key="event_id", partition_col="day")
+    first = _snapshot(spark, target)
+    upsert_partitioned(spark, batch, target, key="event_id", partition_col="day")
+    assert _snapshot(spark, target) == first
+
+
+def test_corrections_overwrite_and_other_partitions_untouched(spark, tmp_path):
+    target = os.path.join(str(tmp_path), "silver")
+    ev = _events_with_day(spark)
+    d5 = ev.filter(F.col("day") == "2024-01-05")
+    d6 = ev.filter(F.col("day") == "2024-01-06")
+    upsert_partitioned(spark, d5, target, key="event_id", partition_col="day")
+    upsert_partitioned(spark, d6, target, key="event_id", partition_col="day")
+    base_rows = spark.read.parquet(target).count()
+    assert base_rows == d5.count() + d6.count()
+
+    # replay day 5 with corrected values -> same row count, shifted sum
+    corrected = d5.withColumn("value", F.col("value") + 1000.0)
+    upsert_partitioned(spark, corrected, target, key="event_id", partition_col="day")
+    out = spark.read.parquet(target)
+    assert out.count() == base_rows
+    d5_sum = (
+        out.filter(F.col("day") == "2024-01-05")
+        .agg(F.round(F.sum("value"), 2))
+        .collect()[0][0]
+    )
+    want = (
+        corrected.agg(F.round(F.sum("value"), 2)).collect()[0][0]
+    )
+    assert d5_sum == want
+    # day 6 untouched
+    d6_rows = out.filter(F.col("day") == "2024-01-06").count()
+    assert d6_rows == d6.count()
+
+
+def test_merge_updates_prefers_updates_and_dedups(spark):
+    existing = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "k int, s string, v double"
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 20.0), (3, "c", 3.0), (3, "c_dup", 3.5)],
+        "k int, s string, v double",
+    )
+    out = merge_updates(existing, updates, key="k", order_col="v")
+    got = {r["k"]: (r["s"], r["v"]) for r in out.collect()}
+    assert got == {1: ("a", 1.0), 2: ("b2", 20.0), 3: ("c_dup", 3.5)}
+
+
+def test_merge_updates_schema_mismatch_raises(spark):
+    a = spark.createDataFrame([(1, "x")], "k int, s string")
+    b = spark.createDataFrame([(1,)], "k int")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        merge_updates(a, b, key="k")

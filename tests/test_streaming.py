@@ -1,0 +1,84 @@
+"""Structured Streaming surface: checkpointed incremental upsert
+(T2/T4/T5) and windowed aggregation parity with batch (T3)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from acled_spark.streaming import start_upsert_stream, windowed_counts
+from acled_spark.tables import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _bronze_events(spark):
+    return load(spark, SF_DIR, "events").withColumn("day", F.to_date("ts"))
+
+
+def test_incremental_upsert_stream(spark, tmp_path):
+    bronze = os.path.join(str(tmp_path), "bronze")
+    silver = os.path.join(str(tmp_path), "silver")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+
+    ev = _bronze_events(spark)
+    d5 = ev.filter(F.col("day") == "2024-01-05")
+    d6 = ev.filter(F.col("day") == "2024-01-06")
+    schema = ev.schema
+
+    # batch 1: only day 5 exists in bronze
+    d5.write.mode("append").parquet(bronze)
+    q = start_upsert_stream(
+        spark, bronze, schema, silver, key="event_id", partition_col="day",
+        checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(silver).count() == d5.count()
+
+    # batch 2: day-6 file arrives; availableNow drains ONLY the new file
+    d6.write.mode("append").parquet(bronze)
+    q = start_upsert_stream(
+        spark, bronze, schema, silver, key="event_id", partition_col="day",
+        checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(silver)
+    assert out.count() == d5.count() + d6.count()
+    assert out.select("event_id").distinct().count() == out.count()
+
+    # replay with no new files: checkpoint makes it a no-op
+    q = start_upsert_stream(
+        spark, bronze, schema, silver, key="event_id", partition_col="day",
+        checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(silver).count() == d5.count() + d6.count()
+
+
+def test_windowed_counts_stream_matches_batch(spark, tmp_path):
+    bronze = os.path.join(str(tmp_path), "bronze")
+    ev = load(spark, SF_DIR, "events")
+    ev.write.mode("append").parquet(bronze)
+
+    batch = {
+        (r["window_start"], r["event_count"], r["total_value"])
+        for r in windowed_counts(ev).collect()
+    }
+
+    stream = windowed_counts(
+        spark.readStream.schema(ev.schema).parquet(bronze)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_count"], r["total_value"])
+        for r in spark.table("win_counts").collect()
+    }
+    assert got == batch
