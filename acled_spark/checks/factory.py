@@ -1,0 +1,76 @@
+"""YAML-driven check factory (ref base_checks.py:13-248 + checks.yaml).
+
+The reference generates per-country check suites from a YAML config of
+8 check types with params.  Same idea here: a YAML (or dict) config
+compiles to a list of :class:`~acled_spark.checks.engine.Check`.
+
+Config shape (mirrors checks.yaml's vocabulary):
+
+```yaml
+suites:
+  acled_bronze:
+    - type: non_empty            # blocking by default
+    - type: required_columns
+      columns: [event_id_cnty, event_date, ...]
+    - type: value_range
+      column: latitude
+      lo: -90.0
+      hi: 90.0
+    - type: domain_membership
+      column: event_type
+      valid: [Battles, Protests, ...]
+    - type: pk_unique
+      columns: [event_id_cnty]
+    - type: row_count_bounds
+      lo: 1
+      hi: 10000
+    - type: completeness
+      columns: [...]
+      min_pct: 95.0
+    - type: dominance
+      column: event_type
+      max_share_pct: 80.0
+```
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from acled_spark.checks import engine
+
+_BUILDERS = {
+    "non_empty": engine.non_empty,
+    "required_columns": engine.required_columns,
+    "value_range": engine.value_range,
+    "domain_membership": engine.domain_membership,
+    "pk_unique": engine.pk_unique,
+    "row_count_bounds": engine.row_count_bounds,
+    "completeness": engine.completeness,
+    "dominance": engine.dominance,
+}
+
+
+def build_suite(config: Sequence[dict]) -> list[engine.Check]:
+    checks = []
+    for entry in config:
+        entry = dict(entry)
+        ctype = entry.pop("type")
+        if ctype not in _BUILDERS:
+            raise ValueError(
+                f"unknown check type {ctype!r} (valid: {sorted(_BUILDERS)})"
+            )
+        checks.append(_BUILDERS[ctype](**entry))
+    return checks
+
+
+def load_suites(path: str | None = None) -> dict[str, list[engine.Check]]:
+    """Load every suite from a YAML config file."""
+    import yaml
+
+    if path is None:
+        path = os.path.join(os.path.dirname(__file__), "checks.yaml")
+    with open(path) as f:
+        cfg = yaml.safe_load(f)
+    return {name: build_suite(entries) for name, entries in cfg["suites"].items()}

@@ -1,0 +1,191 @@
+"""Feature-engineering operators M1-M5 (ref assets/ml.py:47-163).
+
+All encoders are DataFrame-native:
+- M1 target encoding: per-category smoothed means as a tiny stats frame,
+  broadcast-joined back (never a Python dict .map) — fit/transform split
+  mirrors the reference's ``fit_encoders`` serving mode (ml.py:84-126);
+- M2 one-hot / M3 label encoding via StringIndexer/OneHotEncoder inside
+  a Pipeline (unseen -> handleInvalid="keep", remapped to -1 for parity
+  with ml.py:138-139);
+- M4 distance-from-center from frozen medians (ml.py:142-153);
+- M5 assembly via VectorAssembler.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.ml import Pipeline
+from pyspark.ml.feature import OneHotEncoder, StringIndexer, VectorAssembler
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SMOOTHING = 10  # ref ml.py:47-70
+N_FOLDS = 5
+
+
+@dataclass
+class TargetEncoder:
+    """M1: smoothed target encoding with fit/transform lifecycle.
+
+    ``fit`` computes per-category (count, mean) + the global mean;
+    ``transform`` broadcast-joins them on, unseen categories fall back
+    to the global mean (ref ml.py:63-68,106-107).
+    """
+
+    cat_col: str
+    target_col: str
+    smoothing: int = SMOOTHING
+    stats: DataFrame | None = None
+    global_mean: float | None = None
+
+    @property
+    def out_col(self) -> str:
+        return f"{self.cat_col}_target_encoded"
+
+    def fit(self, df: DataFrame) -> "TargetEncoder":
+        self.global_mean = df.agg(F.avg(self.target_col)).collect()[0][0]
+        smoothed = (
+            F.col("cnt") * F.col("mean_t") + self.smoothing * F.lit(self.global_mean)
+        ) / (F.col("cnt") + self.smoothing)
+        self.stats = (
+            df.groupBy(self.cat_col)
+            .agg(F.count("*").alias("cnt"), F.avg(self.target_col).alias("mean_t"))
+            .select(self.cat_col, smoothed.alias(self.out_col))
+        )
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        if self.stats is None:
+            raise RuntimeError("TargetEncoder.transform before fit")
+        return df.join(F.broadcast(self.stats), self.cat_col, "left").withColumn(
+            self.out_col, F.coalesce(F.col(self.out_col), F.lit(self.global_mean))
+        )
+
+
+def out_of_fold_target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    fold_col: str,
+    n_folds: int = N_FOLDS,
+    smoothing: int = SMOOTHING,
+) -> DataFrame:
+    """M1 training mode: K-fold out-of-fold encoding (ref ml.py:47-70).
+
+    Each row is encoded from statistics computed WITHOUT its own fold —
+    derived by subtracting the row's fold partials from category totals,
+    one stats shuffle total instead of K passes.  Folds must be a
+    deterministic int column (e.g. ``pmod(hash(key), k)``); the oracle-
+    checked variant lives in queries/mlq.py (ml_target_encode_cv).
+    """
+    out_col = f"{cat_col}_target_encoded"
+    fold_stats = df.groupBy(cat_col, fold_col).agg(
+        F.count("*").alias("cnt"), F.sum(target_col).alias("s")
+    )
+    totals = fold_stats.groupBy(cat_col).agg(
+        F.sum("cnt").alias("tot_cnt"), F.sum("s").alias("tot_s")
+    )
+    g = df.agg(
+        F.count("*").alias("g_cnt"), F.sum(target_col).alias("g_s")
+    )
+    joined = (
+        df.join(F.broadcast(totals), cat_col)
+        .join(F.broadcast(fold_stats), [cat_col, fold_col], "left")
+        .crossJoin(F.broadcast(g))
+    )
+    oof_cnt = F.col("tot_cnt") - F.coalesce(F.col("cnt"), F.lit(0))
+    oof_s = F.col("tot_s") - F.coalesce(F.col("s"), F.lit(0.0))
+    oof_gmean = (F.col("g_s") - F.coalesce(F.col("s"), F.lit(0.0))) / (
+        F.col("g_cnt") - F.coalesce(F.col("cnt"), F.lit(0))
+    )
+    smoothed = (oof_s + smoothing * oof_gmean) / (oof_cnt + smoothing)
+    return joined.withColumn(
+        out_col, F.when(oof_cnt > 0, smoothed).otherwise(oof_gmean)
+    ).drop("cnt", "s", "tot_cnt", "tot_s", "g_cnt", "g_s")
+
+
+def label_encode_fit(df: DataFrame, col: str) -> dict[str, int]:
+    """M3: sklearn-LabelEncoder-compatible mapping (sorted classes -> 0..n-1,
+    ref ml.py:128-139)."""
+    classes = sorted(
+        r[0] for r in df.select(col).distinct().collect() if r[0] is not None
+    )
+    return {c: i for i, c in enumerate(classes)}
+
+
+def label_encode_transform(
+    df: DataFrame, col: str, mapping: dict[str, int]
+) -> DataFrame:
+    """Serving mode: unseen classes -> -1 (ref ml.py:138-139)."""
+    if mapping:
+        map_expr = F.create_map(
+            *[F.lit(x) for kv in mapping.items() for x in kv]
+        )
+        encoded = F.coalesce(map_expr[F.col(col)], F.lit(-1))
+    else:
+        encoded = F.lit(-1)
+    return df.withColumn(f"{col}_label_encoded", encoded.cast("int"))
+
+
+def add_distance_from_center(
+    df: DataFrame, x_col: str, y_col: str,
+    center: tuple[float, float] | None = None,
+) -> tuple[DataFrame, tuple[float, float]]:
+    """M4: euclidean distance from (median x, median y); medians freeze at
+    fit time and are reused for serving (ref ml.py:142-153)."""
+    if center is None:
+        row = df.agg(
+            F.percentile(x_col, 0.5).alias("mx"),
+            F.percentile(y_col, 0.5).alias("my"),
+        ).collect()[0]
+        center = (row["mx"], row["my"])
+    cx, cy = center
+    out = df.withColumn(
+        "distance_from_center",
+        F.sqrt(F.pow(F.col(x_col) - cx, 2) + F.pow(F.col(y_col) - cy, 2)),
+    )
+    return out, center
+
+
+def build_feature_pipeline(
+    onehot_cols: list[str],
+    label_cols: list[str],
+    numeric_cols: list[str],
+    output_col: str = "features",
+) -> Pipeline:
+    """M2+M3+M5 as one MLlib Pipeline: indexers -> one-hot -> assembler.
+
+    handleInvalid="keep" gives unseen categories their own index at
+    serving (the reference maps them to -1; the overflow index is the
+    MLlib-idiomatic equivalent — SURVEY §7.4.3).
+    """
+    stages = []
+    oh_inputs, oh_outputs = [], []
+    for c in onehot_cols:
+        stages.append(
+            StringIndexer(inputCol=c, outputCol=f"{c}_idx", handleInvalid="keep",
+                          stringOrderType="alphabetAsc")
+        )
+        oh_inputs.append(f"{c}_idx")
+        oh_outputs.append(f"{c}_oh")
+    if oh_inputs:
+        stages.append(
+            OneHotEncoder(inputCols=oh_inputs, outputCols=oh_outputs,
+                          handleInvalid="keep")
+        )
+    label_outputs = []
+    for c in label_cols:
+        stages.append(
+            StringIndexer(inputCol=c, outputCol=f"{c}_label_idx",
+                          handleInvalid="keep", stringOrderType="alphabetAsc")
+        )
+        label_outputs.append(f"{c}_label_idx")
+    stages.append(
+        VectorAssembler(
+            inputCols=oh_outputs + label_outputs + numeric_cols,
+            outputCol=output_col,
+            handleInvalid="skip",
+        )
+    )
+    return Pipeline(stages=stages)

@@ -1,0 +1,80 @@
+"""Batch scoring + error analytics (M10, ref assets/ml.py:631-760).
+
+The PipelineModel guarantees serving-time schema alignment (the
+reference hand-aligns pandas columns, ml.py:638-651 — MLlib pipelines
+make that structural).  Error analytics are plain DataFrame aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import PipelineModel
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def risk_level(col: Column) -> Column:
+    """Threshold categorization (ref ml.py:687-694) — native when/otherwise."""
+    return (
+        F.when(col >= 20, "Critical")
+        .when(col >= 10, "High")
+        .when(col >= 5, "Medium")
+        .when(col >= 1, "Low")
+        .otherwise("Minimal")
+    )
+
+
+def score(model: PipelineModel, df: DataFrame, label_col: str) -> DataFrame:
+    """Predict + per-row error columns (ref ml.py:653-665)."""
+    pred = model.transform(df)
+    err = F.col("prediction") - F.col(label_col)
+    safe_pct = F.when(
+        F.col(label_col) > 0, F.abs(err) / F.col(label_col) * 100
+    ).otherwise(0.0)  # np.where guard, ml.py:660-661
+    return (
+        pred.withColumn("prediction_error", err)
+        .withColumn("absolute_error", F.abs(err))
+        .withColumn("percentage_error", safe_pct)
+        .withColumn("predicted_risk", risk_level(F.col("prediction")))
+        .withColumn("actual_risk", risk_level(F.col(label_col)))
+    )
+
+
+def error_analysis(scored: DataFrame, group_col: str | None = None) -> dict:
+    """Error/bias/risk-accuracy summary (ref ml.py:655-733).
+
+    Single aggregation pass; the optional per-group frame is a second
+    small aggregate (ref ml.py:673-685).
+    """
+    row = scored.agg(
+        F.count("*").alias("n"),
+        F.sqrt(F.avg(F.pow("prediction_error", 2))).alias("rmse"),
+        F.avg("absolute_error").alias("mae"),
+        F.avg("prediction_error").alias("bias"),
+        F.avg((F.col("prediction_error") > 0).cast("double")).alias(
+            "overestimation_rate"
+        ),
+        F.count(F.when(F.col("absolute_error") <= 1, 1)).alias("within_1"),
+        F.count(F.when(F.col("absolute_error") <= 5, 1)).alias("within_5"),
+        F.count(F.when(F.col("absolute_error") > 5, 1)).alias("above_5"),
+        F.avg(
+            (F.col("predicted_risk") == F.col("actual_risk")).cast("double")
+        ).alias("risk_accuracy"),
+    ).collect()[0]
+    out = {k: row[k] for k in row.asDict()}
+    if group_col is not None:
+        out["by_group"] = [
+            r.asDict()
+            for r in scored.groupBy(group_col)
+            .agg(
+                F.avg("absolute_error").alias("mae"),
+                F.count("*").alias("n"),
+                F.avg("prediction").alias("avg_predicted"),
+                F.avg(F.col("prediction") - F.col("prediction_error")).alias(
+                    "avg_actual"
+                ),
+            )
+            .orderBy(F.desc("mae"))
+            .limit(20)
+            .collect()
+        ]
+    return out

@@ -1,0 +1,147 @@
+"""Training: gradient-boosted regression + seeded random hyperparameter
+search with K-fold CV (M6-M9, ref assets/ml.py:321-545).
+
+The reference runs ``xgb.XGBRegressor`` under ``RandomizedSearchCV
+(n_iter=50, cv=5, scoring=neg-RMSE, seed 42)``.  MLlib-native:
+``GBTRegressor`` + ``CrossValidator`` over a randomly-SAMPLED param grid
+(random search isn't built into MLlib; we sample the same 9-dim space
+with a seeded RNG — parity contract per SURVEY §7.4.4: same space, same
+budget, seeded).  Fold fitting parallelizes across the cluster via
+``CrossValidator(parallelism=...)`` — the Spark analog of ``n_jobs=-1``.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.evaluation import RegressionEvaluator
+from pyspark.ml.regression import GBTRegressor
+from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SEED = 42  # ref ml.py:26-27
+
+# Search space mirroring the reference's 9-dim XGB grid where GBT has an
+# equivalent knob (ref ml.py:408-419).
+SEARCH_SPACE = {
+    "maxIter": [20, 50, 100],             # n_estimators
+    "maxDepth": [3, 4, 5, 6],             # max_depth
+    "stepSize": [0.01, 0.05, 0.1, 0.2],   # learning_rate
+    "subsamplingRate": [0.7, 0.8, 1.0],   # subsample
+    "featureSubsetStrategy": ["all", "sqrt", "0.8"],  # colsample_bytree
+    "minInstancesPerNode": [1, 3, 5],     # min_child_weight
+    "minInfoGain": [0.0, 0.1],            # gamma
+}
+
+
+@dataclass
+class TrainedModel:
+    model: PipelineModel
+    best_params: dict
+    metrics: dict = field(default_factory=dict)
+    feature_importances: list[tuple[str, float]] = field(default_factory=list)
+
+
+def sample_param_maps(
+    gbt: GBTRegressor, n_candidates: int, seed: int = SEED
+) -> list:
+    """Seeded random draw of ``n_candidates`` points from SEARCH_SPACE."""
+    rng = random.Random(seed)
+    seen, combos = set(), []
+    while len(combos) < n_candidates:
+        combo = tuple(
+            (name, rng.choice(values)) for name, values in SEARCH_SPACE.items()
+        )
+        if combo in seen:
+            continue
+        seen.add(combo)
+        combos.append(dict(combo))
+    grids = []
+    for combo in combos:
+        b = ParamGridBuilder()
+        for name, value in combo.items():
+            b = b.addGrid(gbt.getParam(name), [value])
+        grids.extend(b.build())
+    return grids
+
+
+def train_regressor(
+    features_df: DataFrame,
+    feature_pipeline: Pipeline,
+    label_col: str,
+    n_candidates: int = 50,   # ref ml.py:29 n_iter=50
+    n_folds: int = 5,         # ref ml.py:30 cv=5
+    test_fraction: float = 0.2,
+    seed: int = SEED,
+    parallelism: int = 4,
+) -> TrainedModel:
+    """M6 split -> M7 random-search CV -> M8 metrics -> M9 importances."""
+    train, test = features_df.randomSplit(
+        [1 - test_fraction, test_fraction], seed=seed
+    )
+    gbt = GBTRegressor(
+        featuresCol="features", labelCol=label_col, seed=seed
+    )
+    evaluator = RegressionEvaluator(
+        labelCol=label_col, predictionCol="prediction", metricName="rmse"
+    )
+    cv = CrossValidator(
+        estimator=Pipeline(stages=[feature_pipeline, gbt]),
+        estimatorParamMaps=sample_param_maps(gbt, n_candidates, seed),
+        evaluator=evaluator,
+        numFolds=n_folds,
+        parallelism=parallelism,
+        seed=seed,
+    )
+    cv_model = cv.fit(train)
+    best = cv_model.bestModel
+
+    def _eval(df: DataFrame) -> dict:
+        pred = best.transform(df)
+        out = {}
+        for metric in ("rmse", "mae", "r2"):
+            out[metric] = RegressionEvaluator(
+                labelCol=label_col, predictionCol="prediction", metricName=metric
+            ).evaluate(pred)
+        return out
+
+    train_m, test_m = _eval(train), _eval(test)
+    metrics = {
+        "train": train_m,
+        "test": test_m,
+        "cv_avg_rmse": min(cv_model.avgMetrics),
+        # ref ml.py:499-508: overfit gap + generalization score
+        "overfit_gap": abs(train_m["rmse"] - test_m["rmse"]),
+        "generalization": (
+            min(test_m["r2"] / train_m["r2"], 1.0) if train_m["r2"] > 0 else 0.0
+        ),
+    }
+
+    gbt_model = best.stages[-1]
+    assembler_attrs = _feature_names(best.transform(train.limit(1)))
+    importances = sorted(
+        zip(assembler_attrs, gbt_model.featureImportances.toArray().tolist()),
+        key=lambda kv: -kv[1],
+    )
+    best_params = {
+        name: gbt_model.getOrDefault(gbt_model.getParam(name))
+        for name in SEARCH_SPACE
+    }
+    return TrainedModel(best, best_params, metrics, importances)
+
+
+def _feature_names(transformed_sample: DataFrame) -> list[str]:
+    """Feature names from the assembler's ML attribute metadata (M9)."""
+    schema_field = transformed_sample.schema["features"]
+    attrs = schema_field.metadata.get("ml_attr", {}).get("attrs", {})
+    named = []
+    for group in attrs.values():
+        for a in group:
+            named.append((a["idx"], a.get("name", f"f{a['idx']}")))
+    if not named:
+        size = transformed_sample.select(F.col("features")).first()[0].size
+        return [f"f{i}" for i in range(size)]
+    return [name for _, name in sorted(named)]

@@ -1,0 +1,103 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata
+(extended surface; the training-data-pipeline pattern).
+
+Spark-side plumbing is REAL — schema, partitioning, Arrow-batched
+``mapInPandas`` feature extraction, deterministic batching — while the
+actual media decode is STUBBED (no image/audio libs in this container):
+
+- :func:`decode_image` raises ``NotImplementedError`` (plug Pillow/ffmpeg
+  in production);
+- :func:`fake_decode` is the deterministic test double (dimensions
+  derived from the payload bytes), letting every downstream op run.
+
+Scale notes: payloads stay opaque bytes end-to-end (no JVM<->Python
+round-trip except inside the Arrow batches of the one extraction pass);
+metadata travels in a typed struct column so filters on width/mime/etc.
+prune without touching payloads.  Partition by content-size bands when
+payload skew matters.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id long, payload binary, "
+    "meta struct<mime:string, n_bytes:long, source:string>"
+)
+
+FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, digest string, width int, height int"
+)
+
+
+def attach_payloads(docs: DataFrame) -> DataFrame:
+    """documents -> media rows: utf-8 payload bytes + typed metadata struct.
+
+    Stands in for reading real image/audio bytes; the column shapes
+    (binary + struct metadata) are exactly what a production reader
+    (``spark.read.format("binaryFile")``) produces.
+    """
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes) -> tuple[int, int]:
+    """Decode an image payload to (width, height).
+
+    STUB: media codecs are not available in this environment.  Swap in
+    Pillow / torchvision / ffmpeg here; everything downstream (schema,
+    batching, partitioning) is already real.
+    """
+    raise NotImplementedError(
+        "media decode requires an image library; use fake_decode in tests"
+    )
+
+
+def fake_decode(payload: bytes) -> tuple[int, int]:
+    """Deterministic decode double: dimensions derived from content bytes."""
+    n = len(payload)
+    return (n % 640 + 1, (n * 7) % 480 + 1)
+
+
+def extract_features(
+    media: DataFrame, decoder=fake_decode, batch_size_hint: int | None = None
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads (mapInPandas).
+
+    The UDF sees pandas batches of (doc_id, payload) — the real
+    decode/resize/frame-sample step plugs into ``decoder``.  Metadata-only
+    columns are pruned out BEFORE the Python boundary so only the bytes
+    that must cross, cross.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [decoder(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "digest": [
+                        hashlib.md5(p).hexdigest() for p in pdf["payload"]
+                    ],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA)

@@ -18,6 +18,7 @@ from acled_spark.queries import (  # noqa: F401
     filters_q,
     joins,
     mlq,
+    multimodal_q,
     pipeline,
     scalars,
     similarity,

@@ -1,0 +1,123 @@
+"""Paginated REST ingestion source (SURVEY §2.1 S1-S3).
+
+The reference fetches day-partitions from the ACLED API with an async
+page loop: GET with ``{limit, page, ...filters}``, accumulate rows,
+stop when a page comes back shorter than ``limit``
+(``utils.py:7-23``, ``base_assets.py:35-57``).
+
+Spark-first shape: the HTTP fetch itself is driver-side I/O (one day is
+≤10k rows — ``acled_checks.py:580-581``); the result lands in a
+DataFrame immediately.  The page fetcher is injected, so tests run a
+deterministic fake and production plugs an OAuth'd HTTP client
+(the reference's token flow, ``acled_request_config.py:54-235``, stays
+a driver-side helper by design — SURVEY §7.4.6).
+
+For backfills over many days, :func:`fetch_partition_range` fans the
+per-day fetches out over executors with ``mapInPandas`` — the Spark-4
+Python-data-source pattern without needing a custom source class.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator, Sequence
+from datetime import date, timedelta
+
+from pyspark.sql import DataFrame, SparkSession
+
+from acled_spark.filters import FilterSpec
+from acled_spark.schema import ACLED_RAW_SCHEMA
+
+# A page fetcher: (day, page_number, limit, extra_params) -> list of flat
+# string-valued records.  Production: OAuth HTTP GET; tests: synthetic.
+PageFetcher = Callable[[date, int, int, dict], list[dict]]
+
+DEFAULT_PAGE_LIMIT = 5000  # ref acled_request_config.py:302-305
+MAX_PAGES = 5000           # same constant doubles as the page cap (base_assets.py:49-57)
+
+
+def fetch_day(
+    fetcher: PageFetcher,
+    day: date,
+    limit: int = DEFAULT_PAGE_LIMIT,
+    filters: FilterSpec | None = None,
+    params: dict | None = None,
+) -> list[dict]:
+    """Page loop for one day-partition: stop on short page (base_assets.py:35-57)."""
+    extra = dict(params or {})
+    if filters is not None:
+        # mirrors build_params: filters serialize into request params
+        # (predicate pushdown to the source — acled_request_config.py:425-454)
+        extra["where"] = filters.to_sql()
+    rows: list[dict] = []
+    for page in range(1, MAX_PAGES + 1):
+        chunk = fetcher(day, page, limit, extra)
+        rows.extend(chunk)
+        if len(chunk) < limit:
+            break
+    return rows
+
+
+def ingest_day(
+    spark: SparkSession,
+    fetcher: PageFetcher,
+    day: date,
+    limit: int = DEFAULT_PAGE_LIMIT,
+    filters: FilterSpec | None = None,
+) -> DataFrame:
+    """One day's raw records as a DataFrame (empty fetch -> error,
+    ref base_assets.py:61-63)."""
+    rows = fetch_day(fetcher, day, limit, filters)
+    if not rows:
+        raise ValueError(f"no data returned for partition {day.isoformat()}")
+    normalized = [
+        tuple(str(r[name]) if r.get(name) is not None else None
+              for name in ACLED_RAW_SCHEMA.fieldNames())
+        for r in rows
+    ]
+    return spark.createDataFrame(normalized, schema=ACLED_RAW_SCHEMA)
+
+
+def partition_days(start: date, end: date) -> list[date]:
+    """Daily partition keys start..end inclusive (ref partitions.py:9-11)."""
+    return [start + timedelta(days=i) for i in range((end - start).days + 1)]
+
+
+def fetch_partition_range(
+    spark: SparkSession,
+    fetcher: PageFetcher,
+    days: Sequence[date],
+    limit: int = DEFAULT_PAGE_LIMIT,
+) -> DataFrame:
+    """Distributed backfill: fan per-day fetches out over executors.
+
+    A day-keyed seed DataFrame is repartitioned so each task owns a
+    subset of days and runs the page loop there (``mapInPandas`` —
+    Arrow-batched).  This is the 1000-executor shape of the
+    reference's sequential Dagster backfill (jobs.py:8-12, T7).
+    The fetcher must be picklable and connection-safe per task.
+    """
+    import pandas as pd
+
+    names = ACLED_RAW_SCHEMA.fieldNames()
+
+    def run_days(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for iso_day in pdf["day"]:
+                d = date.fromisoformat(iso_day)
+                rows = fetch_day(fetcher, d, limit)
+                if rows:
+                    yield pd.DataFrame(
+                        {
+                            n: [
+                                None if r.get(n) is None else str(r[n])
+                                for r in rows
+                            ]
+                            for n in names
+                        }
+                    )
+
+    seed = spark.createDataFrame(
+        [(d.isoformat(),) for d in days], "day string"
+    ).repartition(min(len(days), 64), "day")
+    schema_ddl = ", ".join(f"{n} string" for n in names)
+    return seed.mapInPandas(run_days, schema=schema_ddl)

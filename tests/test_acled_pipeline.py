@@ -1,0 +1,167 @@
+"""End-to-end ACLED pipeline: fake paginated source -> typed bronze ->
+validation -> silver upsert (SURVEY §3.1 lifecycle, on synthetic fixture
+rows engineered per FIXTURES.md)."""
+
+from __future__ import annotations
+
+import os
+from datetime import date, datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from acled_spark.bronze import read_bronze, typed_cast, write_bronze
+from acled_spark.checks import ValidationError, load_suites, run_checks
+from acled_spark.schema import ACLED_RAW_SCHEMA, ACLED_SCHEMA, VALID_EVENT_TYPES
+from acled_spark.silver import upsert_partitioned
+from acled_spark.source import fetch_day, ingest_day, partition_days
+
+EPOCH = 1735603200  # 2024-12-31 00:00:00 UTC
+
+
+def _raw_row(i: int, day: date, **over) -> dict:
+    row = {
+        "event_id_cnty": f"UKR{day.strftime('%Y%m%d')}{i:04d}",
+        "event_date": day.isoformat(),
+        "year": str(day.year),
+        "time_precision": str(1 + i % 3),
+        "disorder_type": "Political violence",
+        "event_type": VALID_EVENT_TYPES[i % len(VALID_EVENT_TYPES)],
+        "sub_event_type": "Shelling/artillery/missile attack",
+        "actor1": f"Actor {i % 7}",
+        "assoc_actor_1": "",
+        "inter1": str(i % 8),
+        "actor2": f"Actor {(i + 3) % 7}" if i % 2 else "",
+        "assoc_actor_2": "",
+        "inter2": str((i + 1) % 8),
+        "interaction": str(10 + i % 80),
+        "civilian_targeting": "Civilian targeting" if i % 5 == 0 else "",
+        "iso": "804",
+        "region": "Europe",
+        "country": "Ukraine",
+        "admin1": ["Donetsk", "Kherson", "Kharkiv"][i % 3],
+        "admin2": f"Raion {i % 11}",
+        "admin3": f"Hromada {i % 23}",
+        "location": f"Town {i % 31}",
+        "latitude": str(47.0 + (i % 100) / 50.0),
+        "longitude": str(35.0 + (i % 100) / 25.0),
+        "geo_precision": str(1 + i % 3),
+        "source": "Source X",
+        "source_scale": "National",
+        "notes": f"note {i}" if i % 4 else "",
+        "fatalities": str(i % 13),
+        "tags": "",
+        "timestamp": str(EPOCH + i),
+    }
+    row.update(over)
+    return row
+
+
+def make_fetcher(rows_per_day: int = 120, page_cap: int = 50):
+    """Deterministic fake of the paginated ACLED API (ref utils.py:7-23)."""
+
+    def fetcher(day: date, page: int, limit: int, params: dict) -> list[dict]:
+        limit = min(limit, page_cap)
+        start = (page - 1) * limit
+        stop = min(start + limit, rows_per_day)
+        return [_raw_row(i, day) for i in range(start, stop)]
+
+    return fetcher
+
+
+def test_page_loop_stops_on_short_page():
+    calls = []
+
+    def fetcher(day, page, limit, params):
+        calls.append(page)
+        n = [50, 50, 20][page - 1] if page <= 3 else 0
+        return [_raw_row((page - 1) * 50 + i, day) for i in range(n)]
+
+    rows = fetch_day(fetcher, date(2025, 1, 2), limit=50)
+    assert len(rows) == 120
+    assert calls == [1, 2, 3]  # stopped at the short page
+
+
+def test_empty_partition_raises(spark):
+    def fetcher(day, page, limit, params):
+        return []
+
+    with pytest.raises(ValueError, match="no data returned"):
+        ingest_day(spark, fetcher, date(2025, 1, 2))
+
+
+def test_typed_cast_null_on_error(spark):
+    day = date(2025, 1, 2)
+    rows = [
+        _raw_row(0, day),
+        _raw_row(1, day, fatalities="not-a-number", latitude="bogus",
+                 timestamp=None),
+    ]
+    raw = spark.createDataFrame(
+        [tuple(r[n] for n in ACLED_RAW_SCHEMA.fieldNames()) for r in rows],
+        ACLED_RAW_SCHEMA,
+    )
+    typed = typed_cast(raw)
+    assert [f.simpleString() for f in typed.schema.fields] == [
+        f.simpleString() for f in ACLED_SCHEMA.fields
+    ]
+    got = {r["event_id_cnty"]: r for r in typed.collect()}
+    ok = got[f"UKR{day.strftime('%Y%m%d')}0000"]
+    bad = got[f"UKR{day.strftime('%Y%m%d')}0001"]
+    assert ok["fatalities"] == 0 and ok["latitude"] == 47.0
+    assert ok["event_timestamp"] == datetime(2024, 12, 31, 0, 0, 0)
+    assert bad["fatalities"] is None          # strict=False parity
+    assert bad["latitude"] is None
+    assert bad["event_timestamp"] is None     # when(ts not null) guard
+
+
+def test_full_pipeline_ingest_to_silver(spark, tmp_path):
+    bronze_path = os.path.join(str(tmp_path), "bronze")
+    silver_path = os.path.join(str(tmp_path), "silver")
+    fetcher = make_fetcher(rows_per_day=120)
+    suites = load_suites()
+
+    days = partition_days(date(2025, 1, 2), date(2025, 1, 4))
+    for day in days:
+        raw = ingest_day(spark, fetcher, day, limit=50)
+        typed = typed_cast(raw)
+        results = run_checks(typed, suites["acled_bronze"])
+        assert all(r.passed for r in results), [r for r in results if not r.passed]
+        write_bronze(typed, bronze_path, mode="overwrite")
+        upsert_partitioned(
+            spark, read_bronze(spark, bronze_path), silver_path,
+            key="event_id_cnty", partition_col="event_date",
+        )
+
+    silver = spark.read.parquet(silver_path)
+    assert silver.count() == 120 * len(days)
+    run_checks(silver, suites["acled_silver"])  # no blocking failure
+
+    # replay one day end-to-end: idempotent (the ON CONFLICT contract)
+    raw = ingest_day(spark, fetcher, days[0], limit=50)
+    upsert_partitioned(
+        spark, typed_cast(raw), silver_path,
+        key="event_id_cnty", partition_col="event_date",
+    )
+    assert spark.read.parquet(silver_path).count() == 120 * len(days)
+
+
+def test_silver_suite_blocks_oversized_partition(spark):
+    day = date(2025, 1, 2)
+    rows = [_raw_row(i, day) for i in range(120)]
+    raw = spark.createDataFrame(
+        [tuple(r[n] for n in ACLED_RAW_SCHEMA.fieldNames()) for r in rows],
+        ACLED_RAW_SCHEMA,
+    )
+    typed = typed_cast(raw)
+    suites = load_suites()
+    with pytest.raises(ValidationError, match="row_count_bounds"):
+        run_checks(typed, _tight_bounds_suite())
+    # sanity: the real suite passes on this healthy partition
+    assert all(r.passed for r in run_checks(typed, suites["acled_silver"]))
+
+
+def _tight_bounds_suite():
+    from acled_spark.checks import row_count_bounds
+
+    return [row_count_bounds(lo=1, hi=10)]

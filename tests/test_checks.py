@@ -1,0 +1,127 @@
+"""Each validation check against fixtures engineered to pass and fail —
+the failure modes the reference's checks encode (FIXTURES.md §1,
+ref acled_checks.py:39-534, 538-1067)."""
+
+from __future__ import annotations
+
+from datetime import date
+
+import pytest
+
+from acled_spark.checks import (
+    ValidationError,
+    build_suite,
+    completeness,
+    dominance,
+    domain_membership,
+    load_suites,
+    non_empty,
+    partition_date_match,
+    pk_unique,
+    required_columns,
+    row_count_bounds,
+    run_checks,
+    value_range,
+)
+from acled_spark.tables import load
+
+SF_DIR = "/root/testdata/sf0.001"
+SCHEMA = "id string, d date, lat double, fat int, etype string"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+GOOD = [
+    ("a", date(2025, 1, 2), 47.0, 0, "Battles"),
+    ("b", date(2025, 1, 2), -12.5, 3, "Protests"),
+    ("c", date(2025, 1, 2), 89.9, 1, "Riots"),
+]
+
+
+def test_non_empty_blocks_on_empty(spark):
+    ok = run_checks(_df(spark, GOOD), [non_empty()])
+    assert ok[0].passed and ok[0].metrics["row_count"] == 3
+    with pytest.raises(ValidationError, match="non_empty"):
+        run_checks(_df(spark, []).filter("1=0"), [non_empty()])
+
+
+def test_required_columns(spark):
+    df = _df(spark, GOOD)
+    assert run_checks(df, [required_columns(["id", "lat"])])[0].passed
+    res = run_checks(df, [required_columns(["id", "nope"])])[0]
+    assert not res.passed and res.metrics["missing"] == ["nope"]
+
+
+def test_value_range_coordinates_and_nulls(spark):
+    bad = GOOD + [("d", date(2025, 1, 2), 91.0, 2, "Battles"),
+                  ("e", date(2025, 1, 2), None, 2, "Battles")]
+    df = _df(spark, bad)
+    res = run_checks(df, [value_range("lat", -90.0, 90.0)])[0]
+    assert not res.passed and res.metrics["out_of_range"] == 1
+    # nulls tolerated by default, counted in metrics
+    assert res.metrics["nulls"] == 1
+    res = run_checks(
+        _df(spark, GOOD + [("e", date(2025, 1, 2), 47.0, None, "Battles")]),
+        [value_range("fat", lo=0, allow_null=False)],
+    )[0]
+    assert not res.passed
+
+
+def test_domain_membership_reports_unknown_and_missing(spark):
+    df = _df(spark, GOOD + [("d", date(2025, 1, 2), 1.0, 0, "UFO sighting")])
+    res = run_checks(
+        df, [domain_membership("etype", ["Battles", "Protests", "Riots", "Strategic developments"])]
+    )[0]
+    assert not res.passed
+    assert res.metrics["unknown"] == ["UFO sighting"]
+    assert res.metrics["missing"] == ["Strategic developments"]
+
+
+def test_pk_unique(spark):
+    df = _df(spark, GOOD + [("a", date(2025, 1, 2), 1.0, 0, "Battles")])
+    res = run_checks(df, [pk_unique(["id"])])[0]
+    assert not res.passed and res.metrics["duplicates"] == 1
+
+
+def test_row_count_bounds_blocking(spark):
+    with pytest.raises(ValidationError):
+        run_checks(_df(spark, GOOD), [row_count_bounds(lo=10, hi=20)])
+
+
+def test_completeness_null_and_empty_aware(spark):
+    rows = GOOD + [("", date(2025, 1, 2), None, 1, "Battles")] * 2
+    res = run_checks(
+        _df(spark, rows), [completeness(["id", "lat"], min_pct=95.0)]
+    )[0]
+    assert not res.passed
+    assert res.metrics["missing_by_column"] == {"id": 2, "lat": 2}
+
+
+def test_dominance(spark):
+    rows = [(f"x{i}", date(2025, 1, 2), 1.0, 0, "Battles") for i in range(9)]
+    rows.append(("y", date(2025, 1, 2), 1.0, 0, "Riots"))
+    res = run_checks(_df(spark, rows), [dominance("etype", 80.0)])[0]
+    assert not res.passed and res.metrics["top_value"] == "Battles"
+    assert res.metrics["share_pct"] == 90.0
+
+
+def test_partition_date_match_blocking(spark):
+    df = _df(spark, GOOD + [("z", date(2025, 1, 3), 1.0, 0, "Battles")])
+    with pytest.raises(ValidationError, match="partition_date"):
+        run_checks(df, [partition_date_match("d", date(2025, 1, 2))])
+
+
+def test_yaml_factory_roundtrip_and_events_suite(spark):
+    suites = load_suites()
+    assert set(suites) == {"acled_bronze", "acled_silver", "events_quality"}
+    # the generic suite runs green against the driver's events table
+    ev = load(spark, SF_DIR, "events")
+    results = run_checks(ev, suites["events_quality"])
+    assert all(r.passed for r in results), [r for r in results if not r.passed]
+
+
+def test_factory_rejects_unknown_type():
+    with pytest.raises(ValueError, match="unknown check type"):
+        build_suite([{"type": "teleport"}])

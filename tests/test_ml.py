@@ -1,0 +1,135 @@
+"""ML pipeline: encoder semantics (determinism, unseen-category handling,
+ref ml.py:106-107,138-139), seeded training determinism, scoring analytics
+(SURVEY §5.4 — schema/determinism tests, not sklearn number parity)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from acled_spark.ml import (
+    TargetEncoder,
+    TrainedModel,
+    add_distance_from_center,
+    build_feature_pipeline,
+    error_analysis,
+    label_encode_fit,
+    label_encode_transform,
+    out_of_fold_target_encode,
+    train_regressor,
+)
+from acled_spark.ml.score import score
+from acled_spark.tables import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def training_frame(spark):
+    """events joined features: predict value from type/user/hour."""
+    ev = load(spark, SF_DIR, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.col("user_id").cast("string").alias("user_cat"),
+        F.hour("ts").cast("double").alias("hour"),
+        F.dayofweek("ts").cast("double").alias("dow"),
+        "value",
+    )
+
+
+def test_target_encoder_unseen_falls_back_to_global(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 10.0)], "cat string, y double"
+    )
+    enc = TargetEncoder("cat", "y", smoothing=0).fit(df)
+    serving = spark.createDataFrame([("a",), ("zzz",)], "cat string")
+    got = {
+        r["cat"]: r["cat_target_encoded"] for r in enc.transform(serving).collect()
+    }
+    assert got["a"] == pytest.approx(2.0)
+    assert got["zzz"] == pytest.approx(df.agg(F.avg("y")).collect()[0][0])
+
+
+def test_out_of_fold_encoding_excludes_own_fold(spark):
+    # two folds; category 'a' has mean 1.0 in fold 0 and 3.0 in fold 1.
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 1, 3.0), ("b", 0, 5.0), ("b", 1, 7.0)],
+        "cat string, fold int, y double",
+    )
+    out = out_of_fold_target_encode(
+        df, "cat", "y", "fold", n_folds=2, smoothing=0
+    )
+    got = {
+        (r["cat"], r["fold"]): r["cat_target_encoded"] for r in out.collect()
+    }
+    # encoding for ('a', fold 0) must use only fold-1 data: mean 3.0
+    assert got[("a", 0)] == pytest.approx(3.0)
+    assert got[("a", 1)] == pytest.approx(1.0)
+    assert got[("b", 0)] == pytest.approx(7.0)
+
+
+def test_label_encode_sorted_ids_and_unseen(spark):
+    df = spark.createDataFrame([("x",), ("m",), ("a",)], "c string")
+    mapping = label_encode_fit(df, "c")
+    assert mapping == {"a": 0, "m": 1, "x": 2}
+    serving = spark.createDataFrame([("m",), ("new",)], "c string")
+    got = {
+        r["c"]: r["c_label_encoded"]
+        for r in label_encode_transform(serving, "c", mapping).collect()
+    }
+    assert got == {"m": 1, "new": -1}
+
+
+def test_distance_from_center_frozen_medians(spark):
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (4.0, 3.0), (8.0, 6.0)], "x double, y double"
+    )
+    out, center = add_distance_from_center(df, "x", "y")
+    assert center == (4.0, 3.0)
+    vals = sorted(r["distance_from_center"] for r in out.collect())
+    assert vals == pytest.approx([0.0, 5.0, 5.0])
+    # serving reuses frozen center
+    serving = spark.createDataFrame([(4.0, 7.0)], "x double, y double")
+    out2, _ = add_distance_from_center(serving, "x", "y", center=center)
+    assert out2.collect()[0]["distance_from_center"] == pytest.approx(4.0)
+
+
+def test_train_score_deterministic(spark, training_frame):
+    pipeline = build_feature_pipeline(
+        onehot_cols=["event_type"],
+        label_cols=["user_cat"],
+        numeric_cols=["hour", "dow"],
+    )
+
+    def run() -> TrainedModel:
+        return train_regressor(
+            training_frame,
+            pipeline,
+            label_col="value",
+            n_candidates=3,
+            n_folds=2,
+            parallelism=2,
+        )
+
+    t1 = run()
+    assert t1.metrics["train"]["rmse"] > 0
+    assert t1.best_params.keys() == set(
+        __import__("acled_spark.ml.train", fromlist=["SEARCH_SPACE"]).SEARCH_SPACE
+    )
+    assert t1.feature_importances and abs(
+        sum(v for _, v in t1.feature_importances) - 1.0
+    ) < 1e-6
+
+    t2 = run()
+    assert t2.best_params == t1.best_params          # seeded search
+    assert t2.metrics["test"]["rmse"] == pytest.approx(
+        t1.metrics["test"]["rmse"]
+    )
+
+    scored = score(t1.model, training_frame, label_col="value")
+    analysis = error_analysis(scored, group_col="event_type")
+    assert analysis["n"] == training_frame.count()
+    assert analysis["within_1"] + analysis["within_5"] >= analysis["within_1"]
+    assert 0.0 <= analysis["risk_accuracy"] <= 1.0
+    assert len(analysis["by_group"]) == 5
