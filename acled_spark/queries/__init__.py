@@ -19,6 +19,7 @@ from acled_spark.queries import (  # noqa: F401
     joins,
     mlq,
     multimodal_q,
+    olap,
     pipeline,
     scalars,
     similarity,

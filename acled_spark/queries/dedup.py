@@ -126,11 +126,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     sh = docs.select(
-        "doc_id", "lang", F.explode(shingles_spark(F.col("text"))).alias("shingle")
+        "doc_id",
+        "lang",
+        F.explode(shingles_spark(F.col("text"))).alias("shingle"),
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # Set sizes come straight from the array length — no explode, no
+    # aggregate — and broadcast-join onto the pair counts AFTER the heavy
+    # shuffle, keeping the giant pairs exchange as narrow as possible
+    # (doc1, doc2, partial count only).
+    sizes = docs.select(
+        "doc_id", F.size(shingles_spark(F.col("text"))).alias("n_sh")
+    )
     a = sh.alias("a")
-    b = sh.alias("b")
+    # Both sides of the self-join are exploded fact streams — broadcasting
+    # either is catastrophic (the optimizer has no stats for Generate
+    # output and may try).  Shuffle-hash-join on the shingle key is the
+    # strategy that survives 100 TB.
+    b = sh.alias("b").hint("shuffle_hash")
     pairs = (
         a.join(
             b,
@@ -144,8 +156,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = sizes.alias("s1")
     s2 = sizes.alias("s2")
     return (
-        pairs.join(s1, pairs.doc1 == F.col("s1.doc_id"))
-        .join(s2, pairs.doc2 == F.col("s2.doc_id"))
+        pairs.join(F.broadcast(s1), pairs.doc1 == F.col("s1.doc_id"))
+        .join(F.broadcast(s2), pairs.doc2 == F.col("s2.doc_id"))
         .select(
             "doc1",
             "doc2",
@@ -217,19 +229,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(N_HASHES)
         ]
     )
-    band_frames = [
-        sig.select(
-            "doc_id",
-            F.lit(b).alias("band_id"),
-            F.md5(
-                F.concat(F.col(f"mh{b * BAND_SIZE}"), F.col(f"mh{b * BAND_SIZE + 1}"))
-            ).alias("band_key"),
-        )
-        for b in range(N_HASHES // BAND_SIZE)
-    ]
-    bands = band_frames[0]
-    for bf in band_frames[1:]:
-        bands = bands.unionByName(bf)
+    # Explode the bands out of one signature row instead of unioning
+    # N_BANDS branches — the expensive signature aggregate runs ONCE.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat(
+                        F.col(f"mh{b * BAND_SIZE}"), F.col(f"mh{b * BAND_SIZE + 1}")
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(N_HASHES // BAND_SIZE)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.explode(band_structs).alias("band")
+    ).select("doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_key").alias("band_key"))
     buckets = bands.groupBy("band_id", "band_key").agg(
         F.count("*").alias("bucket_size")
     )

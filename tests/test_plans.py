@@ -1,0 +1,101 @@
+"""Physical-plan shape assertions (SURVEY §4): predicates reach the
+parquet scan, small dims broadcast, aggregates run partial+final.
+Correctness tests prove the right answer; these prove the right PLAN —
+the difference between working at sf0.1 and working at 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+
+from acled_spark.registry import all_specs
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = all_specs()[name].builder(spark, SF_DIR)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_filter_dsl_pushes_to_scan(spark):
+    plan = _plan(spark, "p2_filter_dsl")
+    assert "PushedFilters:" in plan
+    # the >= threshold and IN-list must reach the parquet reader
+    assert "GreaterThanOrEqual(value,50.0)" in plan
+    assert "In(user_id" in plan
+
+
+def test_eq_filter_pushes_to_scan(spark):
+    plan = _plan(spark, "p5_eq_filter")
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_projection_prunes_columns(spark):
+    plan = _plan(spark, "j5_multiway_revenue")
+    # lineitem scan must read only the 3 needed columns, not all 11
+    assert "l_comment" not in plan
+    assert "ReadSchema" in plan
+    li_read = [
+        line for line in plan.splitlines()
+        if "ReadSchema" in line and "l_orderkey" in line
+    ]
+    assert li_read and "l_quantity" not in li_read[0]
+
+
+def test_dim_joins_broadcast(spark):
+    plan = _plan(spark, "j6_snowflake_dims")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_target_stats_broadcast_not_shuffled(spark):
+    plan = _plan(spark, "j1_target_stat_lookup")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_aggregates_are_partial_then_final(spark):
+    plan = _plan(spark, "a4_daily_rollup")
+    # map-side combine: partial_* functions before the exchange
+    assert "partial_count" in plan and "partial_sum" in plan
+    # and the pipeline compiles to whole-stage-codegen subtrees
+    import io
+    from contextlib import redirect_stdout
+
+    df = all_specs()["a4_daily_rollup"].builder(spark, SF_DIR)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="codegen")
+    assert "WholeStageCodegen subtrees" in buf.getvalue()
+
+
+def test_topk_uses_take_ordered_not_full_sort(spark):
+    plan = _plan(spark, "p6_threshold_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["dedup_minhash_lsh", "dedup_ngram_jaccard"]
+)
+def test_dedup_plans_single_shingle_pass(spark, name):
+    """The shingle explode/aggregate pipeline must not be duplicated per
+    band/size-lookup (the naive union/join shape recomputes it)."""
+    import re
+
+    plan = _plan(spark, name)
+    # formatted mode prints each node twice (tree + detail); count the
+    # numbered detail entries only
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE))
+    # jaccard: 2 exploded join sides + 2 array-length size projections
+    # (cheap, no Generate); minhash: exactly one shingle pipeline
+    assert n_scans <= (4 if name == "dedup_ngram_jaccard" else 1), plan[:2000]
+    if name == "dedup_ngram_jaccard":
+        # the heavy self-join must never broadcast an exploded side
+        n_gen = len(re.findall(r"^\(\d+\) Generate", plan, re.MULTILINE))
+        assert n_gen == 2
+        assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
