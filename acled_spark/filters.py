@@ -97,9 +97,9 @@ class Predicate:
         if op == "le":
             return f"{col} <= {_sql_lit(v)}"
         if op == "like":
-            return f"{col} LIKE {_sql_lit(f'%{v}%')}"
+            return f"{col} LIKE {_sql_lit(f'%{_like_escape(v)}%')} ESCAPE '\\'"
         if op == "prefix":
-            return f"{col} LIKE {_sql_lit(f'{v}%')}"
+            return f"{col} LIKE {_sql_lit(f'{_like_escape(v)}%')} ESCAPE '\\'"
         if op == "in":
             vals = ", ".join(_sql_lit(x) for x in v)
             return f"{col} IN ({vals})"
@@ -119,6 +119,15 @@ def _spark_lit(v: object) -> Column:
     if isinstance(v, date):
         return F.lit(v.isoformat()).cast("date")
     return F.lit(v)
+
+
+def _like_escape(v: object) -> str:
+    """Escape LIKE wildcards so SQL matches Spark's literal-substring
+    semantics (`Column.contains` / `startswith` never treat % or _ as
+    wildcards)."""
+    return (
+        str(v).replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+    )
 
 
 def _sql_lit(v: object) -> str:

@@ -23,6 +23,7 @@ from acled_spark.queries import (  # noqa: F401
     pipeline,
     scalars,
     similarity,
+    sql_api,
     text,
     windows,
 )
