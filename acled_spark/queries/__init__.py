@@ -22,6 +22,7 @@ from acled_spark.queries import (  # noqa: F401
     olap,
     pipeline,
     scalars,
+    sessions,
     similarity,
     sql_api,
     text,

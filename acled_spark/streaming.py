@@ -83,6 +83,46 @@ def start_upsert_stream(
     )
 
 
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: running per-user totals via
+    ``applyInPandasWithState`` (the arbitrary-state path the reference
+    never needed but a streaming engine must expose — SURVEY §2.10 note).
+
+    State per user = (event_count, total_value); each micro-batch folds
+    its rows in and emits the updated totals.  Pandas/Arrow at the state
+    boundary only — upstream filtering/projection stays JVM-side.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        count, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            count += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((count, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_count": [count],
+                "total_value": [round(total, 2)],
+            }
+        )
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, event_count long, total_value double",
+            stateStructType="event_count long, total_value double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def windowed_counts(
     events: DataFrame,
     ts_col: str = "ts",
