@@ -95,6 +95,80 @@ def w3_rank_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rnk")
 
 
+# --- A20 (extended): ranking-function suite ----------------------------------
+# rank / dense_rank / ntile — absent from the reference (SURVEY §2.5 note)
+# but table-stakes window surface for an engine replacing it.
+@query(
+    "a20_ranking_suite",
+    oracle="""
+    WITH s AS (SELECT user_id, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS total
+               FROM events GROUP BY user_id)
+    SELECT user_id, cnt, total,
+           CAST(RANK() OVER (ORDER BY cnt DESC) AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER (ORDER BY cnt DESC) AS BIGINT) AS drnk,
+           CAST(NTILE(4) OVER (ORDER BY total DESC, user_id) AS BIGINT) AS quartile
+    FROM s ORDER BY user_id
+    """,
+    tags=("window", "extended"),
+)
+def a20_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/ntile over a per-user aggregate (extended surface)."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total")
+    )
+    by_cnt = Window.orderBy(F.desc("cnt"))
+    by_total = Window.orderBy(F.desc("total"), "user_id")
+    return s.select(
+        "user_id",
+        "cnt",
+        "total",
+        F.rank().over(by_cnt).cast("long").alias("rnk"),
+        F.dense_rank().over(by_cnt).cast("long").alias("drnk"),
+        F.ntile(4).over(by_total).cast("long").alias("quartile"),
+    ).orderBy("user_id")
+
+
+# --- F4 (scalar): date arithmetic / relative windows --------------------------
+# Ref: assets/report.py:36-42 (end_date - timedelta(days_back)),
+# ml.py:181-183 (training window) — date_sub/date_add/datediff.
+@query(
+    "f4_date_arithmetic",
+    oracle="""
+    WITH bounds AS (SELECT MAX(CAST(ts AS DATE)) AS end_day FROM events)
+    SELECT CAST(ts AS DATE) AS day,
+           COUNT(*) AS cnt,
+           CAST(date_diff('day', CAST(ts AS DATE), b.end_day) AS INTEGER) AS days_before_end
+    FROM events, bounds b
+    WHERE CAST(ts AS DATE) >= b.end_day - INTERVAL 7 DAY
+    GROUP BY day, b.end_day ORDER BY day
+    """,
+    tags=("scalar", "time"),
+)
+def f4_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative date window: last 7 days before the max date (ref report.py:36-42).
+
+    The window bound derives from a 1-row aggregate broadcast onto the
+    scan — the 'trailing N days' report/training pattern.
+    """
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(F.max(F.to_date("ts")).alias("end_day"))
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .filter(F.to_date("ts") >= F.date_sub(F.col("end_day"), 7))
+        .groupBy(F.to_date("ts").alias("day"), "end_day")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "day",
+            "cnt",
+            F.datediff(F.col("end_day"), F.col("day")).cast("int").alias(
+                "days_before_end"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
 # --- W4 (extended): lag delta day-over-day ----------------------------------
 # Beyond the reference's window surface; standard analytics-engine op.
 @query(
