@@ -33,14 +33,19 @@ from acled_spark.tables import load
 def f1_try_cast_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON field extraction + try_cast null-on-error (ref base_assets.py:120-131)."""
     ev = load(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
-    return ev.agg(
+    # Project the JSON extraction ONCE before aggregating: aggregate
+    # children are not subexpression-eliminated, so an inline `k` in both
+    # sum and avg runs the JsonPath evaluator twice per row (measured
+    # 2.5s -> 0.5s at sf0.1).
+    projected = ev.select(
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.expr("try_cast(event_type AS int)").alias("et_num"),
+    )
+    return projected.agg(
         F.count("*").alias("n_rows"),
-        F.sum(k).cast("long").alias("k_sum"),
-        F.round(F.avg(k), 4).alias("k_avg"),
-        F.count(F.when(F.expr("try_cast(event_type AS int)").isNull(), 1)).alias(
-            "non_numeric_types"
-        ),
+        F.sum("k").cast("long").alias("k_sum"),
+        F.round(F.avg("k"), 4).alias("k_avg"),
+        F.count(F.when(F.col("et_num").isNull(), 1)).alias("non_numeric_types"),
     )
 
 
