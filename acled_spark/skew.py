@@ -1,0 +1,106 @@
+"""Skew mitigation: salting for hot keys + AQE configuration.
+
+At 100 TB a handful of hot keys (the mega-user, the empty-string
+category) dominate a shuffle partition and one task runs for hours.
+Two mitigations, both exposed here:
+
+- **AQE skew-join splitting** (:func:`enable_skew_handling`) — runtime
+  re-planning splits oversized partitions; zero code changes, first
+  line of defense.
+- **Salting** — explicit two-phase shapes for when AQE can't help
+  (aggregations with huge single groups, joins against a replicated
+  small side): :func:`salted_aggregate` and :func:`salted_join`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_SALT_BUCKETS = 16
+
+
+def enable_skew_handling(
+    spark: SparkSession,
+    threshold_bytes: int | None = None,
+    advisory_bytes: int | None = None,
+) -> None:
+    """Turn on (and optionally re-tune) AQE skew-join splitting.
+
+    Defaults target production partition sizes; tests pass tiny
+    thresholds so splitting triggers on toy data.
+    """
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    if threshold_bytes is not None:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            str(threshold_bytes),
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            str(advisory_bytes or max(threshold_bytes // 4, 1)),
+        )
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, Column],
+    buckets: int = DEFAULT_SALT_BUCKETS,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys.
+
+    Phase 1 groups by (key, salt) — the hot key's rows spread over
+    ``buckets`` tasks; phase 2 re-aggregates the per-salt partials by
+    key (tiny input).  Supported partials: count / sum / min / max
+    (mergeable aggregates).  ``aggs`` maps output name -> phase-1
+    aggregate Column; phase 2 merges by name convention:
+    ``*_cnt`` columns are summed, everything else summed/min'd/max'd
+    per the ``merge`` map below.
+    """
+    salted = df.withColumn(
+        "__salt", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), buckets)
+    )
+    phase1 = salted.groupBy(*keys, "__salt").agg(
+        *[col.alias(name) for name, col in aggs.items()]
+    )
+    merge = []
+    for name in aggs:
+        if name.endswith("_min"):
+            merge.append(F.min(name).alias(name))
+        elif name.endswith("_max"):
+            merge.append(F.max(name).alias(name))
+        else:  # counts and sums merge by summing partials
+            merge.append(F.sum(name).alias(name))
+    return phase1.groupBy(*keys).agg(*merge)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    buckets: int = DEFAULT_SALT_BUCKETS,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof join: salt the big side, replicate the small side.
+
+    Each big-side row gets a random-ish salt in [0, buckets); the small
+    side is exploded ``buckets``× so every (key, salt) pair exists.
+    The shuffle then spreads a hot key over ``buckets`` tasks.  Use when
+    the small side is too big to broadcast but small enough to
+    replicate; otherwise prefer AQE skew-join.
+    """
+    big_salted = big.withColumn(
+        "__salt",
+        F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), buckets).cast(
+            "int"
+        ),
+    )
+    small_replicated = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    out = big_salted.join(small_replicated, [key, "__salt"], how)
+    return out.drop("__salt")

@@ -1,0 +1,58 @@
+"""IVF ANN: recall against the exact brute-force baseline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from acled_spark.ann import build_ivf_index, ivf_search
+from acled_spark.queries.similarity import sim_topk_bruteforce
+from acled_spark.tables import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def index(spark):
+    # nlist ~ sqrt(N)/3 for the 500-vector test corpus; production uses
+    # the default 16+ with proportionally larger corpora
+    return build_ivf_index(load(spark, SF_DIR, "embeddings"), nlist=8)
+
+
+def test_ivf_assigns_every_vector(spark, index):
+    emb = load(spark, SF_DIR, "embeddings")
+    assert index.assigned.count() == emb.count()
+    cells = index.assigned.select("cell").distinct().count()
+    assert 2 <= cells <= 8
+
+
+def test_ivf_recall_vs_bruteforce(spark, index):
+    exact = sim_topk_bruteforce(spark, SF_DIR)
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    queries = load(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 5)
+    approx = ivf_search(index, queries, top_k=10, nprobe=3)
+    approx_sets = {}
+    for r in approx.collect():
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    assert set(approx_sets) == set(exact_sets)
+    recalls = [
+        len(approx_sets[q] & exact_sets[q]) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    # measured sweep: (nlist=8, nprobe=3) -> 0.84 mean recall scanning
+    # ~37% of cells; assert with headroom against KMeans seed drift
+    assert mean_recall >= 0.7, recalls
+
+    # every approx hit must carry the same rounded cosine as exact would
+    exact_cos = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact.collect()
+    }
+    for r in approx.collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_cos:
+            assert r["cosine"] == exact_cos[key]

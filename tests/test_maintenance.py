@@ -1,0 +1,58 @@
+"""Small-file compaction: fragmented partitions rewrite to the target
+file count; data and untouched partitions are bit-stable."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from acled_spark.maintenance import compact_partitions, partition_file_counts
+from acled_spark.tables import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _fragmented_store(spark, tmp_path) -> str:
+    path = os.path.join(str(tmp_path), "events_by_day")
+    ev = load(spark, SF_DIR, "events").withColumn(
+        "day", F.to_date("ts").cast("string")
+    )
+    three_days = ev.filter(
+        F.col("day").isin("2024-01-05", "2024-01-06", "2024-01-07")
+    )
+    # simulate many per-batch appends -> many small files per partition
+    for _ in range(4):
+        three_days.repartition(3).write.mode("append").partitionBy(
+            "day"
+        ).parquet(path)
+    return path
+
+
+def test_compaction_reduces_files_preserves_data(spark, tmp_path):
+    path = _fragmented_store(spark, tmp_path)
+    before_counts = partition_file_counts(path, "day")
+    assert all(n >= 4 for n in before_counts.values()), before_counts
+    before_data = sorted(
+        tuple(r) for r in spark.read.parquet(path).collect()
+    )
+
+    rewritten = compact_partitions(spark, path, "day")
+    assert set(rewritten) == set(before_counts)
+    after_counts = partition_file_counts(path, "day")
+    assert all(n == 1 for n in after_counts.values()), after_counts
+    after_data = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert after_data == before_data
+
+    # idempotent: nothing left to compact
+    assert compact_partitions(spark, path, "day") == {}
+
+
+def test_selective_compaction_leaves_other_partitions(spark, tmp_path):
+    path = _fragmented_store(spark, tmp_path)
+    before = partition_file_counts(path, "day")
+    compact_partitions(spark, path, "day", partitions=["2024-01-05"])
+    after = partition_file_counts(path, "day")
+    assert after["2024-01-05"] == 1
+    assert after["2024-01-06"] == before["2024-01-06"]  # untouched
+    assert after["2024-01-07"] == before["2024-01-07"]

@@ -1,0 +1,109 @@
+"""Skew mitigation: salted aggregate/join equivalence + AQE skew-join
+splitting on an engineered hot key."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from acled_spark.skew import (
+    enable_skew_handling,
+    salted_aggregate,
+    salted_join,
+)
+from acled_spark.tables import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _norm(rows):
+    return sorted(tuple(r) for r in rows)
+
+
+def test_salted_aggregate_matches_plain(spark):
+    ev = load(spark, SF_DIR, "events")
+    plain = ev.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("value"), 2).alias("total"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+    )
+    salted = salted_aggregate(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "cnt": F.count("*"),
+            "total": F.sum("value"),
+            "v_min": F.min("value"),
+            "v_max": F.max("value"),
+        },
+        buckets=8,
+    ).select(
+        "event_type", "cnt", F.round("total", 2).alias("total"), "v_min", "v_max"
+    )
+    assert _norm(salted.collect()) == _norm(plain.collect())
+
+
+def test_salted_join_matches_plain(spark):
+    ev = load(spark, SF_DIR, "events")
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 10.0), ("signup", 5.0),
+         ("error", 0.0)],
+        "event_type string, weight double",
+    )
+    plain = ev.join(dim, "event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value") * F.col("weight")), 2).alias("wsum"),
+    )
+    salted = salted_join(ev, dim, key="event_type", buckets=8).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value") * F.col("weight")), 2).alias("wsum"),
+    )
+    assert tuple(salted.collect()[0]) == tuple(plain.collect()[0])
+
+
+def test_skewed_join_executes_under_aqe(spark):
+    """Engineered hot key (one key owns ~98% of left rows) joins correctly
+    under AQE with skew handling enabled.
+
+    NOTE: we assert correctness + config wiring, not the `skewed`
+    AQEShuffleRead marker — local toy shuffles stay below the sizes
+    where Spark's detector fires even with lowered thresholds (observed
+    empirically; the split is a cluster-scale behavior).  The explicit,
+    always-available mitigation is `salted_join`, tested above.
+    """
+    old = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        enable_skew_handling(spark, threshold_bytes=65536, advisory_bytes=16384)
+        assert (
+            spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+        )
+        assert (
+            spark.conf.get(
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+            )
+            == "65536"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        left = spark.range(0, 400_000).select(
+            F.when(F.col("id") % 50 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("lid"),
+        )
+        # right side: unique keys (k=7 matches once) — the skew lives in
+        # the LEFT shuffle partition, not in join-output explosion
+        right = spark.range(0, 50_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        n = left.join(right, "k").count()
+        # hot key: 392_000 rows match k=7 once; cold keys: 8_000 ids
+        # divisible by 50 below 400_000 that also exist in right (< 50_000)
+        assert n == 392_000 + len([i for i in range(0, 50_000, 50)])
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
