@@ -49,9 +49,10 @@ def build_ivf_index(
         F.lit(0.0),
         lambda acc, x: acc + x.cast("double"),
     )
-    normed = F.transform(
+    # zero vectors stay zero (dividing would inject NaNs into KMeans)
+    normed = F.when(dot_self > 0, F.transform(
         F.col(vec_col), lambda x: x.cast("double") / F.sqrt(dot_self)
-    )
+    )).otherwise(F.transform(F.col(vec_col), lambda x: x.cast("double")))
     with_vec = embeddings.withColumn("__vec", array_to_vector(normed))
     km = KMeans(k=nlist, seed=SEED, featuresCol="__vec", predictionCol="cell")
     model = km.fit(with_vec)
@@ -81,39 +82,47 @@ def ivf_search(
     probe_pairs = []
     for row in q_rows:
         v = np.array(row[vec_col], dtype="float64")
-        v = v / np.linalg.norm(v)  # centroids live on the unit sphere
+        nrm = np.linalg.norm(v)
+        if nrm > 0:  # centroids live on the unit sphere; keep 0-vectors as-is
+            v = v / nrm
         d = ((centers - v) ** 2).sum(axis=1)
         for cell in np.argsort(d)[:nprobe]:
             probe_pairs.append((row[id_col], int(cell)))
     spark = queries.sparkSession
     probes = spark.createDataFrame(probe_pairs, f"{id_col} long, cell int")
 
+    dbl = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    # Precompute each side's norm ONCE (per vector, not per candidate
+    # pair — HOF aggregates are interpreted, so redundant per-pair norm
+    # evaluation dominates the scoring join otherwise).
     q = (
         queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe")
+            F.col(id_col).alias("query_id"),
+            dbl(vec_col).alias("qe"),
+            F.sqrt(dot(dbl(vec_col), dbl(vec_col))).alias("qnrm"),
         )
         .join(
             probes.select(F.col(id_col).alias("query_id"), "cell"),
             "query_id",
         )
     )
-    dbl = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
-    dot = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    corpus = index.assigned.select(
+        "cell",
+        id_col,
+        dbl(vec_col).alias("ce"),
+        F.sqrt(dot(dbl(vec_col), dbl(vec_col))).alias("cnrm"),
     )
-    cand = index.assigned.join(F.broadcast(q), "cell").filter(
+    cand = corpus.join(F.broadcast(q), "cell").filter(
         F.col(id_col) != F.col("query_id")
     )
     scored = cand.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
         F.round(
-            dot(dbl(vec_col), dbl("qe"))
-            / (
-                F.sqrt(dot(dbl(vec_col), dbl(vec_col)))
-                * F.sqrt(dot(dbl("qe"), dbl("qe")))
-            ),
-            4,
+            dot(F.col("ce"), F.col("qe")) / (F.col("cnrm") * F.col("qnrm")), 4
         ).alias("cosine"),
     ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")

@@ -109,6 +109,11 @@ def value_range(
 ) -> Check:
     """Column values within [lo, hi] (ref acled_checks.py:249-331 coords,
     :334-399 fatalities; checks.yaml:40-41)."""
+    if lo is None and hi is None:
+        raise ValueError(
+            f"value_range[{column}]: at least one of lo/hi is required — "
+            "a boundless range check would pass vacuously"
+        )
 
     def _fn(df: DataFrame) -> CheckResult:
         c = F.col(column)

@@ -48,7 +48,12 @@ class TrainedModel:
 def sample_param_maps(
     gbt: GBTRegressor, n_candidates: int, seed: int = SEED
 ) -> list:
-    """Seeded random draw of ``n_candidates`` points from SEARCH_SPACE."""
+    """Seeded random draw of ``n_candidates`` points from SEARCH_SPACE
+    (capped at the space's size — the space is finite)."""
+    space_size = 1
+    for values in SEARCH_SPACE.values():
+        space_size *= len(values)
+    n_candidates = min(n_candidates, space_size)
     rng = random.Random(seed)
     seen, combos = set(), []
     while len(combos) < n_candidates:

@@ -116,6 +116,52 @@ def a18_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a21_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT o_orderpriority,
+             ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS price_F,
+             ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS price_O,
+             ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS price_P
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, status, total
+    FROM wide
+    UNPIVOT (total FOR status IN (price_F AS 'F', price_O AS 'O', price_P AS 'P'))
+    ORDER BY o_orderpriority, status
+    """,
+    tags=("agg", "olap"),
+)
+def a21_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long reshaping via unpivot/melt (pivot's inverse; the other
+    half of the M2 one-hot story)."""
+    o = load(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        *[
+            F.round(
+                F.sum(
+                    F.when(F.col("o_orderstatus") == s, F.col("o_totalprice")).otherwise(
+                        0.0
+                    )
+                ),
+                2,
+            ).alias(f"price_{s}")
+            for s in ("F", "O", "P")
+        ]
+    )
+    return (
+        wide.unpivot(
+            ids=["o_orderpriority"],
+            values=["price_F", "price_O", "price_P"],
+            variableColumnName="status",
+            valueColumnName="total",
+        )
+        .withColumn("status", F.expr("substring(status, 7)"))
+        .orderBy("o_orderpriority", "status")
+    )
+
+
+@query(
     "a19_approx_distinct",
     oracle=None,  # estimator output is engine-specific by design
     tags=("agg", "scale"),

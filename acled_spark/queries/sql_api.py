@@ -36,11 +36,14 @@ ORDER BY region_name, nation_name
 def sql1_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME SQL text runs on Spark and the oracle — parser-level parity.
 
-    Views are registered with a per-sf suffix to avoid cross-test
-    clashes, then the template is instantiated for Spark; DuckDB gets
-    the bare table names the harness pre-registers.
+    Views are registered with a suffix derived from sf_dir so plans built
+    against different scale factors in one session never share (or
+    clobber) each other's views; DuckDB gets the bare table names the
+    harness pre-registers.
     """
-    suffix = "_sqlapi"
+    import re
+
+    suffix = "_sqlapi_" + re.sub(r"[^0-9A-Za-z]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
     for name in ("customer", "nation", "region", "orders"):
         load(spark, sf_dir, name).createOrReplaceTempView(name + suffix)
     return spark.sql(

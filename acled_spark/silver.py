@@ -42,8 +42,9 @@ def merge_updates(
 
     Updates beat existing rows (``ON CONFLICT DO UPDATE``); within a
     side, the row with the greatest ``order_col`` wins (replay of the
-    same batch is a no-op), falling back to arbitrary-but-deterministic
-    ordering on the key columns when ``order_col`` is None.
+    same batch is a no-op).  Remaining ties (duplicate keys with no/equal
+    order_col) break on a full-row content hash, so the survivor is
+    deterministic regardless of partitioning.
     """
     keys = [key] if isinstance(key, str) else list(key)
     cols = existing.columns
@@ -57,6 +58,10 @@ def merge_updates(
     order = [F.desc(_SRC_COL)]
     if order_col is not None:
         order.append(F.desc(order_col))
+    # final tiebreak: a content hash of the full row — survivor choice is
+    # a function of the DATA, never of partition layout (duplicate keys
+    # within one side would otherwise resolve nondeterministically)
+    order.append(F.desc(F.xxhash64(*cols)))
     w = Window.partitionBy(*keys).orderBy(*order)
     return (
         unioned.withColumn(_RN_COL, F.row_number().over(w))

@@ -39,42 +39,51 @@ def enable_skew_handling(
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
             str(threshold_bytes),
         )
+        if advisory_bytes is None:
+            advisory_bytes = max(threshold_bytes // 4, 1)
+    if advisory_bytes is not None:
         spark.conf.set(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-            str(advisory_bytes or max(threshold_bytes // 4, 1)),
+            str(advisory_bytes),
         )
+
+
+_MERGERS = {"sum": F.sum, "min": F.min, "max": F.max}
 
 
 def salted_aggregate(
     df: DataFrame,
     keys: Sequence[str],
-    aggs: dict[str, Column],
+    aggs: dict[str, tuple[Column, str]],
     buckets: int = DEFAULT_SALT_BUCKETS,
 ) -> DataFrame:
     """Two-phase aggregation for skewed group keys.
 
     Phase 1 groups by (key, salt) — the hot key's rows spread over
     ``buckets`` tasks; phase 2 re-aggregates the per-salt partials by
-    key (tiny input).  Supported partials: count / sum / min / max
-    (mergeable aggregates).  ``aggs`` maps output name -> phase-1
-    aggregate Column; phase 2 merges by name convention:
-    ``*_cnt`` columns are summed, everything else summed/min'd/max'd
-    per the ``merge`` map below.
+    key (tiny input).
+
+    ``aggs`` maps output name -> (phase-1 aggregate Column, merge op),
+    where merge op is one of ``sum`` / ``min`` / ``max`` — the merge is
+    EXPLICIT because only decomposable aggregates are salt-safe (count
+    partials merge with ``sum``; an avg must be expressed as a
+    count+sum pair and divided by the caller).
     """
+    merge = []
+    for name, (_, op) in aggs.items():
+        if op not in _MERGERS:
+            raise ValueError(
+                f"agg {name!r}: merge op must be one of {sorted(_MERGERS)}, "
+                f"got {op!r} (non-decomposable aggregates like avg cannot "
+                "be salted directly — derive them from count+sum)"
+            )
+        merge.append(_MERGERS[op](name).alias(name))
     salted = df.withColumn(
         "__salt", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), buckets)
     )
     phase1 = salted.groupBy(*keys, "__salt").agg(
-        *[col.alias(name) for name, col in aggs.items()]
+        *[col.alias(name) for name, (col, _) in aggs.items()]
     )
-    merge = []
-    for name in aggs:
-        if name.endswith("_min"):
-            merge.append(F.min(name).alias(name))
-        elif name.endswith("_max"):
-            merge.append(F.max(name).alias(name))
-        else:  # counts and sums merge by summing partials
-            merge.append(F.sum(name).alias(name))
     return phase1.groupBy(*keys).agg(*merge)
 
 

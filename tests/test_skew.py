@@ -31,16 +31,26 @@ def test_salted_aggregate_matches_plain(spark):
         ev,
         keys=["event_type"],
         aggs={
-            "cnt": F.count("*"),
-            "total": F.sum("value"),
-            "v_min": F.min("value"),
-            "v_max": F.max("value"),
+            "cnt": (F.count("*"), "sum"),
+            "total": (F.sum("value"), "sum"),
+            "v_min": (F.min("value"), "min"),
+            "v_max": (F.max("value"), "max"),
         },
         buckets=8,
     ).select(
         "event_type", "cnt", F.round("total", 2).alias("total"), "v_min", "v_max"
     )
     assert _norm(salted.collect()) == _norm(plain.collect())
+
+
+def test_salted_aggregate_rejects_non_decomposable(spark):
+    ev = load(spark, SF_DIR, "events")
+    import pytest
+
+    with pytest.raises(ValueError, match="non-decomposable"):
+        salted_aggregate(
+            ev, ["event_type"], {"avg_v": (F.avg("value"), "avg")}
+        )
 
 
 def test_salted_join_matches_plain(spark):
