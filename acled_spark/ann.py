@@ -121,9 +121,9 @@ def ivf_search(
     scored = cand.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(
+        (F.round(
             dot(F.col("ce"), F.col("qe")) / (F.col("cnrm") * F.col("qnrm")), 4
-        ).alias("cosine"),
+        ) + 0.0).alias("cosine"),
     ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (

@@ -352,7 +352,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT a.vec_id AS vec1, b.vec_id AS vec2, a.label AS label,
-           ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS cosine
+           ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) + 0.0 AS cosine
     FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
     ORDER BY cosine DESC, vec1, vec2 LIMIT 20
     """,
@@ -397,7 +397,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("vec1"),
             F.col("b.vec_id").alias("vec2"),
             F.col("a.label").alias("label"),
-            F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4).alias("cosine"),
+            (F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4) + 0.0).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), "vec1", "vec2")
         .limit(20)

@@ -136,6 +136,133 @@ def f9_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- F13 (extended): correlation / covariance statistics ---------------------
+# Pearson corr and sample covariance are definitionally identical across
+# engines (kurtosis/skewness are NOT — population vs sample conventions
+# differ, so they stay out of the oracle surface).
+@query(
+    "f13_correlation",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           ROUND(CORR(l_quantity, l_extendedprice), 4) + 0.0 AS qty_price_corr,
+           ROUND(COVAR_SAMP(l_discount, l_tax), 6) + 0.0 AS disc_tax_covar
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("scalar", "stats", "extended"),
+)
+def f13_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation + sample covariance (extended stats)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            # + 0.0 collapses IEEE negative zero: ROUND can yield -0.0 in
+            # one engine and +0.0 in the other, which a byte-level hash
+            # gate treats as different values
+            (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + 0.0).alias(
+                "qty_price_corr"
+            ),
+            (F.round(F.covar_samp("l_discount", "l_tax"), 6) + 0.0).alias(
+                "disc_tax_covar"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- F14 (extended): edit-distance fuzzy matching ----------------------------
+@query(
+    "f14_levenshtein",
+    oracle="""
+    SELECT a.c_mktsegment AS seg1, b.c_mktsegment AS seg2,
+           CAST(levenshtein(a.c_mktsegment, b.c_mktsegment) AS INTEGER) AS edit_distance
+    FROM (SELECT DISTINCT c_mktsegment FROM customer) a
+    JOIN (SELECT DISTINCT c_mktsegment FROM customer) b
+      ON a.c_mktsegment < b.c_mktsegment
+    ORDER BY edit_distance, seg1, seg2
+    """,
+    tags=("scalar", "string", "extended"),
+)
+def f14_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise edit distance over a category domain (fuzzy-match primitive).
+
+    The building block for typo-tolerant dimension matching; at scale,
+    run it on LSH/prefix-blocked candidate pairs, never the cross
+    product.
+    """
+    c = load(spark, sf_dir, "customer")
+    segs = c.select("c_mktsegment").distinct()
+    a = segs.alias("a")
+    b = segs.alias("b")
+    return (
+        a.join(b, F.col("a.c_mktsegment") < F.col("b.c_mktsegment"))
+        .select(
+            F.col("a.c_mktsegment").alias("seg1"),
+            F.col("b.c_mktsegment").alias("seg2"),
+            F.levenshtein(F.col("a.c_mktsegment"), F.col("b.c_mktsegment"))
+            .cast("int")
+            .alias("edit_distance"),
+        )
+        .orderBy("edit_distance", "seg1", "seg2")
+    )
+
+
+# --- F15 (extended): boolean aggregates --------------------------------------
+@query(
+    "f15_bool_aggs",
+    oracle="""
+    SELECT event_type,
+           bool_or(value > 300)  AS any_extreme,
+           bool_and(value >= 0)  AS all_nonnegative,
+           COUNT(CASE WHEN value > 300 THEN 1 END) AS n_extreme
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("scalar", "agg", "extended"),
+)
+def f15_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool_or / bool_and aggregate predicates per group."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.bool_or(F.col("value") > 300).alias("any_extreme"),
+            F.bool_and(F.col("value") >= 0).alias("all_nonnegative"),
+            F.count(F.when(F.col("value") > 300, 1)).alias("n_extreme"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- F16 (extended): regex extraction ----------------------------------------
+@query(
+    "f16_regexp_extract",
+    oracle="""
+    SELECT CAST(regexp_extract(o_orderpriority, '^([0-9]+)-', 1) AS INTEGER) AS priority_num,
+           COUNT(*) AS cnt,
+           ROUND(AVG(o_totalprice), 4) AS avg_price
+    FROM orders GROUP BY priority_num ORDER BY priority_num
+    """,
+    tags=("scalar", "string", "extended"),
+)
+def f16_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured field extraction via regex capture group."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.regexp_extract("o_orderpriority", r"^([0-9]+)-", 1)
+            .cast("int")
+            .alias("priority_num")
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+        .orderBy("priority_num")
+    )
+
+
 # --- F9b: vector math on array columns --------------------------------------
 # Extended surface: array<float> norm via higher-order functions — the
 # JVM-side scale path for embedding math (no Python in the loop).

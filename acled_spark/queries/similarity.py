@@ -77,7 +77,7 @@ def _bucket_spark(e: Column) -> Column:
     ),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             ROUND(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 4) AS cosine
+             ROUND(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 4) + 0.0 AS cosine
       FROM v q JOIN v c ON c.vec_id <> q.vec_id
       WHERE q.vec_id < {N_QUERIES}
     )
@@ -117,9 +117,9 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(
+            (F.round(
                 _dot(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm")), 4
-            ).alias("cosine"),
+            ) + 0.0).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
@@ -142,7 +142,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     b AS (SELECT vec_id, e, nrm, {_bucket_sql()} AS bucket FROM v),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket AS bucket,
-             ROUND(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 4) AS cosine
+             ROUND(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 4) + 0.0 AS cosine
       FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
       WHERE q.vec_id < {N_QUERIES}
     )
@@ -184,9 +184,9 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         F.col("qbucket").alias("bucket"),
-        F.round(
+        (F.round(
             _dot(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm")), 4
-        ).alias("cosine"),
+        ) + 0.0).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (

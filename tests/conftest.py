@@ -42,8 +42,13 @@ def _norm_value(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # collapse -0.0 vs 0.0
-        return v + 0.0
+        # Keep -0.0 DISTINCT from 0.0 — the driver's value hash is
+        # byte-level, so queries must normalize negative zero themselves
+        # (`+ 0.0` after ROUND on both sides); the harness must not
+        # paper over it.
+        if v == 0.0 and math.copysign(1.0, v) < 0:
+            return "-0.0"
+        return v
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None)
     return v
