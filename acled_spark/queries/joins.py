@@ -174,7 +174,7 @@ def j4_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_mktsegment AS segment,
            CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
            COUNT(*) AS line_count
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
@@ -207,9 +207,21 @@ def j5_multiway_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
         )
         .agg(
+            # exact decimal aggregation: each product term is a <=5-decimal
+            # value, so its double casts to DECIMAL(18,6) identically in
+            # both engines, and decimal SUM is associative — no reduction-
+            # order boundary flips at ROUND (double sums of products DID
+            # flip 3/400 groups at sf0.1)
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
             F.count("*").alias("line_count"),
         )
         .orderBy("segment", "month")
