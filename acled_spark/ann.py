@@ -49,11 +49,16 @@ def build_ivf_index(
         F.lit(0.0),
         lambda acc, x: acc + x.cast("double"),
     )
-    # zero vectors stay zero (dividing would inject NaNs into KMeans)
-    normed = F.when(dot_self > 0, F.transform(
-        F.col(vec_col), lambda x: x.cast("double") / F.sqrt(dot_self)
-    )).otherwise(F.transform(F.col(vec_col), lambda x: x.cast("double")))
-    with_vec = embeddings.withColumn("__vec", array_to_vector(normed))
+    # Precompute the norm as a COLUMN before the per-element transform —
+    # embedding sqrt(dot_self) inside the lambda re-evaluates the O(d)
+    # dot product per element (O(d²)/row; HOFs are interpreted).
+    # Zero vectors stay zero (dividing would inject NaNs into KMeans).
+    with_norm = embeddings.withColumn("__nrm", F.sqrt(dot_self))
+    normed = F.when(
+        F.col("__nrm") > 0,
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("__nrm")),
+    ).otherwise(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+    with_vec = with_norm.withColumn("__vec", array_to_vector(normed)).drop("__nrm")
     km = KMeans(k=nlist, seed=SEED, featuresCol="__vec", predictionCol="cell")
     model = km.fit(with_vec)
     assigned = model.transform(with_vec).select(id_col, vec_col, "cell")
@@ -118,12 +123,16 @@ def ivf_search(
     cand = corpus.join(F.broadcast(q), "cell").filter(
         F.col(id_col) != F.col("query_id")
     )
+    # zero-norm guard: under ANSI mode a 0 divisor aborts the whole job;
+    # define cosine(x, 0-vector) = 0.0
+    denom = F.col("cnrm") * F.col("qnrm")
+    cosine = F.when(
+        denom > 0, dot(F.col("ce"), F.col("qe")) / denom
+    ).otherwise(F.lit(0.0))
     scored = cand.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        (F.round(
-            dot(F.col("ce"), F.col("qe")) / (F.col("cnrm") * F.col("qnrm")), 4
-        ) + 0.0).alias("cosine"),
+        (F.round(cosine, 4) + 0.0).alias("cosine"),
     ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
