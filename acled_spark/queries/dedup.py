@@ -326,16 +326,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
         ).alias("word"),
     )
-    digit = lambda pos: (  # noqa: E731 — hex digit at 1-based pos as int
-        F.instr(F.lit("0123456789abcdef"), F.substring(F.md5("word"), pos, 1)) - 1
-    )
-    votes = words.groupBy("doc_id").agg(
+    # One md5 + one hex->long conv per word, then 32 shift-and-mask bit
+    # tests — instead of 32 separate md5/substring/instr trees, which
+    # both re-hashed per bit and bloated codegen compile 9x (2.5s vs
+    # 0.3s cold at sf0.1).  Bit j = hex digit (j//4) of the digest, bit
+    # (j%4); digit p of an 8-hex-digit number sits at shift 4*(8-p-1).
+    h = F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long")
+    wh = words.select("doc_id", h.alias("h"))
+
+    def bit(j: int) -> Column:
+        shift = 4 * (8 - (j // 4 + 1)) + (j % 4)
+        return F.shiftright(F.col("h"), shift).bitwiseAND(F.lit(1))
+
+    votes = wh.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(
-                    ((digit(j // 4 + 1) / (2 ** (j % 4))).cast("int") % 2) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"v{j}")
+            F.sum(F.when(bit(j) == 1, 1).otherwise(-1)).alias(f"v{j}")
             for j in range(SIMHASH_BITS)
         ]
     )
