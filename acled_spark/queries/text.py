@@ -222,3 +222,170 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(100)
     )
+
+
+# --- rolling-hash winnowing fingerprints ------------------------------------
+# MOSS-style winnowing (Schleimer et al., SIGMOD 2003): hash every token
+# k-gram, slide a window of W consecutive gram hashes, keep each window's
+# minimum.  Guarantees any shared run of >= W+k-1 tokens yields a shared
+# fingerprint, while shrinking the inverted index ~2/W vs indexing every
+# gram — the scale lever that makes pairwise candidate generation cheap
+# at 100 TB.  Hashes are md5 hex strings compared lexicographically
+# (identical in Spark and DuckDB; no engine-specific hash).
+WINNOW_K = 4  # tokens per gram
+WINNOW_W = 5  # grams per winnow window
+
+_WINNOW_GRAMS_SQL = f"""
+    list_transform(
+        range(0, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - {WINNOW_K - 1}, 0)),
+        i -> md5(array_to_string(string_split_regex(lower(trim(text)), '\\s+')[i+1:i+{WINNOW_K}], ' '))
+    )
+"""
+
+_WINNOW_FPS_SQL = f"""
+    list_distinct(list_transform(
+        range(0, greatest(len({_WINNOW_GRAMS_SQL}) - {WINNOW_W - 1}, 0)),
+        i -> list_aggregate(({_WINNOW_GRAMS_SQL})[i+1:i+{WINNOW_W}], 'min')
+    ))
+"""
+
+
+def gram_hashes_spark(text: Column) -> Column:
+    """Ordered md5 hashes of every token WINNOW_K-gram (duplicates kept).
+
+    Built as a zip_with concat chain over shifted copies of the word
+    array (cheap per-element concat instead of an interpreted slice per
+    element — same trick as shingles_spark); zip_with's null padding
+    null-propagates through concat/md5 and falls out of the filter.
+    """
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    grams = words
+    for k in range(1, WINNOW_K):
+        grams = F.zip_with(
+            grams,
+            F.slice(words, k + 1, F.size(words)),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.filter(F.transform(grams, F.md5), lambda x: x.isNotNull())
+
+
+def winnow_mins_spark(hashes: Column) -> Column:
+    """Distinct window-of-W minima over an ordered gram-hash column.
+
+    The chained least() over W shifted copies is only valid while every
+    copy is defined (least() skips zip_with's null padding rather than
+    propagating it), so the result is truncated to the n-W+1 complete
+    windows before dedup.
+
+    IMPORTANT: pass a plain column reference, not the gram-hash
+    expression itself — ``hashes`` is referenced W+1 times here, and an
+    inline expression would be re-evaluated per reference (measured 10s
+    vs 1s at sf0.1 for text_winnow_pairs).
+    """
+    mins = hashes
+    for k in range(1, WINNOW_W):
+        mins = F.zip_with(
+            mins,
+            F.slice(hashes, k + 1, F.size(hashes)),
+            lambda a, b: F.least(a, b),  # HOF lambdas need fixed arity
+        )
+    complete = F.greatest(F.size(hashes) - (WINNOW_W - 1), F.lit(0))
+    return F.array_distinct(F.slice(mins, 1, complete))
+
+
+@query(
+    "text_winnow_pairs",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, unnest({_WINNOW_FPS_SQL}) AS fp FROM documents
+    )
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS shared_fps
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY doc1, doc2
+    ORDER BY shared_fps DESC, doc1, doc2 LIMIT 20
+    """,
+    tags=("text", "dedup", "extended"),
+)
+def text_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top near-dup candidate pairs by shared winnowing fingerprints.
+
+    The rolling-hash analog of dedup_ngram_jaccard: same inverted-index
+    self-join shape, but over the winnowed ~2/W fingerprint subset, so
+    the pair exchange is a fraction of the full shingle index while
+    still catching every shared run of >= W+K-1 tokens.
+    """
+    docs = load(spark, sf_dir, "documents")
+    fp = (
+        docs.select("doc_id", gram_hashes_spark(F.col("text")).alias("h"))
+        .select("doc_id", F.explode(winnow_mins_spark(F.col("h"))).alias("fp"))
+    )
+    a = fp.alias("a")
+    b = fp.alias("b").hint("shuffle_hash")  # both sides are exploded streams
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count("*").alias("shared_fps"))
+        .orderBy(F.desc("shared_fps"), "doc1", "doc2")
+        .limit(20)
+    )
+
+
+# --- repetition ratios (Gopher-style quality rules) -------------------------
+@query(
+    "text_repetition",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest({_TOKENS_SQL.replace("trim(text)", "lower(trim(text))")}) AS word
+      FROM documents
+    ),
+    tc AS (SELECT doc_id, word, COUNT(*) AS cnt FROM w GROUP BY doc_id, word),
+    s AS (
+      SELECT doc_id, SUM(cnt) AS total, COUNT(*) AS n_distinct, MAX(cnt) AS maxcnt
+      FROM tc GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(total AS BIGINT) AS n_tokens,
+           ROUND(CAST(n_distinct AS DOUBLE) / total, 4) AS distinct_ratio,
+           ROUND(CAST(maxcnt AS DOUBLE) / total, 4) AS top_token_frac
+    FROM s ORDER BY top_token_frac DESC, doc_id LIMIT 20
+    """,
+    tags=("text", "quality", "extended"),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-repetitive documents by single-token domination (Gopher-rule
+    style repetition filter: low distinct-token ratio / high top-token
+    fraction marks boilerplate and degenerate generations).
+
+    Both ratios are single integer divisions — bit-exact across engines,
+    no sum-order sensitivity.  Shuffles on (doc_id, word) then doc_id;
+    partial aggregation keeps both exchanges narrow.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(_tokens_spark(F.lower(F.col("text")))).alias("word"),
+    )
+    tc = words.groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
+    s = tc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("total"),
+        F.count("*").alias("n_distinct"),
+        F.max("cnt").alias("maxcnt"),
+    )
+    return (
+        s.select(
+            "doc_id",
+            F.col("total").cast("long").alias("n_tokens"),
+            F.round(F.col("n_distinct").cast("double") / F.col("total"), 4).alias(
+                "distinct_ratio"
+            ),
+            F.round(F.col("maxcnt").cast("double") / F.col("total"), 4).alias(
+                "top_token_frac"
+            ),
+        )
+        .orderBy(F.desc("top_token_frac"), "doc_id")
+        .limit(20)
+    )
