@@ -186,8 +186,14 @@ BAND_SIZE = 2  # 4 bands of 2 minhashes
 
 
 def _minhash_cols_sql() -> list[str]:
+    # 8 "permutations" = 8 disjoint 8-hex-char windows of TWO md5s
+    # (md5(shingle), md5('x:'||shingle)) instead of 8 salted md5s:
+    # 4x less hashing per shingle for the same independent-window
+    # minhash semantics; windows compare lexicographically the same in
+    # Spark and DuckDB.
     return [
-        f"min(md5('s{i}:' || shingle)) AS mh{i}" for i in range(N_HASHES)
+        f"min(substr(md5({'shingle' if i < 4 else chr(39) + 'x:' + chr(39) + ' || shingle'}), {8 * (i % 4) + 1}, 8)) AS mh{i}"
+        for i in range(N_HASHES)
     ]
 
 
@@ -238,10 +244,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (doc_id + 8 digests/doc), which is cheap at any scale.
     sh = docs.select(
         "doc_id", F.explode(shingles_spark(F.col("text"))).alias("shingle")
+    ).select(
+        "doc_id",
+        # two md5s per shingle, split into 8 disjoint 8-hex windows (see
+        # _minhash_cols_sql) — staged as real columns so each digest is
+        # computed once, not once per substring reference
+        F.md5("shingle").alias("h1"),
+        F.md5(F.concat(F.lit("x:"), F.col("shingle"))).alias("h2"),
     )
     sig = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"s{i}:"), F.col("shingle")))).alias(f"mh{i}")
+            F.min(
+                F.substring(F.col("h1" if i < 4 else "h2"), 8 * (i % 4) + 1, 8)
+            ).alias(f"mh{i}")
             for i in range(N_HASHES)
         ]
     )
