@@ -158,3 +158,45 @@ def p6_threshold_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("value"), "event_id")
         .limit(20)
     )
+
+
+# --- P7: deterministic hash split (train/val/test) --------------------------
+# Hex thresholds over md5(doc_id): first-2-digit prefixes partition the
+# 256 buckets 204/26/26 ~= 80/10/10.  Content-addressed and seedless, so
+# the split is reproducible across engines, runs, and cluster sizes —
+# unlike sampleBy/TABLESAMPLE, whose RNG streams differ per engine and
+# per partitioning.  O(1) per row, no shuffle before the tiny rollup.
+_SPLIT_CASE_SQL = """
+    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+         ELSE 'test' END
+"""
+
+
+@query(
+    "p7_hash_split",
+    oracle=f"""
+    WITH s AS (SELECT lang, {_SPLIT_CASE_SQL} AS split FROM documents)
+    SELECT lang, split, COUNT(*) AS docs
+    FROM s GROUP BY lang, split ORDER BY lang, split
+    """,
+    tags=("filter", "sampling", "extended"),
+)
+def p7_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-addressed train/val/test split census.
+
+    md5 is the only cross-engine hash (see dedup.py); comparing its hex
+    prefix against literal thresholds gives an exact, engine-independent
+    ~80/10/10 assignment that any worker can recompute locally.
+    """
+    docs = load(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(prefix < "cc", "train").when(prefix < "e6", "val").otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("docs"))
+        .orderBy("lang", "split")
+    )

@@ -194,3 +194,73 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .orderBy("query_id", "rnk")
     )
+
+
+# --- int8 scalar quantization audit -----------------------------------------
+# The ANN memory lever: symmetric per-vector int8 quantization shrinks a
+# float32 corpus 4x (16x vs the double working set) before bucketing, at
+# a small recall cost this query quantifies.  Quantization rounding is
+# floor(x + 0.5) — NOT the engine round(), whose half-way tie-breaking
+# (HALF_UP vs banker's) differs across engines; floor is bit-identical.
+@query(
+    "sim_quantize_error",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+             list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max') AS maxabs
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, label, maxabs,
+             CASE WHEN maxabs = 0 THEN 0.0 ELSE list_aggregate(
+               list_transform(e, x ->
+                 abs(greatest(least(floor(x / (maxabs / 127) + 0.5), 127), -127)
+                     * (maxabs / 127) - x)),
+               'sum') / len(e) END AS mae
+      FROM v
+    )
+    SELECT vec_id, label, ROUND(maxabs, 6) AS maxabs, ROUND(mae, 6) AS mae
+    FROM q ORDER BY mae DESC, vec_id LIMIT 20
+    """,
+    tags=("similarity", "vector", "extended"),
+)
+def sim_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worst-20 vectors by int8 quantization reconstruction error (MAE).
+
+    scale = maxabs/127 (symmetric), q = clamp(floor(x/scale + .5)),
+    error = mean |q*scale - x|.  Both the transform and the error fold
+    are sequential left-to-right in Spark and DuckDB, so the doubles
+    match bit-for-bit; maxabs is staged as a real column so the O(d)
+    max isn't re-evaluated inside the per-element lambda.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        "label",
+        _dbl("embedding").alias("e"),
+        F.array_max(F.transform(_dbl("embedding"), F.abs)).alias("maxabs"),
+    )
+    scale = F.col("maxabs") / 127
+    recon_err = lambda x: F.abs(  # noqa: E731
+        F.greatest(F.least(F.floor(x / scale + 0.5), F.lit(127)), F.lit(-127))
+        * scale
+        - x
+    )
+    mae = F.when(F.col("maxabs") == 0, 0.0).otherwise(
+        F.aggregate(
+            F.transform(F.col("e"), recon_err),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.size("e")
+    )
+    return (
+        v.select(
+            "vec_id",
+            "label",
+            F.round("maxabs", 6).alias("maxabs"),
+            F.round(mae, 6).alias("mae"),
+        )
+        .orderBy(F.desc("mae"), "vec_id")
+        .limit(20)
+    )
