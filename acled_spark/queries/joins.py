@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from acled_spark.registry import query
 from acled_spark.tables import load
@@ -257,6 +258,86 @@ def j6_snowflake_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("s_acctbal"), 4).alias("avg_balance"),
         )
         .orderBy("region_name")
+    )
+
+
+# --- J7: as-of join (event-time point lookup) -------------------------------
+# Spark has no native ASOF JOIN; the scalable composition is the classic
+# union-sort-window: tag both sides, union, and carry the right side
+# forward with last_value(ignorenulls) over a per-key event-time window.
+# ONE shuffle on the join key, no join operator at all — versus the naive
+# range-join (t.ts >= q.ts) which Catalyst executes as a broadcast
+# nested-loop or a cartesian-per-key.  DuckDB's native ASOF JOIN is the
+# oracle, so the composition is verified against a real implementation.
+@query(
+    "j7_asof_join",
+    oracle="""
+    SELECT t.event_id, t.user_id,
+           CAST(epoch_us(t.ts) - epoch_us(q.ts) AS BIGINT) AS gap_us,
+           ROUND(q.value, 2) AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') t
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') q
+      ON t.user_id = q.user_id AND t.ts >= q.ts
+    ORDER BY t.event_id
+    """,
+    tags=("join", "asof", "extended"),
+)
+def j7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase, the most recent click by the same user at-or-before it.
+
+    Union-window as-of: clicks sort before purchases at equal ts
+    (side 0 < 1), so ``ts >= q.ts`` inclusivity falls out of the sort
+    order; ``last(ignorenulls)`` over rows-unbounded-preceding carries the
+    latest click forward.  Deterministic because (user_id, ts) is unique
+    in events.  Scale: cost is one hash exchange on user_id plus a
+    per-user sort — no O(trades x quotes) pair blow-up, and per-key skew
+    is bounded by the busiest user's event count.
+    """
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        "event_id",
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(None).cast("double").alias("click_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .select(
+            "event_id",
+            "user_id",
+            "side",
+            "ts",
+            F.last("click_ts", ignorenulls=True).over(w).alias("last_click_ts"),
+            F.last("click_value", ignorenulls=True).over(w).alias("last_click_value"),
+        )
+        .filter(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            (
+                F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+                - F.unix_micros(F.col("last_click_ts").cast("timestamp_ltz"))
+            )
+            .cast("long")
+            .alias("gap_us"),
+            F.round("last_click_value", 2).alias("click_value"),
+        )
+        .orderBy("event_id")
     )
 
 

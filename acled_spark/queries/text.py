@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from acled_spark.registry import query
 from acled_spark.tables import load
@@ -388,4 +389,202 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("top_token_frac"), "doc_id")
         .limit(20)
+    )
+
+
+# --- cross-split n-gram contamination ---------------------------------------
+# Decontamination is a core training-data pipeline step: an eval document
+# sharing a long verbatim n-gram with any train document leaks test data
+# into training.  The split reuses the deterministic md5 prefix from
+# p7_hash_split (train = first 2 hex digits < 'cc', ~80%), so the audit
+# is reproducible across engines and cluster sizes.
+N_CONTAM = 8
+
+
+def word_ngrams_spark(text: Column, n: int) -> Column:
+    """Distinct lowercase word n-grams in O(log n) zip_with passes.
+
+    HOF lambdas run interpreted, so pass count rules the cost.  Instead
+    of chaining n-1 single-word concats (dedup.shingles_spark's n=3
+    construction), double the block size each pass: 2-grams from words,
+    4-grams from 2-grams, ... — grams_2L[i] = grams_L[i] + ' ' +
+    grams_L[i+L].  A remainder block (largest power of two <= what's
+    left) finishes non-power-of-two n.  For n=8 that is 3 passes vs 7
+    (measured ~2x faster end-to-end at sf0.1).  zip_with null-pads the
+    shifted side and concat null-propagates, so the trailing incomplete
+    grams fall out of the filter; docs with < n words yield [].
+    """
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    size = F.size(words)
+    blocks = {1: words}  # block length -> grams of that length at each start
+    grams, length = words, 1
+    while length * 2 <= n:
+        shifted = F.slice(grams, length + 1, size)
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+        length *= 2
+        blocks[length] = grams
+    while length < n:
+        p = max(b for b in blocks if b <= n - length)
+        shifted = F.slice(blocks[p], length + 1, size)
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+        length += p
+    return F.array_distinct(F.filter(grams, lambda x: x.isNotNull()))
+
+
+def _ngrams_sql(n: int) -> str:
+    """DuckDB mirror: 1-based end-inclusive list slice over the word array."""
+    return f"""list_distinct(list_transform(
+        range(0, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - {n - 1}, 0)),
+        i -> array_to_string(string_split_regex(lower(trim(text)), '\\s+')[i+1:i+{n}], ' ')
+    ))"""
+
+
+@query(
+    "text_contamination",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' AS is_train,
+             {_ngrams_sql(N_CONTAM)} AS grams
+      FROM documents
+    ),
+    tg AS (SELECT DISTINCT unnest(grams) AS g FROM d WHERE is_train),
+    eg AS (SELECT doc_id, unnest(grams) AS g FROM d WHERE NOT is_train),
+    hit AS (
+      SELECT eg.doc_id, COUNT(tg.g) AS n_hit
+      FROM eg LEFT JOIN tg ON eg.g = tg.g GROUP BY eg.doc_id
+    ),
+    ev AS (
+      SELECT d.lang, len(d.grams) AS n_grams, COALESCE(hit.n_hit, 0) AS n_hit
+      FROM d LEFT JOIN hit ON d.doc_id = hit.doc_id WHERE NOT is_train
+    )
+    SELECT lang,
+           COUNT(*) AS eval_docs,
+           COUNT(CASE WHEN n_hit > 0 THEN 1 END) AS contaminated_docs,
+           ROUND(AVG(CASE WHEN n_grams > 0
+                          THEN CAST(n_hit AS DOUBLE) / n_grams ELSE 0.0 END), 4)
+             AS avg_overlap
+    FROM ev GROUP BY lang ORDER BY lang
+    """,
+    tags=("text", "contamination", "extended"),
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-vs-train 8-gram contamination census per language.
+
+    Single-scan, single-wide-exchange, join-free plan: explode every
+    doc's grams ONCE, and compute the per-gram "does any train doc
+    contain it" flag as max(is_train) OVER (PARTITION BY gram) — the
+    window's exchange is the only wide shuffle, and there is no probe
+    join at all.  (A train-set/eval-set join formulation reads the
+    corpus twice — Catalyst pushes the eval filter below the second
+    exchange, so ReuseExchange can't dedupe them — and at 100 TB the
+    second scan costs more than every downstream stage combined.  The
+    eval filter here CANNOT sink below the window because is_train is
+    not a partitioning column.)  explode_outer + coalesce(g, '') keeps
+    zero-gram docs in the stream ('' can never be a real gram and is
+    excluded from both counts), so per-doc sizes come free as
+    count_if(g != '').  At scale the gram key would be md5-hashed to
+    16 bytes and frequency-capped (drop grams shared by >X docs) to
+    bound hot keys; here both engines use the raw gram so the oracle
+    stays exact.
+    """
+    docs = load(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id",
+        "lang",
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cc").alias(
+            "is_train"
+        ),
+        F.explode_outer(word_ngrams_spark(F.col("text"), N_CONTAM)).alias("g"),
+    ).withColumn("g", F.coalesce("g", F.lit("")))
+    real = F.col("g") != ""
+    ev = (
+        ex.withColumn("in_train", F.max("is_train").over(Window.partitionBy("g")))
+        .filter(~F.col("is_train"))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.when(real, 1)).alias("n_grams"),
+            F.count(F.when(real & F.col("in_train"), 1)).alias("n_hit"),
+        )
+    )
+    return (
+        ev.groupBy("lang")
+        .agg(
+            F.count("*").alias("eval_docs"),
+            F.count(F.when(F.col("n_hit") > 0, 1)).alias("contaminated_docs"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("n_grams") > 0,
+                        F.col("n_hit").cast("double") / F.col("n_grams"),
+                    ).otherwise(0.0)
+                ),
+                4,
+            ).alias("avg_overlap"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- TF-IDF top terms per language ------------------------------------------
+@query(
+    "text_tfidf_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+    tf AS (SELECT lang, w, COUNT(*) AS tf FROM tok GROUP BY lang, w),
+    scored AS (
+      SELECT tf.lang, tf.w AS term,
+             CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
+             ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf
+      FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+    ),
+    r AS (SELECT *, ROW_NUMBER() OVER
+            (PARTITION BY lang ORDER BY tfidf DESC, term) AS rnk
+          FROM scored)
+    SELECT lang, term, tf, df, tfidf, rnk
+    FROM r WHERE rnk <= 5 ORDER BY lang, rnk
+    """,
+    tags=("text", "extended"),
+)
+def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per language by corpus-level TF-IDF.
+
+    tf = occurrences per (lang, term); df = docs containing the term
+    globally; idf = ln(N/df).  The rank window orders by the ROUNDED
+    score in BOTH engines, so last-ulp ln() differences can't flip ranks.
+    Scale: df is vocabulary-sized (tiny) and broadcast into the score
+    join; the only wide shuffle is the (lang, term) partial-agg count.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"),
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    df = tok.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
+    tf = tok.groupBy("lang", "w").agg(F.count("*").alias("tf"))
+    scored = (
+        tf.join(F.broadcast(df), "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            F.col("w").alias("term"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .orderBy("lang", "rnk")
     )
