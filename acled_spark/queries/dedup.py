@@ -197,6 +197,57 @@ def _minhash_cols_sql() -> list[str]:
     ]
 
 
+def minhash_bands_spark(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key) LSH band rows for every document.
+
+    Shared by the bucket-census and cluster-census queries.  Built as
+    explode + hash-aggregate, deliberately: computing signatures
+    shuffle-free via array_min(transform(...)) was measured 6x SLOWER
+    (34.7s vs 6.0s at sf0.1) because higher-order functions are
+    interpreted per element while explode + partial min() runs in
+    whole-stage codegen; the shuffle carries only partial mins
+    (doc_id + 8 digests/doc), which is cheap at any scale.
+    """
+    sh = docs.select(
+        "doc_id", F.explode(shingles_spark(F.col("text"))).alias("shingle")
+    ).select(
+        "doc_id",
+        # two md5s per shingle, split into 8 disjoint 8-hex windows (see
+        # _minhash_cols_sql) — staged as real columns so each digest is
+        # computed once, not once per substring reference
+        F.md5("shingle").alias("h1"),
+        F.md5(F.concat(F.lit("x:"), F.col("shingle"))).alias("h2"),
+    )
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.substring(F.col("h1" if i < 4 else "h2"), 8 * (i % 4) + 1, 8)
+            ).alias(f"mh{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    # Explode the bands out of one signature row instead of unioning
+    # N_BANDS branches — the expensive signature aggregate runs ONCE.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat(
+                        F.col(f"mh{b * BAND_SIZE}"), F.col(f"mh{b * BAND_SIZE + 1}")
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(N_HASHES // BAND_SIZE)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_structs).alias("band")).select(
+        "doc_id",
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.band_key").alias("band_key"),
+    )
+
+
 @query(
     "dedup_minhash_lsh",
     oracle=f"""
@@ -236,48 +287,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-byte band key only.
     """
     docs = load(spark, sf_dir, "documents")
-    # explode + hash-aggregate, deliberately: computing signatures
-    # shuffle-free via array_min(transform(...)) was measured 6x SLOWER
-    # (34.7s vs 6.0s at sf0.1) because higher-order functions are
-    # interpreted per element while explode + partial min() runs in
-    # whole-stage codegen; the shuffle carries only partial mins
-    # (doc_id + 8 digests/doc), which is cheap at any scale.
-    sh = docs.select(
-        "doc_id", F.explode(shingles_spark(F.col("text"))).alias("shingle")
-    ).select(
-        "doc_id",
-        # two md5s per shingle, split into 8 disjoint 8-hex windows (see
-        # _minhash_cols_sql) — staged as real columns so each digest is
-        # computed once, not once per substring reference
-        F.md5("shingle").alias("h1"),
-        F.md5(F.concat(F.lit("x:"), F.col("shingle"))).alias("h2"),
-    )
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.substring(F.col("h1" if i < 4 else "h2"), 8 * (i % 4) + 1, 8)
-            ).alias(f"mh{i}")
-            for i in range(N_HASHES)
-        ]
-    )
-    # Explode the bands out of one signature row instead of unioning
-    # N_BANDS branches — the expensive signature aggregate runs ONCE.
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.md5(
-                    F.concat(
-                        F.col(f"mh{b * BAND_SIZE}"), F.col(f"mh{b * BAND_SIZE + 1}")
-                    )
-                ).alias("band_key"),
-            )
-            for b in range(N_HASHES // BAND_SIZE)
-        ]
-    )
-    bands = sig.select(
-        "doc_id", F.explode(band_structs).alias("band")
-    ).select("doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_key").alias("band_key"))
+    bands = minhash_bands_spark(docs)
     buckets = bands.groupBy("band_id", "band_key").agg(
         F.count("*").alias("bucket_size")
     )
@@ -429,4 +439,138 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cosine"), "vec1", "vec2")
         .limit(20)
+    )
+
+
+# --- near-dup cluster census (bounded min-label propagation) ----------------
+# The step a dedup pipeline runs AFTER candidate generation: group
+# near-dup pairs into connected components and pick one canonical doc
+# per component.  Exact connected components is iterate-to-fixpoint;
+# for oracle parity both engines run the SAME bounded k=3 synchronous
+# min-label propagation (label(v) = min doc_id within graph distance 3,
+# self included) — deterministic regardless of convergence.  At scale
+# you iterate until a convergence counter hits zero, localCheckpoint()
+# every few rounds to truncate lineage, and switch to the
+# large-star/small-star algorithm when components can be deep chains.
+_PROPAGATION_ROUNDS = 3
+
+_BANDS_SQL = f"""
+    sh AS (
+      SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+    ),
+    sig AS (
+      SELECT doc_id, {", ".join(_minhash_cols_sql())}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, md5(mh{b * BAND_SIZE} || mh{b * BAND_SIZE + 1}) AS band_key FROM sig"
+        for b in range(N_HASHES // BAND_SIZE)
+      )}
+    )
+"""
+
+
+def _propagation_sql(rounds: int) -> str:
+    ctes = ["l1 AS (SELECT v, MIN(nbr) AS lbl FROM adj GROUP BY v)"]
+    for k in range(2, rounds + 1):
+        ctes.append(
+            f"l{k} AS (SELECT a.v AS v, MIN(l.lbl) AS lbl "
+            f"FROM adj a JOIN l{k - 1} l ON a.nbr = l.v GROUP BY a.v)"
+        )
+    return ",\n    ".join(ctes)
+
+
+@query(
+    "dedup_cluster_census",
+    oracle=f"""
+    WITH {_BANDS_SQL},
+    ed AS (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    adj AS (
+      SELECT u AS v, v AS nbr FROM ed
+      UNION ALL SELECT v, u FROM ed
+      UNION ALL SELECT x, x FROM (SELECT u AS x FROM ed UNION SELECT v FROM ed)
+    ),
+    {_propagation_sql(_PROPAGATION_ROUNDS)},
+    census AS (
+      SELECT lbl, COUNT(*) AS sz FROM l{_PROPAGATION_ROUNDS} GROUP BY lbl
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS docs_in_clusters
+    FROM census GROUP BY sz ORDER BY cluster_size
+    """,
+    tags=("dedup", "lsh", "graph", "extended"),
+)
+def dedup_cluster_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram of the MinHash-LSH near-dup graph.
+
+    Edges = distinct doc pairs sharing any LSH band bucket; components
+    via k=3 min-label propagation (see module note); output = how many
+    clusters of each size exist and how many docs they absorb — the
+    "what would dedup delete" summary.  Scale: the pair self-join is
+    bounded by bucket sizes (frequency-cap hot buckets first at 100 TB);
+    each propagation round is one small shuffle keyed on the vertex id,
+    and the candidate graph is orders of magnitude smaller than the
+    corpus.
+    """
+    docs = load(spark, sf_dir, "documents")
+    bands = minhash_bands_spark(docs)
+    # Pair generation via per-bucket collect_list + HOF expansion, NOT a
+    # bands-self-join: a self-join re-evaluates the whole signature
+    # pipeline (and re-reads the corpus) for each side, while this runs
+    # it once and shuffles only (band_key -> doc_id).  Bucket arrays stay
+    # tiny when LSH is tuned; at 100 TB a frequency cap on bucket size
+    # bounds the quadratic expansion (the oracle keeps it exact here).
+    buckets = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x: F.transform(
+                F.filter(F.col("ds"), lambda y: y > x),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
+    # localCheckpoint materializes the (tiny) edge set and truncates its
+    # lineage — without it every propagation round re-evaluates the whole
+    # signature pipeline upstream of the join (measured 6.3s -> ~3.5s at
+    # sf0.1).  Every real iterative-graph job does this; at cluster scale
+    # it would be checkpoint() to durable storage instead.
+    ed = (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    verts = ed.select(F.col("u").alias("x")).union(ed.select("v")).distinct()
+    adj = (
+        ed.select(F.col("u").alias("v"), F.col("v").alias("nbr"))
+        .unionByName(ed.select(F.col("v").alias("v"), F.col("u").alias("nbr")))
+        .unionByName(verts.select(F.col("x").alias("v"), F.col("x").alias("nbr")))
+    )
+    labels = adj.groupBy("v").agg(F.min("nbr").alias("lbl"))
+    for _ in range(_PROPAGATION_ROUNDS - 1):
+        labels = (
+            adj.join(labels.withColumnRenamed("v", "nv"), F.col("nbr") == F.col("nv"))
+            .groupBy("v")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+    census = labels.groupBy("lbl").agg(F.count("*").alias("sz"))
+    return (
+        census.groupBy(F.col("sz").cast("long").alias("cluster_size"))
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("sz").cast("long").alias("docs_in_clusters"),
+        )
+        .orderBy("cluster_size")
     )

@@ -193,3 +193,61 @@ def w4_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("delta"),
     ).orderBy("day")
+
+
+# --- W5: event-time range frame ---------------------------------------------
+# A RANGE frame over epoch seconds — the window shape Spark reserves for
+# numeric orderBy (rangeBetween needs a numeric sort key, so event time
+# is staged as epoch seconds; the tz cast cancels in the subtraction).
+@query(
+    "w5_range_frame",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events
+    ),
+    c AS (
+      SELECT event_type,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY ep
+                            RANGE BETWEEN 60 PRECEDING AND CURRENT ROW) - 1
+               AS preceding_60s
+      FROM e
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(AVG(preceding_60s), 4) AS avg_burst,
+           CAST(MAX(preceding_60s) AS BIGINT) AS max_burst
+    FROM c GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("window", "range-frame", "extended"),
+)
+def w5_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type burstiness: same-user events in the 60 s before each event.
+
+    count over RANGE [ep-60, ep] minus self — a value-based frame, not a
+    row-based one, so gaps in event time are handled exactly.  (user_id,
+    ts) is unique in events, so "minus self" is exact on both engines.
+    Scale: one shuffle on user_id; the frame scan is linear per
+    partition via Spark's sliding range-frame implementation.
+    """
+    ev = load(spark, sf_dir, "events")
+    # floor on BOTH sides: DuckDB's double->BIGINT cast rounds half-even
+    # while Spark's truncates, so an explicit floor is the only portable
+    # seconds key.
+    ep = F.floor(F.unix_micros(F.col("ts").cast("timestamp_ltz")) / F.lit(1_000_000))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ep"))
+        .rangeBetween(-60, 0)
+    )
+    c = ev.select(
+        "user_id", "event_type", ep.cast("long").alias("ep")
+    ).select("event_type", (F.count("*").over(w) - 1).alias("preceding_60s"))
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("preceding_60s"), 4).alias("avg_burst"),
+            F.max("preceding_60s").cast("long").alias("max_burst"),
+        )
+        .orderBy("event_type")
+    )
