@@ -20,6 +20,7 @@ from acled_spark.queries import (  # noqa: F401
     mlq,
     multimodal_q,
     olap,
+    packing,
     pipeline,
     scalars,
     sessions,

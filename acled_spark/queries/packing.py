@@ -1,0 +1,168 @@
+"""Training-batch preparation operators (extended surface).
+
+Sequence packing and data-mixture weighting — the last mile of a
+training-data pipeline: after filter/dedup/decontaminate, documents are
+packed into fixed token-budget sequences and sources are reweighted to
+the target mixture.
+
+Both are pure window/aggregate plans: packing is a per-stream running
+token sum (one shuffle on the stream key, linear scan per partition),
+mixing is a vocabulary-sized aggregate.  No UDFs, no driver loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from acled_spark.registry import query
+from acled_spark.tables import load
+
+TOKEN_BUDGET = 2048  # tokens per packed training sequence
+
+_NTOK_SQL = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+)
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, {_NTOK_SQL} AS n_tok FROM documents
+    ),
+    c AS (
+      SELECT lang, n_tok,
+             SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_tok
+      FROM d
+    ),
+    b AS (
+      SELECT lang, n_tok,
+             CAST(COALESCE(prev_tok, 0) // {TOKEN_BUDGET} AS BIGINT) AS bin
+      FROM c
+    ),
+    bins AS (
+      SELECT lang, bin, COUNT(*) AS n_docs, SUM(n_tok) AS tokens
+      FROM b GROUP BY lang, bin
+    )
+    SELECT lang,
+           COUNT(*) AS n_bins,
+           CAST(SUM(n_docs) AS BIGINT) AS docs,
+           CAST(SUM(tokens) AS BIGINT) AS tokens,
+           ROUND(AVG(CAST(tokens AS DOUBLE) / {TOKEN_BUDGET}), 4) AS avg_fill,
+           CAST(MAX(n_docs) AS BIGINT) AS max_docs_per_bin
+    FROM bins GROUP BY lang ORDER BY lang
+    """,
+    tags=("packing", "training-prep", "extended"),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into TOKEN_BUDGET-token training bins, per language.
+
+    Cumulative-quota packing: docs are streamed in doc_id order within
+    each lang and a doc opens in bin floor(preceding_tokens / budget) —
+    the contiguous-packing-with-overflow semantics most LLM pipelines
+    use before truncating at sequence boundaries.  Integer running sums
+    only, so the oracle matches bit-for-bit.  Scale: one shuffle on the
+    stream key and a linear window scan per partition; at 100 TB the
+    stream key would be (lang, shard) so no partition exceeds executor
+    memory, and bin ids get a shard prefix.
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.when(F.length(F.trim("text")) == 0, 0).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+"))
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    b = docs.select("doc_id", "lang", n_tok.alias("n_tok")).select(
+        "lang",
+        "n_tok",
+        # floor-div on BOTH engines: DuckDB's int/int '/' returns DOUBLE
+        # and CAST..BIGINT rounds, while Spark's cast truncates
+        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / TOKEN_BUDGET)
+        .cast("long")
+        .alias("bin"),
+    )
+    bins = b.groupBy("lang", "bin").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("tokens")
+    )
+    return (
+        bins.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_bins"),
+            F.sum("n_docs").cast("long").alias("docs"),
+            F.sum("tokens").cast("long").alias("tokens"),
+            F.round(
+                F.avg(F.col("tokens").cast("double") / TOKEN_BUDGET), 4
+            ).alias("avg_fill"),
+            F.max("n_docs").cast("long").alias("max_docs_per_bin"),
+        )
+        .orderBy("lang")
+    )
+
+
+MIX_TEMPERATURE = 0.5  # alpha: p^alpha flattens the source distribution
+
+
+@query(
+    "mix_weights",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, COUNT(*) AS docs,
+             CAST(SUM({_NTOK_SQL}) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ),
+    t AS (
+      SELECT *,
+             CAST(SUM(tokens) OVER () AS DOUBLE) AS total_tokens,
+             POW(tokens / CAST(SUM(tokens) OVER () AS DOUBLE),
+                 {MIX_TEMPERATURE}) AS pa
+      FROM s
+    )
+    SELECT source, docs, tokens,
+           ROUND(tokens / total_tokens, 6) AS p_raw,
+           ROUND(pa / SUM(pa) OVER (), 6) AS p_mixed
+    FROM t ORDER BY source
+    """,
+    tags=("packing", "training-prep", "extended"),
+)
+def mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-reweighted source mixture (p_i^alpha / sum p_j^alpha).
+
+    The standard multilingual/multi-source sampling correction: alpha<1
+    upsamples small sources.  Token-weighted, not doc-weighted.  The
+    per-source rollup is vocabulary-sized, so the normalizing sums run
+    as unpartitioned window aggregates over a handful of rows; the only
+    real work is the one pass computing per-source token counts.
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.when(F.length(F.trim("text")) == 0, 0).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+"))
+    )
+    s = docs.select("source", n_tok.alias("n_tok")).groupBy("source").agg(
+        F.count("*").alias("docs"), F.sum("n_tok").cast("long").alias("tokens")
+    )
+    wall = Window.partitionBy()
+    t = s.select(
+        "source",
+        "docs",
+        "tokens",
+        F.sum("tokens").over(wall).cast("double").alias("total_tokens"),
+        F.pow(
+            F.col("tokens") / F.sum("tokens").over(wall).cast("double"),
+            F.lit(MIX_TEMPERATURE),
+        ).alias("pa"),
+    )
+    return t.select(
+        "source",
+        "docs",
+        "tokens",
+        F.round(F.col("tokens") / F.col("total_tokens"), 6).alias("p_raw"),
+        F.round(F.col("pa") / F.sum("pa").over(wall), 6).alias("p_mixed"),
+    ).orderBy("source")
