@@ -1,0 +1,80 @@
+"""Unit tests for the training-prep helpers added on top of the parity
+suite: n-gram construction equivalence, as-of join semantics, and
+packing invariants.  Parity (test_parity.py) proves oracle agreement;
+these pin the algebraic properties the oracles can't express.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from acled_spark.queries.text import word_ngrams_spark
+from acled_spark.tables import load
+from tests.conftest import SF_DIR
+
+
+def _naive_ngrams(text, n):
+    """Reference construction: linear chain of single-word concats."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    grams = words
+    for k in range(1, n):
+        shifted = F.slice(words, k + 1, F.size(words))
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.array_distinct(F.filter(grams, lambda x: x.isNotNull()))
+
+
+@pytest.mark.parametrize("n", [2, 3, 4, 5, 7, 8, 9])
+def test_ngram_doubling_equals_naive_chain(spark, n):
+    """The O(log n) doubling construction must equal the linear chain."""
+    docs = load(spark, SF_DIR, "documents")
+    bad = (
+        docs.select(
+            F.array_sort(word_ngrams_spark(F.col("text"), n)).alias("fast"),
+            F.array_sort(_naive_ngrams(F.col("text"), n)).alias("ref"),
+        )
+        .filter(F.col("fast") != F.col("ref"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_ngram_short_doc_yields_empty(spark):
+    df = spark.createDataFrame([("a b c",), ("",), ("  ",)], ["text"])
+    out = df.select(F.size(word_ngrams_spark(F.col("text"), 5)).alias("n")).collect()
+    assert [r.n for r in out] == [0, 0, 0]
+
+
+def test_asof_join_semantics(spark):
+    """Every matched gap is non-negative; unmatched purchases keep nulls
+    and appear exactly once per purchase event."""
+    from acled_spark.queries.joins import j7_asof_join
+
+    out = j7_asof_join(spark, SF_DIR)
+    rows = out.collect()
+    ev = load(spark, SF_DIR, "events")
+    n_purchases = ev.filter(F.col("event_type") == "purchase").count()
+    assert len(rows) == n_purchases
+    for r in rows:
+        if r.gap_us is None:
+            assert r.click_value is None
+        else:
+            assert r.gap_us >= 0
+
+
+def test_pack_sequences_conserves_tokens(spark, duck):
+    """Packing must neither drop nor duplicate docs or tokens."""
+    from acled_spark.queries.packing import pack_sequences
+
+    out = {r.lang: r for r in pack_sequences(spark, SF_DIR).collect()}
+    truth = duck.execute(
+        """
+        SELECT lang, COUNT(*) AS docs,
+               CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS toks
+        FROM documents GROUP BY lang
+        """
+    ).fetchall()
+    for lang, docs, toks in truth:
+        assert out[lang].docs == docs
+        assert out[lang].tokens == toks
