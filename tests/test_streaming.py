@@ -82,3 +82,30 @@ def test_windowed_counts_stream_matches_batch(spark, tmp_path):
         for r in spark.table("win_counts").collect()
     }
     assert got == batch
+
+
+def test_dedup_stream_removes_replayed_rows(spark, tmp_path):
+    """A doubled feed (full replay) must come out exactly once per key."""
+    from acled_spark.streaming import dedup_stream
+
+    bronze = os.path.join(str(tmp_path), "dup_bronze")
+    ev = load(spark, SF_DIR, "events")
+    ev.write.mode("append").parquet(bronze)
+    ev.write.mode("append").parquet(bronze)  # replay: every row twice
+
+    n_keys = ev.select("event_id").distinct().count()
+    stream = dedup_stream(spark.readStream.schema(ev.schema).parquet(bronze))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("dedup_sink")
+    assert out.count() == n_keys
+    assert out.select("event_id").distinct().count() == n_keys
+    # batch path agrees
+    batch = dedup_stream(load(spark, SF_DIR, "events"))
+    assert batch.count() == n_keys
