@@ -89,3 +89,64 @@ def sess_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- ordered user-journey funnel --------------------------------------------
+_FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+@query(
+    "funnel_user_journey",
+    oracle="""
+    WITH m AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT t0 IS NOT NULL AS s0,
+             t0 IS NOT NULL AND t1 > t0 AS s1,
+             t0 IS NOT NULL AND t1 > t0 AND t2 > t1 AS s2,
+             t0 IS NOT NULL AND t1 > t0 AND t2 > t1 AND t3 > t2 AS s3
+      FROM m
+    )
+    SELECT COUNT(*) AS users,
+           COUNT(CASE WHEN s0 THEN 1 END) AS signed_up,
+           COUNT(CASE WHEN s1 THEN 1 END) AS viewed_after,
+           COUNT(CASE WHEN s2 THEN 1 END) AS clicked_after,
+           COUNT(CASE WHEN s3 THEN 1 END) AS purchased_after
+    FROM s
+    """,
+    tags=("funnel", "session", "extended"),
+)
+def funnel_user_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered signup->view->click->purchase funnel (first-occurrence).
+
+    One conditional-min aggregation per user (single shuffle on
+    user_id), then pure column logic: a user advances to step k only if
+    their FIRST step-k event is strictly after their first step-(k-1)
+    event.  NULL timestamps fail every comparison, so drop-off falls
+    out of three-valued logic with no special-casing.  Scale: the wide
+    stage carries 4 timestamps per user; the funnel math is free.
+    """
+    ev = load(spark, sf_dir, "events")
+    m = ev.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == step, F.col("ts"))).alias(f"t{i}")
+            for i, step in enumerate(_FUNNEL_STEPS)
+        ]
+    )
+    s0 = F.col("t0").isNotNull()
+    s1 = s0 & (F.col("t1") > F.col("t0"))
+    s2 = s1 & (F.col("t2") > F.col("t1"))
+    s3 = s2 & (F.col("t3") > F.col("t2"))
+    return m.agg(
+        F.count("*").alias("users"),
+        F.count(F.when(s0, 1)).alias("signed_up"),
+        F.count(F.when(s1, 1)).alias("viewed_after"),
+        F.count(F.when(s2, 1)).alias("clicked_after"),
+        F.count(F.when(s3, 1)).alias("purchased_after"),
+    )

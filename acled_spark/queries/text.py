@@ -588,3 +588,97 @@ def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .orderBy("lang", "rnk")
     )
+
+
+# --- quality-filter funnel ---------------------------------------------------
+# The pre-training data funnel: how many docs survive each successive
+# quality gate, per language.  Thresholds are corpus-calibrated (token
+# count min 25, distinct-token ratio min 0.35) and the last gate keeps
+# only the canonical doc of each exact-dup group.
+MIN_TOKENS = 25
+MIN_DISTINCT_RATIO = 0.35
+
+
+@query(
+    "doc_filter_funnel",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+             CASE WHEN length(trim(text)) = 0 THEN []
+                  ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks,
+             {FINGERPRINT_SQL} AS fp
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, lang, n_tok,
+             CASE WHEN n_tok = 0 THEN 0.0
+                  ELSE len(list_distinct(toks)) / CAST(n_tok AS DOUBLE) END AS dr,
+             doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS canon
+      FROM t
+    ),
+    s AS (
+      SELECT lang,
+             n_tok > 0 AS s1,
+             n_tok > 0 AND n_tok >= {MIN_TOKENS} AS s2,
+             n_tok > 0 AND n_tok >= {MIN_TOKENS} AND dr >= {MIN_DISTINCT_RATIO} AS s3,
+             n_tok > 0 AND n_tok >= {MIN_TOKENS} AND dr >= {MIN_DISTINCT_RATIO} AND canon AS s4
+      FROM d
+    )
+    SELECT lang, COUNT(*) AS total,
+           COUNT(CASE WHEN s1 THEN 1 END) AS non_empty,
+           COUNT(CASE WHEN s2 THEN 1 END) AS long_enough,
+           COUNT(CASE WHEN s3 THEN 1 END) AS diverse,
+           COUNT(CASE WHEN s4 THEN 1 END) AS kept
+    FROM s GROUP BY lang ORDER BY lang
+    """,
+    tags=("text", "filter-funnel", "extended"),
+)
+def doc_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language survival counts through the quality-gate cascade.
+
+    Gates: non-empty -> >= MIN_TOKENS tokens -> distinct-token ratio >=
+    MIN_DISTINCT_RATIO -> exact-dup canonical (min doc_id per
+    fingerprint, the same survivor policy as dedup_exact).  The ratio
+    is a quotient of two ints, bit-identical across engines, so the
+    threshold comparisons can't flake.  Scale: one scan; the only wide
+    shuffle is the fingerprint window for canonicality (16-byte key),
+    then a lang-sized rollup.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    n_tok = F.when(F.length(F.trim("text")) == 0, 0).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+"))
+    )
+    d = docs.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tok"),
+        F.when(F.length(F.trim("text")) == 0, 0.0)
+        .otherwise(F.size(F.array_distinct(toks)) / n_tok.cast("double"))
+        .alias("dr"),
+        fingerprint_spark(F.col("text")).alias("fp"),
+    ).select(
+        "lang",
+        "n_tok",
+        "dr",
+        (F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("fp"))).alias(
+            "canon"
+        ),
+    )
+    s1 = F.col("n_tok") > 0
+    s2 = s1 & (F.col("n_tok") >= MIN_TOKENS)
+    s3 = s2 & (F.col("dr") >= MIN_DISTINCT_RATIO)
+    s4 = s3 & F.col("canon")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("total"),
+            F.count(F.when(s1, 1)).alias("non_empty"),
+            F.count(F.when(s2, 1)).alias("long_enough"),
+            F.count(F.when(s3, 1)).alias("diverse"),
+            F.count(F.when(s4, 1)).alias("kept"),
+        )
+        .orderBy("lang")
+    )
