@@ -294,21 +294,17 @@ def j7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bounded by the busiest user's event count.
     """
     ev = load(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
+    # ONE scan with event_type IN (...) pushed to parquet, then a
+    # conditional projection into the tagged union shape — a
+    # filter-per-side union would read the fact table twice.
+    is_purchase = F.col("event_type") == "purchase"
+    tagged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
         "user_id",
         "ts",
-        F.lit(0).alias("side"),
-        F.lit(None).cast("long").alias("event_id"),
-        F.col("ts").alias("click_ts"),
-        F.col("value").alias("click_value"),
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        "ts",
-        F.lit(1).alias("side"),
-        "event_id",
-        F.lit(None).cast("timestamp").alias("click_ts"),
-        F.lit(None).cast("double").alias("click_value"),
+        is_purchase.cast("int").alias("side"),
+        F.when(is_purchase, F.col("event_id")).alias("event_id"),
+        F.when(~is_purchase, F.col("ts")).alias("click_ts"),
+        F.when(~is_purchase, F.col("value")).alias("click_value"),
     )
     w = (
         Window.partitionBy("user_id")
@@ -316,7 +312,7 @@ def j7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        clicks.unionByName(purchases)
+        tagged
         .select(
             "event_id",
             "user_id",

@@ -566,11 +566,16 @@ def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"),
     )
+    # n_docs reads only doc_id (column-pruned scan); the corpus TEXT is
+    # scanned exactly once: tf and per-lang df come from ONE (lang, w)
+    # aggregation, and the global df is a window sum over it — a doc has
+    # exactly one lang, so per-lang distinct doc counts add up exactly.
     n = docs.agg(F.count("*").alias("n_docs"))
-    df = tok.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
-    tf = tok.groupBy("lang", "w").agg(F.count("*").alias("tf"))
+    g = tok.groupBy("lang", "w").agg(
+        F.count("*").alias("tf"), F.count_distinct("doc_id").alias("df_lang")
+    )
     scored = (
-        tf.join(F.broadcast(df), "w")
+        g.withColumn("df", F.sum("df_lang").over(Window.partitionBy("w")))
         .crossJoin(F.broadcast(n))
         .select(
             "lang",
