@@ -15,6 +15,7 @@ from datetime import date
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from acled_spark.filters import build_filter
 from acled_spark.registry import query
@@ -199,4 +200,49 @@ def p7_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "split")
         .agg(F.count("*").alias("docs"))
         .orderBy("lang", "split")
+    )
+
+
+# --- P8: deterministic stratified sample (per-stratum cap) ------------------
+SAMPLE_PER_STRATUM = 50
+
+
+@query(
+    "p8_stratified_sample",
+    oracle=f"""
+    WITH r AS (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM r WHERE rnk <= {SAMPLE_PER_STRATUM} GROUP BY lang ORDER BY lang
+    """,
+    tags=("filter", "sampling", "extended"),
+)
+def p8_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every stratum at SAMPLE_PER_STRATUM docs, chosen by md5 rank.
+
+    Ordering by md5(doc_id) gives a uniform-but-reproducible pick — the
+    per-source/per-language capping step of a mixture pipeline, without
+    sampleBy's engine-specific RNG stream (see p7_hash_split).  The
+    id_checksum column pins the EXACT sample membership cross-engine,
+    not just its size.  Scale: rank <= K compiles to WindowGroupLimit,
+    so each map task forwards at most K rows per stratum before the
+    shuffle — the exchange carries O(strata x K), not the corpus.
+    """
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= SAMPLE_PER_STRATUM)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("lang")
     )

@@ -188,3 +188,61 @@ def a19_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("event_type", 0.01).alias("approx_types"),
         F.count("*").alias("n_rows"),
     )
+
+
+# --- A22: time-hierarchy grouping sets (hypertable-style rollup) ------------
+@query(
+    "a22_time_grouping_sets",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(date_trunc('week', ts) AS DATE) AS week,
+             CAST(date_trunc('month', ts) AS DATE) AS month,
+             value
+      FROM events
+    )
+    SELECT CASE WHEN GROUPING(day) = 0 THEN 'day'
+                WHEN GROUPING(week) = 0 THEN 'week'
+                ELSE 'month' END AS grain,
+           COALESCE(day, week, month) AS bucket,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM e
+    GROUP BY GROUPING SETS ((day), (week), (month))
+    ORDER BY grain, bucket
+    """,
+    tags=("olap", "grouping-sets", "time", "extended"),
+)
+def a22_time_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day/week/month continuous aggregates in ONE scan via GROUPING SETS.
+
+    The hypertable-rollup shape: instead of three rollup jobs over the
+    same fact data, Catalyst expands the grouping sets and a single
+    partial+final aggregation produces every grain — at 100 TB this is
+    one fact read instead of three, and the expansion factor (3 rows
+    per input) is absorbed by map-side partial aggregation onto
+    days/weeks/months-sized keys.
+    """
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.date_trunc("week", "ts").cast("date").alias("week"),
+        F.date_trunc("month", "ts").cast("date").alias("month"),
+        "value",
+    )
+    grain = (
+        F.when(F.grouping("day") == 0, "day")
+        .when(F.grouping("week") == 0, "week")
+        .otherwise("month")
+    )
+    return (
+        e.groupingSets([["day"], ["week"], ["month"]], "day", "week", "month")
+        .agg(
+            grain.alias("grain"),
+            F.coalesce("day", "week", "month").alias("bucket"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select("grain", "bucket", "n_events", "total_value")
+        .orderBy("grain", "bucket")
+    )
