@@ -264,3 +264,76 @@ def sim_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("mae"), "vec_id")
         .limit(20)
     )
+
+
+# --- per-label centroid drift ------------------------------------------------
+@query(
+    "sim_label_centroids",
+    oracle=f"""
+    WITH e AS (
+      SELECT label, i, embedding[i+1] AS val
+      FROM embeddings, range(0, {DIM}) r(i)
+    ),
+    ld AS (
+      SELECT label, i, SUM(CAST(val AS DOUBLE)) AS s, COUNT(*) AS n
+      FROM e GROUP BY label, i
+    ),
+    c AS (
+      SELECT label, i, n,
+             ROUND(s / n, 6) AS c_i,
+             ROUND(SUM(s) OVER (PARTITION BY i) / SUM(n) OVER (PARTITION BY i), 6) AS g_i
+      FROM ld
+    )
+    SELECT label,
+           CAST(MAX(n) AS BIGINT) AS n_vecs,
+           ROUND(sqrt(SUM(c_i * c_i)), 4) AS centroid_norm,
+           ROUND(SUM(c_i * g_i)
+                 / (sqrt(SUM(c_i * c_i)) * sqrt(SUM(g_i * g_i))), 4) AS cos_to_global
+    FROM c GROUP BY label ORDER BY label
+    """,
+    tags=("similarity", "extended"),
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid: norm and cosine to the global centroid.
+
+    The cluster-drift audit an embedding pipeline runs after re-training:
+    a label whose centroid norm collapses or whose cosine-to-global rises
+    toward 1 has lost its separation.  Per-dim means are ROUNDED to 6
+    decimals on both engines before the dot products, so partial-agg
+    reduction order can't leak into the final 4-decimal cosine.  Scale:
+    posexplode fans each row out x DIM, the (label, dim) partial-agg
+    shuffle is the only wide exchange, and everything after it is
+    labels x DIM rows; the global centroid derives from the same
+    aggregate via a dim-partitioned window (no second scan).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("label", F.posexplode(F.col("embedding")).alias("i", "val"))
+    ld = e.groupBy("label", "i").agg(
+        F.sum(F.col("val").cast("double")).alias("s"), F.count("*").alias("n")
+    )
+    wd = Window.partitionBy("i")
+    c = ld.select(
+        "label",
+        "i",
+        "n",
+        F.round(F.col("s") / F.col("n"), 6).alias("c_i"),
+        F.round(F.sum("s").over(wd) / F.sum("n").over(wd), 6).alias("g_i"),
+    )
+    return (
+        c.groupBy("label")
+        .agg(
+            F.max("n").cast("long").alias("n_vecs"),
+            F.round(F.sqrt(F.sum(F.col("c_i") * F.col("c_i"))), 4).alias(
+                "centroid_norm"
+            ),
+            F.round(
+                F.sum(F.col("c_i") * F.col("g_i"))
+                / (
+                    F.sqrt(F.sum(F.col("c_i") * F.col("c_i")))
+                    * F.sqrt(F.sum(F.col("g_i") * F.col("g_i")))
+                ),
+                4,
+            ).alias("cos_to_global"),
+        )
+        .orderBy("label")
+    )

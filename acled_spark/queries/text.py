@@ -526,6 +526,98 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- sliding-window chunking -------------------------------------------------
+# Context-window chunking: split each document into CHUNK_TOKENS-word
+# windows advancing by CHUNK_STRIDE (overlap = CHUNK-STRIDE words), the
+# standard prep step for fixed-context training and retrieval indexing.
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+@query(
+    "text_chunking",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CASE WHEN length(trim(text)) = 0 THEN []
+                  ELSE string_split_regex(lower(trim(text)), '\\s+') END AS words
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, lang, words,
+             CASE WHEN len(words) = 0 THEN 0
+                  ELSE 1 + (greatest(len(words) - {CHUNK_TOKENS}, 0)
+                            + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE} END AS n_chunks
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id, lang,
+             len(words[i*{CHUNK_STRIDE}+1 : i*{CHUNK_STRIDE}+{CHUNK_TOKENS}]) AS chunk_len,
+             md5(array_to_string(
+                 words[i*{CHUNK_STRIDE}+1 : i*{CHUNK_STRIDE}+{CHUNK_TOKENS}], ' ')) AS chunk_hash
+      FROM (SELECT doc_id, lang, words, unnest(range(0, n_chunks)) AS i FROM n)
+    )
+    SELECT lang,
+           COUNT(DISTINCT doc_id) AS docs,
+           COUNT(*) AS chunks,
+           COUNT(CASE WHEN chunk_len = {CHUNK_TOKENS} THEN 1 END) AS full_chunks,
+           COUNT(DISTINCT chunk_hash) AS distinct_chunks,
+           ROUND(AVG(chunk_len), 4) AS avg_chunk_len
+    FROM c GROUP BY lang ORDER BY lang
+    """,
+    tags=("text", "chunking", "extended"),
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunk census per language.
+
+    Each doc yields 1 + ceil(max(n_tok - CHUNK, 0) / STRIDE) chunks of up
+    to CHUNK_TOKENS words starting every CHUNK_STRIDE words; the chunk
+    hash doubles as a chunk-level dedup key (distinct_chunks vs chunks
+    measures cross-doc boilerplate at chunk granularity).  Chunk counts
+    use exact integer ceil-division on both engines — no float rounding
+    at the boundary.  Scale: single scan, one explode with fan-out
+    ~n_tok/STRIDE, then a lang-sized rollup; per-chunk work is O(CHUNK)
+    and rides whole-stage codegen.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = _tokens_spark(F.lower(F.col("text")))
+    # Exact integer ceil-div (floor over a small-int double is exact;
+    # mirrors DuckDB's `//` floor-division).
+    n_chunks = F.when(F.size(words) == 0, F.lit(0)).otherwise(
+        1
+        + F.floor(
+            (F.greatest(F.size(words) - CHUNK_TOKENS, F.lit(0)) + CHUNK_STRIDE - 1)
+            / F.lit(CHUNK_STRIDE)
+        )
+    )
+    staged = docs.select(
+        "doc_id",
+        "lang",
+        words.alias("words"),
+        F.explode(
+            F.when(F.size(words) > 0, F.sequence(F.lit(0), n_chunks.cast("int") - 1))
+        ).alias("i"),
+    )
+    chunk = F.slice(F.col("words"), F.col("i") * CHUNK_STRIDE + 1, CHUNK_TOKENS)
+    c = staged.select(
+        "doc_id",
+        "lang",
+        F.size(chunk).alias("chunk_len"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+    return (
+        c.groupBy("lang")
+        .agg(
+            F.count_distinct("doc_id").alias("docs"),
+            F.count("*").alias("chunks"),
+            F.count(F.when(F.col("chunk_len") == CHUNK_TOKENS, 1)).alias("full_chunks"),
+            F.count_distinct("chunk_hash").alias("distinct_chunks"),
+            F.round(F.avg("chunk_len"), 4).alias("avg_chunk_len"),
+        )
+        .orderBy("lang")
+    )
+
+
 # --- TF-IDF top terms per language ------------------------------------------
 @query(
     "text_tfidf_terms",
@@ -686,4 +778,69 @@ def doc_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(s4, 1)).alias("kept"),
         )
         .orderBy("lang")
+    )
+
+
+# --- corpus-LM surprisal scoring ---------------------------------------------
+# Unigram language-model quality scoring (the KenLM-perplexity analog a
+# pre-training pipeline runs to rank documents): pass 1 builds the corpus
+# unigram LM, pass 2 scores every document's mean token surprisal
+# -ln p(w) against it.  Two passes over the corpus is the *correct*
+# shape at scale — the LM is a vocabulary-sized artifact you materialize
+# once (optionally frequency-floored to cap its size) and broadcast into
+# the scoring scan; no formulation can score tokens against global
+# statistics in a single pass without a global shuffle of the token
+# stream.
+@query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    v AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
+    v2 AS (SELECT w, cnt, CAST(SUM(cnt) OVER () AS DOUBLE) AS total FROM v)
+    SELECT tok.doc_id, tok.lang,
+           COUNT(*) AS n_tokens,
+           ROUND(AVG(-ln(v2.cnt / v2.total)), 4) AS avg_nll
+    FROM tok JOIN v2 ON tok.w = v2.w
+    GROUP BY tok.doc_id, tok.lang
+    ORDER BY avg_nll DESC, doc_id LIMIT 20
+    """,
+    tags=("text", "quality", "extended"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-surprising documents by mean unigram -ln p(w).
+
+    p(w) = corpus_count(w) / corpus_tokens; the score averages over token
+    OCCURRENCES (repeats count), so repetitive low-frequency junk ranks
+    high and stopword soup ranks low.  The rank orders by the ROUNDED
+    score on both engines so last-ulp ln() differences can't flip the
+    top-k.  Scale: the LM (pass 1) is one partial-agg shuffle to
+    vocab-sized output; scoring (pass 2) broadcast-joins the LM into the
+    token stream and aggregates per doc — the only wide exchange is the
+    doc_id rollup.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"),
+    )
+    v = tok.groupBy("w").agg(F.count("*").alias("cnt"))
+    # Global token total as a window over the VOCAB aggregate (tiny), not
+    # a third corpus scan; the single-partition window sees only |vocab|
+    # rows, so it is cheap at any corpus size.
+    v2 = v.withColumn(
+        "total", F.sum("cnt").over(Window.partitionBy()).cast("double")
+    )
+    return (
+        tok.join(F.broadcast(v2), "w")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("cnt") / F.col("total"))), 4).alias("avg_nll"),
+        )
+        .orderBy(F.desc("avg_nll"), "doc_id")
+        .limit(20)
     )
