@@ -150,3 +150,168 @@ def funnel_user_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(s2, 1)).alias("clicked_after"),
         F.count(F.when(s3, 1)).alias("purchased_after"),
     )
+
+
+# --- weekly cohort retention -------------------------------------------------
+RETENTION_WEEKS = 4  # offsets 0..3
+
+
+@query(
+    "cohort_retention",
+    oracle=f"""
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events
+    ),
+    c AS (
+      SELECT user_id, week,
+             MIN(week) OVER (PARTITION BY user_id) AS cohort_week
+      FROM act
+    ),
+    o AS (
+      SELECT user_id, cohort_week,
+             date_diff('day', cohort_week, week) // 7 AS wk_offset
+      FROM c
+    )
+    SELECT cohort_week,
+           COUNT(DISTINCT user_id) AS cohort_size,
+           {", ".join(f"COUNT(DISTINCT CASE WHEN wk_offset = {k} THEN user_id END) AS w{k}" for k in range(RETENTION_WEEKS))}
+    FROM o GROUP BY cohort_week ORDER BY cohort_week
+    """,
+    tags=("sessions", "cohort", "extended"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: of the users whose FIRST activity
+    fell in cohort_week, how many were active again k weeks later.
+
+    Both engines truncate weeks to Monday and difference the truncated
+    dates, so the offset is exact integer arithmetic.  Scale: the
+    (user, week) distinct is the only corpus-sized shuffle; the
+    first-seen window rides the same user-keyed partitioning, and the
+    final rollup is weeks x offsets.  cohort_size == w0 by construction
+    (every user is active in their own first week) — kept as a built-in
+    sanity column.
+    """
+    ev = load(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).distinct()
+    c = act.withColumn(
+        "cohort_week", F.min("week").over(Window.partitionBy("user_id"))
+    )
+    o = c.select(
+        "user_id",
+        "cohort_week",
+        F.floor(F.datediff("week", "cohort_week") / 7).alias("wk_offset"),
+    )
+    aggs = [F.count_distinct("user_id").alias("cohort_size")] + [
+        F.count_distinct(F.when(F.col("wk_offset") == k, F.col("user_id"))).alias(f"w{k}")
+        for k in range(RETENTION_WEEKS)
+    ]
+    return o.groupBy("cohort_week").agg(*aggs).orderBy("cohort_week")
+
+
+# --- cumulative distinct users (running reach) -------------------------------
+@query(
+    "w6_cumulative_distinct",
+    oracle="""
+    WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    f AS (
+      SELECT user_id, day,
+             day = MIN(day) OVER (PARTITION BY user_id) AS is_first
+      FROM d
+    ),
+    per_day AS (
+      SELECT day,
+             COUNT(*) AS daily_active,
+             COUNT(CASE WHEN is_first THEN 1 END) AS new_users
+      FROM f GROUP BY day
+    )
+    SELECT day, daily_active, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+    FROM per_day ORDER BY day
+    """,
+    tags=("window", "extended"),
+)
+def w6_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active / new / cumulative-distinct user counts.
+
+    COUNT(DISTINCT) OVER a running frame isn't supported by either
+    engine, so running reach is decomposed the scalable way: a user
+    contributes to the cumulative count exactly on their FIRST day
+    (first-seen window flag), and the running sum of new_users over the
+    tiny per-day rollup reproduces the running distinct total.  Scale:
+    one (user, day) distinct shuffle + user-keyed window; the ordered
+    running sum touches only |days| rows.
+    """
+    ev = load(spark, sf_dir, "events")
+    d = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    f = d.withColumn(
+        "is_first", F.col("day") == F.min("day").over(Window.partitionBy("user_id"))
+    )
+    per_day = f.groupBy("day").agg(
+        F.count("*").alias("daily_active"),
+        F.count(F.when(F.col("is_first"), 1)).alias("new_users"),
+    )
+    running = (
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_day.select(
+        "day",
+        "daily_active",
+        "new_users",
+        F.sum("new_users").over(running).cast("long").alias("cumulative_users"),
+    ).orderBy("day")
+
+
+# --- event-type transition matrix (first-order Markov) -----------------------
+@query(
+    "sess_transitions",
+    oracle="""
+    WITH nxt AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS to_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT from_type, to_type, COUNT(*) AS cnt
+      FROM nxt WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, cnt,
+           ROUND(cnt / CAST(SUM(cnt) OVER (PARTITION BY from_type) AS DOUBLE), 4)
+             AS prob
+    FROM pairs ORDER BY from_type, to_type
+    """,
+    tags=("sessions", "extended"),
+)
+def sess_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences.
+
+    lead() over the (user, time) sort pairs each event with its
+    successor; the terminal event of each user drops out (NULL lead).
+    The probability divides exact integer counts, so only the final
+    ROUND is floating.  Scale: one user-keyed window shuffle over the
+    stream, then a |types|^2 aggregate — the window partitioning is
+    reused straight from the sessionization family.
+    """
+    ev = load(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(wu).alias("to_type"),
+    )
+    pairs = (
+        nxt.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wf = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "cnt",
+        F.round(F.col("cnt") / F.sum("cnt").over(wf).cast("double"), 4).alias("prob"),
+    ).orderBy("from_type", "to_type")
