@@ -534,6 +534,46 @@ CHUNK_TOKENS = 64
 CHUNK_STRIDE = 48
 
 
+def chunk_stream(docs: DataFrame) -> DataFrame:
+    """Exploded chunk stream: one row per (doc_id, lang, chunk).
+
+    Chunk i covers words [i*STRIDE+1, i*STRIDE+CHUNK]; a doc with n
+    words yields 1 + ceil(max(n - CHUNK, 0) / STRIDE) chunks, so every
+    word lands in >= 1 chunk and consecutive chunks overlap by
+    CHUNK - STRIDE words (tests/test_trainprep.py proves the coverage
+    invariants).  Exposed as an operator so pipelines can chunk and
+    the census query is just an aggregation over it.
+    """
+    words = _tokens_spark(F.lower(F.col("text")))
+    # Exact integer ceil-div (floor over a small-int double is exact;
+    # mirrors DuckDB's `//` floor-division).
+    n_chunks = F.when(F.size(words) == 0, F.lit(0)).otherwise(
+        1
+        + F.floor(
+            (F.greatest(F.size(words) - CHUNK_TOKENS, F.lit(0)) + CHUNK_STRIDE - 1)
+            / F.lit(CHUNK_STRIDE)
+        )
+    )
+    staged = docs.select(
+        "doc_id",
+        "lang",
+        words.alias("words"),
+        F.explode(
+            F.when(F.size(words) > 0, F.sequence(F.lit(0), n_chunks.cast("int") - 1))
+        ).alias("i"),
+    )
+    chunk = F.slice(F.col("words"), F.col("i") * CHUNK_STRIDE + 1, CHUNK_TOKENS)
+    return staged.select(
+        "doc_id",
+        "lang",
+        F.col("i").alias("chunk_idx"),
+        chunk.alias("chunk"),
+        F.size(chunk).alias("chunk_len"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
+
 @query(
     "text_chunking",
     oracle=f"""
@@ -579,32 +619,7 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~n_tok/STRIDE, then a lang-sized rollup; per-chunk work is O(CHUNK)
     and rides whole-stage codegen.
     """
-    docs = load(spark, sf_dir, "documents")
-    words = _tokens_spark(F.lower(F.col("text")))
-    # Exact integer ceil-div (floor over a small-int double is exact;
-    # mirrors DuckDB's `//` floor-division).
-    n_chunks = F.when(F.size(words) == 0, F.lit(0)).otherwise(
-        1
-        + F.floor(
-            (F.greatest(F.size(words) - CHUNK_TOKENS, F.lit(0)) + CHUNK_STRIDE - 1)
-            / F.lit(CHUNK_STRIDE)
-        )
-    )
-    staged = docs.select(
-        "doc_id",
-        "lang",
-        words.alias("words"),
-        F.explode(
-            F.when(F.size(words) > 0, F.sequence(F.lit(0), n_chunks.cast("int") - 1))
-        ).alias("i"),
-    )
-    chunk = F.slice(F.col("words"), F.col("i") * CHUNK_STRIDE + 1, CHUNK_TOKENS)
-    c = staged.select(
-        "doc_id",
-        "lang",
-        F.size(chunk).alias("chunk_len"),
-        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
-    )
+    c = chunk_stream(load(spark, sf_dir, "documents"))
     return (
         c.groupBy("lang")
         .agg(

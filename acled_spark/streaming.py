@@ -176,3 +176,44 @@ def dedup_stream(
         ).withWatermark(ts_col, watermark)
         return events.dropDuplicatesWithinWatermark(list(key_cols))
     return events.dropDuplicates(list(key_cols))
+
+
+def session_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Gap-merged session aggregation via native ``session_window`` —
+    one expression for batch AND stream.
+
+    The streaming twin of the sessionization family: Spark merges
+    events whose timestamps fall within ``gap`` of the session's
+    current end, exactly the lag-gap semantics of
+    ``queries.sessions.sess_user_sessions`` (a test asserts the two
+    agree per user).  In streaming mode the watermark finalizes and
+    evicts sessions whose end is older than the watermark — state is
+    bounded by active sessions only, which is what makes gap
+    sessionization viable on an unbounded feed.
+    """
+    if events.isStreaming:
+        # Watermarks need TIMESTAMP (tz); NTZ is cast under the UTC session.
+        events = events.withColumn(
+            ts_col, F.col(ts_col).cast("timestamp")
+        ).withWatermark(ts_col, watermark)
+    return (
+        events.groupBy(F.col(key_col), F.session_window(ts_col, gap).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(value_col), 2).alias("session_value"),
+        )
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )

@@ -109,3 +109,45 @@ def test_dedup_stream_removes_replayed_rows(spark, tmp_path):
     # batch path agrees
     batch = dedup_stream(load(spark, SF_DIR, "events"))
     assert batch.count() == n_keys
+
+
+def test_session_counts_stream_matches_batch(spark, tmp_path):
+    """Native session_window: the streaming result must equal the batch
+    result, and both must agree with the lag-based sessionization on
+    per-user session counts (same 30-min gap semantics)."""
+    from acled_spark.queries.sessions import sess_user_sessions
+    from acled_spark.streaming import session_counts
+
+    bronze = os.path.join(str(tmp_path), "sess_bronze")
+    ev = load(spark, SF_DIR, "events")
+    ev.write.mode("append").parquet(bronze)
+
+    batch_rows = {
+        (r["user_id"], r["session_start"], r["n_events"], r["session_value"])
+        for r in session_counts(ev).collect()
+    }
+
+    stream = session_counts(spark.readStream.schema(ev.schema).parquet(bronze))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sess_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"], r["session_value"])
+        for r in spark.table("sess_counts").collect()
+    }
+    assert got == batch_rows
+
+    # Cross-validate against the manual lag+cumsum formulation.
+    import collections
+
+    by_user = collections.Counter(r[0] for r in batch_rows)
+    lag_based = {
+        r["user_id"]: r["n_sessions"]
+        for r in sess_user_sessions(spark, SF_DIR).collect()
+    }
+    assert dict(by_user) == lag_based

@@ -78,3 +78,41 @@ def test_pack_sequences_conserves_tokens(spark, duck):
     for lang, docs, toks in truth:
         assert out[lang].docs == docs
         assert out[lang].tokens == toks
+
+
+@pytest.mark.parametrize(
+    "n_words", [1, 2, 47, 48, 49, 63, 64, 65, 112, 113, 130, 200]
+)
+def test_chunk_stream_coverage_invariants(spark, n_words):
+    """Every word is covered, chunks start every STRIDE words, overlap is
+    CHUNK-STRIDE, and the chunk count matches the ceil formula."""
+    from acled_spark.queries.text import CHUNK_STRIDE, CHUNK_TOKENS, chunk_stream
+
+    words = [f"w{i}" for i in range(n_words)]
+    docs = spark.createDataFrame(
+        [(0, " ".join(words), "en")], "doc_id long, text string, lang string"
+    )
+    rows = sorted(
+        chunk_stream(docs).select("chunk_idx", "chunk").collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    expected = 1 + max(0, -(-(max(n_words - CHUNK_TOKENS, 0)) // CHUNK_STRIDE))
+    assert len(rows) == expected
+    covered = []
+    for r in rows:
+        start = r["chunk_idx"] * CHUNK_STRIDE
+        assert r["chunk"] == words[start : start + CHUNK_TOKENS]
+        covered.extend(r["chunk"])
+    assert set(covered) == set(words)
+    # all chunks except possibly the last are full
+    for r in rows[:-1]:
+        assert len(r["chunk"]) == CHUNK_TOKENS
+
+
+def test_chunk_stream_empty_doc_yields_no_chunks(spark):
+    from acled_spark.queries.text import chunk_stream
+
+    docs = spark.createDataFrame(
+        [(0, "   ", "en"), (1, "", "en")], "doc_id long, text string, lang string"
+    )
+    assert chunk_stream(docs).count() == 0
