@@ -246,3 +246,68 @@ def p8_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- weighted sampling without replacement -----------------------------------
+# Efraimidis-Spirakis A-Res: each row draws u ~ U(0,1) and gets key
+# ln(u)/w; the k LARGEST keys are a weight-proportional sample without
+# replacement.  u derives deterministically from md5(o_orderkey) so both
+# engines draw identical "randomness" — the distributed analog of a
+# seeded sampler, reproducible across cluster sizes and retries.
+P9_SAMPLE_K = 50
+
+_HEX = "0123456789abcdef"
+
+
+def _hex8_to_int_sql(expr: str) -> str:
+    """First 8 hex digits of an md5 hex string as an integer (DuckDB).
+
+    DuckDB has no base-16 string conversion on arbitrary columns, so sum
+    digit*16^pos via instr over the hex alphabet (same trick as
+    dedup_simhash's bit probes).
+    """
+    return " + ".join(
+        f"(instr('{_HEX}', substr({expr}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
+@query(
+    "p9_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT o_orderkey, o_totalprice,
+             ROUND(ln(({_hex8_to_int_sql("md5(CAST(o_orderkey AS VARCHAR))")} + 0.5)
+                      / 4294967296.0)
+                   / o_totalprice, 6) + 0.0 AS sample_key
+      FROM orders
+    )
+    SELECT o_orderkey, o_totalprice, sample_key
+    FROM keyed
+    ORDER BY sample_key DESC, o_orderkey LIMIT {P9_SAMPLE_K}
+    """,
+    tags=("sampling", "extended"),
+)
+def p9_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sample of {k} orders (weight = o_totalprice).
+
+    The key is ROUNDED to 6 decimals on both engines before ranking and
+    the orderkey breaks residual ties, so last-ulp ln() differences
+    can't flip the sample.  Scale: embarrassingly parallel key
+    computation + TakeOrderedAndProject top-k — no shuffle of the full
+    table, partial top-k per partition then a k-row merge on the driver
+    (the same pattern a 1000-executor cluster wants).
+    """
+    orders = load(spark, sf_dir, "orders")
+    v = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("double")
+    u = (v + 0.5) / F.lit(4294967296.0)
+    # `+ 0.0` collapses IEEE -0.0 (tiny negative keys round to zero;
+    # the driver's value hash is byte-level and distinguishes the two).
+    key = F.round(F.log(u) / F.col("o_totalprice"), 6) + F.lit(0.0)
+    return (
+        orders.select("o_orderkey", "o_totalprice", key.alias("sample_key"))
+        .orderBy(F.desc("sample_key"), "o_orderkey")
+        .limit(P9_SAMPLE_K)
+    )

@@ -104,6 +104,73 @@ def upsert_partitioned(
     )
 
 
+def delete_keys(
+    spark: SparkSession,
+    target_path: str,
+    tombstones: DataFrame,
+    key: str | list[str],
+    partition_col: str | None = None,
+) -> int:
+    """Propagate key deletions into a partitioned parquet table (the
+    right-to-be-forgotten / retraction half of MERGE; the reference's
+    store only upserts, so this extends SURVEY §2.1 S8).
+
+    If ``partition_col`` is given AND present in ``tombstones``, only the
+    partitions named by the tombstones are read, anti-joined, and
+    rewritten; otherwise the whole table is rewritten (a keyed delete
+    with unknown partition bounds must touch every partition — ship the
+    partition value with the tombstone to avoid that at scale).
+
+    Dynamic partition overwrite only replaces partitions that appear in
+    the OUTPUT, so a partition whose every row is deleted would silently
+    survive; those are removed explicitly through the Hadoop FS API
+    (works on any FileSystem implementation, not just local disk).
+    Returns the number of rows deleted.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    bounded = partition_col is not None and partition_col in tombstones.columns
+    current = spark.read.parquet(target_path)
+    if bounded:
+        touched = [
+            r[0] for r in tombstones.select(partition_col).distinct().collect()
+        ]
+        scoped = current.filter(F.col(partition_col).isin(touched))
+    else:
+        touched = None
+        scoped = current
+    kept = scoped.join(
+        F.broadcast(tombstones.select(*keys).distinct()), on=keys, how="left_anti"
+    )
+    before = scoped.count()
+    kept = kept.localCheckpoint()  # sever lineage: the rewrite reads its input
+    deleted = before - kept.count()
+    if deleted == 0:
+        return 0
+    if partition_col is not None:
+        emptied = [
+            r[0]
+            for r in (
+                scoped.select(partition_col)
+                .distinct()
+                .join(kept.select(partition_col).distinct(), partition_col, "left_anti")
+            ).collect()
+        ]
+        kept.write.mode("overwrite").partitionBy(partition_col).parquet(target_path)
+        if emptied:
+            jvm = spark._jvm
+            conf = spark._jsc.hadoopConfiguration()
+            for p in emptied:
+                jpath = jvm.org.apache.hadoop.fs.Path(
+                    f"{target_path}/{partition_col}={p}"
+                )
+                fs = jpath.getFileSystem(conf)
+                fs.delete(jpath, True)
+    else:
+        kept.write.mode("overwrite").parquet(target_path)
+    return deleted
+
+
 def _table_exists(spark: SparkSession, path: str) -> bool:
     if not os.path.exists(path):
         return False

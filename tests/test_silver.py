@@ -87,3 +87,67 @@ def test_merge_updates_schema_mismatch_raises(spark):
     b = spark.createDataFrame([(1,)], "k int")
     with pytest.raises(ValueError, match="schema mismatch"):
         merge_updates(a, b, key="k")
+
+
+def test_delete_keys_partition_scoped(spark, tmp_path):
+    """Tombstoned keys disappear; untouched partitions keep their files."""
+    from acled_spark.silver import delete_keys
+
+    target = os.path.join(str(tmp_path), "silver_del")
+    ev = _events_with_day(spark)
+    d5 = ev.filter(F.col("day") == "2024-01-05")
+    d6 = ev.filter(F.col("day") == "2024-01-06")
+    upsert_partitioned(spark, d5, target, key="event_id", partition_col="day")
+    upsert_partitioned(spark, d6, target, key="event_id", partition_col="day")
+
+    d6_dir = os.path.join(target, "day=2024-01-06")
+    before_files = sorted(os.listdir(d6_dir))
+
+    victims = d5.select("event_id", "day").limit(7)
+    n_victims = victims.count()
+    deleted = delete_keys(
+        spark, target, victims, key="event_id", partition_col="day"
+    )
+    assert deleted == n_victims
+
+    after = spark.read.parquet(target)
+    gone = after.join(victims.select("event_id"), "event_id", "inner").count()
+    assert gone == 0
+    assert after.count() == d5.count() + d6.count() - n_victims
+    # untouched partition was not rewritten
+    assert sorted(os.listdir(d6_dir)) == before_files
+
+
+def test_delete_keys_removes_emptied_partition(spark, tmp_path):
+    from acled_spark.silver import delete_keys
+
+    target = os.path.join(str(tmp_path), "silver_del2")
+    ev = _events_with_day(spark)
+    d5 = ev.filter(F.col("day") == "2024-01-05")
+    d6 = ev.filter(F.col("day") == "2024-01-06")
+    upsert_partitioned(spark, d5, target, key="event_id", partition_col="day")
+    upsert_partitioned(spark, d6, target, key="event_id", partition_col="day")
+
+    # tombstone EVERY row of day 5
+    deleted = delete_keys(
+        spark, target, d5.select("event_id", "day"), key="event_id",
+        partition_col="day",
+    )
+    assert deleted == d5.count()
+    assert not os.path.exists(os.path.join(target, "day=2024-01-05"))
+    remaining = spark.read.parquet(target)
+    assert remaining.count() == d6.count()
+
+
+def test_delete_keys_unbounded_full_rewrite(spark, tmp_path):
+    """Without partition info in the tombstones, the delete still lands."""
+    from acled_spark.silver import delete_keys
+
+    target = os.path.join(str(tmp_path), "silver_del3")
+    ev = _events_with_day(spark)
+    d5 = ev.filter(F.col("day") == "2024-01-05")
+    upsert_partitioned(spark, d5, target, key="event_id", partition_col="day")
+    victims = d5.select("event_id").limit(5)
+    deleted = delete_keys(spark, target, victims, key="event_id", partition_col="day")
+    assert deleted == 5
+    assert spark.read.parquet(target).count() == d5.count() - 5
