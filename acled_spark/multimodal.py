@@ -101,3 +101,79 @@ def extract_features(
             )
 
     return media.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "doc_id long, payload binary, width int, height int, "
+    "out_width int, out_height int, scale double"
+)
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, pts_sec double, frame binary"
+
+FRAME_BYTES = 256  # stub "frame" stride inside the payload
+FRAME_RATE = 4.0  # stub frames/sec for pts computation
+
+
+def resize_images(
+    media: DataFrame, max_side: int = 256, decoder=fake_decode, resizer=None
+) -> DataFrame:
+    """Aspect-preserving downscale pass (mapInPandas, one row per image).
+
+    The geometry (scale factor, output dims, no-upscale clamp) is real
+    and tested; ``resizer`` is the pluggable pixel transform and defaults
+    to a pass-through STUB (no image libs in this container — plug
+    Pillow's ``Image.resize`` in production).  Payloads enter and leave
+    as opaque binary inside Arrow batches; nothing else crosses the
+    Python boundary.
+    """
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h = decoder(payload)
+                scale = min(1.0, max_side / max(w, h))
+                ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+                out = resizer(payload, ow, oh) if resizer else payload
+                rows.append((doc_id, out, w, h, ow, oh, round(scale, 6)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "payload", "width", "height",
+                    "out_width", "out_height", "scale",
+                ],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every: int = 3) -> DataFrame:
+    """Frame sampling for video payloads: one OUTPUT row per kept frame
+    (mapInPandas with fan-out — the batch shape a real ffmpeg sampler
+    produces).
+
+    The STUB treats each FRAME_BYTES slice of the payload as one frame
+    and keeps every ``every``-th; pts_sec derives from the stub frame
+    rate.  The plumbing under test is the row-expanding Arrow pass:
+    output cardinality differs from input, schema carries binary frame
+    chunks, and downstream ops (dedup by frame digest, per-frame feature
+    extraction) consume it like any DataFrame.
+    """
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = max(1, len(payload) // FRAME_BYTES)
+                for idx in range(0, n_frames, every):
+                    chunk = payload[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
+                    out.append(
+                        (doc_id, idx, round(idx / FRAME_RATE, 6), chunk)
+                    )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "frame_idx", "pts_sec", "frame"]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)

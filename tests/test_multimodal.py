@@ -46,3 +46,48 @@ def test_extract_features_matches_local_compute(spark):
 def test_real_decode_is_explicitly_stubbed():
     with pytest.raises(NotImplementedError, match="media decode"):
         decode_image(b"\x89PNG...")
+
+
+def test_resize_geometry_invariants(spark):
+    """No upscale, aspect ratio preserved within integer rounding, and
+    every output side fits max_side."""
+    from acled_spark.multimodal import attach_payloads, fake_decode, resize_images
+
+    docs = load(spark, SF_DIR, "documents").limit(50)
+    media = attach_payloads(docs)
+    out = resize_images(media, max_side=100).collect()
+    assert len(out) == 50
+    for r in out:
+        assert max(r["out_width"], r["out_height"]) <= 100
+        assert r["out_width"] >= 1 and r["out_height"] >= 1
+        assert r["scale"] <= 1.0  # never upscale
+        if r["scale"] == 1.0:
+            assert (r["out_width"], r["out_height"]) == (r["width"], r["height"])
+        # geometry must match the decoder's dims deterministically
+        w, h = fake_decode(bytes(r["payload"]))
+        assert (w, h) == (r["width"], r["height"])
+
+
+def test_sample_frames_fanout_and_determinism(spark):
+    from acled_spark.multimodal import (
+        FRAME_BYTES,
+        attach_payloads,
+        sample_frames,
+    )
+
+    docs = load(spark, SF_DIR, "documents").limit(20)
+    media = attach_payloads(docs)
+    frames = sample_frames(media, every=3)
+    rows = frames.collect()
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
+    expected = 0
+    for p in payloads.values():
+        n_frames = max(1, len(p) // FRAME_BYTES)
+        expected += len(range(0, n_frames, 3))
+    assert len(rows) == expected
+    # frame bytes are exact payload slices (kept frames only)
+    for r in rows[:40]:
+        p = payloads[r["doc_id"]]
+        idx = r["frame_idx"]
+        assert idx % 3 == 0
+        assert bytes(r["frame"]) == p[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
