@@ -377,3 +377,68 @@ def so1_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "only_first_half"
         ),
     )
+
+
+# --- interval (time-range) join ----------------------------------------------
+@query(
+    "j8_interval_join",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id AS view_id, ts AS view_ts
+      FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+      SELECT v.user_id, v.view_id, p.purchase_id, p.value,
+             date_diff('second', v.view_ts, p.purchase_ts) AS lag_sec
+      FROM v JOIN p
+        ON v.user_id = p.user_id
+       AND p.purchase_ts >= v.view_ts
+       AND p.purchase_ts <= v.view_ts + INTERVAL 10 MINUTE
+    )
+    SELECT user_id,
+           COUNT(*) AS pairs,
+           COUNT(DISTINCT purchase_id) AS attributed_purchases,
+           CAST(MIN(lag_sec) AS BIGINT) AS min_lag_sec,
+           ROUND(AVG(lag_sec), 4) AS avg_lag_sec,
+           ROUND(SUM(value), 2) AS attributed_value
+    FROM pairs GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("joins", "interval", "extended"),
+)
+def j8_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View->purchase attribution within a 10-minute window, per user.
+
+    The batch face of ``streaming.attribution_pairs`` — the SAME
+    builder runs as a watermarked stream-stream join (parity-tested in
+    tests/test_streaming.py); this query aggregates its pairs, and the
+    oracle is DuckDB's native range join.  lag_sec is exact integer
+    seconds (both engines difference whole timestamps), so only the
+    final avg/sum round.  Scale: both sides shuffle once on user_id;
+    the time-range predicate keeps the per-key cross product bounded by
+    the attribution window, and in streaming mode the same bound is
+    what evicts join state.
+    """
+    from acled_spark.streaming import attribution_pairs
+
+    ev = load(spark, sf_dir, "events")
+    pairs = attribution_pairs(ev).withColumn(
+        "lag_sec",
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("view_ts")
+        ).cast("long"),
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count("*").alias("pairs"),
+            F.count_distinct("purchase_id").alias("attributed_purchases"),
+            F.min("lag_sec").cast("long").alias("min_lag_sec"),
+            F.round(F.avg("lag_sec"), 4).alias("avg_lag_sec"),
+            F.round(F.sum("purchase_value"), 2).alias("attributed_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -217,3 +217,51 @@ def session_counts(
             "session_value",
         )
     )
+
+
+def attribution_pairs(
+    events: DataFrame,
+    max_lag: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: each view paired with the same user's
+    purchases landing within ``max_lag`` AFTER it (click-through
+    attribution) — one expression for batch AND stream.
+
+    In streaming mode both sides carry watermarks and the join condition
+    bounds event time in both directions, which is exactly what lets
+    Spark evict join state: a buffered view can be dropped once the
+    purchase-side watermark passes view_ts + max_lag.  Unbounded
+    stream-stream joins (no time bound) never free state — the interval
+    condition is the 100 TB/day design, not a restriction.
+    """
+    ts = F.col("ts").cast("timestamp")
+    src = events.withColumn("ts", ts)
+    if events.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    views = src.filter(F.col("event_type") == "view").select(
+        F.col("user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = src.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {max_lag}")),
+        "inner",
+    )
+    return joined.select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        "view_ts",
+        "purchase_ts",
+        "purchase_value",
+    )

@@ -151,3 +151,29 @@ def test_session_counts_stream_matches_batch(spark, tmp_path):
         for r in sess_user_sessions(spark, SF_DIR).collect()
     }
     assert dict(by_user) == lag_based
+
+
+def test_attribution_pairs_stream_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join == batch interval join."""
+    from acled_spark.streaming import attribution_pairs
+
+    bronze = os.path.join(str(tmp_path), "attr_bronze")
+    ev = load(spark, SF_DIR, "events")
+    ev.write.mode("append").parquet(bronze)
+
+    keyset = lambda df: {  # noqa: E731
+        (r["user_id"], r["view_id"], r["purchase_id"]) for r in df.collect()
+    }
+    batch = keyset(attribution_pairs(ev))
+    assert batch, "fixture should produce at least one attributed pair"
+
+    stream = attribution_pairs(spark.readStream.schema(ev.schema).parquet(bronze))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("attr_pairs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert keyset(spark.table("attr_pairs")) == batch
