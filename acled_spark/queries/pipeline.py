@@ -103,3 +103,95 @@ def t3_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+# --- corpus-prep capstone: gates -> dedup -> split -> token budget -----------
+@query(
+    "prep_corpus_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+             CASE WHEN length(trim(text)) = 0 THEN []
+                  ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, lang, split, n_tok,
+             CASE WHEN n_tok = 0 THEN 0.0
+                  ELSE len(list_distinct(toks)) / CAST(n_tok AS DOUBLE) END AS dr,
+             doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS canon
+      FROM t
+    ),
+    kept AS (
+      SELECT split, lang, n_tok FROM d
+      WHERE n_tok >= 25 AND dr >= 0.35 AND canon
+    )
+    SELECT split, lang,
+           COUNT(*) AS docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           ROUND(AVG(n_tok), 4) AS avg_tokens
+    FROM kept GROUP BY split, lang ORDER BY split, lang
+    """,
+    tags=("pipeline", "capstone", "extended"),
+)
+def prep_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus prep in ONE plan: quality gates
+    (doc_filter_funnel's thresholds) -> exact-dedup survivorship
+    (min-doc_id canonical per fingerprint) -> deterministic md5
+    train/val/test split (p7) -> per-(split, lang) token budget.
+
+    This is the query a data team runs before every training round;
+    each stage reuses the exact shared constants of its standalone
+    operator, so the capstone stays consistent with the parts.  Scale:
+    ONE corpus scan; the fingerprint window is the only wide shuffle
+    (16-byte key), gates and split are narrow maps, and the final
+    rollup is |splits x langs|.
+    """
+    from acled_spark.queries.text import (
+        MIN_DISTINCT_RATIO,
+        MIN_TOKENS,
+        fingerprint_spark,
+    )
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    n_tok = F.when(F.length(F.trim("text")) == 0, 0).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+"))
+    )
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(prefix < "cc", "train").when(prefix < "e6", "val").otherwise("test")
+    )
+    d = docs.select(
+        "doc_id",
+        "lang",
+        split.alias("split"),
+        n_tok.alias("n_tok"),
+        F.when(F.length(F.trim("text")) == 0, 0.0)
+        .otherwise(F.size(F.array_distinct(toks)) / n_tok.cast("double"))
+        .alias("dr"),
+        fingerprint_spark(F.col("text")).alias("fp"),
+    ).withColumn(
+        "canon", F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("fp"))
+    )
+    kept = d.filter(
+        (F.col("n_tok") >= MIN_TOKENS)
+        & (F.col("dr") >= MIN_DISTINCT_RATIO)
+        & F.col("canon")
+    )
+    return (
+        kept.groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+        )
+        .orderBy("split", "lang")
+    )

@@ -337,3 +337,70 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- embedding-norm outlier gate ---------------------------------------------
+@query(
+    "sim_norm_outliers",
+    oracle=f"""
+    WITH n AS (
+      SELECT label,
+             ROUND(sqrt(list_aggregate(
+               list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum')), 6)
+               AS norm
+      FROM embeddings
+    ),
+    q AS (
+      SELECT CAST(quantile_cont(norm, 0.01) AS DOUBLE) AS lo,
+             CAST(quantile_cont(norm, 0.99) AS DOUBLE) AS hi
+      FROM n
+    )
+    SELECT label,
+           COUNT(*) AS vecs,
+           ROUND(AVG(norm), 4) AS avg_norm,
+           COUNT(CASE WHEN norm < q.lo OR norm > q.hi THEN 1 END) AS outliers
+    FROM n CROSS JOIN q
+    GROUP BY label ORDER BY label
+    """,
+    tags=("similarity", "quality", "extended"),
+)
+def sim_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-norm outlier census against global p01/p99
+    fences — the degenerate-vector gate (zero / exploding norms) an
+    embedding pipeline runs before indexing.
+
+    Norms are ROUNDED to 6 decimals before the percentile so fold-order
+    float drift can't move the fence; the exact percentile formulation
+    matches DuckDB's quantile_cont (linear interpolation).  Scale: norm
+    is a narrow map; the quantile here is exact for oracle parity, with
+    approx_percentile as the documented scale path (same ladder as
+    a19's HLL vs exact distinct).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    norm = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double") * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        6,
+    )
+    n = emb.select("label", norm.alias("norm"))
+    q = n.agg(
+        F.percentile("norm", F.lit(0.01)).alias("lo"),
+        F.percentile("norm", F.lit(0.99)).alias("hi"),
+    )
+    return (
+        n.crossJoin(F.broadcast(q))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("vecs"),
+            F.round(F.avg("norm"), 4).alias("avg_norm"),
+            F.count(
+                F.when((F.col("norm") < F.col("lo")) | (F.col("norm") > F.col("hi")), 1)
+            ).alias("outliers"),
+        )
+        .orderBy("label")
+    )
