@@ -485,3 +485,131 @@ def a16_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         F.round(F.col("cnt") * 100.0 / F.sum("cnt").over(w), 2).alias("pct"),
     ).orderBy(F.desc("cnt"), "event_type")
+
+
+# --- A23: trailing-window anomaly detection ----------------------------------
+@query(
+    "a23_daily_anomaly",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY day
+    ),
+    s AS (
+      SELECT day, n,
+             AVG(n) OVER w AS mu,
+             STDDEV_SAMP(n) OVER w AS sigma,
+             COUNT(*) OVER w AS n_obs
+      FROM d
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT day, CAST(n AS BIGINT) AS n,
+           ROUND(mu, 4) AS trailing_mean,
+           ROUND((n - mu) / sigma, 4) AS z_score,
+           (n_obs >= 3 AND abs((n - mu) / sigma) > 2.0) AS is_anomaly
+    FROM s WHERE n_obs >= 3 ORDER BY day
+    """,
+    tags=("agg", "anomaly", "extended"),
+)
+def a23_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-count anomalies vs a trailing 7-day window (z > 2).
+
+    The ops-monitoring query every ingest pipeline runs: each day is
+    scored against the mean/stddev of the PRECEDING 7 days only (no
+    leakage from the scored day), and the first 3 days are warm-up.
+    Both engines compute the identical ROWS frame; the z quotient
+    rounds once at the end.  Scale: the heavy part is the per-day
+    count (partial+final agg on a date key); the window then runs over
+    |days| rows — nothing.
+    """
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    s = d.select(
+        "day",
+        "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sigma"),
+        F.count("*").over(w).alias("n_obs"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        s.filter(F.col("n_obs") >= 3)
+        .select(
+            "day",
+            F.col("n").cast("long").alias("n"),
+            F.round("mu", 4).alias("trailing_mean"),
+            F.round(z, 4).alias("z_score"),
+            ((F.col("n_obs") >= 3) & (F.abs(z) > 2.0)).alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )
+
+
+# --- A24: time-to-convert distribution ---------------------------------------
+@query(
+    "a24_time_to_convert",
+    oracle="""
+    WITH su AS (
+      SELECT user_id, MIN(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    pu AS (
+      SELECT e.user_id, MIN(e.ts) AS first_purchase_ts
+      FROM events e JOIN su ON e.user_id = su.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= su.signup_ts
+      GROUP BY e.user_id
+    ),
+    lag AS (
+      SELECT su.user_id,
+             date_diff('day', su.signup_ts, pu.first_purchase_ts) AS days_to_convert
+      FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+    )
+    SELECT COALESCE(CAST(days_to_convert AS BIGINT), -1) AS days_to_convert,
+           COUNT(*) AS users
+    FROM lag GROUP BY 1 ORDER BY 1
+    """,
+    tags=("agg", "funnel", "extended"),
+)
+def a24_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup -> first-purchase lag histogram in whole days (-1 bucket =
+    signed up, never purchased).
+
+    Single scan: signup time and first-qualifying-purchase time are two
+    conditional MINs in ONE user aggregation (a purchase qualifies only
+    at/after the user's signup — enforced with a per-user signup window
+    before aggregating), so there is no events-to-events join at all.
+    date_diff counts CALENDAR-day boundaries on both engines (DuckDB
+    date_diff('day', d1, d2) on DATE-cast timestamps == Spark datediff).
+    Scale: one user_id shuffle; the histogram rollup is |days| keys.
+    """
+    ev = load(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    signup_ts = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(wu)
+    flagged = ev.withColumn("signup_ts", signup_ts).filter(
+        F.col("signup_ts").isNotNull()
+    )
+    per_user = flagged.groupBy("user_id").agg(
+        F.min("signup_ts").alias("signup_ts"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.col("signup_ts")),
+                F.col("ts"),
+            )
+        ).alias("first_purchase_ts"),
+    )
+    days = F.when(
+        F.col("first_purchase_ts").isNotNull(),
+        F.datediff(
+            F.col("first_purchase_ts").cast("date"), F.col("signup_ts").cast("date")
+        ),
+    )
+    return (
+        per_user.select(F.coalesce(days, F.lit(-1)).cast("long").alias("days_to_convert"))
+        .groupBy("days_to_convert")
+        .agg(F.count("*").alias("users"))
+        .orderBy("days_to_convert")
+    )
