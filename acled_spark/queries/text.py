@@ -859,3 +859,62 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("avg_nll"), "doc_id")
         .limit(20)
     )
+
+
+# --- BPE-ish regex tokenization ----------------------------------------------
+# Letter runs / digit runs / single non-space punctuation — the
+# pre-tokenizer split (GPT-2-style without unicode classes, identical
+# semantics in Java regex and RE2) whose counts approximate BPE token
+# budgets far better than whitespace words.
+BPE_REGEX = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+@query(
+    "text_bpe_token_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT source,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_ws,
+             len(regexp_extract_all(text, '{BPE_REGEX}')) AS n_bpe
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS docs,
+           CAST(SUM(n_ws) AS BIGINT) AS ws_tokens,
+           CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
+           ROUND(AVG(n_bpe), 4) AS avg_bpe_tokens,
+           ROUND(CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws), 4) AS bpe_per_word
+    FROM t GROUP BY source ORDER BY source
+    """,
+    tags=("text", "extended"),
+)
+def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenizer (BPE-ish regex) vs whitespace token budgets per source.
+
+    bpe_per_word is the fertility estimate a token-budget planner uses
+    to convert word counts into model-token counts.  The regex uses
+    only ASCII classes so Java regex (Spark) and RE2 (DuckDB) agree
+    exactly; both sums are exact ints, one division at the end.  Scale:
+    narrow map over the scan + source-sized rollup, nothing shuffles
+    but partial counts.
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_ws = F.when(F.length(F.trim("text")) == 0, 0).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+"))
+    )
+    n_bpe = F.size(F.regexp_extract_all("text", F.lit(BPE_REGEX), F.lit(0)))
+    return (
+        docs.select("source", n_ws.alias("n_ws"), n_bpe.alias("n_bpe"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_ws").cast("long").alias("ws_tokens"),
+            F.sum("n_bpe").cast("long").alias("bpe_tokens"),
+            F.round(F.avg("n_bpe"), 4).alias("avg_bpe_tokens"),
+            F.round(
+                F.sum("n_bpe").cast("double") / F.sum("n_ws"), 4
+            ).alias("bpe_per_word"),
+        )
+        .orderBy("source")
+    )

@@ -74,3 +74,27 @@ def test_lsh_buckets_concentrate_similarity_above_random(spark):
         .collect()[0][0]
     )
     assert ann_mean > rand_mean + 0.05, (ann_mean, rand_mean)
+
+
+def test_weighted_sample_biases_toward_heavy_weights(spark):
+    """Weight-proportional sampling must overselect high-price orders:
+    the sampled mean o_totalprice should exceed the population mean, and
+    every order must be selectable (keys defined for all rows)."""
+    from acled_spark.queries.filters_q import P9_SAMPLE_K, p9_weighted_sample
+    from acled_spark.tables import load
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    sample = p9_weighted_sample(spark, sf)
+    rows = sample.collect()
+    assert len(rows) == P9_SAMPLE_K
+    pop_mean = (
+        load(spark, sf, "orders").agg(F.avg("o_totalprice")).collect()[0][0]
+    )
+    samp_mean = sum(r["o_totalprice"] for r in rows) / len(rows)
+    # With weights spanning ~3 orders of magnitude the bias is large;
+    # 1.15x is far below its expectation but way above noise.
+    assert samp_mean > 1.15 * pop_mean
+    # determinism: the sample is a pure function of the data
+    again = {r["o_orderkey"] for r in p9_weighted_sample(spark, sf).collect()}
+    assert again == {r["o_orderkey"] for r in rows}
