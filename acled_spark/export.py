@@ -47,6 +47,9 @@ def write_jsonl(
         )
     elif shards is not None:
         df = df.repartition(shards)
+    elif sort_col is not None:
+        # honor the sort contract even without resharding
+        df = df.sortWithinPartitions(sort_col)
     df.write.mode("overwrite").option("compression", compression).json(path)
 
 
@@ -79,7 +82,9 @@ def corrupt_line_audit(
     alone is disallowed by Spark — SPARK-21610 — and the text formulation
     needs no cache workaround.)
     """
-    lines = spark.read.text(path)
+    # Blank lines are skipped by the JSON reader, so exclude them here
+    # too or total_lines can't reconcile with read_jsonl's row count.
+    lines = spark.read.text(path).filter(F.length(F.trim("value")) > 0)
     # PERMISSIVE from_json yields a struct (with the raw line in the
     # corrupt field) rather than NULL, so probe that field.
     parsed = lines.select(

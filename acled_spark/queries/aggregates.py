@@ -506,7 +506,7 @@ def a16_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT day, CAST(n AS BIGINT) AS n,
            ROUND(mu, 4) AS trailing_mean,
            ROUND((n - mu) / sigma, 4) AS z_score,
-           (n_obs >= 3 AND abs((n - mu) / sigma) > 2.0) AS is_anomaly
+           abs((n - mu) / sigma) > 2.0 AS is_anomaly
     FROM s WHERE n_obs >= 3 ORDER BY day
     """,
     tags=("agg", "anomaly", "extended"),
@@ -542,7 +542,7 @@ def a23_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("long").alias("n"),
             F.round("mu", 4).alias("trailing_mean"),
             F.round(z, 4).alias("z_score"),
-            ((F.col("n_obs") >= 3) & (F.abs(z) > 2.0)).alias("is_anomaly"),
+            (F.abs(z) > 2.0).alias("is_anomaly"),
         )
         .orderBy("day")
     )

@@ -167,11 +167,26 @@ def p6_threshold_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the split is reproducible across engines, runs, and cluster sizes —
 # unlike sampleBy/TABLESAMPLE, whose RNG streams differ per engine and
 # per partitioning.  O(1) per row, no shuffle before the tiny rollup.
-_SPLIT_CASE_SQL = """
-    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
-         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+SPLIT_TRAIN_MAX = "cc"  # md5-prefix upper bounds, shared by every
+SPLIT_VAL_MAX = "e6"    # split-aware operator (p7, prep_corpus_stats)
+
+_SPLIT_CASE_SQL = f"""
+    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{SPLIT_TRAIN_MAX}' THEN 'train'
+         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{SPLIT_VAL_MAX}' THEN 'val'
          ELSE 'test' END
 """
+
+
+def split_spark(doc_id_col):
+    """The same 80/10/10 assignment as a Column expression."""
+    from pyspark.sql import functions as _F
+
+    prefix = _F.substring(_F.md5(doc_id_col.cast("string")), 1, 2)
+    return (
+        _F.when(prefix < SPLIT_TRAIN_MAX, "train")
+        .when(prefix < SPLIT_VAL_MAX, "val")
+        .otherwise("test")
+    )
 
 
 @query(
@@ -191,12 +206,8 @@ def p7_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~80/10/10 assignment that any worker can recompute locally.
     """
     docs = load(spark, sf_dir, "documents")
-    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    split = (
-        F.when(prefix < "cc", "train").when(prefix < "e6", "val").otherwise("test")
-    )
     return (
-        docs.select("lang", split.alias("split"))
+        docs.select("lang", split_spark(F.col("doc_id")).alias("split"))
         .groupBy("lang", "split")
         .agg(F.count("*").alias("docs"))
         .orderBy("lang", "split")

@@ -106,9 +106,17 @@ def t3_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- corpus-prep capstone: gates -> dedup -> split -> token budget -----------
+from acled_spark.queries.filters_q import (  # shared split bounds
+    SPLIT_TRAIN_MAX,
+    SPLIT_VAL_MAX,
+    split_spark,
+)
+from acled_spark.queries.text import MIN_DISTINCT_RATIO, MIN_TOKENS
+
+
 @query(
     "prep_corpus_stats",
-    oracle="""
+    oracle=f"""
     WITH t AS (
       SELECT doc_id, lang,
              CASE WHEN length(trim(text)) = 0 THEN 0
@@ -116,8 +124,8 @@ def t3_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN length(trim(text)) = 0 THEN []
                   ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks,
              md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
-             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
-                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{SPLIT_TRAIN_MAX}' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{SPLIT_VAL_MAX}' THEN 'val'
                   ELSE 'test' END AS split
       FROM documents
     ),
@@ -130,7 +138,7 @@ def t3_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     kept AS (
       SELECT split, lang, n_tok FROM d
-      WHERE n_tok >= 25 AND dr >= 0.35 AND canon
+      WHERE n_tok >= {MIN_TOKENS} AND dr >= {MIN_DISTINCT_RATIO} AND canon
     )
     SELECT split, lang,
            COUNT(*) AS docs,
@@ -153,11 +161,7 @@ def prep_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (16-byte key), gates and split are narrow maps, and the final
     rollup is |splits x langs|.
     """
-    from acled_spark.queries.text import (
-        MIN_DISTINCT_RATIO,
-        MIN_TOKENS,
-        fingerprint_spark,
-    )
+    from acled_spark.queries.text import fingerprint_spark
     from pyspark.sql.window import Window
 
     docs = load(spark, sf_dir, "documents")
@@ -165,14 +169,10 @@ def prep_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tok = F.when(F.length(F.trim("text")) == 0, 0).otherwise(
         F.size(F.split(F.trim("text"), r"\s+"))
     )
-    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    split = (
-        F.when(prefix < "cc", "train").when(prefix < "e6", "val").otherwise("test")
-    )
     d = docs.select(
         "doc_id",
         "lang",
-        split.alias("split"),
+        split_spark(F.col("doc_id")).alias("split"),
         n_tok.alias("n_tok"),
         F.when(F.length(F.trim("text")) == 0, 0.0)
         .otherwise(F.size(F.array_distinct(toks)) / n_tok.cast("double"))

@@ -135,18 +135,22 @@ def delete_keys(
         touched = [
             r[0] for r in tombstones.select(partition_col).distinct().collect()
         ]
-        scoped = current.filter(F.col(partition_col).isin(touched))
+        # NULL-safe partition membership: isin() drops NULL tombstone
+        # values, which would silently skip __HIVE_DEFAULT_PARTITION__.
+        pred = F.col(partition_col).isin([t for t in touched if t is not None])
+        if any(t is None for t in touched):
+            pred = pred | F.col(partition_col).isNull()
+        scoped = current.filter(pred)
     else:
-        touched = None
         scoped = current
-    kept = scoped.join(
-        F.broadcast(tombstones.select(*keys).distinct()), on=keys, how="left_anti"
-    )
-    before = scoped.count()
-    kept = kept.localCheckpoint()  # sever lineage: the rewrite reads its input
-    deleted = before - kept.count()
+    victims = F.broadcast(tombstones.select(*keys).distinct())
+    # Cheap no-op path first: replayed tombstones whose keys are already
+    # gone shouldn't checkpoint/rewrite anything.
+    deleted = scoped.join(victims, on=keys, how="left_semi").count()
     if deleted == 0:
         return 0
+    kept = scoped.join(victims, on=keys, how="left_anti")
+    kept = kept.localCheckpoint()  # sever lineage: the rewrite reads its input
     if partition_col is not None:
         emptied = [
             r[0]
@@ -160,9 +164,18 @@ def delete_keys(
         if emptied:
             jvm = spark._jvm
             conf = spark._jsc.hadoopConfiguration()
+            # Spark escapes special chars in partition directory names
+            # (e.g. ':' -> '%3A') and maps NULL to the Hive default
+            # partition — mirror both or the cleanup silently no-ops.
+            esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
             for p in emptied:
+                dirname = (
+                    "__HIVE_DEFAULT_PARTITION__"
+                    if p is None
+                    else esc.escapePathName(str(p))
+                )
                 jpath = jvm.org.apache.hadoop.fs.Path(
-                    f"{target_path}/{partition_col}={p}"
+                    f"{target_path}/{partition_col}={dirname}"
                 )
                 fs = jpath.getFileSystem(conf)
                 fs.delete(jpath, True)

@@ -103,7 +103,7 @@ def test_delete_keys_partition_scoped(spark, tmp_path):
     d6_dir = os.path.join(target, "day=2024-01-06")
     before_files = sorted(os.listdir(d6_dir))
 
-    victims = d5.select("event_id", "day").limit(7)
+    victims = d5.select("event_id", "day").orderBy("event_id").limit(7)
     n_victims = victims.count()
     deleted = delete_keys(
         spark, target, victims, key="event_id", partition_col="day"
@@ -147,7 +147,26 @@ def test_delete_keys_unbounded_full_rewrite(spark, tmp_path):
     ev = _events_with_day(spark)
     d5 = ev.filter(F.col("day") == "2024-01-05")
     upsert_partitioned(spark, d5, target, key="event_id", partition_col="day")
-    victims = d5.select("event_id").limit(5)
+    victims = d5.select("event_id").orderBy("event_id").limit(5)
     deleted = delete_keys(spark, target, victims, key="event_id", partition_col="day")
     assert deleted == 5
     assert spark.read.parquet(target).count() == d5.count() - 5
+
+
+def test_delete_keys_escaped_partition_value(spark, tmp_path):
+    """Fully-emptied partitions whose value needs path escaping (':' ->
+    '%3A' in partition dirs) must still be physically removed."""
+    from acled_spark.silver import delete_keys
+
+    target = os.path.join(str(tmp_path), "silver_esc")
+    df = spark.createDataFrame(
+        [(1, "a:b"), (2, "a:b"), (3, "plain")], "id long, grp string"
+    )
+    df.write.partitionBy("grp").parquet(target)
+    assert os.path.exists(os.path.join(target, "grp=a%3Ab"))
+
+    tombs = spark.createDataFrame([(1, "a:b"), (2, "a:b")], "id long, grp string")
+    assert delete_keys(spark, target, tombs, key="id", partition_col="grp") == 2
+    assert not os.path.exists(os.path.join(target, "grp=a%3Ab"))
+    left = spark.read.parquet(target)
+    assert [(r["id"], r["grp"]) for r in left.collect()] == [(3, "plain")]
