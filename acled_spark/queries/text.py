@@ -918,3 +918,80 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- vocabulary growth (Heaps' law audit) ------------------------------------
+# How fast does the vocabulary grow as the corpus grows?  Deciles come
+# from the md5 of doc_id (deterministic, engine-independent corpus
+# ordering); a word's first decile is the earliest corpus slice that
+# contains it, so cumulative new-word counts ARE the vocab-vs-tokens
+# growth curve a corpus planner extrapolates from.
+@query(
+    "text_vocab_growth",
+    oracle="""
+    WITH tok AS (
+      SELECT ((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+              + instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+               * 10 // 256 AS decile,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    g AS (SELECT decile, w, COUNT(*) AS cnt FROM tok GROUP BY decile, w),
+    s AS (SELECT decile, cnt,
+                 decile = MIN(decile) OVER (PARTITION BY w) AS is_first
+          FROM g),
+    d AS (SELECT decile, SUM(cnt) AS n_tokens,
+                 COUNT(CASE WHEN is_first THEN 1 END) AS new_words
+          FROM s GROUP BY decile)
+    SELECT decile,
+           CAST(SUM(n_tokens) OVER win AS BIGINT) AS cum_tokens,
+           CAST(SUM(new_words) OVER win AS BIGINT) AS cum_vocab
+    FROM d
+    WINDOW win AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+    ORDER BY decile
+    """,
+    tags=("text", "corpus-stats", "extended"),
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative vocabulary vs cumulative tokens across md5-ordered
+    corpus deciles (the Heaps'-law curve).
+
+    Single corpus scan: both the per-decile token totals and each
+    word's first-seen decile derive from ONE (decile, word) partial-agg
+    — the only wide shuffle; everything after is <= 10 x vocab rows and
+    the final windows run over 10 rows.  Decile assignment hashes
+    doc_id, so the "growth order" is reproducible on any engine or
+    cluster size.
+    """
+    docs = load(spark, sf_dir, "documents")
+    h1 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    decile = F.floor(h1 * 10 / 256).cast("int")
+    tok = docs.filter(F.length(F.trim("text")) > 0).select(
+        decile.alias("decile"),
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"),
+    )
+    # g is DISTINCT on (decile, w), so each word has exactly one row
+    # where decile == its min decile — first-seen detection is a
+    # vocab-keyed window over g, NOT a second aggregation of the token
+    # stream (which would re-scan the corpus: measured scans=2 with a
+    # two-branch formulation, no ReuseExchange).
+    g = tok.groupBy("decile", "w").agg(F.count("*").alias("cnt"))
+    s = g.select(
+        "decile",
+        "cnt",
+        (F.col("decile") == F.min("decile").over(Window.partitionBy("w"))).alias(
+            "is_first"
+        ),
+    )
+    d = s.groupBy("decile").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.when(F.col("is_first"), 1)).alias("new_words"),
+    )
+    win = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return d.select(
+        "decile",
+        F.sum("n_tokens").over(win).cast("long").alias("cum_tokens"),
+        F.sum("new_words").over(win).cast("long").alias("cum_vocab"),
+    ).orderBy("decile")
