@@ -99,3 +99,43 @@ def test_dedup_plans_single_shingle_pass(spark, name):
         n_gen = len(re.findall(r"^\(\d+\) Generate", plan, re.MULTILINE))
         assert n_gen == 2
         assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def _scan_count(plan: str) -> int:
+    import re
+
+    final = plan.split("== Physical Plan ==")[-1]
+    return len(re.findall(r"^\(\d+\) Scan parquet", final, re.MULTILINE))
+
+
+def test_chunking_single_scan(spark):
+    assert _scan_count(_plan(spark, "text_chunking")) == 1
+
+
+def test_vocab_growth_single_scan(spark):
+    """Regression: the two-branch formulation re-scanned the corpus
+    (no ReuseExchange for the shared (decile, word) aggregate)."""
+    assert _scan_count(_plan(spark, "text_vocab_growth")) == 1
+
+
+def test_unigram_lm_exactly_two_passes(spark):
+    """LM build + scoring pass — two scans is the design, three was the
+    bug (scalar total re-deriving the vocab aggregate)."""
+    assert _scan_count(_plan(spark, "text_unigram_logprob")) == 2
+
+
+def test_capstone_single_scan(spark):
+    assert _scan_count(_plan(spark, "prep_corpus_stats")) == 1
+
+
+def test_interval_join_pushes_type_filters(spark):
+    """Each side of the self-join must push its event_type equality into
+    its own parquet scan."""
+    plan = _plan(spark, "j8_interval_join")
+    assert "EqualTo(event_type,view)" in plan
+    assert "EqualTo(event_type,purchase)" in plan
+
+
+def test_weighted_sample_is_topk_not_full_sort(spark):
+    plan = _plan(spark, "p9_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
