@@ -613,3 +613,36 @@ def a24_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("users"))
         .orderBy("days_to_convert")
     )
+
+
+# --- A25: hour-of-day seasonality profile ------------------------------------
+@query(
+    "a25_hour_profile",
+    oracle="""
+    WITH h AS (
+      SELECT hour(ts) AS hour, event_type, value FROM events
+    )
+    SELECT hour, event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM h GROUP BY hour, event_type ORDER BY hour, event_type
+    """,
+    tags=("agg", "extended"),
+)
+def a25_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day x event-type activity profile (capacity planning /
+    anomaly-baseline seasonality).  24 x |types| output; the only
+    shuffle is the partial+final rollup on a tiny composite key."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(F.hour("ts").alias("hour"), "event_type", "value")
+        .groupBy("hour", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            # value has 2 decimals, so the rounded SUM is boundary-safe;
+            # an AVG is NOT (count=8 puts the exact mean on a .xxxx5
+            # boundary and the engines' last-ulp doubles round apart)
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("hour", "event_type")
+    )

@@ -995,3 +995,60 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").over(win).cast("long").alias("cum_tokens"),
         F.sum("new_words").over(win).cast("long").alias("cum_vocab"),
     ).orderBy("decile")
+
+
+# --- Zipf rank-frequency slope -----------------------------------------------
+ZIPF_TOP = 500
+
+
+@query(
+    "text_zipf_slope",
+    oracle=f"""
+    WITH f AS (
+      SELECT w, COUNT(*) AS freq
+      FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+            FROM documents WHERE length(trim(text)) > 0)
+      GROUP BY w
+    ),
+    r AS (
+      SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, w) AS rnk
+      FROM f QUALIFY rnk <= {ZIPF_TOP}
+    ),
+    l AS (SELECT ln(rnk) AS lr, ln(freq) AS lf FROM r)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+           ROUND(covar_pop(lr, lf) / var_pop(lr), 4) AS zipf_slope,
+           ROUND(corr(lr, lf), 4) AS log_log_corr
+    FROM l
+    """,
+    tags=("text", "corpus-stats", "extended"),
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS slope of ln(freq) vs ln(rank) over the top-{ZIPF_TOP} words —
+    natural corpora sit near -1 (Zipf's law); word-soup or templated
+    text drifts toward 0, making the slope a corpus-naturalness probe.
+
+    Ranks are exact integers (row_number over freq DESC with word
+    tiebreak, identical both engines), so the only floating math is the
+    final covariance quotient, rounded once.  Scale: one (word) partial
+    agg; the top-{ZIPF_TOP} cut is a rank window over vocab-sized data;
+    the regression runs over {ZIPF_TOP} rows.
+    """
+    docs = load(spark, sf_dir, "documents")
+    f = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    r = (
+        f.withColumn(
+            "rnk", F.row_number().over(Window.orderBy(F.desc("freq"), "w"))
+        )
+        .filter(F.col("rnk") <= ZIPF_TOP)
+    )
+    l = r.select(F.log("rnk").alias("lr"), F.log("freq").alias("lf"))
+    return l.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.round(F.covar_pop("lr", "lf") / F.var_pop("lr"), 4).alias("zipf_slope"),
+        F.round(F.corr("lr", "lf"), 4).alias("log_log_corr"),
+    )
