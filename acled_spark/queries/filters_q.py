@@ -270,17 +270,22 @@ P9_SAMPLE_K = 50
 _HEX = "0123456789abcdef"
 
 
-def _hex8_to_int_sql(expr: str) -> str:
-    """First 8 hex digits of an md5 hex string as an integer (DuckDB).
+def hex_to_int_sql(expr: str, digits: int) -> str:
+    """First ``digits`` hex digits of an md5 hex string as an integer
+    (DuckDB mirror of Spark's ``conv(expr, 16, 10)``).
 
     DuckDB has no base-16 string conversion on arbitrary columns, so sum
     digit*16^pos via instr over the hex alphabet (same trick as
     dedup_simhash's bit probes).
     """
     return " + ".join(
-        f"(instr('{_HEX}', substr({expr}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
-        for i in range(8)
+        f"(instr('{_HEX}', substr({expr}, {i + 1}, 1)) - 1) * {16 ** (digits - 1 - i)}"
+        for i in range(digits)
     )
+
+
+def _hex8_to_int_sql(expr: str) -> str:
+    return hex_to_int_sql(expr, 8)
 
 
 @query(

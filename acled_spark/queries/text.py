@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from acled_spark.queries.filters_q import hex_to_int_sql
 from acled_spark.registry import query
 from acled_spark.tables import load
 
@@ -926,13 +927,14 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ordering); a word's first decile is the earliest corpus slice that
 # contains it, so cumulative new-word counts ARE the vocab-vs-tokens
 # growth curve a corpus planner extrapolates from.
+_DECILE_SQL = hex_to_int_sql("md5(CAST(doc_id AS VARCHAR))", 2)
+
+
 @query(
     "text_vocab_growth",
-    oracle="""
+    oracle=f"""
     WITH tok AS (
-      SELECT ((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-              + instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
-               * 10 // 256 AS decile,
+      SELECT ({_DECILE_SQL}) * 10 // 256 AS decile,
              unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
       FROM documents WHERE length(trim(text)) > 0
     ),
@@ -1016,22 +1018,24 @@ ZIPF_TOP = 500
     ),
     l AS (SELECT ln(rnk) AS lr, ln(freq) AS lf FROM r)
     SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
-           ROUND(covar_pop(lr, lf) / var_pop(lr), 4) AS zipf_slope,
-           ROUND(corr(lr, lf), 4) AS log_log_corr
+           ROUND(covar_pop(lr, lf) / NULLIF(var_pop(lr), 0), 4) + 0.0 AS zipf_slope,
+           ROUND(covar_pop(lr, lf)
+                 / NULLIF(stddev_pop(lr) * stddev_pop(lf), 0), 4) + 0.0
+             AS log_log_corr
     FROM l
     """,
     tags=("text", "corpus-stats", "extended"),
 )
 def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OLS slope of ln(freq) vs ln(rank) over the top-{ZIPF_TOP} words —
+    """OLS slope of ln(freq) vs ln(rank) over the top-500 (ZIPF_TOP) words —
     natural corpora sit near -1 (Zipf's law); word-soup or templated
     text drifts toward 0, making the slope a corpus-naturalness probe.
 
     Ranks are exact integers (row_number over freq DESC with word
     tiebreak, identical both engines), so the only floating math is the
     final covariance quotient, rounded once.  Scale: one (word) partial
-    agg; the top-{ZIPF_TOP} cut is a rank window over vocab-sized data;
-    the regression runs over {ZIPF_TOP} rows.
+    agg; the top-ZIPF_TOP cut is a rank window over vocab-sized data;
+    the regression runs over ZIPF_TOP rows.
     """
     docs = load(spark, sf_dir, "documents")
     f = (
@@ -1047,8 +1051,23 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= ZIPF_TOP)
     )
     l = r.select(F.log("rnk").alias("lr"), F.log("freq").alias("lf"))
+    # try_divide: a flat-frequency corpus has zero variance — ANSI mode
+    # would throw DIVIDE_BY_ZERO where the oracle's NULLIF yields NULL
+    # (and corr() is written out explicitly for the same reason).
+    # `+ 0.0` collapses IEEE -0.0 on near-zero negative slopes.
     return l.agg(
         F.count("*").cast("long").alias("n_terms"),
-        F.round(F.covar_pop("lr", "lf") / F.var_pop("lr"), 4).alias("zipf_slope"),
-        F.round(F.corr("lr", "lf"), 4).alias("log_log_corr"),
+        (
+            F.round(F.try_divide(F.covar_pop("lr", "lf"), F.var_pop("lr")), 4) + 0.0
+        ).alias("zipf_slope"),
+        (
+            F.round(
+                F.try_divide(
+                    F.covar_pop("lr", "lf"),
+                    F.stddev_pop("lr") * F.stddev_pop("lf"),
+                ),
+                4,
+            )
+            + 0.0
+        ).alias("log_log_corr"),
     )

@@ -88,12 +88,9 @@ def test_dedup_plans_single_shingle_pass(spark, name):
     import re
 
     plan = _plan(spark, name)
-    # formatted mode prints each node twice (tree + detail); count the
-    # numbered detail entries only
-    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE))
     # jaccard: 2 exploded join sides + 2 array-length size projections
     # (cheap, no Generate); minhash: exactly one shingle pipeline
-    assert n_scans <= (4 if name == "dedup_ngram_jaccard" else 1), plan[:2000]
+    assert _scan_count(plan) <= (4 if name == "dedup_ngram_jaccard" else 1), plan[:2000]
     if name == "dedup_ngram_jaccard":
         # the heavy self-join must never broadcast an exploded side
         n_gen = len(re.findall(r"^\(\d+\) Generate", plan, re.MULTILINE))
