@@ -3,8 +3,21 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
 JSON line:  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is forced end-to-end with a noop write (full computation, no
-driver-side result transfer skewing the numbers).
+``value`` is the total across ALL registered queries.  The printed
+``queries`` map is the headline subset — slowest-first, plus every
+failure — trimmed so the whole line stays under the driver's 2000-char
+stdout-tail capture (round 1's full 100-query line was ~3.3 KB and the
+driver recorded ``parsed: null``).  Full per-query timings always land
+in BENCH_FULL.json next to this script.
+
+Regression guard (VERDICT r1 #9):
+
+    python bench.py --check [baseline.json]
+
+re-runs the bench and exits 1 if any query is BOTH >1.5x slower than the
+baseline (default: the committed BENCH_FULL.json) AND >0.5s absolute
+slower — the double gate keeps the known +-20% run-to-run variance of
+sub-second queries from flagging noise (see SCALE.md).
 """
 
 from __future__ import annotations
@@ -17,12 +30,17 @@ import time
 from acled_spark.registry import all_specs
 from acled_spark.session import get_spark
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+FULL_PATH = os.path.join(_REPO, "BENCH_FULL.json")
+# Driver captures the last 2000 chars of stdout; leave headroom.
+_LINE_BUDGET = 1900
+
 
 def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def main() -> None:
+def run_bench() -> tuple[dict[str, float], float | str]:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark(app_name="acled-spark-bench")
@@ -45,20 +63,78 @@ def main() -> None:
         except Exception as exc:  # keep the bench line parseable on failure
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
             timings[name] = -1.0
+    spark.stop()
+    return timings, float(sf) if sf.replace(".", "").isdigit() else sf
 
+
+def summary_line(timings: dict[str, float], sf: float | str) -> str:
+    """One JSON line that fits the driver's stdout-tail capture."""
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
+    failed = sorted(k for k, v in timings.items() if v < 0)
+    ok_slowest = sorted(
+        (k for k, v in timings.items() if v >= 0), key=lambda k: -timings[k]
+    )
+    keep = failed + ok_slowest
+
+    def render(n: int) -> str:
+        qsub = {k: timings[k] for k in keep[:n]}
+        return json.dumps(
             {
                 "metric": "total_query_runtime",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "queries": qsub,
+                "n_queries": len(timings),
+                "full": "BENCH_FULL.json",
+                "sf": sf,
+            },
+            separators=(",", ":"),
         )
-    )
-    spark.stop()
+
+    n = len(keep)
+    line = render(n)
+    while len(line) > _LINE_BUDGET and n > len(failed) + 1:
+        n -= 1
+        line = render(n)
+    return line
+
+
+def check(timings: dict[str, float], base: dict) -> int:
+    """Exit status 1 if any query regressed >1.5x AND >0.5s vs baseline."""
+    base_q = base.get("queries", base)
+    regressions = []
+    for name, now in timings.items():
+        was = base_q.get(name)
+        if was is None or was <= 0 or now < 0:
+            continue
+        if now > 1.5 * was and now - was > 0.5:
+            regressions.append((name, was, now))
+    for name, was, now in sorted(regressions, key=lambda r: r[1] - r[2]):
+        print(f"bench_check: REGRESSION {name}: {was:.3f}s -> {now:.3f}s",
+              file=sys.stderr)
+    if not regressions:
+        print(f"bench_check: OK ({len(timings)} queries)", file=sys.stderr)
+    return 1 if regressions else 0
+
+
+def main() -> None:
+    argv = sys.argv[1:]
+    check_mode = "--check" in argv
+    if check_mode:
+        argv.remove("--check")
+    baseline_path = argv[0] if argv else FULL_PATH
+    base = None
+    if check_mode:
+        # Read the baseline up front: the run below rewrites FULL_PATH.
+        with open(baseline_path) as fh:
+            base = json.load(fh)
+
+    timings, sf = run_bench()
+    with open(FULL_PATH, "w") as fh:
+        json.dump({"sf": sf, "queries": timings}, fh, indent=1, sort_keys=True)
+    print(summary_line(timings, sf))
+    if check_mode:
+        sys.exit(check(timings, base))
 
 
 if __name__ == "__main__":
