@@ -54,9 +54,10 @@ def write_bronze(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     that day's directory (the reference's per-partition S3 object
     semantics).
     """
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df.write.mode(mode).partitionBy(PARTITION_COL).parquet(path)
+    from acled_spark.silver import _dynamic_overwrite
+
+    with _dynamic_overwrite(df.sparkSession):
+        df.write.mode(mode).partitionBy(PARTITION_COL).parquet(path)
 
 
 def read_bronze(spark, path: str) -> DataFrame:

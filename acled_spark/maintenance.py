@@ -57,7 +57,6 @@ def compact_partitions(
         partitions = [p for p, n in counts.items() if n > files_per_partition]
     if not partitions:
         return {}
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     df = spark.read.parquet(path).filter(
         F.col(partition_col).isin(list(partitions))
     )
@@ -77,9 +76,12 @@ def compact_partitions(
             )
             .drop("__salt")
         )
-    (
-        shaped.write.mode("overwrite")
-        .partitionBy(partition_col)
-        .parquet(path)
-    )
+    from acled_spark.silver import _dynamic_overwrite
+
+    with _dynamic_overwrite(spark):
+        (
+            shaped.write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
     return {p: counts[p] for p in partitions if p in counts}

@@ -22,7 +22,7 @@ directory, not the table.
 
 from __future__ import annotations
 
-import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -30,6 +30,40 @@ from pyspark.sql.window import Window
 
 _SRC_COL = "__src_priority"
 _RN_COL = "__merge_rn"
+_OVERWRITE_MODE = "spark.sql.sources.partitionOverwriteMode"
+
+
+@contextmanager
+def _dynamic_overwrite(spark: SparkSession):
+    """Scope the dynamic-partition-overwrite conf to one write.
+
+    The setting is session-global; leaving it flipped would leak into
+    every later ``mode("overwrite").partitionBy(...)`` on the same
+    session and silently change their semantics.
+    """
+    prev = spark.conf.get(_OVERWRITE_MODE, None)
+    spark.conf.set(_OVERWRITE_MODE, "dynamic")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(_OVERWRITE_MODE)
+        else:
+            spark.conf.set(_OVERWRITE_MODE, prev)
+
+
+def partition_membership(partition_col: str, values: list) -> F.Column:
+    """NULL-safe partition membership predicate.
+
+    ``isin(values)`` silently drops a NULL in ``values`` (SQL IN is
+    three-valued), excluding the ``__HIVE_DEFAULT_PARTITION__`` rows —
+    reachable in practice because bronze's ``try_cast(... AS date)``
+    turns malformed dates into NULL partition values.
+    """
+    pred = F.col(partition_col).isin([v for v in values if v is not None])
+    if any(v is None for v in values):
+        pred = pred | F.col(partition_col).isNull()
+    return pred
 
 
 def merge_updates(
@@ -84,12 +118,11 @@ def upsert_partitioned(
     rewritten (dynamic partition overwrite) — the Spark analog of the
     reference's per-day replay (``base_assets.py:207-233``).
     """
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     if _table_exists(spark, target_path):
         touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
         existing = (
             spark.read.parquet(target_path)
-            .filter(F.col(partition_col).isin(touched))
+            .filter(partition_membership(partition_col, touched))
             .select(*updates.columns)
         )
         merged = merge_updates(existing, updates, key, order_col)
@@ -97,11 +130,12 @@ def upsert_partitioned(
         merged = merge_updates(
             updates.limit(0), updates, key, order_col
         )
-    (
-        merged.write.mode("overwrite")
-        .partitionBy(partition_col)
-        .parquet(target_path)
-    )
+    with _dynamic_overwrite(spark):
+        (
+            merged.write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(target_path)
+        )
 
 
 def delete_keys(
@@ -128,19 +162,13 @@ def delete_keys(
     Returns the number of rows deleted.
     """
     keys = [key] if isinstance(key, str) else list(key)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     bounded = partition_col is not None and partition_col in tombstones.columns
     current = spark.read.parquet(target_path)
     if bounded:
         touched = [
             r[0] for r in tombstones.select(partition_col).distinct().collect()
         ]
-        # NULL-safe partition membership: isin() drops NULL tombstone
-        # values, which would silently skip __HIVE_DEFAULT_PARTITION__.
-        pred = F.col(partition_col).isin([t for t in touched if t is not None])
-        if any(t is None for t in touched):
-            pred = pred | F.col(partition_col).isNull()
-        scoped = current.filter(pred)
+        scoped = current.filter(partition_membership(partition_col, touched))
     else:
         scoped = current
     victims = F.broadcast(tombstones.select(*keys).distinct())
@@ -160,7 +188,10 @@ def delete_keys(
                 .join(kept.select(partition_col).distinct(), partition_col, "left_anti")
             ).collect()
         ]
-        kept.write.mode("overwrite").partitionBy(partition_col).parquet(target_path)
+        with _dynamic_overwrite(spark):
+            kept.write.mode("overwrite").partitionBy(partition_col).parquet(
+                target_path
+            )
         if emptied:
             jvm = spark._jvm
             conf = spark._jsc.hadoopConfiguration()
@@ -185,9 +216,20 @@ def delete_keys(
 
 
 def _table_exists(spark: SparkSession, path: str) -> bool:
-    if not os.path.exists(path):
+    """True if ``path`` holds at least one data file/partition directory.
+
+    Probes through the Hadoop FileSystem API (like :func:`delete_keys`'s
+    partition cleanup) so the upsert bootstrap works on any scheme —
+    ``os.path`` would return False for ``s3a://``/``hdfs://`` URIs and
+    the bootstrap branch would then overwrite instead of merging.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(conf)
+    if not fs.exists(jpath):
         return False
-    # a partitioned parquet dir with at least one partition directory
     return any(
-        not entry.startswith("_") for entry in os.listdir(path)
+        not status.getPath().getName().startswith("_")
+        for status in fs.listStatus(jpath)
     )

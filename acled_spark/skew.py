@@ -101,7 +101,19 @@ def salted_join(
     The shuffle then spreads a hot key over ``buckets`` tasks.  Use when
     the small side is too big to broadcast but small enough to
     replicate; otherwise prefer AQE skew-join.
+
+    Only join types that never emit unmatched SMALL-side rows are
+    accepted: with ``right``/``full`` the replicated side's unmatched
+    rows would surface once per salt bucket (``buckets``× duplication).
     """
+    normalized = how.lower().replace("_", "")
+    if normalized not in {"inner", "left", "leftouter", "leftsemi", "semi",
+                          "leftanti", "anti", "cross"}:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — the salt-and-replicate "
+            "shape duplicates unmatched small-side rows under right/full "
+            "joins; use AQE skew-join for those"
+        )
     big_salted = big.withColumn(
         "__salt",
         F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), buckets).cast(

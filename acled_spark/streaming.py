@@ -71,8 +71,12 @@ def start_upsert_stream(
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # The batch's own session, not the closed-over driver session:
+        # foreachBatch may hand the callback a cloned session whose conf
+        # scoping must not leak into (or depend on) the outer one.
         upsert_partitioned(
-            spark, batch_df, target_path, key, partition_col, order_col
+            batch_df.sparkSession, batch_df, target_path, key, partition_col,
+            order_col,
         )
 
     return (

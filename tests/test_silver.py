@@ -170,3 +170,71 @@ def test_delete_keys_escaped_partition_value(spark, tmp_path):
     assert not os.path.exists(os.path.join(target, "grp=a%3Ab"))
     left = spark.read.parquet(target)
     assert [(r["id"], r["grp"]) for r in left.collect()] == [(3, "plain")]
+
+
+def test_upsert_null_partition_rows_survive_merge(spark, tmp_path):
+    """NULL partition values (try_cast'ed malformed dates) must merge, not
+    vanish: isin() alone would exclude __HIVE_DEFAULT_PARTITION__ rows
+    while dynamic overwrite still rewrites that directory (ADVICE r1)."""
+    target = os.path.join(str(tmp_path), "silver")
+    base = spark.createDataFrame(
+        [(1, None, 10.0), (2, None, 20.0), (3, "2024-01-05", 30.0)],
+        "event_id INT, day STRING, value DOUBLE",
+    ).withColumn("day", F.to_date("day"))
+    upsert_partitioned(spark, base, target, key="event_id", partition_col="day")
+
+    # update touches the NULL partition: row 1 corrected, row 2 must survive
+    upd = spark.createDataFrame(
+        [(1, None, 11.0)], "event_id INT, day STRING, value DOUBLE"
+    ).withColumn("day", F.to_date("day"))
+    upsert_partitioned(spark, upd, target, key="event_id", partition_col="day")
+
+    out = {
+        r["event_id"]: r["value"] for r in spark.read.parquet(target).collect()
+    }
+    assert out == {1: 11.0, 2: 20.0, 3: 30.0}
+
+
+def test_table_exists_filesystem_agnostic(spark, tmp_path):
+    """_table_exists must answer through the Hadoop FS API, so scheme-
+    qualified URIs (here file:) behave like plain paths (ADVICE r1)."""
+    from acled_spark.silver import _table_exists
+
+    plain = os.path.join(str(tmp_path), "t1")
+    assert not _table_exists(spark, plain)
+    assert not _table_exists(spark, f"file://{plain}")
+
+    df = spark.createDataFrame([(1, "a")], "id INT, day STRING")
+    df.write.partitionBy("day").parquet(plain)
+    assert _table_exists(spark, plain)
+    assert _table_exists(spark, f"file://{plain}")
+
+    # a dir holding only metadata (_SUCCESS-style) is not a table yet
+    meta_only = os.path.join(str(tmp_path), "t2")
+    os.makedirs(meta_only)
+    open(os.path.join(meta_only, "_SUCCESS"), "w").close()
+    assert not _table_exists(spark, meta_only)
+
+
+def test_upsert_restores_overwrite_mode_conf(spark, tmp_path):
+    """The dynamic-overwrite conf is scoped to the write, not leaked into
+    the session (ADVICE r1: later overwrite writes would silently change
+    semantics)."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    target = os.path.join(str(tmp_path), "silver")
+    batch = _events_with_day(spark).filter(F.col("day") == "2024-01-05")
+
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "static")
+        upsert_partitioned(spark, batch, target, key="event_id", partition_col="day")
+        assert spark.conf.get(key) == "static"
+
+        spark.conf.unset(key)
+        upsert_partitioned(spark, batch, target, key="event_id", partition_col="day")
+        assert spark.conf.get(key, None) in (None, "static")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

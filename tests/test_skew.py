@@ -117,3 +117,17 @@ def test_skewed_join_executes_under_aqe(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    """right/full would emit unmatched replicated-side rows buckets x
+    over (ADVICE r1) — the helper refuses rather than corrupting."""
+    import pytest as _pytest
+
+    from acled_spark.skew import salted_join
+
+    big = spark.range(10).withColumnRenamed("id", "k")
+    small = spark.range(3).withColumnRenamed("id", "k")
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with _pytest.raises(ValueError, match="salted_join"):
+            salted_join(big, small, "k", buckets=4, how=how)
