@@ -21,17 +21,30 @@ from dataclasses import asdict, dataclass, field
 from pyspark.sql import SparkSession
 
 from acled_spark.queries.aggregates import (
+    a1_value_counts,
+    a2_conditional_counts,
     a3_null_empty_audit,
     a4_daily_rollup,
     a5_topk_groups,
+    a6_dim_rollup,
+    a7_multi_measure_rollup,
+    a8_weekly_rollup,
+    a13_histogram,
     a16_percent_of_total,
 )
+from acled_spark.queries.filters_q import p6_threshold_topk
 from acled_spark.queries.windows import w1_moving_avg_7d
 
 
 @dataclass
 class ReportKpis:
-    """The §3.3 KPI block (ref report.py:122-147)."""
+    """The §3.3 KPI block (ref report.py:122-147).
+
+    Covers every number the reference's two PDF pages draw
+    (report.py:149-523): the four page-1 metric cards, the completeness
+    bars, the trend plot, the classification + top-groups bars, and the
+    page-2 regional cards/rollup.
+    """
 
     total_events: int
     total_value: float
@@ -40,6 +53,12 @@ class ReportKpis:
     top_groups: list[dict] = field(default_factory=list)
     category_shares: list[dict] = field(default_factory=list)
     daily_trend: list[dict] = field(default_factory=list)
+    # page-1 'DATA COMPLETENESS ANALYSIS' bars (ref report.py:251-279)
+    field_completeness: list[dict] = field(default_factory=list)
+    # page-2 regional analysis (ref report.py:374-503)
+    region_rollup: list[dict] = field(default_factory=list)
+    active_regions: int = 0
+    most_active_region: str = "N/A"
 
 
 def compute_kpis(spark: SparkSession, sf_dir: str) -> ReportKpis:
@@ -63,6 +82,15 @@ def compute_kpis(spark: SparkSession, sf_dir: str) -> ReportKpis:
     audited = ["text_nulls", "text_empty", "lang_nulls", "source_nulls"]
     missing = sum(audit[k] for k in audited)
     quality = round(100.0 * (len(audited) * n - missing) / (len(audited) * n), 2) if n else 100.0
+    completeness = [
+        {
+            "field": k.replace("_nulls", "").replace("_empty", " (non-empty)"),
+            "pct": round(100.0 * (n - audit[k]) / n, 2) if n else 100.0,
+        }
+        for k in audited
+    ]
+
+    regions = a6_dim_rollup(spark, sf_dir).collect()
 
     return ReportKpis(
         total_events=total_events,
@@ -75,7 +103,157 @@ def compute_kpis(spark: SparkSession, sf_dir: str) -> ReportKpis:
             {"day": r["day"].isoformat(), "cnt": r["cnt"], "ma7": r["ma7"]}
             for r in trend
         ],
+        field_completeness=completeness,
+        region_rollup=[r.asDict() for r in regions],
+        active_regions=len(regions),
+        most_active_region=(
+            regions[0]["o_orderpriority"] if regions else "N/A"
+        ),
     )
+
+
+@dataclass
+class MlReportKpis:
+    """The ML-report metadata block (ref ml.py:768-898).
+
+    The reference's 3-page ML PDF is fed by an 8-query block run against
+    Postgres (ml.py:798-898): quality census, daily counts, top event
+    types, admin rollup, presence census, dim-filtered rollup, weekly
+    actuals, and a high-severity head — plus the trained model's metrics
+    and scored-prediction error stats.  Each maps 1:1 onto an
+    oracle-checked registry query; model/prediction numbers come from
+    ml.train / ml.score when supplied.
+    """
+
+    # scalar summary (ref ml.py:905-918)
+    total_events: int
+    avg_daily_events: float
+    data_quality_score: float
+    # the 8-query block (small aggregated frames, collected)
+    daily_trend: list[dict] = field(default_factory=list)
+    top_event_types: list[dict] = field(default_factory=list)
+    admin_rollup: list[dict] = field(default_factory=list)
+    presence_census: dict = field(default_factory=dict)
+    weekly_actuals: list[dict] = field(default_factory=list)
+    high_value_head: list[dict] = field(default_factory=list)
+    histogram: list[dict] = field(default_factory=list)
+    # ML half (ref ml.py:930-940): model metrics + prediction errors
+    model_metrics: dict = field(default_factory=dict)
+    prediction_errors: dict = field(default_factory=dict)
+
+
+def compute_ml_report_kpis(
+    spark: SparkSession,
+    sf_dir: str,
+    model_metrics: dict | None = None,
+    prediction_errors: dict | None = None,
+) -> MlReportKpis:
+    """Assemble the ML-report block from registry queries (ml.py:768-898).
+
+    ``model_metrics`` is :class:`acled_spark.ml.train.TrainedModel.
+    metrics`; ``prediction_errors`` is :func:`acled_spark.ml.score.
+    error_analysis`'s summary dict — both optional so the data half of
+    the report runs without a trained model on hand.
+    """
+    daily = a4_daily_rollup(spark, sf_dir).collect()
+    audit = a3_null_empty_audit(spark, sf_dir).collect()[0]
+    top_types = a1_value_counts(spark, sf_dir).limit(10).collect()
+    admin = a7_multi_measure_rollup(spark, sf_dir).collect()
+    presence = a2_conditional_counts(spark, sf_dir).collect()[0]
+    weekly = a8_weekly_rollup(spark, sf_dir).collect()
+    head = p6_threshold_topk(spark, sf_dir).collect()
+    hist = a13_histogram(spark, sf_dir).collect()
+
+    total_events = sum(r["event_count"] for r in daily)
+    avg_daily = round(total_events / len(daily), 2) if daily else 0.0
+    n = audit["n_rows"]
+    audited = ["text_nulls", "text_empty", "lang_nulls", "source_nulls"]
+    missing = sum(audit[k] for k in audited)
+    quality = (
+        round(100.0 * (len(audited) * n - missing) / (len(audited) * n), 2)
+        if n
+        else 100.0
+    )
+
+    def rows(frame_rows, date_cols=()):
+        out = []
+        for r in frame_rows:
+            d = r.asDict()
+            for c in date_cols:
+                if d.get(c) is not None:
+                    d[c] = d[c].isoformat()
+            out.append(d)
+        return out
+
+    return MlReportKpis(
+        total_events=total_events,
+        avg_daily_events=avg_daily,
+        data_quality_score=quality,
+        daily_trend=rows(daily, date_cols=("day",)),
+        top_event_types=rows(top_types),
+        admin_rollup=rows(admin),
+        presence_census=presence.asDict(),
+        weekly_actuals=rows(weekly, date_cols=("week",)),
+        high_value_head=rows(head),
+        histogram=rows(hist),
+        model_metrics=dict(model_metrics or {}),
+        prediction_errors=dict(prediction_errors or {}),
+    )
+
+
+def render_ml_text(kpis: MlReportKpis, path: str) -> str:
+    """The 3-page ML report as structured text (ref ml.py:930-1564's page
+    layout: executive summary -> activity analysis -> ML performance)."""
+    lines = [
+        "=" * 60,
+        "ML-ENHANCED INTELLIGENCE REPORT",
+        "=" * 60,
+        "",
+        "-- Page 1: Executive summary --",
+        f"Total events:        {kpis.total_events}",
+        f"Avg events/day:      {kpis.avg_daily_events}",
+        f"Data quality score:  {kpis.data_quality_score}%",
+        "",
+        "Top event types:",
+    ]
+    for row in kpis.top_event_types:
+        lines.append(f"  {row['event_type']:<14} {row['cnt']:>8}")
+    lines += ["", "-- Page 2: Activity analysis --", "Admin rollup:"]
+    for row in kpis.admin_rollup:
+        lines.append(
+            f"  {row['nation']:<16} customers={row['customer_count']:>6} "
+            f"balance={row['total_balance']}"
+        )
+    lines += ["", "Weekly actuals:"]
+    for row in kpis.weekly_actuals:
+        lines.append(
+            f"  {row['week']}  n={row['event_count']:>6}  "
+            f"avg={row['avg_value']}  total={row['total_value']}"
+        )
+    lines += ["", "High-severity head:"]
+    for row in kpis.high_value_head:
+        lines.append(
+            f"  event {row['event_id']:>8}  {row['event_type']:<12} "
+            f"value={row['value']}"
+        )
+    lines += ["", "Value histogram:"]
+    for row in kpis.histogram:
+        lines.append(f"  {row['bucket']:<12} {row['cnt']:>8}")
+    lines += ["", "-- Page 3: ML performance --"]
+    if kpis.model_metrics:
+        for k, v in sorted(kpis.model_metrics.items()):
+            lines.append(f"  model {k}: {v}")
+    else:
+        lines.append("  (no trained model supplied)")
+    if kpis.prediction_errors:
+        for k, v in sorted(kpis.prediction_errors.items()):
+            lines.append(f"  scoring {k}: {v}")
+    else:
+        lines.append("  (no scored predictions supplied)")
+    text = "\n".join(lines) + "\n"
+    with open(path, "w") as f:
+        f.write(text)
+    return path
 
 
 def render_text(kpis: ReportKpis, path: str) -> str:
@@ -92,18 +270,33 @@ def render_text(kpis: ReportKpis, path: str) -> str:
         f"Avg events/day:      {kpis.avg_daily_events}",
         f"Data quality score:  {kpis.data_quality_score}%",
         "",
-        "Category shares:",
+        "Data completeness analysis:",
     ]
+    for row in kpis.field_completeness:
+        lines.append(f"  {row['field']:<20} {row['pct']:>6}%")
+    lines += ["", "Category shares:"]
     for row in kpis.category_shares:
         lines.append(
             f"  {row['event_type']:<12} {row['cnt']:>8}  {row['pct']:>6}%"
         )
-    lines += ["", "-- Page 2: Trends --", "Daily counts (7-day moving avg):"]
+    lines += ["", "Daily counts (7-day moving avg):"]
     for row in kpis.daily_trend:
         lines.append(f"  {row['day']}  {row['cnt']:>6}  ma7={row['ma7']}")
     lines += ["", "Top groups:"]
     for row in kpis.top_groups:
         lines.append(f"  user {row['user_id']:>6}: {row['cnt']} events")
+    lines += [
+        "",
+        "-- Page 2: Regional analysis --",
+        f"Active regions:      {kpis.active_regions}",
+        f"Most active region:  {kpis.most_active_region}",
+        "",
+        "Region rollup:",
+    ]
+    for row in kpis.region_rollup:
+        lines.append(
+            f"  {row['o_orderpriority']:<16} {row['order_count']:>8}"
+        )
     text = "\n".join(lines) + "\n"
     with open(path, "w") as f:
         f.write(text)
@@ -130,30 +323,108 @@ def render_pdf(kpis: ReportKpis, path: str) -> str:
             "matplotlib is not available in this environment; "
             "use render_text/render_json, or install matplotlib for PDF output"
         ) from exc
-    from matplotlib.backends.backend_pdf import PdfPages  # pragma: no cover
+    matplotlib.use("Agg")  # pragma: no cover
     import matplotlib.pyplot as plt  # pragma: no cover
+    from matplotlib.backends.backend_pdf import PdfPages  # pragma: no cover
+
+    def _metric_cards(fig, y, cards):  # pragma: no cover
+        # the reference's 4-card metric strip (report.py:207-249)
+        for i, (label, value) in enumerate(cards):
+            ax = fig.add_axes([0.04 + i * 0.24, y, 0.21, 0.1])
+            ax.axis("off")
+            ax.add_patch(
+                plt.Rectangle(
+                    (0, 0), 1, 1, fill=True, color="#f0f0f0",
+                    transform=ax.transAxes,
+                )
+            )
+            ax.text(0.5, 0.62, str(value), fontsize=16, fontweight="bold",
+                    ha="center", transform=ax.transAxes)
+            ax.text(0.5, 0.24, label.upper(), fontsize=8, ha="center",
+                    transform=ax.transAxes)
 
     with PdfPages(path) as pdf:  # pragma: no cover
-        fig, ax = plt.subplots(figsize=(8.5, 11))
-        ax.axis("off")
-        ax.text(0.05, 0.95, "ANALYTICS INTELLIGENCE REPORT", fontsize=16)
-        ax.text(
-            0.05,
-            0.85,
-            f"Total events: {kpis.total_events}\n"
-            f"Total value: {kpis.total_value}\n"
-            f"Avg/day: {kpis.avg_daily_events}\n"
-            f"Quality: {kpis.data_quality_score}%",
-            fontsize=11,
-            va="top",
+        # ---- Page 1: executive summary (ref report.py:178-372) ----
+        fig = plt.figure(figsize=(11, 8.5))
+        fig.suptitle("ANALYTICS INTELLIGENCE REPORT", fontsize=18, y=0.97)
+        _metric_cards(
+            fig,
+            0.78,
+            [
+                ("total events", kpis.total_events),
+                ("total value", kpis.total_value),
+                ("avg events/day", kpis.avg_daily_events),
+                ("quality score", f"{kpis.data_quality_score}%"),
+            ],
         )
-        pdf.savefig(fig)
-        plt.close(fig)
-        fig, ax = plt.subplots(figsize=(8.5, 11))
+        # completeness bars (ref report.py:251-279)
+        ax1 = fig.add_axes([0.06, 0.44, 0.40, 0.26])
+        fields = [r["field"] for r in kpis.field_completeness]
+        pcts = [r["pct"] for r in kpis.field_completeness]
+        ax1.barh(range(len(fields)), pcts, color="#4c72b0")
+        ax1.set_yticks(range(len(fields)), fields, fontsize=8)
+        ax1.set_xlim(0, 105)
+        for i, v in enumerate(pcts):
+            ax1.text(v + 1, i, f"{v:.1f}%", fontsize=7, va="center")
+        ax1.set_title("DATA COMPLETENESS ANALYSIS", fontsize=9)
+        # daily trend + rolling average (ref report.py:281-303)
+        ax2 = fig.add_axes([0.55, 0.44, 0.40, 0.26])
         days = [r["day"] for r in kpis.daily_trend]
-        ax.plot(days, [r["cnt"] for r in kpis.daily_trend], label="daily")
-        ax.plot(days, [r["ma7"] for r in kpis.daily_trend], label="7d avg")
-        ax.legend()
+        ax2.plot(days, [r["cnt"] for r in kpis.daily_trend],
+                 label="daily", alpha=0.6)
+        ax2.plot(days, [r["ma7"] for r in kpis.daily_trend],
+                 label="7-day avg", linewidth=2)
+        ax2.legend(fontsize=7)
+        ax2.tick_params(labelsize=6)
+        ax2.set_title("DAILY ACTIVITY TRENDS", fontsize=9)
+        # top-categories bar (ref report.py:305-331)
+        ax3 = fig.add_axes([0.06, 0.08, 0.40, 0.26])
+        cats = [r["event_type"] for r in kpis.category_shares]
+        counts = [r["cnt"] for r in kpis.category_shares]
+        ax3.barh(range(len(cats)), counts, color="#55a868")
+        ax3.set_yticks(range(len(cats)), cats, fontsize=8)
+        for i, v in enumerate(counts):
+            ax3.text(v, i, f"{v:,}", fontsize=7, va="center")
+        ax3.set_title("EVENT CLASSIFICATION", fontsize=9)
+        # top groups bar (ref report.py:333-359)
+        ax4 = fig.add_axes([0.55, 0.08, 0.40, 0.26])
+        groups = [str(r["user_id"]) for r in kpis.top_groups]
+        gcounts = [r["cnt"] for r in kpis.top_groups]
+        ax4.barh(range(len(groups)), gcounts, color="#c44e52")
+        ax4.set_yticks(range(len(groups)), groups, fontsize=8)
+        ax4.set_title("TOP GROUPS (TOP 10)", fontsize=9)
         pdf.savefig(fig)
         plt.close(fig)
+
+        # ---- Page 2: regional analysis (ref report.py:374-517) ----
+        fig2 = plt.figure(figsize=(11, 8.5))
+        fig2.suptitle("REGIONAL ANALYSIS", fontsize=18, y=0.97)
+        _metric_cards(
+            fig2,
+            0.78,
+            [
+                ("regional events",
+                 sum(r["order_count"] for r in kpis.region_rollup)),
+                ("active regions", kpis.active_regions),
+                ("most active", kpis.most_active_region),
+                ("share of total",
+                 f"{kpis.data_quality_score}%"),
+            ],
+        )
+        if kpis.region_rollup:
+            axl = fig2.add_axes([0.08, 0.1, 0.84, 0.6])
+            names = [r["o_orderpriority"] for r in kpis.region_rollup][:15]
+            vals = [r["order_count"] for r in kpis.region_rollup][:15]
+            axl.barh(range(len(names)), vals, color="#4c72b0")
+            axl.set_yticks(range(len(names)), names, fontsize=8)
+            for i, v in enumerate(vals):
+                axl.text(v, i, f"{v:,}", fontsize=7, va="center")
+            axl.set_title("TOP REGIONS BY EVENT COUNT", fontsize=9)
+        else:
+            axn = fig2.add_axes([0.1, 0.3, 0.8, 0.4])
+            axn.text(0.5, 0.5, "No regional data available",
+                     ha="center", fontsize=12)
+            axn.axis("off")
+        pdf.savefig(fig2)
+        plt.close(fig2)
     return path

@@ -33,7 +33,7 @@ def test_render_text_and_json(tmp_path, kpis):
     txt = render_text(kpis, os.path.join(str(tmp_path), "report.txt"))
     body = open(txt).read()
     assert "ANALYTICS INTELLIGENCE REPORT" in body
-    assert "Page 2: Trends" in body
+    assert "Page 2: Regional analysis" in body
     assert str(kpis.total_events) in body
 
     js = render_json(kpis, os.path.join(str(tmp_path), "report.json"))
@@ -55,3 +55,96 @@ def test_render_pdf_gated(tmp_path, kpis):
     else:
         with pytest.raises(ImportError, match="matplotlib is not available"):
             render_pdf(kpis, os.path.join(str(tmp_path), "report.pdf"))
+
+
+@pytest.fixture(scope="module")
+def ml_kpis(spark):
+    from acled_spark.report import compute_ml_report_kpis
+
+    return compute_ml_report_kpis(
+        spark,
+        SF_DIR,
+        model_metrics={"test_rmse": 1.23, "test_r2": 0.9},
+        prediction_errors={"mae": 0.8, "rmse": 1.1},
+    )
+
+
+def test_ml_report_block_mirrors_reference_queries(ml_kpis):
+    """Every frame of the reference's 8-query ML-report block
+    (ml.py:798-898) is present and populated from registry queries."""
+    k = ml_kpis
+    assert k.total_events > 0
+    assert 0 < k.data_quality_score <= 100
+    assert k.daily_trend and {"day", "event_count", "total_value"} <= set(
+        k.daily_trend[0]
+    )
+    assert k.top_event_types and len(k.top_event_types) <= 10
+    assert k.admin_rollup and {"nation", "customer_count"} <= set(
+        k.admin_rollup[0]
+    )
+    assert {"n_rows", "n_returned"} <= set(k.presence_census)
+    assert k.weekly_actuals and {"week", "avg_value"} <= set(
+        k.weekly_actuals[0]
+    )
+    assert len(k.high_value_head) <= 20
+    assert k.histogram and {"bucket", "cnt"} <= set(k.histogram[0])
+    # scalar consistency: total == sum of the daily trend it reports
+    assert k.total_events == sum(r["event_count"] for r in k.daily_trend)
+    assert k.model_metrics["test_r2"] == 0.9
+
+
+def test_ml_report_runs_without_model(spark):
+    from acled_spark.report import compute_ml_report_kpis
+
+    k = compute_ml_report_kpis(spark, SF_DIR)
+    assert k.model_metrics == {} and k.prediction_errors == {}
+
+
+def test_render_ml_text_covers_all_pages(tmp_path, ml_kpis):
+    from acled_spark.report import render_ml_text
+
+    path = os.path.join(str(tmp_path), "ml_report.txt")
+    render_ml_text(ml_kpis, path)
+    text = open(path).read()
+    for marker in (
+        "Page 1: Executive summary",
+        "Page 2: Activity analysis",
+        "Page 3: ML performance",
+        "Top event types:",
+        "Admin rollup:",
+        "Weekly actuals:",
+        "High-severity head:",
+        "Value histogram:",
+        "model test_rmse: 1.23",
+        "scoring mae: 0.8",
+    ):
+        assert marker in text, marker
+
+
+def test_render_text_covers_reference_pdf_structure(tmp_path, kpis):
+    """Every KPI block the reference's 2 PDF pages draw
+    (report.py:149-523) appears in the text artifact: the 4 page-1
+    metric cards, completeness bars, trend plot, classification and
+    top-groups bars, and the page-2 regional cards + rollup."""
+    path = os.path.join(str(tmp_path), "report.txt")
+    render_text(kpis, path)
+    text = open(path).read()
+    for marker in (
+        "Total events:",
+        "Total value:",
+        "Avg events/day:",
+        "Data quality score:",
+        "Data completeness analysis:",
+        "Category shares:",
+        "Daily counts (7-day moving avg):",
+        "Top groups:",
+        "Page 2: Regional analysis",
+        "Active regions:",
+        "Most active region:",
+        "Region rollup:",
+    ):
+        assert marker in text, marker
+    # completeness covers every audited field
+    assert len(kpis.field_completeness) == 4
+    assert all(0 <= r["pct"] <= 100 for r in kpis.field_completeness)
+    assert kpis.active_regions == len(kpis.region_rollup)
