@@ -36,6 +36,53 @@ SEARCH_SPACE = {
     "minInfoGain": [0.0, 0.1],            # gamma
 }
 
+# GBT-name -> SparkXGBRegressor-name translation (SURVEY M7's preferred
+# mapping, ref ml.py:390-420).  featureSubsetStrategy values are
+# strategies, not fractions — mapped to the nearest colsample fraction.
+XGB_PARAM_NAMES = {
+    "maxIter": "n_estimators",
+    "maxDepth": "max_depth",
+    "stepSize": "learning_rate",
+    "subsamplingRate": "subsample",
+    "featureSubsetStrategy": "colsample_bytree",
+    "minInstancesPerNode": "min_child_weight",
+    "minInfoGain": "gamma",
+}
+_XGB_COLSAMPLE = {"all": 1.0, "sqrt": 0.6, "0.8": 0.8}
+
+
+def make_estimator(kind: str, label_col: str, seed: int = SEED):
+    """Estimator factory: ``gbt`` (MLlib-native default) or ``xgboost``
+    (``xgboost.spark.SparkXGBRegressor``, import-gated — the library is
+    optional; callers fall back to GBT when absent)."""
+    if kind == "gbt":
+        return GBTRegressor(featuresCol="features", labelCol=label_col, seed=seed)
+    if kind == "xgboost":
+        try:
+            from xgboost.spark import SparkXGBRegressor
+        except ImportError as exc:
+            raise ImportError(
+                "xgboost is not installed; use estimator='gbt' (the "
+                "default MLlib mapping) or install xgboost>=1.7 for "
+                "SparkXGBRegressor"
+            ) from exc
+        return SparkXGBRegressor(
+            features_col="features", label_col=label_col, random_state=seed
+        )
+    raise ValueError(f"unknown estimator kind: {kind!r}")
+
+
+def _estimator_param(est, gbt_name: str):
+    """Resolve a SEARCH_SPACE (GBT-named) knob on either estimator."""
+    have = {p.name for p in est.params}
+    if gbt_name in have:
+        return est.getParam(gbt_name), None
+    xgb_name = XGB_PARAM_NAMES[gbt_name]
+    if xgb_name in have:
+        translate = _XGB_COLSAMPLE.get if gbt_name == "featureSubsetStrategy" else None
+        return est.getParam(xgb_name), translate
+    return None, None
+
 
 @dataclass
 class TrainedModel:
@@ -45,11 +92,10 @@ class TrainedModel:
     feature_importances: list[tuple[str, float]] = field(default_factory=list)
 
 
-def sample_param_maps(
-    gbt: GBTRegressor, n_candidates: int, seed: int = SEED
-) -> list:
+def sample_param_combos(n_candidates: int, seed: int = SEED) -> list[dict]:
     """Seeded random draw of ``n_candidates`` points from SEARCH_SPACE
-    (capped at the space's size — the space is finite)."""
+    (capped at the space's size — the space is finite).  Estimator-
+    agnostic: combos carry the canonical (GBT) knob names."""
     space_size = 1
     for values in SEARCH_SPACE.values():
         space_size *= len(values)
@@ -64,11 +110,22 @@ def sample_param_maps(
             continue
         seen.add(combo)
         combos.append(dict(combo))
+    return combos
+
+
+def sample_param_maps(est, n_candidates: int, seed: int = SEED) -> list:
+    """The same seeded draw rendered as ParamMaps for ``est`` — GBT or
+    SparkXGBRegressor (names/values translated via XGB_PARAM_NAMES, so
+    both estimators search the identical 9-dim space on the same
+    budget: the SURVEY §7.4.4 parity contract)."""
     grids = []
-    for combo in combos:
+    for combo in sample_param_combos(n_candidates, seed):
         b = ParamGridBuilder()
         for name, value in combo.items():
-            b = b.addGrid(gbt.getParam(name), [value])
+            param, translate = _estimator_param(est, name)
+            if param is None:  # knob with no analog on this estimator
+                continue
+            b = b.addGrid(param, [translate(value) if translate else value])
         grids.extend(b.build())
     return grids
 
@@ -82,14 +139,18 @@ def train_regressor(
     test_fraction: float = 0.2,
     seed: int = SEED,
     parallelism: int = 4,
+    estimator: str = "gbt",
 ) -> TrainedModel:
-    """M6 split -> M7 random-search CV -> M8 metrics -> M9 importances."""
+    """M6 split -> M7 random-search CV -> M8 metrics -> M9 importances.
+
+    ``estimator='xgboost'`` swaps in SparkXGBRegressor (ref ml.py:390-420
+    verbatim-library parity) when the optional dependency is present;
+    the search space, budget, folds, and seed are identical either way.
+    """
     train, test = features_df.randomSplit(
         [1 - test_fraction, test_fraction], seed=seed
     )
-    gbt = GBTRegressor(
-        featuresCol="features", labelCol=label_col, seed=seed
-    )
+    gbt = make_estimator(estimator, label_col, seed)
     evaluator = RegressionEvaluator(
         labelCol=label_col, predictionCol="prediction", metricName="rmse"
     )
@@ -125,17 +186,29 @@ def train_regressor(
         ),
     }
 
-    gbt_model = best.stages[-1]
+    fitted = best.stages[-1]
     assembler_attrs = _feature_names(best.transform(train.limit(1)))
     importances = sorted(
-        zip(assembler_attrs, gbt_model.featureImportances.toArray().tolist()),
+        zip(assembler_attrs, _importance_vector(fitted, len(assembler_attrs))),
         key=lambda kv: -kv[1],
     )
-    best_params = {
-        name: gbt_model.getOrDefault(gbt_model.getParam(name))
-        for name in SEARCH_SPACE
-    }
+    best_params = {}
+    for name in SEARCH_SPACE:
+        param, _ = _estimator_param(fitted, name)
+        if param is not None:
+            best_params[name] = fitted.getOrDefault(param)
     return TrainedModel(best, best_params, metrics, importances)
+
+
+def _importance_vector(fitted_model, n_features: int) -> list[float]:
+    """Per-feature importances for either estimator's fitted model."""
+    if hasattr(fitted_model, "featureImportances"):  # GBTRegressionModel
+        return fitted_model.featureImportances.toArray().tolist()
+    if hasattr(fitted_model, "get_feature_importances"):  # xgboost.spark
+        by_name = fitted_model.get_feature_importances()  # {'f0': w, ...}
+        total = sum(by_name.values()) or 1.0
+        return [by_name.get(f"f{i}", 0.0) / total for i in range(n_features)]
+    return [0.0] * n_features
 
 
 def _feature_names(transformed_sample: DataFrame) -> list[str]:

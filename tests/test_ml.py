@@ -133,3 +133,44 @@ def test_train_score_deterministic(spark, training_frame):
     assert analysis["within_1"] + analysis["within_5"] >= analysis["within_1"]
     assert 0.0 <= analysis["risk_accuracy"] <= 1.0
     assert len(analysis["by_group"]) == 5
+
+
+def test_xgboost_path_gated_with_gbt_fallback(spark):
+    """SparkXGBRegressor is optional (ref ml.py:390-420): when xgboost is
+    absent the factory raises cleanly and the GBT path — same seeded
+    9-dim space, same budget — is the documented fallback.  The sampled
+    combos are estimator-agnostic and deterministic under the seed."""
+    import pytest as _pytest
+
+    from acled_spark.ml.train import (
+        XGB_PARAM_NAMES,
+        make_estimator,
+        sample_param_combos,
+        sample_param_maps,
+    )
+
+    assert sample_param_combos(10, seed=42) == sample_param_combos(10, seed=42)
+    assert sample_param_combos(10, seed=42) != sample_param_combos(10, seed=7)
+    assert set(XGB_PARAM_NAMES) == set(
+        sample_param_combos(1, seed=42)[0]
+    ), "every searched knob has an XGB translation"
+
+    try:
+        import xgboost  # noqa: F401
+
+        have_xgb = True
+    except ImportError:
+        have_xgb = False
+
+    if not have_xgb:
+        with _pytest.raises(ImportError, match="estimator='gbt'"):
+            make_estimator("xgboost", "label")
+        est = make_estimator("gbt", "label")
+    else:
+        est = make_estimator("xgboost", "label")
+    # the same seeded draw renders to ParamMaps on whichever estimator
+    maps = sample_param_maps(est, 5, seed=42)
+    assert len(maps) == 5
+
+    with _pytest.raises(ValueError, match="unknown estimator"):
+        make_estimator("catboost", "label")
