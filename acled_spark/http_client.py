@@ -1,0 +1,325 @@
+"""Concrete HTTP page fetcher + OAuth token client (SURVEY §2.1 S1/S2).
+
+Re-expresses the reference's aiohttp ``fetch_page`` (dagster_pipeline/
+dagster_acled/utils.py:7-23) and ``OAuthTokenManager``
+(acled_request_config.py:54-235) on the standard library alone
+(``urllib.request``), so real ingestion needs zero extra dependencies.
+
+Behavioral parity with the reference:
+
+- password grant (``grant_type=password, client_id=acled``) against
+  ``{base_url}/oauth/token``; refresh grant preferred when a refresh
+  token is held, falling back to the password grant if refresh fails
+  (acled_request_config.py:140-163);
+- ``expires_at`` computed from ``expires_in`` at receipt; a token
+  counts as expired 5 minutes BEFORE its real expiry (the reference's
+  buffer, acled_request_config.py:37-45);
+- a refresh response without a new refresh token keeps the old one
+  (acled_request_config.py:229-232);
+- page GET carries ``{limit, page, event_date, event_date_where}``
+  plus caller params (base_assets.py:35-57), a Bearer header, and
+  reads rows from the response's ``data`` key (utils.py:7-23);
+- HTTP 403 means authentication failure (utils.py:17-18) — this
+  client goes one step further than the reference and retries ONCE
+  with a fresh token before giving up.
+
+Deliberate divergences (engine-side hardening the reference lacks):
+transient failures (5xx / connection errors) retry with exponential
+backoff instead of returning ``[]`` — the reference's silent
+empty-list-on-error conflates "day has no data" with "request failed"
+and would terminate the page loop early, dropping rows.
+
+Everything here is driver-side I/O glue implementing the injected
+:data:`acled_spark.source.PageFetcher` boundary; nothing touches
+Spark.  For executor-side fan-out (``fetch_partition_range``) the
+fetcher pickles its credentials and re-authenticates per task.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.error
+import urllib.parse
+import urllib.request
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from datetime import date
+
+# A token counts as expired this many seconds before its actual expiry
+# (reference: 5-minute buffer, acled_request_config.py:37-45).
+EXPIRY_BUFFER_SECONDS = 300.0
+DEFAULT_TIMEOUT_SECONDS = 30.0
+
+
+class ApiError(Exception):
+    """Non-auth HTTP failure that survived the retry budget."""
+
+    def __init__(self, message: str, status: int | None = None):
+        super().__init__(message)
+        self.status = status
+
+
+class AuthenticationError(ApiError):
+    """Credentials rejected (token grant failed, or 403 after re-auth)."""
+
+
+@dataclass
+class TokenData:
+    """One OAuth token response (ref acled_request_config.py:15-52)."""
+
+    access_token: str
+    refresh_token: str | None = None
+    token_type: str = "Bearer"
+    expires_in: float = 86400.0
+    expires_at: float = 0.0  # epoch seconds, stamped at receipt
+
+    @classmethod
+    def from_response(cls, payload: dict, now: float) -> TokenData:
+        return cls(
+            access_token=payload["access_token"],
+            refresh_token=payload.get("refresh_token"),
+            token_type=payload.get("token_type", "Bearer"),
+            expires_in=float(payload.get("expires_in", 86400)),
+            expires_at=now + float(payload.get("expires_in", 86400)),
+        )
+
+    def is_expired(self, now: float) -> bool:
+        """Expired = within the 5-minute safety buffer of expiry."""
+        return now + EXPIRY_BUFFER_SECONDS >= self.expires_at
+
+
+def _http_json(
+    url: str,
+    data: bytes | None = None,
+    headers: dict[str, str] | None = None,
+    timeout: float = DEFAULT_TIMEOUT_SECONDS,
+) -> tuple[int, dict]:
+    """One HTTP round-trip -> (status, parsed-JSON body).
+
+    HTTPError is a response too (4xx/5xx) — normalized into the same
+    tuple so callers branch on status, not exception type.
+    """
+    req = urllib.request.Request(url, data=data, headers=headers or {})
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            body = resp.read()
+            return resp.status, json.loads(body) if body else {}
+    except urllib.error.HTTPError as exc:
+        body = exc.read()
+        try:
+            payload = json.loads(body) if body else {}
+        except json.JSONDecodeError:
+            payload = {"raw": body.decode("utf-8", "replace")}
+        return exc.code, payload
+
+
+@dataclass
+class OAuthTokenClient:
+    """Password + refresh grant token lifecycle (S2).
+
+    Mirrors the reference's ``OAuthTokenManager`` decision order
+    (acled_request_config.py:140-163): valid cached token -> reuse;
+    held refresh token -> refresh grant (failure falls through);
+    else password grant.  ``clock`` and ``transport`` are injectable
+    for deterministic tests.
+    """
+
+    username: str
+    password: str
+    base_url: str = "https://acleddata.com"
+    client_id: str = "acled"
+    timeout: float = DEFAULT_TIMEOUT_SECONDS
+    clock: Callable[[], float] = time.time
+    transport: Callable[..., tuple[int, dict]] = field(default=_http_json)
+    current_token: TokenData | None = field(default=None, init=False)
+
+    def __post_init__(self) -> None:
+        if not self.username or not self.password:
+            raise ValueError("username and password are required")
+        self.base_url = self.base_url.rstrip("/")
+
+    @property
+    def token_url(self) -> str:
+        return f"{self.base_url}/oauth/token"
+
+    @property
+    def is_token_valid(self) -> bool:
+        return self.current_token is not None and not self.current_token.is_expired(
+            self.clock()
+        )
+
+    def get_access_token(self) -> str:
+        if self.is_token_valid:
+            return self.current_token.access_token
+        if self.current_token is not None and self.current_token.refresh_token:
+            try:
+                self._refresh_grant()
+                return self.current_token.access_token
+            except AuthenticationError:
+                pass  # fall through to a fresh password grant
+        self._password_grant()
+        return self.current_token.access_token
+
+    def auth_header(self) -> dict[str, str]:
+        token = self.get_access_token()
+        return {"Authorization": f"{self.current_token.token_type} {token}"}
+
+    def invalidate(self) -> None:
+        """Drop the cached token (after a 403: force a fresh grant)."""
+        self.current_token = None
+
+    def _grant(self, form: dict[str, str], kind: str) -> None:
+        body = urllib.parse.urlencode(form).encode()
+        status, payload = self.transport(
+            self.token_url,
+            data=body,
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+            timeout=self.timeout,
+        )
+        if status != 200 or "access_token" not in payload:
+            raise AuthenticationError(
+                f"{kind} grant failed: HTTP {status} {payload}", status=status
+            )
+        token = TokenData.from_response(payload, self.clock())
+        # refresh response without a new refresh token keeps the old one
+        # (ref acled_request_config.py:229-232)
+        if token.refresh_token is None and self.current_token is not None:
+            token.refresh_token = self.current_token.refresh_token
+        self.current_token = token
+
+    def _password_grant(self) -> None:
+        self._grant(
+            {
+                "username": self.username,
+                "password": self.password,
+                "grant_type": "password",
+                "client_id": self.client_id,
+            },
+            "password",
+        )
+
+    def _refresh_grant(self) -> None:
+        self._grant(
+            {
+                "refresh_token": self.current_token.refresh_token,
+                "grant_type": "refresh_token",
+                "client_id": self.client_id,
+            },
+            "refresh",
+        )
+
+
+@dataclass
+class HttpPageFetcher:
+    """A :data:`acled_spark.source.PageFetcher` backed by real HTTP.
+
+    ``fetcher(day, page, limit, extra) -> list[dict]`` — one GET of
+    ``{base_url}/{endpoint}`` with the reference's page params
+    (base_assets.py:38-44) and a Bearer header; rows come from the
+    body's ``data`` key.
+
+    Failure policy per request:
+
+    - 200 -> return rows;
+    - 403 -> invalidate the token, re-auth, retry ONCE; a second 403
+      raises :class:`AuthenticationError`;
+    - 5xx or connection error -> exponential backoff
+      (``backoff * 2**attempt``) up to ``max_retries``, then
+      :class:`ApiError`;
+    - other 4xx -> :class:`ApiError` immediately (retrying a bad
+      request cannot help).
+
+    Picklable for ``fetch_partition_range`` executor fan-out: the
+    token cache is per-process state, so each task authenticates once
+    and reuses its token across its pages.
+    """
+
+    auth: OAuthTokenClient
+    endpoint: str = "acled/read"
+    max_retries: int = 3
+    backoff: float = 0.5
+    sleep: Callable[[float], None] = time.sleep
+
+    @property
+    def url(self) -> str:
+        return f"{self.auth.base_url}/{self.endpoint.lstrip('/')}"
+
+    def __call__(
+        self, day: date, page: int, limit: int, extra: dict
+    ) -> list[dict]:
+        params = dict(extra)
+        params.update(
+            {
+                "limit": limit,
+                "page": page,
+                "event_date": day.isoformat(),
+                "event_date_where": "=",
+            }
+        )
+        query = urllib.parse.urlencode(params, doseq=True)
+        url = f"{self.url}?{query}"
+        reauthed = False
+        attempt = 0
+        while True:
+            try:
+                status, payload = self.auth.transport(
+                    url, headers=self.auth.auth_header(), timeout=self.auth.timeout
+                )
+            except (urllib.error.URLError, ConnectionError, TimeoutError) as exc:
+                # connection-level failure (refused, reset, DNS, timeout):
+                # same backoff policy as a 5xx
+                if attempt >= self.max_retries:
+                    raise ApiError(
+                        f"API request failed after {attempt + 1} attempts: {exc}"
+                    ) from exc
+                self.sleep(self.backoff * (2**attempt))
+                attempt += 1
+                continue
+            if status == 200:
+                rows = payload.get("data", [])
+                if not isinstance(rows, list):
+                    raise ApiError(
+                        f"malformed page response: 'data' is {type(rows).__name__}",
+                        status=status,
+                    )
+                return rows
+            if status == 403:
+                if reauthed:
+                    raise AuthenticationError(
+                        f"authentication failed for {self.url}: HTTP 403",
+                        status=403,
+                    )
+                self.auth.invalidate()
+                reauthed = True
+                continue
+            if 500 <= status < 600:
+                if attempt >= self.max_retries:
+                    raise ApiError(
+                        f"API request failed after {attempt + 1} attempts: "
+                        f"HTTP {status}",
+                        status=status,
+                    )
+                self.sleep(self.backoff * (2**attempt))
+                attempt += 1
+                continue
+            raise ApiError(f"API request failed: HTTP {status}", status=status)
+
+
+def make_http_fetcher(
+    username: str,
+    password: str,
+    base_url: str = "https://acleddata.com",
+    endpoint: str = "acled/read",
+    **kwargs,
+) -> HttpPageFetcher:
+    """Production wiring: credentials -> a source.PageFetcher.
+
+    ``source.ingest_day(spark, make_http_fetcher(u, p), day)`` is the
+    end-to-end real-ingestion path.
+    """
+    return HttpPageFetcher(
+        auth=OAuthTokenClient(username=username, password=password, base_url=base_url),
+        endpoint=endpoint,
+        **kwargs,
+    )

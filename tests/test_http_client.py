@@ -1,0 +1,302 @@
+"""HTTP fetcher + OAuth client against a live local http.server stub.
+
+Covers the VERDICT r2 #1 'done' bar: pagination, 403 -> re-auth retry,
+5xx retry with backoff, token refresh with expiry buffer — all against
+a real socket (urllib end-to-end), plus clock-injected unit tests for
+the expiry buffer that need no server.  No Spark session required.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.parse
+from datetime import date
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from acled_spark.http_client import (
+    ApiError,
+    AuthenticationError,
+    HttpPageFetcher,
+    OAuthTokenClient,
+    TokenData,
+    make_http_fetcher,
+)
+from acled_spark.source import fetch_day, ingest_day
+
+DAY = date(2024, 3, 5)
+
+
+class StubAcledHandler(BaseHTTPRequestHandler):
+    """Minimal ACLED-shaped API: /oauth/token + /acled/read.
+
+    Class-level knobs (reset per test via the fixture):
+      rows            - full corpus served page by page
+      fail_5xx_times  - next N reads answer 500
+      expire_tokens   - when True, every issued access token is
+                        immediately treated as invalid (read -> 403)
+      valid           - set of currently-honored access tokens
+    """
+
+    rows: list[dict] = []
+    fail_5xx_times = 0
+    expire_tokens = False
+    valid: set[str] = set()
+    issued = 0
+    grants: list[dict] = []
+    requests_seen: list[dict] = []
+
+    def log_message(self, *args):  # keep pytest output clean
+        pass
+
+    def _json(self, status: int, payload: dict) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_POST(self):
+        cls = type(self)
+        if urllib.parse.urlparse(self.path).path != "/oauth/token":
+            return self._json(404, {})
+        length = int(self.headers.get("Content-Length", 0))
+        form = dict(urllib.parse.parse_qsl(self.rfile.read(length).decode()))
+        cls.grants.append(form)
+        if form.get("grant_type") == "password":
+            ok = form.get("username") == "u@x.io" and form.get("password") == "pw"
+        elif form.get("grant_type") == "refresh_token":
+            ok = form.get("refresh_token", "").startswith("refresh-")
+        else:
+            ok = False
+        if not ok:
+            return self._json(401, {"error": "invalid_grant"})
+        cls.issued += 1
+        token = f"token-{cls.issued}"
+        if not cls.expire_tokens:
+            cls.valid.add(token)
+        return self._json(
+            200,
+            {
+                "access_token": token,
+                "refresh_token": f"refresh-{cls.issued}",
+                "token_type": "Bearer",
+                "expires_in": 86400,
+            },
+        )
+
+    def do_GET(self):
+        cls = type(self)
+        parsed = urllib.parse.urlparse(self.path)
+        if parsed.path != "/acled/read":
+            return self._json(404, {})
+        params = dict(urllib.parse.parse_qsl(parsed.query))
+        cls.requests_seen.append(params)
+        auth = self.headers.get("Authorization", "")
+        token = auth.removeprefix("Bearer ")
+        if token not in cls.valid:
+            return self._json(403, {"error": "forbidden"})
+        if cls.fail_5xx_times > 0:
+            cls.fail_5xx_times -= 1
+            return self._json(503, {"error": "unavailable"})
+        limit = int(params["limit"])
+        page = int(params["page"])
+        chunk = cls.rows[(page - 1) * limit : page * limit]
+        return self._json(200, {"status": 200, "count": len(chunk), "data": chunk})
+
+
+@pytest.fixture()
+def stub_server():
+    StubAcledHandler.rows = []
+    StubAcledHandler.fail_5xx_times = 0
+    StubAcledHandler.expire_tokens = False
+    StubAcledHandler.valid = set()
+    StubAcledHandler.issued = 0
+    StubAcledHandler.grants = []
+    StubAcledHandler.requests_seen = []
+    server = ThreadingHTTPServer(("127.0.0.1", 0), StubAcledHandler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        yield f"http://127.0.0.1:{server.server_address[1]}"
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def _rows(n: int) -> list[dict]:
+    return [{"event_id_cnty": f"E{i:04d}", "fatalities": str(i % 7)} for i in range(n)]
+
+
+def _fetcher(base_url: str, **kwargs) -> HttpPageFetcher:
+    f = make_http_fetcher("u@x.io", "pw", base_url=base_url, **kwargs)
+    f.sleep = lambda s: None  # keep backoff out of test wall-clock
+    return f
+
+
+# --- pagination --------------------------------------------------------------
+
+
+def test_pagination_multi_page(stub_server):
+    StubAcledHandler.rows = _rows(23)
+    out = fetch_day(_fetcher(stub_server), DAY, limit=10)
+    assert [r["event_id_cnty"] for r in out] == [f"E{i:04d}" for i in range(23)]
+    # 3 pages: 10, 10, 3 (short page stops the loop)
+    pages = [int(p["page"]) for p in StubAcledHandler.requests_seen]
+    assert pages == [1, 2, 3]
+    # reference page params travel on every request (base_assets.py:38-44)
+    assert StubAcledHandler.requests_seen[0]["event_date"] == "2024-03-05"
+    assert StubAcledHandler.requests_seen[0]["event_date_where"] == "="
+
+
+def test_pagination_exact_multiple_issues_trailing_empty_page(stub_server):
+    StubAcledHandler.rows = _rows(20)
+    out = fetch_day(_fetcher(stub_server), DAY, limit=10)
+    assert len(out) == 20
+    assert [int(p["page"]) for p in StubAcledHandler.requests_seen] == [1, 2, 3]
+
+
+def test_one_token_reused_across_pages(stub_server):
+    StubAcledHandler.rows = _rows(45)
+    fetch_day(_fetcher(stub_server), DAY, limit=10)
+    assert StubAcledHandler.issued == 1  # token cached, not re-granted per page
+
+
+# --- auth flows --------------------------------------------------------------
+
+
+def test_bad_credentials_raise_authentication_error(stub_server):
+    f = HttpPageFetcher(
+        auth=OAuthTokenClient(username="u@x.io", password="WRONG", base_url=stub_server)
+    )
+    with pytest.raises(AuthenticationError):
+        f(DAY, 1, 10, {})
+
+
+def test_403_triggers_single_reauth_then_fails(stub_server):
+    StubAcledHandler.rows = _rows(5)
+    StubAcledHandler.expire_tokens = True  # every token is dead on arrival
+    with pytest.raises(AuthenticationError):
+        _fetcher(stub_server)(DAY, 1, 10, {})
+    # exactly two grants: the original + the one re-auth retry
+    assert len(StubAcledHandler.grants) == 2
+
+
+def test_403_recovers_after_reauth(stub_server):
+    StubAcledHandler.rows = _rows(5)
+    f = _fetcher(stub_server)
+    assert len(f(DAY, 1, 10, {})) == 5
+    # simulate server-side token revocation between requests
+    StubAcledHandler.valid.clear()
+    assert len(f(DAY, 1, 10, {})) == 5
+    # second call: revoked token -> 403 -> invalidate -> fresh grant -> 200
+    assert StubAcledHandler.issued == 2
+
+
+def test_refresh_grant_preferred_when_token_stale(stub_server):
+    f = _fetcher(stub_server)
+    client = f.auth
+    client.get_access_token()
+    # age the cached token into the 5-minute buffer
+    client.current_token.expires_at = client.clock() + 10
+    client.get_access_token()
+    kinds = [g["grant_type"] for g in StubAcledHandler.grants]
+    assert kinds == ["password", "refresh_token"]
+
+
+def test_failed_refresh_falls_back_to_password_grant(stub_server):
+    f = _fetcher(stub_server)
+    client = f.auth
+    client.get_access_token()
+    client.current_token.expires_at = client.clock() + 10
+    client.current_token.refresh_token = "bogus"  # server rejects non refresh-*
+    token = client.get_access_token()
+    assert token == "token-2"
+    kinds = [g["grant_type"] for g in StubAcledHandler.grants]
+    assert kinds == ["password", "refresh_token", "password"]
+
+
+# --- transient-failure retry -------------------------------------------------
+
+
+def test_5xx_retries_with_backoff_then_succeeds(stub_server):
+    StubAcledHandler.rows = _rows(3)
+    StubAcledHandler.fail_5xx_times = 2
+    sleeps: list[float] = []
+    f = make_http_fetcher("u@x.io", "pw", base_url=stub_server, backoff=0.25)
+    f.sleep = sleeps.append
+    assert len(f(DAY, 1, 10, {})) == 3
+    assert sleeps == [0.25, 0.5]  # exponential: backoff * 2**attempt
+
+
+def test_5xx_exhausts_retry_budget(stub_server):
+    StubAcledHandler.rows = _rows(3)
+    StubAcledHandler.fail_5xx_times = 99
+    f = _fetcher(stub_server, max_retries=2)
+    with pytest.raises(ApiError) as exc:
+        f(DAY, 1, 10, {})
+    assert exc.value.status == 503
+
+
+def test_connection_refused_retries_then_raises():
+    # nothing listens on this port; URLError path, not HTTPError
+    sleeps: list[float] = []
+    f = make_http_fetcher(
+        "u@x.io", "pw", base_url="http://127.0.0.1:9", max_retries=1
+    )
+    f.sleep = sleeps.append
+    with pytest.raises(ApiError):
+        f(DAY, 1, 10, {})
+    assert len(sleeps) == 1
+
+
+def test_4xx_fails_fast_without_retry(stub_server):
+    f = _fetcher(stub_server, endpoint="no/such/endpoint")
+    with pytest.raises(ApiError) as exc:
+        f(DAY, 1, 10, {})
+    assert exc.value.status == 404
+    # one GET only — 4xx is not retryable
+    assert StubAcledHandler.requests_seen == []
+
+
+# --- expiry buffer (clock-injected, no server) -------------------------------
+
+
+def test_expiry_buffer_five_minutes():
+    t = TokenData(access_token="a", expires_in=86400, expires_at=1000_000.0)
+    assert not t.is_expired(now=1000_000.0 - 301)
+    assert t.is_expired(now=1000_000.0 - 300)  # inside the buffer
+    assert t.is_expired(now=1000_000.0 + 1)
+
+
+def test_client_clock_injection_drives_reuse_vs_refresh():
+    clock_now = [0.0]
+    calls: list[str] = []
+
+    def transport(url, data=None, headers=None, timeout=None):
+        calls.append("grant")
+        return 200, {"access_token": f"t{len(calls)}", "expires_in": 1000}
+
+    c = OAuthTokenClient(
+        username="u", password="p", base_url="http://x",
+        clock=lambda: clock_now[0], transport=transport,
+    )
+    assert c.get_access_token() == "t1"
+    clock_now[0] = 600.0  # 400s of validity left < 300s buffer? no: 1000-600=400 > 300
+    assert c.get_access_token() == "t1"  # still valid, no new grant
+    clock_now[0] = 701.0  # 299s left — inside the buffer
+    assert c.get_access_token() == "t2"
+    assert calls == ["grant", "grant"]
+
+
+# --- Spark integration (end-to-end through source.ingest_day) ----------------
+
+
+def test_ingest_day_through_real_http(stub_server, spark):
+    StubAcledHandler.rows = _rows(12)
+    df = ingest_day(spark, _fetcher(stub_server), DAY, limit=5)
+    assert df.count() == 12
+    assert df.select("event_id_cnty").distinct().count() == 12
