@@ -88,3 +88,62 @@ def test_model_save_load_roundtrip(spark, tmp_path):
     loaded = PipelineModel.load(path)
     after = loaded.transform(ev).agg(F.round(F.sum("prediction"), 4)).collect()[0][0]
     assert before == after
+
+
+def test_model_package_sidecar_roundtrip(spark, tmp_path):
+    """S9+M8/M9: metadata sidecar persisted next to the model
+    (ref assets/ml.py:456-473 model_package) survives a save/load
+    round-trip with metric equality (VERDICT r2 #3)."""
+    from acled_spark.ml import build_feature_pipeline
+    from acled_spark.ml.persist import load_model_package, save_model_package
+    from acled_spark.ml.train import TrainedModel
+    from pyspark.ml import Pipeline
+    from pyspark.ml.regression import GBTRegressor
+    from pyspark.sql import functions as F
+
+    from acled_spark.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").select(
+        "event_type", F.hour("ts").cast("double").alias("hour"), "value"
+    )
+    pipe = build_feature_pipeline(["event_type"], [], ["hour"])
+    model = Pipeline(
+        stages=[pipe, GBTRegressor(labelCol="value", maxIter=5, seed=42)]
+    ).fit(ev)
+    trained = TrainedModel(
+        model=model,
+        best_params={"maxIter": 5, "maxDepth": 5},
+        metrics={
+            "train": {"rmse": 1.25, "mae": 0.8, "r2": 0.9},
+            "test": {"rmse": 1.5, "mae": 1.0, "r2": 0.85},
+            "cv_avg_rmse": 1.4,
+            "overfit_gap": 0.25,
+            "generalization": 0.944,
+        },
+        feature_importances=[("hour", 0.7), ("event_type_idx", 0.3)],
+    )
+
+    # file: scheme-qualified URI: the sidecar write/read goes through the
+    # Hadoop FS API, same contract as silver._table_exists
+    path = f"file://{tmp_path}/model_pkg"
+    written = save_model_package(
+        spark, trained, path,
+        model_version="2.1", training_samples=ev.count(),
+        training_date="2026-08-13T00:00:00",
+    )
+    assert written["model_version"] == "2.1"
+
+    loaded, sidecar = load_model_package(spark, path)
+    assert sidecar["performance_metrics"] == trained.metrics
+    assert loaded.metrics == trained.metrics
+    assert loaded.best_params == trained.best_params
+    assert loaded.feature_importances == trained.feature_importances
+    assert sidecar["training_samples"] == ev.count()
+    assert sidecar["training_date"] == "2026-08-13T00:00:00"
+
+    # the model itself predicts identically after the round-trip
+    before = model.transform(ev).agg(F.round(F.sum("prediction"), 4)).collect()[0][0]
+    after = (
+        loaded.model.transform(ev).agg(F.round(F.sum("prediction"), 4)).collect()[0][0]
+    )
+    assert before == after
