@@ -104,6 +104,64 @@ def merge_updates(
     )
 
 
+def _delta_table_cls():
+    """The DeltaTable class if delta-spark is importable, else None.
+
+    SURVEY §1.5 names Delta ``MERGE INTO`` as the preferred silver
+    mapping for S8; the library is optional, so availability gates the
+    dispatch (VERDICT r2 #5).
+    """
+    try:
+        from delta.tables import DeltaTable
+    except ImportError:
+        return None
+    return DeltaTable
+
+
+def _upsert_delta(
+    spark: SparkSession,
+    updates: DataFrame,
+    target_path: str,
+    keys: list[str],
+    partition_col: str,
+    order_col: str | None,
+) -> None:
+    """Transactional keyed upsert via Delta ``MERGE INTO``.
+
+    Same survivor contract as the parquet path: updates beat existing
+    rows on the key (``whenMatchedUpdateAll``); within the batch the
+    greatest ``order_col`` / content-hash row wins (pre-deduped through
+    :func:`merge_updates`, so MERGE sees one source row per key — a
+    requirement: Delta MERGE errors on duplicate source matches).
+    The merge condition names the touched partitions explicitly so the
+    engine prunes untouched partition files from the scan — the same
+    bounded-rewrite contract as the dynamic-overwrite path.
+    """
+    DeltaTable = _delta_table_cls()
+    latest = merge_updates(updates.limit(0), updates, keys, order_col)
+    if not DeltaTable.isDeltaTable(spark, target_path):
+        (
+            latest.write.format("delta")
+            .mode("overwrite")
+            .partitionBy(partition_col)
+            .save(target_path)
+        )
+        return
+    touched = [r[0] for r in latest.select(partition_col).distinct().collect()]
+    target = DeltaTable.forPath(spark, target_path)
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+    cond = cond & partition_membership(f"t.{partition_col}", touched)
+    (
+        target.alias("t")
+        .merge(latest.alias("s"), cond)
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+
+
 def upsert_partitioned(
     spark: SparkSession,
     updates: DataFrame,
@@ -111,13 +169,46 @@ def upsert_partitioned(
     key: str | list[str],
     partition_col: str,
     order_col: str | None = None,
+    table_format: str = "auto",
 ) -> None:
-    """Idempotent keyed upsert into a date-partitioned parquet table.
+    """Idempotent keyed upsert into a date-partitioned table.
 
-    Only partitions present in ``updates`` are read, merged, and
-    rewritten (dynamic partition overwrite) — the Spark analog of the
-    reference's per-day replay (``base_assets.py:207-233``).
+    ``table_format`` selects the storage contract:
+
+    - ``"auto"`` (default): Delta ``MERGE INTO`` when delta-spark is
+      importable AND the target is new or already Delta; otherwise the
+      parquet path.  An existing plain-parquet table never silently
+      changes format.
+    - ``"delta"``: force the Delta path (ImportError if the library is
+      absent).
+    - ``"parquet"``: force the dynamic-partition-overwrite path.
+
+    Parquet path: only partitions present in ``updates`` are read,
+    merged, and rewritten (dynamic partition overwrite) — the Spark
+    analog of the reference's per-day replay
+    (``base_assets.py:207-233``).
     """
+    keys = [key] if isinstance(key, str) else list(key)
+    if table_format not in ("auto", "delta", "parquet"):
+        raise ValueError(f"unknown table_format: {table_format!r}")
+    DeltaTable = _delta_table_cls()
+    if table_format == "delta" and DeltaTable is None:
+        raise ImportError(
+            "delta-spark is not installed; use table_format='parquet' "
+            "(the dynamic-partition-overwrite fallback) or install "
+            "delta-spark for transactional MERGE INTO"
+        )
+    use_delta = table_format == "delta" or (
+        table_format == "auto"
+        and DeltaTable is not None
+        and (
+            not _table_exists(spark, target_path)
+            or DeltaTable.isDeltaTable(spark, target_path)
+        )
+    )
+    if use_delta:
+        _upsert_delta(spark, updates, target_path, keys, partition_col, order_col)
+        return
     if _table_exists(spark, target_path):
         touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
         existing = (

@@ -238,3 +238,96 @@ def test_upsert_restores_overwrite_mode_conf(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+# --- Delta MERGE dispatch gate (VERDICT r2 #5) ------------------------------
+# delta-spark is not installed in this container, so these tests cover
+# the gate itself: forced-delta errors clearly, auto falls back to the
+# parquet path, and a faked DeltaTable proves the dispatch wiring
+# reaches MERGE with a pre-deduped source.
+
+
+def test_forced_delta_raises_clear_import_error(spark, tmp_path):
+    ev = _events_with_day(spark).limit(5)
+    with pytest.raises(ImportError, match="delta-spark"):
+        upsert_partitioned(
+            spark, ev, os.path.join(str(tmp_path), "t"),
+            key="event_id", partition_col="day", table_format="delta",
+        )
+
+
+def test_unknown_format_rejected(spark, tmp_path):
+    ev = _events_with_day(spark).limit(5)
+    with pytest.raises(ValueError, match="table_format"):
+        upsert_partitioned(
+            spark, ev, os.path.join(str(tmp_path), "t"),
+            key="event_id", partition_col="day", table_format="iceberg",
+        )
+
+
+def test_auto_without_delta_uses_parquet_path(spark, tmp_path):
+    """With delta-spark absent, auto == the dynamic-overwrite fallback."""
+    target = os.path.join(str(tmp_path), "silver_auto")
+    ev = _events_with_day(spark)
+    batch = ev.filter(F.col("day") == "2024-01-05")
+    upsert_partitioned(
+        spark, batch, target, key="event_id", partition_col="day",
+        table_format="auto",
+    )
+    assert spark.read.parquet(target).count() == batch.count()
+
+
+def test_delta_dispatch_reaches_merge(spark, tmp_path, monkeypatch):
+    """Fake DeltaTable: auto-dispatch on an (allegedly) Delta target
+    must route through merge -> whenMatched/whenNotMatched -> execute
+    with a source holding exactly one row per key."""
+    import acled_spark.silver as silver_mod
+
+    calls = {}
+
+    class FakeMergeBuilder:
+        def whenMatchedUpdateAll(self):
+            calls["matched"] = True
+            return self
+
+        def whenNotMatchedInsertAll(self):
+            calls["not_matched"] = True
+            return self
+
+        def execute(self):
+            calls["executed"] = True
+
+    class FakeDeltaHandle:
+        def alias(self, name):
+            calls["target_alias"] = name
+            return self
+
+        def merge(self, source, condition):
+            calls["source_rows"] = source.count()
+            calls["source_keys"] = source.select("event_id").distinct().count()
+            calls["condition"] = str(condition)
+            return FakeMergeBuilder()
+
+    class FakeDeltaTable:
+        @staticmethod
+        def isDeltaTable(_spark, _path):
+            return True
+
+        @staticmethod
+        def forPath(_spark, _path):
+            return FakeDeltaHandle()
+
+    monkeypatch.setattr(silver_mod, "_delta_table_cls", lambda: FakeDeltaTable)
+    ev = _events_with_day(spark)
+    batch = ev.filter(F.col("day") == "2024-01-05")
+    # duplicate the batch: MERGE requires one source row per key, so the
+    # dispatch must pre-dedupe through merge_updates
+    doubled = batch.unionByName(batch)
+    upsert_partitioned(
+        spark, doubled, str(tmp_path / "delta_t"),
+        key="event_id", partition_col="day", table_format="auto",
+    )
+    assert calls["executed"] and calls["matched"] and calls["not_matched"]
+    assert calls["source_rows"] == calls["source_keys"] == batch.count()
+    # merge condition carries the key equality and the partition pruning
+    assert "event_id" in calls["condition"] and "day" in calls["condition"]
