@@ -428,3 +428,112 @@ def render_pdf(kpis: ReportKpis, path: str) -> str:
         pdf.savefig(fig2)
         plt.close(fig2)
     return path
+
+
+# --- regional choropleth (ref assets/report.py:552-651) ---------------------
+# The reference renders a pygal Ukraine Regions PNG from an admin1 ->
+# event-count rollup, passed through a literal name -> map-slug table
+# (report.py:590-622) that silently drops regions the map doesn't know.
+# Engine-side split, same as the PDF: the counts come from an
+# oracle-checked registry query; rendering is driver-side presentation
+# gated on the optional pygal dependency, with an always-available
+# JSON artifact carrying the identical payload (so the capability is
+# testable and diffable without the plotting stack).
+
+# Name -> map-slug table (the reference's region_mapping analog,
+# report.py:590-622) over the engine's 25-nation dimension.  A name
+# absent from this table is DROPPED from the map payload and reported
+# in the artifact's ``unmapped`` list instead — same semantics as the
+# reference's ``if region in region_mapping`` filter.
+REGION_SLUGS = {
+    "ALGERIA": "algeria", "ARGENTINA": "argentina", "BRAZIL": "brazil",
+    "CANADA": "canada", "CHINA": "china", "EGYPT": "egypt",
+    "ETHIOPIA": "ethiopia", "FRANCE": "france", "GERMANY": "germany",
+    "INDIA": "india", "INDONESIA": "indonesia", "IRAN": "iran",
+    "IRAQ": "iraq", "JAPAN": "japan", "JORDAN": "jordan",
+    "KENYA": "kenya", "MOROCCO": "morocco", "MOZAMBIQUE": "mozambique",
+    "PERU": "peru", "ROMANIA": "romania", "RUSSIA": "russia",
+    "SAUDI ARABIA": "saudi-arabia", "UNITED KINGDOM": "united-kingdom",
+    "UNITED STATES": "united-states", "VIETNAM": "vietnam",
+}
+
+
+def compute_region_counts(spark: SparkSession, sf_dir: str) -> list[dict]:
+    """Region -> event-count rollup feeding the choropleth.
+
+    Reuses the oracle-checked a7 rollup (the engine's admin1-count
+    analog, ref report.py:558-566); only the 25-row dim aggregate is
+    collected.
+    """
+    return [
+        {"region": r["nation"], "count": r["customer_count"]}
+        for r in a7_multi_measure_rollup(spark, sf_dir).collect()
+    ]
+
+
+def map_region_slugs(
+    counts: list[dict], mapping: dict[str, str] | None = None
+) -> tuple[dict[str, int], list[str]]:
+    """Apply the name->slug table; returns (mapped payload, dropped names)."""
+    table = REGION_SLUGS if mapping is None else mapping
+    mapped = {
+        table[c["region"]]: c["count"] for c in counts if c["region"] in table
+    }
+    unmapped = sorted(c["region"] for c in counts if c["region"] not in table)
+    return mapped, unmapped
+
+
+def render_heatmap_json(
+    counts: list[dict], path: str, title: str = "Event Distribution by Region"
+) -> str:
+    """Always-available choropleth artifact: the exact payload the PNG
+    renderer would draw, plus the names the slug table dropped."""
+    mapped, unmapped = map_region_slugs(counts)
+    with open(path, "w") as fh:
+        json.dump(
+            {
+                "title": title,
+                "series": "Event Count",
+                "regions": mapped,
+                "regions_with_data": len(mapped),
+                "total_events": sum(mapped.values()),
+                "unmapped": unmapped,
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
+    return path
+
+
+def render_heatmap_png(
+    counts: list[dict],
+    path: str,
+    title: str = "Event Distribution by Region",
+    map_cls=None,
+) -> str:
+    """pygal choropleth PNG (ref report.py:625-651), import-gated.
+
+    ``map_cls`` defaults to the reference's Ukraine Regions map when
+    the pygal_maps_ua plugin is present, else pygal's world map; pass
+    an explicit class to target another pygal map plugin.
+    """
+    if map_cls is None:
+        try:
+            from pygal_maps_ua.maps import Regions as map_cls  # noqa: N813
+        except ImportError:
+            try:
+                from pygal.maps.world import World as map_cls  # noqa: N813
+            except ImportError as exc:
+                raise ImportError(
+                    "pygal (with a map plugin) is not available in this "
+                    "environment; use render_heatmap_json for the same "
+                    "payload, or install pygal + pygal_maps_ua/"
+                    "pygal_maps_world for PNG output"
+                ) from exc
+    mapped, _ = map_region_slugs(counts)
+    chart = map_cls(legend_at_bottom=True)
+    chart.title = title
+    chart.add("Event Count", mapped)
+    chart.render_to_png(path)
+    return path
