@@ -177,3 +177,77 @@ def test_attribution_pairs_stream_matches_batch(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert keyset(spark.table("attr_pairs")) == batch
+
+
+def test_exactly_once_across_simulated_crash_file_uri(spark, tmp_path):
+    """T4/T5 end-to-end (VERDICT r2 #8): stream -> foreachBatch upsert ->
+    crash AFTER the batch wrote but BEFORE the checkpoint committed ->
+    restart redelivers the batch -> the PK merge keeps silver exactly
+    once (row counts and content hashes identical, no dupes).  The
+    target is a scheme-qualified file: URI so the Hadoop-FS
+    _table_exists/bootstrap path is exercised, not os.path."""
+    bronze = os.path.join(str(tmp_path), "bronze")
+    silver = f"file://{tmp_path}/silver"  # scheme-qualified on purpose
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+
+    ev = _bronze_events(spark)
+    d5 = ev.filter(F.col("day") == "2024-01-05")
+    d6 = ev.filter(F.col("day") == "2024-01-06")
+    cols = d5.columns
+
+    def snapshot():
+        df = spark.read.parquet(silver)
+        agg = df.agg(
+            F.count("*").alias("rows"),
+            F.countDistinct("event_id").alias("keys"),
+            F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("content"),
+        ).collect()[0]
+        return agg["rows"], agg["keys"], agg["content"]
+
+    d5.write.mode("append").parquet(bronze)
+    q = start_upsert_stream(
+        spark, bronze, d5.schema, silver, key="event_id", partition_col="day",
+        checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(120)
+    rows1, keys1, content1 = snapshot()
+    assert rows1 == keys1 == d5.count()
+
+    # Crash simulation: batch 0's foreachBatch write landed, but the
+    # engine died before recording the commit -> delete the commit
+    # marker.  On restart Spark MUST redeliver batch 0 (at-least-once),
+    # and the keyed merge must absorb it.
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    crc = os.path.join(ckpt, "commits", ".0.crc")
+    if os.path.exists(crc):  # Hadoop local-FS checksum shadow file
+        os.remove(crc)
+    d6.write.mode("append").parquet(bronze)
+    q = start_upsert_stream(
+        spark, bronze, d5.schema, silver, key="event_id", partition_col="day",
+        checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(silver)
+    assert out.count() == d5.count() + d6.count()
+    assert out.select("event_id").distinct().count() == out.count()
+    # day-5 partition is bit-equivalent to the pre-crash state: the
+    # redelivered batch changed nothing
+    d5_now = out.filter(F.col("day") == "2024-01-05")
+    agg = d5_now.agg(
+        F.count("*").alias("rows"), F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("content")
+    ).collect()[0]
+    assert (agg["rows"], agg["content"]) == (rows1, content1)
+
+    # third run with nothing new: pure no-op
+    q = start_upsert_stream(
+        spark, bronze, d5.schema, silver, key="event_id", partition_col="day",
+        checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(120)
+    assert snapshot() == (
+        d5.count() + d6.count(), d5.count() + d6.count(),
+        spark.read.parquet(silver)
+        .agg(F.sum(F.xxhash64(*cols).cast("decimal(38,0)")))
+        .collect()[0][0],
+    )
