@@ -52,6 +52,14 @@ def run_bench() -> tuple[dict[str, float], float | str]:
 
     for t in TABLE_NAMES:
         load(spark, sf_dir, t).count()
+    # Untimed warmup across the execution machinery (codegen for
+    # aggregate/window/broadcast-join paths): without it, whichever
+    # queries happen to run first pay one-off JIT/codegen cost and
+    # bench --check flags ordering noise as a regression (the f16 case,
+    # VERDICT r2 #7).  Fixed set + sorted(specs) => like-for-like runs.
+    for warm in ("q1_pricing_summary", "w3_rank_rows", "j2_static_map_lookup"):
+        if warm in specs:
+            _force(specs[warm].builder(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in sorted(specs):
