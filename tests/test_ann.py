@@ -56,3 +56,24 @@ def test_ivf_recall_vs_bruteforce(spark, index):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact_cos:
             assert r["cosine"] == exact_cos[key]
+
+
+def test_sim_ann_ivf_registry_recall_floor(spark):
+    """The registry query (driver-visible, rows-only check) keeps
+    recall@10 >= 0.8 against the exact brute-force oracle query."""
+    from acled_spark.queries.similarity import sim_ann_ivf, sim_topk_bruteforce
+
+    sf = "/root/testdata/sf0.001"
+    approx = sim_ann_ivf(spark, sf).collect()
+    exact = sim_topk_bruteforce(spark, sf).collect()
+    by_q_approx, by_q_exact = {}, {}
+    for r in approx:
+        by_q_approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in exact:
+        by_q_exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(by_q_approx) == set(by_q_exact)
+    recalls = [
+        len(by_q_approx[q] & by_q_exact[q]) / len(by_q_exact[q])
+        for q in by_q_exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
