@@ -1,10 +1,17 @@
 """Command-line entry point: run any registered query, show its plan,
-or list the library.
+list the library, or run real HTTP ingestion into bronze.
 
     python -m acled_spark list
     python -m acled_spark run a4_daily_rollup --sf-dir /root/testdata/sf0.01 -n 20
     python -m acled_spark explain j5_multiway_revenue
     python -m acled_spark oracle a4_daily_rollup      # print the DuckDB oracle
+    ACLED_USERNAME=u ACLED_PASSWORD=p \\
+      python -m acled_spark ingest --bronze /data/bronze \\
+        --start 2024-01-01 --end 2024-01-03
+
+Credentials come from environment variables (never argv — process
+lists are world-readable); names configurable via --username-env /
+--password-env.
 """
 
 from __future__ import annotations
@@ -29,7 +36,22 @@ def main(argv: list[str] | None = None) -> int:
         if name == "run":
             p.add_argument("-n", "--rows", type=int, default=20)
 
+    pi = sub.add_parser(
+        "ingest", help="fetch day partitions over HTTP into bronze"
+    )
+    pi.add_argument("--bronze", required=True, help="bronze table path")
+    pi.add_argument("--start", required=True, help="first day (YYYY-MM-DD)")
+    pi.add_argument("--end", help="last day inclusive; default = start")
+    pi.add_argument("--base-url", default="https://acleddata.com")
+    pi.add_argument("--endpoint", default="acled/read")
+    pi.add_argument("--limit", type=int, default=5000)
+    pi.add_argument("--username-env", default="ACLED_USERNAME")
+    pi.add_argument("--password-env", default="ACLED_PASSWORD")
+
     args = parser.parse_args(argv)
+
+    if args.cmd == "ingest":
+        return _ingest(args)
 
     from acled_spark.registry import all_specs
 
@@ -64,6 +86,45 @@ def main(argv: list[str] | None = None) -> int:
         df.explain(mode="formatted")
     else:
         df.show(args.rows, truncate=False)
+    return 0
+
+
+def _ingest(args) -> int:
+    """Real ingestion: HTTP fetch -> typed cast -> bronze partitions.
+
+    The CLI face of the reference's backfill job (jobs.py:8-12): every
+    missing day in [start, end] is fetched through the OAuth'd page
+    loop and written as one date partition; re-runs only fetch days
+    whose partitions are absent.
+    """
+    import os
+    from datetime import date
+
+    from acled_spark.http_client import make_http_fetcher
+    from acled_spark.scheduler import run_backfill
+    from acled_spark.session import get_spark
+    from acled_spark.source import partition_days
+
+    username = os.environ.get(args.username_env)
+    password = os.environ.get(args.password_env)
+    if not username or not password:
+        print(
+            f"ingest: set ${args.username_env} and ${args.password_env} "
+            "(see --username-env/--password-env)",
+            file=sys.stderr,
+        )
+        return 2
+    start = date.fromisoformat(args.start)
+    end = date.fromisoformat(args.end) if args.end else start
+    fetcher = make_http_fetcher(
+        username, password, base_url=args.base_url, endpoint=args.endpoint
+    )
+    spark = get_spark(app_name="acled-spark-ingest")
+    done = run_backfill(
+        spark, fetcher, args.bronze, partition_days(start, end), limit=args.limit
+    )
+    print(f"materialized {len(done)} partition(s): "
+          + ", ".join(d.isoformat() for d in done))
     return 0
 
 

@@ -300,3 +300,60 @@ def test_ingest_day_through_real_http(stub_server, spark):
     df = ingest_day(spark, _fetcher(stub_server), DAY, limit=5)
     assert df.count() == 12
     assert df.select("event_id_cnty").distinct().count() == 12
+
+
+# --- CLI ingest end-to-end ---------------------------------------------------
+
+
+def test_cli_ingest_end_to_end(stub_server, spark, tmp_path, monkeypatch):
+    """python -m acled_spark ingest against the stub API: OAuth grant,
+    page loop, typed cast, one bronze date-partition per day."""
+    from acled_spark.__main__ import main
+
+    StubAcledHandler.rows = [
+        {
+            "event_id_cnty": f"CLI{i:03d}",
+            "event_date": "2024-03-05",
+            "year": "2024",
+            "fatalities": str(i % 4),
+            "timestamp": str(1709600000 + i),
+        }
+        for i in range(13)
+    ]
+    monkeypatch.setenv("ACLED_USERNAME", "u@x.io")
+    monkeypatch.setenv("ACLED_PASSWORD", "pw")
+    bronze = str(tmp_path / "bronze")
+    rc = main(
+        [
+            "ingest",
+            "--bronze", bronze,
+            "--start", "2024-03-05",
+            "--base-url", stub_server,
+            "--limit", "5",
+        ]
+    )
+    assert rc == 0
+    out = spark.read.parquet(bronze)
+    assert out.count() == 13
+    assert out.select("event_date").distinct().collect()[0][0].isoformat() == "2024-03-05"
+    # re-run: partition exists -> no fetch, still 13 rows
+    seen_before = len(StubAcledHandler.requests_seen)
+    assert main(
+        ["ingest", "--bronze", bronze, "--start", "2024-03-05",
+         "--base-url", stub_server]
+    ) == 0
+    assert len(StubAcledHandler.requests_seen) == seen_before
+    assert spark.read.parquet(bronze).count() == 13
+
+
+def test_cli_ingest_requires_env_credentials(stub_server, monkeypatch, capsys):
+    from acled_spark.__main__ import main
+
+    monkeypatch.delenv("ACLED_USERNAME", raising=False)
+    monkeypatch.delenv("ACLED_PASSWORD", raising=False)
+    rc = main(
+        ["ingest", "--bronze", "/tmp/x", "--start", "2024-03-05",
+         "--base-url", stub_server]
+    )
+    assert rc == 2
+    assert "ACLED_USERNAME" in capsys.readouterr().err
