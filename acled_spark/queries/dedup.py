@@ -574,3 +574,70 @@ def dedup_cluster_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+# --- canonical survivor selection (the dedup pipeline's KEEP step) ----------
+@query(
+    "dedup_canonical_pick",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, source, n_chars, {FINGERPRINT_SQL} AS fingerprint
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY fingerprint
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY fingerprint) AS csize
+      FROM fp
+    )
+    SELECT source,
+           COUNT(*) AS docs,
+           COUNT(CASE WHEN rn = 1 THEN 1 END) AS canonical_docs,
+           COUNT(CASE WHEN rn > 1 THEN 1 END) AS dropped_dupes,
+           CAST(MAX(csize) AS BIGINT) AS largest_cluster,
+           CAST(SUM(CASE WHEN rn = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS surviving_chars
+    FROM ranked GROUP BY source ORDER BY source
+    """,
+    tags=("dedup", "extended"),
+)
+def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection per exact-dup cluster: the KEEP step every
+    dedup pipeline runs after detection (dedup_exact counts clusters;
+    this picks which document survives each one).
+
+    Policy: richest document wins (greatest n_chars, doc_id tiebreak) —
+    deterministic, data-dependent, layout-independent.  Scale: one
+    corpus scan; the window shuffles (fingerprint digest, n_chars,
+    doc_id, source) — never text; the per-source rollup then shuffles
+    only source keys.  Same digest-only-exchange argument as
+    dedup_exact (SCALE.md).
+    """
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("fingerprint").orderBy(F.desc("n_chars"), "doc_id")
+    cw = Window.partitionBy("fingerprint")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        fingerprint_spark(F.col("text")).alias("fingerprint"),
+    ).select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(cw).alias("csize"),
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").alias("docs"),
+            F.count(F.when(F.col("rn") == 1, 1)).alias("canonical_docs"),
+            F.count(F.when(F.col("rn") > 1, 1)).alias("dropped_dupes"),
+            F.max("csize").cast("long").alias("largest_cluster"),
+            F.sum(F.when(F.col("rn") == 1, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("surviving_chars"),
+        )
+        .orderBy("source")
+    )
