@@ -136,3 +136,41 @@ def test_interval_join_pushes_type_filters(spark):
 def test_weighted_sample_is_topk_not_full_sort(spark):
     plan = _plan(spark, "p9_weighted_sample")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_canonical_pick_single_scan_no_text_in_shuffle(spark):
+    """dedup_canonical_pick: one corpus scan; the exchange carries the
+    digest + scalars, never the document text."""
+    plan = _plan(spark, "dedup_canonical_pick")
+    assert _scan_count(plan) == 1
+    # text is consumed by the fingerprint projection below the exchange:
+    # no Exchange's input attribute list may reference the raw text column
+    import re
+
+    exchange_sections = re.findall(
+        r"\(\d+\) Exchange\n(.*?)(?:\n\n|\Z)", plan, flags=re.S
+    )
+    assert exchange_sections, plan
+    assert all("text#" not in seg for seg in exchange_sections), exchange_sections
+
+
+def test_ivf_probe_selection_broadcasts_centroids(spark):
+    """sim_ann_ivf: probe selection must be a broadcast of the tiny
+    centroid table against the query frame — never a collect (the plan
+    proves the query frame stays distributed) — and candidate scoring a
+    broadcast join, with no cartesian product over the corpus."""
+    from acled_spark.ann import build_ivf_index, ivf_search
+    from acled_spark.tables import load
+    import io
+    from contextlib import redirect_stdout
+
+    emb = load(spark, SF_DIR, "embeddings")
+    index = build_ivf_index(emb, nlist=4, max_iter=3)
+    probes = emb.limit(10)
+    out = ivf_search(index, probes, top_k=5, nprobe=2)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
