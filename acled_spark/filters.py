@@ -167,6 +167,40 @@ class FilterSpec:
     def apply(self, df: DataFrame) -> DataFrame:
         return df.filter(self.to_column())
 
+    def to_params(self) -> tuple[dict[str, str], list[Predicate]]:
+        """Serialize into ACLED-style API query params — the source-side
+        half of predicate pushdown (ref acled_request_config.py:425-454:
+        ``field`` carries the value, ``field_where`` the operator).
+
+        Returns ``(params, residual)``: predicates the param grammar
+        can't express (IS NULL / BETWEEN / escapes-needing LIKE values)
+        come back as ``residual`` instead of being silently dropped.
+        Pushdown here is best-effort bandwidth savings — the engine-side
+        ``apply``/``to_column`` remains the authoritative filter.
+        """
+        params: dict[str, str] = {}
+        residual: list[Predicate] = []
+        tokens = {"ne": "<>", "gt": ">", "ge": ">=", "lt": "<", "le": "<="}
+        for p in self.predicates:
+            if p.column in params or f"{p.column}_where" in params:
+                residual.append(p)  # one param pair per column max
+                continue
+            if p.op == "eq":
+                params[p.column] = str(p.value)
+            elif p.op in tokens:
+                params[p.column] = str(p.value)
+                params[f"{p.column}_where"] = tokens[p.op]
+            elif p.op == "in":
+                # OR-list convention: pipe-separated values
+                params[p.column] = "|".join(str(x) for x in p.value)
+            elif p.op in ("like", "prefix") and "%" not in str(p.value):
+                pat = f"%{p.value}%" if p.op == "like" else f"{p.value}%"
+                params[p.column] = pat
+                params[f"{p.column}_where"] = "LIKE"
+            else:
+                residual.append(p)
+        return params, residual
+
 
 def build_filter(spec: dict[str, object]) -> FilterSpec:
     """Reference-style config dict -> FilterSpec.

@@ -45,12 +45,20 @@ def compact_partitions(
     partition_col: str,
     partitions: Sequence[str] | None = None,
     files_per_partition: int = 1,
+    sort_cols: Sequence[str] | None = None,
 ) -> dict[str, int]:
     """Rewrite fragmented partitions down to ``files_per_partition`` files.
 
     Returns the pre-compaction file counts of the partitions rewritten.
     Idempotent; safe to re-run.  Selection defaults to every partition
     with more files than the target.
+
+    ``sort_cols`` clusters rows within each output file (a
+    ``sortWithinPartitions`` before the write — no extra shuffle): at
+    scale this tightens parquet row-group min/max bounds on those
+    columns, so later point/range scans skip row groups (the
+    linear-order half of Z-ordering, which is the right trade for
+    single-column hot predicates like a key or a timestamp).
     """
     counts = partition_file_counts(path, partition_col)
     if partitions is None:
@@ -76,6 +84,11 @@ def compact_partitions(
             )
             .drop("__salt")
         )
+    if sort_cols:
+        # partition_col leads the sort: the partitioned writer requires
+        # rows ordered by the partition columns and would otherwise
+        # inject its own (unstable) sort, clobbering the clustering
+        shaped = shaped.sortWithinPartitions(partition_col, *sort_cols)
     from acled_spark.silver import _dynamic_overwrite
 
     with _dynamic_overwrite(spark):

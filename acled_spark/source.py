@@ -45,9 +45,13 @@ def fetch_day(
     """Page loop for one day-partition: stop on short page (base_assets.py:35-57)."""
     extra = dict(params or {})
     if filters is not None:
-        # mirrors build_params: filters serialize into request params
-        # (predicate pushdown to the source — acled_request_config.py:425-454)
-        extra["where"] = filters.to_sql()
+        # mirrors build_params: pushable predicates serialize into
+        # field/field_where request params (predicate pushdown to the
+        # source — acled_request_config.py:425-454).  Best-effort only:
+        # non-expressible predicates stay engine-side (FilterSpec.apply
+        # is the authoritative filter).
+        pushed, _residual = filters.to_params()
+        extra.update(pushed)
     rows: list[dict] = []
     for page in range(1, MAX_PAGES + 1):
         chunk = fetcher(day, page, limit, extra)

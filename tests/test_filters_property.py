@@ -91,3 +91,78 @@ def test_build_filter_shorthand_roundtrip(spark, duck):
     assert "LIKE" in spec.to_sql() and ">=" in spec.to_sql()
     with pytest.raises(ValueError, match="unknown filter op"):
         build_filter({"value__frobnicate": 1})
+
+
+# --- API-param serialization (source-side pushdown half) --------------------
+
+
+def test_to_params_pushable_ops():
+    from acled_spark.filters import FilterSpec, Predicate
+
+    spec = FilterSpec(
+        [
+            Predicate("event_type", "eq", "Riots"),
+            Predicate("fatalities", "ge", 10),
+            Predicate("country", "in", ["Mali", "Chad"]),
+            Predicate("actor1", "like", "Military"),
+        ]
+    )
+    params, residual = spec.to_params()
+    assert params == {
+        "event_type": "Riots",
+        "fatalities": "10",
+        "fatalities_where": ">=",
+        "country": "Mali|Chad",
+        "actor1": "%Military%",
+        "actor1_where": "LIKE",
+    }
+    assert residual == []
+
+
+def test_to_params_residual_not_silently_dropped():
+    from acled_spark.filters import FilterSpec, Predicate
+
+    spec = FilterSpec(
+        [
+            Predicate("notes", "isnull"),
+            Predicate("fatalities", "between", (1, 5)),
+            Predicate("actor1", "like", "50% off"),  # literal % can't travel
+            Predicate("year", "eq", 2024),
+        ]
+    )
+    params, residual = spec.to_params()
+    assert params == {"year": "2024"}
+    assert [p.op for p in residual] == ["isnull", "between", "like"]
+
+
+def test_to_params_one_pair_per_column():
+    from acled_spark.filters import FilterSpec, Predicate
+
+    spec = FilterSpec(
+        [Predicate("fatalities", "ge", 1), Predicate("fatalities", "le", 9)]
+    )
+    params, residual = spec.to_params()
+    assert params == {"fatalities": "1", "fatalities_where": ">="}
+    assert [p.op for p in residual] == ["le"]
+
+
+def test_fetch_day_sends_pushable_params():
+    from datetime import date
+
+    from acled_spark.filters import FilterSpec, Predicate
+    from acled_spark.source import fetch_day
+
+    seen = []
+
+    def fetcher(day, page, limit, params):
+        seen.append(dict(params))
+        return []
+
+    fetch_day(
+        fetcher,
+        date(2024, 1, 5),
+        limit=10,
+        filters=FilterSpec([Predicate("event_type", "eq", "Riots")]),
+    )
+    assert seen[0]["event_type"] == "Riots"
+    assert "where" not in seen[0]

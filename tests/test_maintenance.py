@@ -56,3 +56,40 @@ def test_selective_compaction_leaves_other_partitions(spark, tmp_path):
     assert after["2024-01-05"] == 1
     assert after["2024-01-06"] == before["2024-01-06"]  # untouched
     assert after["2024-01-07"] == before["2024-01-07"]
+
+
+def test_compaction_with_sort_cols_clusters_rows(spark, tmp_path):
+    """sort_cols compaction: still one file per partition, rows inside
+    each file ordered by the cluster column (row-group skipping setup)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from acled_spark.maintenance import compact_partitions, partition_file_counts
+    from acled_spark.tables import load
+
+    path = os.path.join(str(tmp_path), "t")
+    ev = load(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "day", F.to_date("ts")
+    ).filter(F.col("day").isin(["2024-01-05", "2024-01-06"]))
+    # fragment: 4 files per partition
+    ev.repartition(4).write.partitionBy("day").parquet(path)
+    assert all(n > 1 for n in partition_file_counts(path, "day").values())
+
+    compact_partitions(spark, path, "day", sort_cols=["user_id"])
+    assert all(n == 1 for n in partition_file_counts(path, "day").values())
+    out = spark.read.parquet(path)
+    assert out.count() == ev.count()
+    # within each file, user_id must be nondecreasing
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(F.input_file_name())
+        .orderBy(F.monotonically_increasing_id())
+    )
+    violations = (
+        out.withColumn("prev", F.lag("user_id").over(w))
+        .filter(F.col("prev").isNotNull() & (F.col("user_id") < F.col("prev")))
+        .count()
+    )
+    assert violations == 0
