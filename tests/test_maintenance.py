@@ -93,3 +93,56 @@ def test_compaction_with_sort_cols_clusters_rows(spark, tmp_path):
         .count()
     )
     assert violations == 0
+
+
+def test_zorder_compaction_tightens_both_columns(spark, tmp_path):
+    """Z-order clustering: with 4 files/partition, the average per-file
+    min/max spread must tighten on BOTH keyed columns vs the global
+    spread (the row-group-skipping property), and content must survive
+    the rewrite byte-for-byte."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from acled_spark.maintenance import compact_partitions_zorder
+    from acled_spark.tables import load
+
+    path = os.path.join(str(tmp_path), "t")
+    ev = (
+        load(spark, "/root/testdata/sf0.001", "events")
+        .withColumn("day", F.to_date("ts"))
+        .filter(F.col("day") == "2024-01-05")
+        .select("event_id", "user_id", "value", "day")
+    )
+    ev.repartition(8).write.partitionBy("day").parquet(path)
+    before = ev.agg(
+        F.sum(F.xxhash64("event_id", "user_id").cast("decimal(38,0)"))
+    ).collect()[0][0]
+
+    compact_partitions_zorder(
+        spark, path, "day", zorder_cols=["user_id", "value"],
+        files_per_partition=4,
+    )
+    out = spark.read.parquet(path)
+    assert out.agg(
+        F.sum(F.xxhash64("event_id", "user_id").cast("decimal(38,0)"))
+    ).collect()[0][0] == before
+
+    spreads = (
+        out.groupBy(F.input_file_name().alias("f"))
+        .agg(
+            (F.max("user_id") - F.min("user_id")).alias("u_spread"),
+            (F.max("value") - F.min("value")).alias("v_spread"),
+        )
+        .agg(F.avg("u_spread"), F.avg("v_spread"), F.count("*"))
+        .collect()[0]
+    )
+    glob = out.agg(
+        (F.max("user_id") - F.min("user_id")).alias("u"),
+        (F.max("value") - F.min("value")).alias("v"),
+    ).collect()[0]
+    n_files = spreads[2]
+    assert n_files >= 3  # got multiple files to cluster across
+    # both dimensions tighten: z-curve with >=1 bit per dim per 4 files
+    assert spreads[0] < 0.8 * glob["u"], (spreads[0], glob["u"])
+    assert spreads[1] < 0.8 * glob["v"], (spreads[1], glob["v"])
