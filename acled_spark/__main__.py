@@ -48,10 +48,26 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--username-env", default="ACLED_USERNAME")
     pi.add_argument("--password-env", default="ACLED_PASSWORD")
 
+    pr = sub.add_parser(
+        "report", help="assemble KPIs and write text/JSON (+gated PDF/PNG) artifacts"
+    )
+    pr.add_argument("--sf-dir", default="/root/testdata/sf0.01", dest="sf_dir")
+    pr.add_argument("--out-dir", required=True)
+    pr.add_argument(
+        "--pdf", action="store_true",
+        help="also render the matplotlib PDF (errors if matplotlib absent)",
+    )
+    pr.add_argument(
+        "--heatmap-png", action="store_true",
+        help="also render the pygal choropleth PNG (errors if pygal absent)",
+    )
+
     args = parser.parse_args(argv)
 
     if args.cmd == "ingest":
         return _ingest(args)
+    if args.cmd == "report":
+        return _report(args)
 
     from acled_spark.registry import all_specs
 
@@ -125,6 +141,44 @@ def _ingest(args) -> int:
     )
     print(f"materialized {len(done)} partition(s): "
           + ", ".join(d.isoformat() for d in done))
+    return 0
+
+
+def _report(args) -> int:
+    """The reference's daily-report job as one CLI call: KPI assembly
+    from the oracle-checked query library, then every renderer whose
+    dependency is present (text/JSON always; PDF/PNG opt-in gated)."""
+    import os
+
+    from acled_spark.report import (
+        compute_kpis,
+        compute_region_counts,
+        render_heatmap_json,
+        render_json,
+        render_text,
+    )
+    from acled_spark.session import get_spark
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    spark = get_spark(app_name="acled-spark-report")
+    kpis = compute_kpis(spark, args.sf_dir)
+    counts = compute_region_counts(spark, args.sf_dir)
+    written = [
+        render_text(kpis, os.path.join(args.out_dir, "report.txt")),
+        render_json(kpis, os.path.join(args.out_dir, "report.json")),
+        render_heatmap_json(counts, os.path.join(args.out_dir, "heatmap.json")),
+    ]
+    if args.pdf:
+        from acled_spark.report import render_pdf
+
+        written.append(render_pdf(kpis, os.path.join(args.out_dir, "report.pdf")))
+    if args.heatmap_png:
+        from acled_spark.report import render_heatmap_png
+
+        written.append(
+            render_heatmap_png(counts, os.path.join(args.out_dir, "heatmap.png"))
+        )
+    print("wrote: " + ", ".join(written))
     return 0
 
 

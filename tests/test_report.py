@@ -163,7 +163,9 @@ def test_heatmap_json_fallback_structure(spark, tmp_path):
     with open(path) as fh:
         payload = json.load(fh)
     assert payload["series"] == "Event Count"
-    assert payload["regions_with_data"] == len(payload["regions"])
+    assert payload["regions_with_data"] == len(payload["regions"]) > 0
+    # the three deliberately-unmapped dimension values are reported
+    assert payload["unmapped"] == ["NATION_22", "NATION_23", "NATION_24"]
     assert payload["total_events"] == sum(payload["regions"].values())
     # every mapped slug is a known table value; counts survive mapping
     from acled_spark.report import REGION_SLUGS
@@ -179,11 +181,11 @@ def test_heatmap_unmapped_regions_dropped_and_reported(tmp_path):
     from acled_spark.report import map_region_slugs, render_heatmap_json
 
     counts = [
-        {"region": "FRANCE", "count": 10},
+        {"region": "NATION_3", "count": 10},
         {"region": "ATLANTIS", "count": 99},  # not in the slug table
     ]
     mapped, unmapped = map_region_slugs(counts)
-    assert mapped == {"france": 10}
+    assert mapped == {"nation-3": 10}
     assert unmapped == ["ATLANTIS"]
     path = str(tmp_path / "h.json")
     render_heatmap_json(counts, path)
@@ -197,7 +199,7 @@ def test_heatmap_png_gate_raises_without_pygal():
     from acled_spark.report import render_heatmap_png
 
     with pytest.raises(ImportError, match="pygal"):
-        render_heatmap_png([{"region": "FRANCE", "count": 1}], "/tmp/x.png")
+        render_heatmap_png([{"region": "NATION_3", "count": 1}], "/tmp/x.png")
 
 
 def test_heatmap_png_wiring_with_fake_map(tmp_path):
@@ -223,11 +225,26 @@ def test_heatmap_png_wiring_with_fake_map(tmp_path):
 
     out = str(tmp_path / "map.png")
     render_heatmap_png(
-        [{"region": "FRANCE", "count": 7}, {"region": "NOWHERE", "count": 3}],
+        [{"region": "NATION_3", "count": 7}, {"region": "NOWHERE", "count": 3}],
         out,
         map_cls=FakeMap,
     )
     assert calls["kwargs"] == {"legend_at_bottom": True}
     assert calls["series"] == "Event Count"
-    assert calls["payload"] == {"france": 7}
+    assert calls["payload"] == {"nation-3": 7}
     assert calls["path"] == out
+
+
+def test_cli_report_writes_artifacts(spark, tmp_path):
+    """python -m acled_spark report: text + JSON + heatmap JSON land in
+    the output dir; gated renderers not requested, so no import errors."""
+    from acled_spark.__main__ import main
+
+    out = str(tmp_path / "artifacts")
+    rc = main(["report", "--sf-dir", SF_DIR, "--out-dir", out])
+    assert rc == 0
+    report = json.load(open(os.path.join(out, "report.json")))
+    heat = json.load(open(os.path.join(out, "heatmap.json")))
+    assert report["total_events"] > 0
+    assert heat["regions_with_data"] > 0
+    assert os.path.getsize(os.path.join(out, "report.txt")) > 0
