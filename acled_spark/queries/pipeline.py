@@ -195,3 +195,109 @@ def prep_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+# --- validation-suite summary (the checks engine, driver-verified) ----------
+_EVENT_DOMAIN = ("click", "error", "purchase", "signup", "view")
+_CRITICAL_COLS = ("event_id", "ts", "user_id", "event_type", "value")
+
+
+def _missing_sql(col: str) -> str:
+    """Missing-cell predicate mirroring the engine's completeness rule:
+    NULL everywhere, plus empty string for string columns."""
+    if col == "event_type":  # the only string critical column
+        return f"COUNT(CASE WHEN {col} IS NULL OR {col} = '' THEN 1 END)"
+    return f"COUNT(CASE WHEN {col} IS NULL THEN 1 END)"
+
+
+@query(
+    "chk_validation_summary",
+    oracle=f"""
+    SELECT * FROM (
+      SELECT 'non_empty' AS check_name,
+             CAST(COUNT(*) > 0 AS BIGINT) AS passed,
+             CAST(CASE WHEN COUNT(*) > 0 THEN 0 ELSE 1 END AS BIGINT)
+               AS violations
+      FROM events
+      UNION ALL
+      SELECT 'value_range[value]',
+             CAST(COUNT(CASE WHEN value < 0 OR value IS NULL THEN 1 END) = 0
+                  AS BIGINT),
+             COUNT(CASE WHEN value < 0 OR value IS NULL THEN 1 END)
+      FROM events
+      UNION ALL
+      SELECT 'domain[event_type]',
+             CAST(COUNT(DISTINCT CASE WHEN event_type NOT IN
+                   {_EVENT_DOMAIN} THEN event_type END) = 0 AS BIGINT),
+             COUNT(DISTINCT CASE WHEN event_type NOT IN {_EVENT_DOMAIN}
+                   THEN event_type END)
+      FROM events
+      UNION ALL
+      SELECT 'pk_unique',
+             CAST(COUNT(*) = COUNT(DISTINCT event_id) AS BIGINT),
+             COUNT(*) - COUNT(DISTINCT event_id)
+      FROM events
+      UNION ALL
+      SELECT 'completeness',
+             CAST(CASE WHEN COUNT(*) = 0 THEN TRUE ELSE
+               100.0 * (1 - ({" + ".join(_missing_sql(c) for c in _CRITICAL_COLS)})
+                        / ({len(_CRITICAL_COLS)}.0 * COUNT(*))) >= 95.0
+             END AS BIGINT),
+             {" + ".join(_missing_sql(c) for c in _CRITICAL_COLS)}
+      FROM events
+    ) ORDER BY check_name
+    """,
+    tags=("checks", "pipeline"),
+)
+def chk_validation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The validation ENGINE (checks/engine.py) run as a driver-checkable
+    query: a 5-check suite over `events`, one row per check with its
+    pass flag and violation count — so the engine's counting logic
+    itself sits behind the oracle gate, not just pytest (P7 upgrade).
+
+    Violations per check type: out-of-range/null rows (value_range,
+    allow_null=False), unknown categories (domain), duplicate keys
+    (pk_unique), missing critical-field cells (completeness).  The
+    engine caches one scan for the whole suite (run_checks).
+    """
+    from acled_spark.checks.engine import (
+        domain_membership,
+        non_empty,
+        pk_unique,
+        run_checks,
+        value_range,
+    )
+    from acled_spark.checks.engine import completeness as completeness_check
+
+    ev = load(spark, sf_dir, "events")
+    results = run_checks(
+        ev,
+        [
+            non_empty(blocking=False),
+            value_range("value", lo=0.0, allow_null=False),
+            domain_membership("event_type", list(_EVENT_DOMAIN)),
+            pk_unique(["event_id"]),
+            completeness_check(list(_CRITICAL_COLS), min_pct=95.0),
+        ],
+        raise_on_blocking=False,
+    )
+    by_name = {r.name: r for r in results}
+
+    def violations(r) -> int:
+        m = r.metrics
+        if r.name == "non_empty":
+            return 0 if r.passed else 1
+        if r.name.startswith("value_range"):
+            return m["out_of_range"] + m["nulls"]
+        if r.name.startswith("domain"):
+            return len(m["unknown"])
+        if r.name == "pk_unique":
+            return m["duplicates"]
+        return sum(m["missing_by_column"].values())  # completeness
+
+    rows = [
+        (r.name, int(r.passed), int(violations(r))) for r in by_name.values()
+    ]
+    return spark.createDataFrame(
+        rows, "check_name string, passed long, violations long"
+    ).orderBy("check_name")

@@ -125,3 +125,61 @@ def test_yaml_factory_roundtrip_and_events_suite(spark):
 def test_factory_rejects_unknown_type():
     with pytest.raises(ValueError, match="unknown check type"):
         build_suite([{"type": "teleport"}])
+
+
+def test_chk_validation_summary_counts_planted_defects(spark, tmp_path):
+    """The driver-visible suite summary must agree with its DuckDB
+    oracle on data that actually VIOLATES every check: planted nulls,
+    a negative value, a duplicate key, and an unknown category."""
+    import os
+
+    import duckdb
+
+    from acled_spark.registry import all_specs
+    from acled_spark.tables import load
+
+    sf_dir = str(tmp_path)
+    good = load(spark, "/root/testdata/sf0.001", "events").limit(50)
+    from pyspark.sql import functions as F
+
+    defects = spark.createDataFrame(
+        [
+            # duplicate of an existing key (event_id 0 exists in head rows)
+            (0, "2024-01-05 10:00:00", 1, "view", 5.0, "{}"),
+            # negative value
+            (900001, "2024-01-05 10:00:00", 2, "click", -3.5, "{}"),
+            # unknown category
+            (900002, "2024-01-05 10:00:00", 3, "teleport", 1.0, "{}"),
+            # null value + null user_id (value_range nulls, completeness)
+            (900003, "2024-01-05 10:00:00", None, "view", None, "{}"),
+            # empty-string category: missing for completeness (string
+            # rule) AND unknown for the domain check
+            (900004, "2024-01-05 10:00:00", 4, "", 1.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    bad = good.unionByName(defects)
+    bad.write.parquet(os.path.join(sf_dir, "events.parquet"))
+
+    spec = all_specs()["chk_validation_summary"]
+    got = {
+        r["check_name"]: (r["passed"], r["violations"])
+        for r in spec.builder(spark, sf_dir).collect()
+    }
+    assert got["pk_unique"] == (0, 1)
+    assert got["value_range[value]"] == (0, 2)  # negative + null
+    assert got["domain[event_type]"] == (0, 2)  # 'teleport' + ''
+    assert got["completeness"] == (1, 3)  # 3 missing cells, still >= 95%
+    assert got["non_empty"] == (1, 0)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{sf_dir}/events.parquet/*.parquet')"
+    )
+    oracle = {
+        name: (int(p), int(v))
+        for name, p, v in con.execute(spec.oracle).fetchall()
+    }
+    assert oracle == got
