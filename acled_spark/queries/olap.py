@@ -246,3 +246,34 @@ def a22_time_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("grain", "bucket", "n_events", "total_value")
         .orderBy("grain", "bucket")
     )
+
+
+# --- A26: approximate quantiles (the percentile scale path) -----------------
+@query(
+    "a26_approx_quantiles",
+    oracle=None,  # sketch internals are engine-specific (Spark: Greenwald-
+    # Khanna; DuckDB: T-Digest) — accuracy vs the exact percentile is
+    # pinned in tests/test_approx_accuracy.py instead
+    tags=("agg", "scale"),
+)
+def a26_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``percentile_approx`` p50/p90/p99 of value per event_type — the
+    100 TB rung of the percentile ladder (a10 is the exact,
+    pandas-parity face).
+
+    Exact percentile materializes every value per group on one task;
+    the GK sketch is constant-memory, mergeable, one pass — the only
+    shape that survives a 10⁹-row group.  rsd knob = 1/accuracy: 10000
+    here keeps worst-case rank error at 0.01%.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.percentile_approx("value", 0.5, 10000).alias("p50"),
+            F.percentile_approx("value", 0.9, 10000).alias("p90"),
+            F.percentile_approx("value", 0.99, 10000).alias("p99"),
+        )
+        .orderBy("event_type")
+    )

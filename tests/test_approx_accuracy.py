@@ -98,3 +98,35 @@ def test_weighted_sample_biases_toward_heavy_weights(spark):
     # determinism: the sample is a pure function of the data
     again = {r["o_orderkey"] for r in p9_weighted_sample(spark, sf).collect()}
     assert again == {r["o_orderkey"] for r in rows}
+
+
+def test_approx_quantiles_close_to_exact(spark):
+    """a26 sketch quantiles within 1% relative error of the exact
+    percentile at every probed rank (its correctness bound, same
+    pattern as the a19 HLL accuracy pin)."""
+    from pyspark.sql import functions as F
+
+    from acled_spark.queries.olap import a26_approx_quantiles
+    from acled_spark.tables import load
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r["event_type"]: r for r in a26_approx_quantiles(spark, sf).collect()
+    }
+    exact = {
+        r["event_type"]: r
+        for r in load(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile("value", F.lit(0.5)).alias("p50"),
+            F.percentile("value", F.lit(0.9)).alias("p90"),
+            F.percentile("value", F.lit(0.99)).alias("p99"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, ex in exact.items():
+        for q in ("p50", "p90", "p99"):
+            assert abs(approx[et][q] - ex[q]) <= 0.01 * max(abs(ex[q]), 1e-9), (
+                et, q, approx[et][q], ex[q],
+            )
