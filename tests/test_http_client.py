@@ -357,3 +357,24 @@ def test_cli_ingest_requires_env_credentials(stub_server, monkeypatch, capsys):
     )
     assert rc == 2
     assert "ACLED_USERNAME" in capsys.readouterr().err
+
+
+def test_fetch_partition_range_distributed_with_real_http(stub_server, spark):
+    """The executor fan-out path (mapInPandas) with the REAL fetcher:
+    HttpPageFetcher must pickle into worker processes, authenticate
+    there, and page each day over live HTTP."""
+    from datetime import timedelta
+
+    from acled_spark.source import fetch_partition_range, partition_days
+
+    StubAcledHandler.rows = _rows(12)
+    days = partition_days(DAY, DAY + timedelta(days=2))
+    f = make_http_fetcher("u@x.io", "pw", base_url=stub_server)
+    out = fetch_partition_range(spark, f, days, limit=5)
+    # 3 days x 12 rows (the stub serves the same corpus per day)
+    assert out.count() == 36
+    # every task authenticated on its own (workers can't share the
+    # driver's token cache) and paged 3 pages per day
+    days_seen = {p["event_date"] for p in StubAcledHandler.requests_seen}
+    assert days_seen == {d.isoformat() for d in days}
+    assert StubAcledHandler.issued >= 1
