@@ -4,19 +4,24 @@ Re-expresses the reference's 13 hand-written checks plus the YAML-driven
 check factory (``asset_checks/acled_checks.py``, ``base_checks.py:13-248``,
 ``checks.yaml``) as parameterized DataFrame aggregation checks.
 
-Design: every check compiles to expressions inside ONE aggregation pass
-where possible (the reference re-reads the partition per check,
-``acled_checks.py:15-36`` — here the frame is scanned once and cached by
-the runner).  Blocking semantics = raise :class:`ValidationError`
-(Dagster's ``blocking=True`` halt, ``acled_checks.py:96,193,542``).
+Design: every aggregation-expressible check declares its aggregate
+expressions (``Check.aggs``) and a driver-side ``finalize``; the runner
+FUSES all of them into ONE ``df.agg`` — a whole suite costs a single
+scan/job regardless of how many checks it contains.  The reference
+re-reads the partition per check (``acled_checks.py:15-36``); at 100 TB
+the difference between one scan and N scans IS the check budget.
+Non-fusable checks (schema-only, groupBy-shaped) keep their own
+callable; the frame is cached only when more than one action will run.
+Blocking semantics = raise :class:`ValidationError` (Dagster's
+``blocking=True`` halt, ``acled_checks.py:96,193,542``).
 """
 
 from __future__ import annotations
 
-from collections.abc import Callable, Sequence
+from collections.abc import Callable, Mapping, Sequence
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -41,32 +46,72 @@ class ValidationError(RuntimeError):
 
 @dataclass(frozen=True)
 class Check:
+    """One check: either fusable (``aggs`` + ``finalize``) or a
+    standalone callable.  Fusable checks still carry a derived ``fn``
+    so ``check.run(df)`` works in isolation."""
+
     name: str
     fn: Callable[[DataFrame], CheckResult]
     blocking: bool = False
+    aggs: Mapping[str, Column] | None = None
+    finalize: Callable[[dict], CheckResult] | None = None
 
     def run(self, df: DataFrame) -> CheckResult:
         return self.fn(df)
 
 
+def _standalone(aggs: Mapping[str, Column], finalize) -> Callable:
+    """Derive a run-alone fn from the fused form (single-check path)."""
+
+    def _fn(df: DataFrame) -> CheckResult:
+        row = df.agg(*[e.alias(k) for k, e in aggs.items()]).collect()[0]
+        return finalize({k: row[k] for k in aggs})
+
+    return _fn
+
+
+def _fused(name: str, blocking: bool, aggs: Mapping[str, Column], finalize) -> Check:
+    return Check(name, _standalone(aggs, finalize), blocking, aggs, finalize)
+
+
 def run_checks(
     df: DataFrame, checks: Sequence[Check], raise_on_blocking: bool = True
 ) -> list[CheckResult]:
-    """Run a check suite over one cached scan of the frame.
+    """Run a check suite: ALL fusable checks share one aggregation job.
 
-    The reference re-reads the stored partition for every check; we
-    cache() so the N checks share one materialization (SURVEY §4
-    'caching' improvement).
+    Results preserve the order of ``checks``.  The frame is cached only
+    when more than one Spark action will actually run (fused block +
+    each non-fusable check); a fully-fusable suite is one uncached
+    pass.
     """
-    df = df.cache()
+    fusable = [c for c in checks if c.aggs is not None]
+    standalone = [c for c in checks if c.aggs is None]
+    n_actions = (1 if fusable else 0) + len(standalone)
+    cached = n_actions > 1
+    if cached:
+        df = df.cache()
     try:
-        results = [c.run(df) for c in checks]
+        results: dict[int, CheckResult] = {}
+        if fusable:
+            exprs = [
+                expr.alias(f"c{ci}__{key}")
+                for ci, c in enumerate(fusable)
+                for key, expr in c.aggs.items()
+            ]
+            row = df.agg(*exprs).collect()[0]
+            for ci, c in enumerate(fusable):
+                sub = {key: row[f"c{ci}__{key}"] for key in c.aggs}
+                results[id(c)] = c.finalize(sub)
+        for c in standalone:
+            results[id(c)] = c.run(df)
     finally:
-        df.unpersist()
-    blocking_failures = [r for r in results if not r.passed and r.blocking]
+        if cached:
+            df.unpersist()
+    ordered = [results[id(c)] for c in checks]
+    blocking_failures = [r for r in ordered if not r.passed and r.blocking]
     if blocking_failures and raise_on_blocking:
         raise ValidationError(blocking_failures)
-    return results
+    return ordered
 
 
 # ---------------------------------------------------------------------------
@@ -76,19 +121,21 @@ def run_checks(
 
 def non_empty(blocking: bool = True) -> Check:
     """Partition must contain rows (ref acled_checks.py:92-135, blocking)."""
+    aggs = {"row_count": F.count(F.lit(1))}
 
-    def _fn(df: DataFrame) -> CheckResult:
-        n = df.count()
+    def finalize(m: dict) -> CheckResult:
         return CheckResult(
-            "non_empty", n > 0, blocking, {"row_count": n},
+            "non_empty", m["row_count"] > 0, blocking,
+            {"row_count": m["row_count"]},
             "partition contains at least one row",
         )
 
-    return Check("non_empty", _fn, blocking)
+    return _fused("non_empty", blocking, aggs, finalize)
 
 
 def required_columns(columns: Sequence[str], blocking: bool = False) -> Check:
-    """All required columns present (ref acled_checks.py:138-186, checks.yaml:19-27)."""
+    """All required columns present (ref acled_checks.py:138-186,
+    checks.yaml:19-27).  Schema-only: costs no scan, stays unfused."""
 
     def _fn(df: DataFrame) -> CheckResult:
         missing = [c for c in columns if c not in df.columns]
@@ -114,36 +161,39 @@ def value_range(
             f"value_range[{column}]: at least one of lo/hi is required — "
             "a boundless range check would pass vacuously"
         )
+    c = F.col(column)
+    bad = F.lit(False)
+    if lo is not None:
+        bad = bad | (c < lo)
+    if hi is not None:
+        bad = bad | (c > hi)
+    aggs = {
+        "out_of_range": F.count(F.when(bad, 1)),
+        "nulls": F.count(F.when(c.isNull(), 1)),
+    }
 
-    def _fn(df: DataFrame) -> CheckResult:
-        c = F.col(column)
-        bad = F.lit(False)
-        if lo is not None:
-            bad = bad | (c < lo)
-        if hi is not None:
-            bad = bad | (c > hi)
-        agg = df.agg(
-            F.count(F.when(bad, 1)).alias("out_of_range"),
-            F.count(F.when(c.isNull(), 1)).alias("nulls"),
-        ).collect()[0]
-        bad_n = agg["out_of_range"] + (0 if allow_null else agg["nulls"])
+    def finalize(m: dict) -> CheckResult:
+        bad_n = m["out_of_range"] + (0 if allow_null else m["nulls"])
         return CheckResult(
             f"value_range[{column}]", bad_n == 0, blocking,
-            {"out_of_range": agg["out_of_range"], "nulls": agg["nulls"]},
+            {"out_of_range": m["out_of_range"], "nulls": m["nulls"]},
             f"{column} within [{lo}, {hi}]",
         )
 
-    return Check(f"value_range[{column}]", _fn, blocking)
+    return _fused(f"value_range[{column}]", blocking, aggs, finalize)
 
 
 def domain_membership(
     column: str, valid: Sequence[str], blocking: bool = False
 ) -> Check:
     """All values in a fixed domain; reports unknown + missing categories
-    via anti-membership set logic (ref acled_checks.py:402-472, J3)."""
+    via anti-membership set logic (ref acled_checks.py:402-472, J3).
+    ``collect_set`` is safe here by the check's own contract: the column
+    is categorical (set size = |domain|-ish, not |rows|)."""
+    aggs = {"actual": F.collect_set(F.col(column))}
 
-    def _fn(df: DataFrame) -> CheckResult:
-        actual = {r[0] for r in df.select(column).distinct().collect() if r[0] is not None}
+    def finalize(m: dict) -> CheckResult:
+        actual = set(m["actual"] or [])
         unknown = sorted(actual - set(valid))
         missing = sorted(set(valid) - actual)
         return CheckResult(
@@ -152,22 +202,26 @@ def domain_membership(
             f"{column} values within the declared domain",
         )
 
-    return Check(f"domain[{column}]", _fn, blocking)
+    return _fused(f"domain[{column}]", blocking, aggs, finalize)
 
 
 def pk_unique(columns: Sequence[str], blocking: bool = False) -> Check:
     """Primary key uniqueness (ref acled_checks.py:475-534, checks.yaml:68-69)."""
+    aggs = {
+        "rows": F.count(F.lit(1)),
+        "distinct_keys": F.count_distinct(*[F.col(c) for c in columns]),
+    }
 
-    def _fn(df: DataFrame) -> CheckResult:
-        total = df.count()
-        distinct = df.select(*columns).distinct().count()
+    def finalize(m: dict) -> CheckResult:
+        total, distinct = m["rows"], m["distinct_keys"]
         return CheckResult(
             "pk_unique", total == distinct, blocking,
-            {"rows": total, "distinct_keys": distinct, "duplicates": total - distinct},
+            {"rows": total, "distinct_keys": distinct,
+             "duplicates": total - distinct},
             f"({', '.join(columns)}) unique",
         )
 
-    return Check("pk_unique", _fn, blocking)
+    return _fused("pk_unique", blocking, aggs, finalize)
 
 
 def row_count_bounds(
@@ -175,36 +229,42 @@ def row_count_bounds(
 ) -> Check:
     """Row count within expected bounds (ref acled_checks.py:538-620,
     1..10000/day, blocking)."""
+    aggs = {"row_count": F.count(F.lit(1))}
 
-    def _fn(df: DataFrame) -> CheckResult:
-        n = df.count()
+    def finalize(m: dict) -> CheckResult:
+        n = m["row_count"]
         return CheckResult(
             "row_count_bounds", lo <= n <= hi, blocking,
             {"row_count": n, "lo": lo, "hi": hi},
             f"row count within [{lo}, {hi}]",
         )
 
-    return Check("row_count_bounds", _fn, blocking)
+    return _fused("row_count_bounds", blocking, aggs, finalize)
 
 
 def completeness(
     columns: Sequence[str], min_pct: float = 95.0, blocking: bool = False
 ) -> Check:
     """Critical-field completeness >= min_pct, null+empty aware in one pass
-    (ref acled_checks.py:623-722)."""
+    (ref acled_checks.py:623-722).
 
-    def _fn(df: DataFrame) -> CheckResult:
-        aggs = []
-        for c in columns:
-            col = F.col(c)
-            missing = col.isNull()
-            if dict(df.dtypes).get(c) == "string":
-                missing = missing | (col == "")
-            aggs.append(F.count(F.when(missing, 1)).alias(c))
-        aggs.append(F.count(F.lit(1)).alias("__total"))
-        row = df.agg(*aggs).collect()[0]
-        total = row["__total"]
-        per_col = {c: row[c] for c in columns}
+    The empty-string rule applies to string columns; whether a column is
+    string isn't known until the frame arrives, so the miss predicate
+    covers both NULL and ``== ''`` — comparing a non-string column to
+    ``''`` yields NULL (not TRUE) under Spark's casting rules, so the
+    OR is a no-op for non-strings and the semantics match the previous
+    dtype-dispatched version.
+    """
+    aggs: dict[str, Column] = {}
+    for c in columns:
+        col = F.col(c)
+        missing = col.isNull() | (col.cast("string") == "")
+        aggs[f"miss__{c}"] = F.count(F.when(missing, 1))
+    aggs["total"] = F.count(F.lit(1))
+
+    def finalize(m: dict) -> CheckResult:
+        total = m["total"]
+        per_col = {c: m[f"miss__{c}"] for c in columns}
         missing_total = sum(per_col.values())
         pct = (
             100.0
@@ -217,14 +277,15 @@ def completeness(
             f"critical fields >= {min_pct}% complete",
         )
 
-    return Check("completeness", _fn, blocking)
+    return _fused("completeness", blocking, aggs, finalize)
 
 
 def dominance(
     column: str, max_share_pct: float = 80.0, blocking: bool = False
 ) -> Check:
     """No single category may dominate (ref acled_checks.py:818-936:
-    >80% single event_type is an alarm)."""
+    >80% single event_type is an alarm).  Needs a groupBy — not fusable
+    into the scalar-aggregate pass."""
 
     def _fn(df: DataFrame) -> CheckResult:
         top = (
@@ -257,15 +318,19 @@ def partition_date_match(
 ) -> Check:
     """Every row's date equals the partition day (ref acled_checks.py:189-246,
     blocking)."""
+    c = F.col(column)
+    aggs = {
+        "mismatched_rows": F.count(
+            F.when(c.isNull() | (c != F.lit(expected_date)), 1)
+        )
+    }
 
-    def _fn(df: DataFrame) -> CheckResult:
-        bad = df.filter(
-            F.col(column).isNull() | (F.col(column) != F.lit(expected_date))
-        ).count()
+    def finalize(m: dict) -> CheckResult:
+        bad = m["mismatched_rows"]
         return CheckResult(
             "partition_date_match", bad == 0, blocking,
             {"mismatched_rows": bad, "expected": str(expected_date)},
             f"{column} == partition day {expected_date}",
         )
 
-    return Check("partition_date_match", _fn, blocking)
+    return _fused("partition_date_match", blocking, aggs, finalize)

@@ -183,3 +183,68 @@ def test_chk_validation_summary_counts_planted_defects(spark, tmp_path):
         for name, p, v in con.execute(spec.oracle).fetchall()
     }
     assert oracle == got
+
+
+def test_fusable_suite_runs_one_aggregation(spark, monkeypatch):
+    """The engine's scale contract: a fully-fusable suite costs exactly
+    ONE df.agg action (and no cache), however many checks it holds."""
+    from acled_spark.checks.engine import (
+        completeness,
+        non_empty,
+        pk_unique,
+        run_checks,
+        value_range,
+    )
+    from acled_spark.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").limit(100)
+    cls = type(ev)  # the concrete (classic) DataFrame class, not the ABC
+    calls = {"agg": 0, "cache": 0}
+    real_agg, real_cache = cls.agg, cls.cache
+    monkeypatch.setattr(
+        cls, "agg",
+        lambda self, *a, **k: (calls.__setitem__("agg", calls["agg"] + 1),
+                               real_agg(self, *a, **k))[1],
+    )
+    monkeypatch.setattr(
+        cls, "cache",
+        lambda self: (calls.__setitem__("cache", calls["cache"] + 1),
+                      real_cache(self))[1],
+    )
+    results = run_checks(
+        ev,
+        [
+            non_empty(blocking=False),
+            value_range("value", lo=0.0),
+            pk_unique(["event_id"]),
+            completeness(["event_id", "value"]),
+        ],
+    )
+    assert [r.passed for r in results] == [True] * 4
+    assert calls["agg"] == 1  # the whole suite fused into one job
+    assert calls["cache"] == 0  # single action -> no cache needed
+
+
+def test_fused_results_match_standalone_runs(spark):
+    """Fused suite results are identical to running each check alone."""
+    from acled_spark.checks.engine import (
+        domain_membership,
+        non_empty,
+        pk_unique,
+        run_checks,
+        value_range,
+    )
+    from acled_spark.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").limit(200)
+    suite = [
+        non_empty(blocking=False),
+        value_range("value", lo=0.0, allow_null=False),
+        domain_membership("event_type", ["view", "click"]),  # will fail
+        pk_unique(["event_id"]),
+    ]
+    fused = run_checks(ev, suite, raise_on_blocking=False)
+    alone = [c.run(ev) for c in suite]
+    assert [(r.name, r.passed, r.metrics) for r in fused] == [
+        (r.name, r.passed, r.metrics) for r in alone
+    ]
