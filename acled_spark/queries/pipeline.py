@@ -258,7 +258,7 @@ def chk_validation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Violations per check type: out-of-range/null rows (value_range,
     allow_null=False), unknown categories (domain), duplicate keys
     (pk_unique), missing critical-field cells (completeness).  The
-    engine caches one scan for the whole suite (run_checks).
+    engine fuses the whole suite into one aggregation job (run_checks).
     """
     from acled_spark.checks.engine import (
         domain_membership,
