@@ -31,6 +31,10 @@ class IvfIndex:
     model: KMeansModel
     assigned: DataFrame  # vec_id, embedding (array), cell
 
+    def unpersist(self) -> None:
+        """Release the cached cell assignment (see build_ivf_index)."""
+        self.assigned.unpersist()
+
 
 def build_ivf_index(
     embeddings: DataFrame,
