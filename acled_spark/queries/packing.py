@@ -166,3 +166,84 @@ def mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("tokens") / F.col("total_tokens"), 6).alias("p_raw"),
         F.round(F.col("pa") / F.sum("pa").over(wall), 6).alias("p_mixed"),
     ).orderBy("source")
+
+
+# --- packed-sequence materialization (the packing step's output face) -------
+EOS = " <eos> "
+
+
+@query(
+    "pack_materialize",
+    oracle=f"""
+    WITH b AS (
+      SELECT lang, text,
+             CAST(FLOOR(COALESCE(SUM(n_tok) OVER (
+                 PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / {TOKEN_BUDGET}) AS BIGINT) AS bin,
+             doc_id
+      FROM (
+        SELECT doc_id, lang, text,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok
+        FROM documents
+      )
+    )
+    SELECT lang, bin,
+           COUNT(*) AS n_docs,
+           CAST(LENGTH(STRING_AGG(text, '{EOS}' ORDER BY doc_id)) AS BIGINT)
+             AS seq_chars,
+           MD5(STRING_AGG(text, '{EOS}' ORDER BY doc_id)) AS seq_md5
+    FROM b GROUP BY lang, bin ORDER BY lang, bin
+    """,
+    tags=("packing", "extended"),
+)
+def pack_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the packed training sequences pack_sequences plans:
+    per (lang, bin), documents concatenated in doc_id order with an EOS
+    separator — verified by CONTENT (md5 of the packed string), so the
+    hash gate proves the actual bytes a trainer would read, not just
+    bin counts.
+
+    Scale: the per-bin collect_list is bounded by construction — a bin
+    holds ~TOKEN_BUDGET tokens regardless of corpus size, so the group
+    payload never outgrows an executor.  One shuffle on (lang, bin).
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.when(F.length(F.trim("text")) == 0, 0).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+"))
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    b = docs.select("doc_id", "lang", "text", n_tok.alias("n_tok")).select(
+        "lang",
+        "doc_id",
+        "text",
+        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / TOKEN_BUDGET)
+        .cast("long")
+        .alias("bin"),
+    )
+    # ONE collect_list per group (an agg expression per derived column
+    # would shuffle the text twice); array_sort on (doc_id, text)
+    # structs orders by doc_id, the join rebuilds the packed byte stream
+    seq = F.array_join(
+        F.transform(F.array_sort(F.col("__docs")), lambda s: s["text"]), EOS
+    )
+    return (
+        b.groupBy("lang", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.collect_list(F.struct("doc_id", "text")).alias("__docs"),
+        )
+        .select(
+            "lang",
+            "bin",
+            "n_docs",
+            F.length(seq).cast("long").alias("seq_chars"),
+            F.md5(seq).alias("seq_md5"),
+        )
+        .orderBy("lang", "bin")
+    )
