@@ -51,12 +51,12 @@ def build_ivf_index(
     cosine neighborhoods (unnormalized cells split by magnitude and
     cost recall).
 
-    ``persist`` caches the assembled vector frame across the KMeans
+    The assembled vector frame is always cached across the KMeans
     iterations (each iteration otherwise re-runs the interpreted HOF
     normalization over the corpus — measured 5.9 s -> 1.8 s at sf0.1)
-    and leaves the cell assignment cached: an index is a materialized
-    artifact that searches reuse.  Pass False for one-shot/low-memory
-    use.
+    and released when the fit is done.  ``persist`` additionally leaves
+    the cell ASSIGNMENT cached — right when the index will serve many
+    searches; pass False for one-shot use so nothing outlives the call.
     """
     dot_self = F.aggregate(
         F.zip_with(F.col(vec_col), F.col(vec_col), lambda a, b: a * b),
@@ -72,9 +72,11 @@ def build_ivf_index(
         F.col("__nrm") > 0,
         F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("__nrm")),
     ).otherwise(F.transform(F.col(vec_col), lambda x: x.cast("double")))
-    with_vec = with_norm.withColumn("__vec", array_to_vector(normed)).drop("__nrm")
-    if persist:
-        with_vec = with_vec.cache()
+    with_vec = (
+        with_norm.withColumn("__vec", array_to_vector(normed))
+        .drop("__nrm")
+        .cache()
+    )
     km = KMeans(
         k=nlist, seed=SEED, maxIter=max_iter,
         featuresCol="__vec", predictionCol="cell",
@@ -83,8 +85,8 @@ def build_ivf_index(
     assigned = model.transform(with_vec).select(id_col, vec_col, "cell")
     if persist:
         assigned = assigned.cache()
-        assigned.count()  # materialize the index, then free the build frame
-        with_vec.unpersist()
+        assigned.count()  # materialize the index before freeing the build frame
+    with_vec.unpersist()
     return IvfIndex(model=model, assigned=assigned)
 
 
@@ -102,11 +104,14 @@ def ivf_search(
     centroid table (nlist rows — the model's only state), rank cells by
     exact squared Euclidean distance to the L2-normalized query, and
     keep the nprobe nearest (cell-id tiebreak for determinism).  No
-    part of the query frame ever reaches the driver, so the "query
-    frame" can itself be a 10⁹-row corpus.  Candidate scoring is a
-    cell-pruned broadcast join + exact cosine, ranked on the rounded
-    score with id tiebreak (same determinism contract as the exact
-    baseline).
+    collect anywhere — the query frame never funnels through the
+    driver.  Candidate scoring is a cell-keyed equi-join whose strategy
+    is left to Catalyst/AQE: a small probe set broadcasts on its
+    runtime size, a corpus-sized query frame falls back to a shuffle
+    join on ``cell`` (a forced broadcast here would re-create the
+    driver bottleneck for large query frames).  Exact cosine, ranked on
+    the rounded score with id tiebreak (same determinism contract as
+    the exact baseline).
     """
     spark = queries.sparkSession
     centroids = spark.createDataFrame(
@@ -174,7 +179,7 @@ def ivf_search(
         dbl(vec_col).alias("ce"),
         F.sqrt(dot(dbl(vec_col), dbl(vec_col))).alias("cnrm"),
     )
-    cand = corpus.join(F.broadcast(q), "cell").filter(
+    cand = corpus.join(q, "cell").filter(
         F.col(id_col) != F.col("query_id")
     )
     # zero-norm guard: under ANSI mode a 0 divisor aborts the whole job;

@@ -55,6 +55,7 @@ class Check:
     blocking: bool = False
     aggs: Mapping[str, Column] | None = None
     finalize: Callable[[dict], CheckResult] | None = None
+    scan_free: bool = False  # True: touches schema only, runs no job
 
     def run(self, df: DataFrame) -> CheckResult:
         return self.fn(df)
@@ -86,7 +87,11 @@ def run_checks(
     """
     fusable = [c for c in checks if c.aggs is not None]
     standalone = [c for c in checks if c.aggs is None]
-    n_actions = (1 if fusable else 0) + len(standalone)
+    # schema-only checks run no Spark job, so they must not tip the
+    # suite into caching the frame
+    n_actions = (1 if fusable else 0) + sum(
+        1 for c in standalone if not c.scan_free
+    )
     cached = n_actions > 1
     if cached:
         df = df.cache()
@@ -144,7 +149,7 @@ def required_columns(columns: Sequence[str], blocking: bool = False) -> Check:
             {"missing": missing}, "schema contains all required columns",
         )
 
-    return Check("required_columns", _fn, blocking)
+    return Check("required_columns", _fn, blocking, scan_free=True)
 
 
 def value_range(
@@ -206,19 +211,31 @@ def domain_membership(
 
 
 def pk_unique(columns: Sequence[str], blocking: bool = False) -> Check:
-    """Primary key uniqueness (ref acled_checks.py:475-534, checks.yaml:68-69)."""
+    """Primary key uniqueness (ref acled_checks.py:475-534, checks.yaml:68-69).
+
+    NULL-bearing keys fail the check explicitly (a primary key is
+    NOT NULL by definition — Postgres, the reference's store, enforces
+    exactly this) and are reported separately from duplicates so the
+    two defects aren't conflated.  ``count_distinct`` skips NULL-keyed
+    rows, so duplicates are computed among the non-null keys only.
+    """
+    key_is_null = F.lit(False)
+    for c in columns:
+        key_is_null = key_is_null | F.col(c).isNull()
     aggs = {
         "rows": F.count(F.lit(1)),
         "distinct_keys": F.count_distinct(*[F.col(c) for c in columns]),
+        "null_keys": F.count(F.when(key_is_null, 1)),
     }
 
     def finalize(m: dict) -> CheckResult:
-        total, distinct = m["rows"], m["distinct_keys"]
+        total, distinct, nulls = m["rows"], m["distinct_keys"], m["null_keys"]
+        duplicates = total - distinct - nulls
         return CheckResult(
-            "pk_unique", total == distinct, blocking,
+            "pk_unique", duplicates == 0 and nulls == 0, blocking,
             {"rows": total, "distinct_keys": distinct,
-             "duplicates": total - distinct},
-            f"({', '.join(columns)}) unique",
+             "duplicates": duplicates, "null_keys": nulls},
+            f"({', '.join(columns)}) unique and non-null",
         )
 
     return _fused("pk_unique", blocking, aggs, finalize)

@@ -190,8 +190,11 @@ class FilterSpec:
             elif p.op in tokens:
                 params[p.column] = str(p.value)
                 params[f"{p.column}_where"] = tokens[p.op]
-            elif p.op == "in":
-                # OR-list convention: pipe-separated values
+            elif p.op == "in" and not any("|" in str(x) for x in p.value):
+                # OR-list convention: pipe-separated values; a value
+                # containing the delimiter itself cannot travel (the
+                # server would parse it as several values and UNDER-
+                # fetch — unrecoverable engine-side) -> residual
                 params[p.column] = "|".join(str(x) for x in p.value)
             elif p.op in ("like", "prefix") and "%" not in str(p.value):
                 pat = f"%{p.value}%" if p.op == "like" else f"{p.value}%"

@@ -277,7 +277,17 @@ class HttpPageFetcher:
                 attempt += 1
                 continue
             if status == 200:
-                rows = payload.get("data", [])
+                # an absent 'data' key is NOT an empty page: treating it
+                # as one would stop the page loop mid-day and silently
+                # persist a partial partition (a 200-with-error-body is
+                # exactly the failure the reference's empty-list-on-
+                # error path hid)
+                if "data" not in payload:
+                    raise ApiError(
+                        f"malformed page response: no 'data' key in {payload!r:.200}",
+                        status=status,
+                    )
+                rows = payload["data"]
                 if not isinstance(rows, list):
                     raise ApiError(
                         f"malformed page response: 'data' is {type(rows).__name__}",

@@ -103,7 +103,7 @@ def compact_partitions(
 def zorder_key(
     df_cols: Sequence[F.Column | str],
     bounds: Sequence[Sequence[float]],
-    bits: int = 8,
+    bits: int = 6,
 ) -> F.Column:
     """Z-order (Morton) key over 2+ numeric columns, pure Column algebra.
 

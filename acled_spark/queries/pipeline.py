@@ -292,7 +292,8 @@ def chk_validation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         if r.name.startswith("domain"):
             return len(m["unknown"])
         if r.name == "pk_unique":
-            return m["duplicates"]
+            # dup rows + null-keyed rows == COUNT(*) - COUNT(DISTINCT key)
+            return m["duplicates"] + m["null_keys"]
         return sum(m["missing_by_column"].values())  # completeness
 
     rows = [

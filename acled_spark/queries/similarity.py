@@ -430,7 +430,8 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     # few-iteration quantizer: cells converge fast on this corpus and
-    # the recall floor test guards the quality (cheaper per bench run)
-    index = build_ivf_index(emb, nlist=8, max_iter=5)
+    # the recall floor test guards the quality (cheaper per bench run);
+    # persist=False — one-shot use, nothing stays cached after the run
+    index = build_ivf_index(emb, nlist=8, max_iter=5, persist=False)
     probes = emb.filter(F.col("vec_id") < N_QUERIES)
     return ivf_search(index, probes, top_k=TOP_K, nprobe=3)

@@ -140,6 +140,15 @@ def _upsert_delta(
     DeltaTable = _delta_table_cls()
     latest = merge_updates(updates.limit(0), updates, keys, order_col)
     if not DeltaTable.isDeltaTable(spark, target_path):
+        if _table_exists(spark, target_path):
+            # an existing parquet table must NOT be silently replaced by
+            # a Delta bootstrap holding only the current batch — that
+            # would drop every previously upserted row from Delta reads
+            raise ValueError(
+                f"{target_path} exists but is not a Delta table; "
+                "convert it explicitly (e.g. DeltaTable.convertToDelta) "
+                "or use table_format='parquet'"
+            )
         (
             latest.write.format("delta")
             .mode("overwrite")
@@ -175,12 +184,16 @@ def upsert_partitioned(
 
     ``table_format`` selects the storage contract:
 
-    - ``"auto"`` (default): Delta ``MERGE INTO`` when delta-spark is
-      importable AND the target is new or already Delta; otherwise the
-      parquet path.  An existing plain-parquet table never silently
-      changes format.
+    - ``"auto"`` (default): Delta ``MERGE INTO`` only when delta-spark
+      is importable AND the target already IS a Delta table.  New
+      tables bootstrap as parquet — every reader in this repo (and any
+      caller of plain ``spark.read.parquet``) sees exactly the merged
+      rows; a Delta table read as parquet would also surface
+      not-yet-vacuumed old file versions.  Creating a Delta table is
+      an explicit opt-in via ``"delta"``.
     - ``"delta"``: force the Delta path (ImportError if the library is
-      absent).
+      absent; ValueError rather than clobbering an existing
+      plain-parquet table).
     - ``"parquet"``: force the dynamic-partition-overwrite path.
 
     Parquet path: only partitions present in ``updates`` are read,
@@ -201,10 +214,7 @@ def upsert_partitioned(
     use_delta = table_format == "delta" or (
         table_format == "auto"
         and DeltaTable is not None
-        and (
-            not _table_exists(spark, target_path)
-            or DeltaTable.isDeltaTable(spark, target_path)
-        )
+        and DeltaTable.isDeltaTable(spark, target_path)
     )
     if use_delta:
         _upsert_delta(spark, updates, target_path, keys, partition_col, order_col)

@@ -41,16 +41,28 @@ def fetch_day(
     limit: int = DEFAULT_PAGE_LIMIT,
     filters: FilterSpec | None = None,
     params: dict | None = None,
+    allow_partial_pushdown: bool = False,
 ) -> list[dict]:
-    """Page loop for one day-partition: stop on short page (base_assets.py:35-57)."""
+    """Page loop for one day-partition: stop on short page (base_assets.py:35-57).
+
+    ``filters`` serialize into field/field_where request params
+    (predicate pushdown to the source, mirroring build_params —
+    acled_request_config.py:425-454).  A predicate the param grammar
+    cannot express raises by default: silently fetching the unfiltered
+    superset would persist rows the caller asked to exclude.  Pass
+    ``allow_partial_pushdown=True`` to accept the superset and apply
+    ``filters.to_column()`` engine-side after typed casting.
+    """
     extra = dict(params or {})
     if filters is not None:
-        # mirrors build_params: pushable predicates serialize into
-        # field/field_where request params (predicate pushdown to the
-        # source — acled_request_config.py:425-454).  Best-effort only:
-        # non-expressible predicates stay engine-side (FilterSpec.apply
-        # is the authoritative filter).
-        pushed, _residual = filters.to_params()
+        pushed, residual = filters.to_params()
+        if residual and not allow_partial_pushdown:
+            ops = ", ".join(f"{p.column}:{p.op}" for p in residual)
+            raise ValueError(
+                f"filter predicates not expressible as source params: {ops}; "
+                "apply them engine-side (FilterSpec.apply after typed_cast) "
+                "and pass allow_partial_pushdown=True"
+            )
         extra.update(pushed)
     rows: list[dict] = []
     for page in range(1, MAX_PAGES + 1):

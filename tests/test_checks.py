@@ -248,3 +248,45 @@ def test_fused_results_match_standalone_runs(spark):
     assert [(r.name, r.passed, r.metrics) for r in fused] == [
         (r.name, r.passed, r.metrics) for r in alone
     ]
+
+
+def test_pk_unique_null_keys_fail_explicitly(spark):
+    """A NULL primary key fails pk_unique as null_keys, NOT as a
+    phantom duplicate."""
+    from acled_spark.checks.engine import pk_unique
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (None,)], "event_id long"
+    )
+    r = pk_unique(["event_id"]).run(df)
+    assert not r.passed
+    assert r.metrics == {
+        "rows": 3, "distinct_keys": 2, "duplicates": 0, "null_keys": 1
+    }
+    # genuinely duplicated non-null keys still count as duplicates
+    r2 = pk_unique(["event_id"]).run(
+        spark.createDataFrame([(1,), (1,), (None,)], "event_id long")
+    )
+    assert r2.metrics["duplicates"] == 1 and r2.metrics["null_keys"] == 1
+
+
+def test_schema_only_check_does_not_trigger_cache(spark, monkeypatch):
+    """required_columns runs no job, so fused + required_columns is
+    still a single action and must not cache."""
+    from acled_spark.checks.engine import non_empty, required_columns, run_checks
+    from acled_spark.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").limit(10)
+    cls = type(ev)
+    calls = {"cache": 0}
+    real_cache = cls.cache
+    monkeypatch.setattr(
+        cls, "cache",
+        lambda self: (calls.__setitem__("cache", calls["cache"] + 1),
+                      real_cache(self))[1],
+    )
+    results = run_checks(
+        ev, [non_empty(blocking=False), required_columns(["event_id", "nope"])]
+    )
+    assert [r.passed for r in results] == [True, False]
+    assert calls["cache"] == 0

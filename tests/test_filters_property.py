@@ -166,3 +166,34 @@ def test_fetch_day_sends_pushable_params():
     )
     assert seen[0]["event_type"] == "Riots"
     assert "where" not in seen[0]
+
+
+def test_to_params_pipe_value_goes_residual():
+    """An IN value containing the OR-list delimiter cannot travel —
+    the server would split it and UNDER-fetch (unrecoverable)."""
+    from acled_spark.filters import FilterSpec, Predicate
+
+    spec = FilterSpec([Predicate("source", "in", ["A|B", "C"])])
+    params, residual = spec.to_params()
+    assert params == {}
+    assert [p.op for p in residual] == ["in"]
+
+
+def test_fetch_day_raises_on_unpushable_filters():
+    from datetime import date
+
+    import pytest
+
+    from acled_spark.filters import FilterSpec, Predicate
+    from acled_spark.source import fetch_day
+
+    def fetcher(day, page, limit, params):
+        return []
+
+    spec = FilterSpec([Predicate("fatalities", "between", (1, 5))])
+    with pytest.raises(ValueError, match="fatalities:between"):
+        fetch_day(fetcher, date(2024, 1, 5), filters=spec)
+    # explicit opt-in accepts the superset
+    assert fetch_day(
+        fetcher, date(2024, 1, 5), filters=spec, allow_partial_pushdown=True
+    ) == []

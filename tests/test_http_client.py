@@ -378,3 +378,19 @@ def test_fetch_partition_range_distributed_with_real_http(stub_server, spark):
     days_seen = {p["event_date"] for p in StubAcledHandler.requests_seen}
     assert days_seen == {d.isoformat() for d in days}
     assert StubAcledHandler.issued >= 1
+
+
+def test_200_without_data_key_raises_not_truncates(stub_server, monkeypatch):
+    """A 200 body missing 'data' is an error, not an empty page —
+    otherwise the page loop stops mid-day and persists a partial
+    partition."""
+    f = _fetcher(stub_server)
+
+    def transport(url, data=None, headers=None, timeout=None):
+        if "/oauth/token" in url:
+            return 200, {"access_token": "t", "expires_in": 1000}
+        return 200, {"success": False, "error": "quota exceeded"}
+
+    f.auth.transport = transport
+    with pytest.raises(ApiError, match="no 'data' key"):
+        f(DAY, 1, 10, {})

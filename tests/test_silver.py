@@ -331,3 +331,49 @@ def test_delta_dispatch_reaches_merge(spark, tmp_path, monkeypatch):
     assert calls["source_rows"] == calls["source_keys"] == batch.count()
     # merge condition carries the key equality and the partition pruning
     assert "event_id" in calls["condition"] and "day" in calls["condition"]
+
+
+def test_forced_delta_refuses_to_clobber_existing_parquet(spark, tmp_path, monkeypatch):
+    """A parquet table + table_format='delta' must error, not bootstrap
+    a Delta table holding only the current batch."""
+    import acled_spark.silver as silver_mod
+
+    class FakeDeltaTable:
+        @staticmethod
+        def isDeltaTable(_spark, _path):
+            return False
+
+    monkeypatch.setattr(silver_mod, "_delta_table_cls", lambda: FakeDeltaTable)
+    target = os.path.join(str(tmp_path), "silver_pq")
+    ev = _events_with_day(spark)
+    batch = ev.filter(F.col("day") == "2024-01-05")
+    upsert_partitioned(
+        spark, batch, target, key="event_id", partition_col="day",
+        table_format="parquet",
+    )
+    with pytest.raises(ValueError, match="not a Delta table"):
+        upsert_partitioned(
+            spark, batch, target, key="event_id", partition_col="day",
+            table_format="delta",
+        )
+
+
+def test_auto_never_creates_new_tables_as_delta(spark, tmp_path, monkeypatch):
+    """auto + delta importable + NEW target -> parquet bootstrap (every
+    repo reader is spark.read.parquet; Delta is explicit opt-in)."""
+    import acled_spark.silver as silver_mod
+
+    class FakeDeltaTable:
+        @staticmethod
+        def isDeltaTable(_spark, _path):
+            return False
+
+    monkeypatch.setattr(silver_mod, "_delta_table_cls", lambda: FakeDeltaTable)
+    target = os.path.join(str(tmp_path), "silver_new")
+    ev = _events_with_day(spark)
+    batch = ev.filter(F.col("day") == "2024-01-05")
+    upsert_partitioned(
+        spark, batch, target, key="event_id", partition_col="day",
+        table_format="auto",
+    )
+    assert spark.read.parquet(target).count() == batch.count()
