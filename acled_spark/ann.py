@@ -97,6 +97,7 @@ def ivf_search(
     nprobe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    salt_buckets: int = 1,
 ) -> DataFrame:
     """Top-k cosine neighbors per query, scanning only nprobe cells.
 
@@ -107,11 +108,17 @@ def ivf_search(
     collect anywhere — the query frame never funnels through the
     driver.  Candidate scoring is a cell-keyed equi-join whose strategy
     is left to Catalyst/AQE: a small probe set broadcasts on its
-    runtime size, a corpus-sized query frame falls back to a shuffle
-    join on ``cell`` (a forced broadcast here would re-create the
-    driver bottleneck for large query frames).  Exact cosine, ranked on
-    the rounded score with id tiebreak (same determinism contract as
-    the exact baseline).
+    runtime size (a forced broadcast would re-create the driver
+    bottleneck for large query frames).
+
+    The shuffle fallback's parallelism is bounded by the join key's
+    cardinality — bare ``cell`` has only nlist values, so a
+    corpus-sized query frame would collapse onto nlist tasks.
+    ``salt_buckets=S`` widens the key to (cell, salt): the corpus side
+    hashes into S salts, the query side replicates each probe ×S, and
+    the join spreads over nlist×S tasks.  Results are identical for
+    any S (each corpus row still meets each probing query exactly
+    once); leave at 1 when the query frame is broadcast-sized.
     """
     spark = queries.sparkSession
     centroids = spark.createDataFrame(
@@ -179,7 +186,18 @@ def ivf_search(
         dbl(vec_col).alias("ce"),
         F.sqrt(dot(dbl(vec_col), dbl(vec_col))).alias("cnrm"),
     )
-    cand = corpus.join(q, "cell").filter(
+    if salt_buckets > 1:
+        corpus = corpus.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col(id_col)), salt_buckets).cast("int")
+        )
+        q = q.withColumn(
+            "__salt",
+            F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<int>")),
+        )
+        join_key = ["cell", "__salt"]
+    else:
+        join_key = ["cell"]
+    cand = corpus.join(q, join_key).filter(
         F.col(id_col) != F.col("query_id")
     )
     # zero-norm guard: under ANSI mode a 0 divisor aborts the whole job;

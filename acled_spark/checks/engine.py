@@ -85,6 +85,7 @@ def run_checks(
     each non-fusable check); a fully-fusable suite is one uncached
     pass.
     """
+    checks = list(checks)  # a generator would be exhausted by the splits
     fusable = [c for c in checks if c.aggs is not None]
     standalone = [c for c in checks if c.aggs is None]
     # schema-only checks run no Spark job, so they must not tip the
@@ -265,12 +266,13 @@ def completeness(
     """Critical-field completeness >= min_pct, null+empty aware in one pass
     (ref acled_checks.py:623-722).
 
-    The empty-string rule applies to string columns; whether a column is
-    string isn't known until the frame arrives, so the miss predicate
-    covers both NULL and ``== ''`` — comparing a non-string column to
-    ``''`` yields NULL (not TRUE) under Spark's casting rules, so the
-    OR is a no-op for non-strings and the semantics match the previous
-    dtype-dispatched version.
+    The miss predicate is ``NULL OR cast(col AS STRING) = ''`` — the
+    column dtype isn't known until the frame arrives, so the empty
+    rule is expressed through the cast: numeric/date/timestamp values
+    never stringify to ``''`` (the OR is inert for them), strings get
+    the reference's null+empty semantics, and an empty BINARY value
+    also stringifies to ``''`` and counts as missing (deliberate: an
+    empty payload is as absent as an empty string).
     """
     aggs: dict[str, Column] = {}
     for c in columns:

@@ -181,22 +181,30 @@ class FilterSpec:
         params: dict[str, str] = {}
         residual: list[Predicate] = []
         tokens = {"ne": "<>", "gt": ">", "ge": ">=", "lt": "<", "le": "<="}
+
+        def clean(v: object) -> bool:
+            # the pipe IS the wire-format OR-list delimiter for EVERY
+            # param (eq/in/LIKE all share one grammar), so any value
+            # containing it would be server-side split into several
+            # values and mis-match — unrecoverable engine-side
+            return "|" not in str(v)
+
         for p in self.predicates:
             if p.column in params or f"{p.column}_where" in params:
                 residual.append(p)  # one param pair per column max
                 continue
-            if p.op == "eq":
+            if p.op == "eq" and clean(p.value):
                 params[p.column] = str(p.value)
-            elif p.op in tokens:
+            elif p.op in tokens and clean(p.value):
                 params[p.column] = str(p.value)
                 params[f"{p.column}_where"] = tokens[p.op]
-            elif p.op == "in" and not any("|" in str(x) for x in p.value):
-                # OR-list convention: pipe-separated values; a value
-                # containing the delimiter itself cannot travel (the
-                # server would parse it as several values and UNDER-
-                # fetch — unrecoverable engine-side) -> residual
+            elif p.op == "in" and all(clean(x) for x in p.value):
                 params[p.column] = "|".join(str(x) for x in p.value)
-            elif p.op in ("like", "prefix") and "%" not in str(p.value):
+            elif (
+                p.op in ("like", "prefix")
+                and "%" not in str(p.value)
+                and clean(p.value)
+            ):
                 pat = f"%{p.value}%" if p.op == "like" else f"{p.value}%"
                 params[p.column] = pat
                 params[f"{p.column}_where"] = "LIKE"

@@ -79,10 +79,18 @@ def ingest_day(
     day: date,
     limit: int = DEFAULT_PAGE_LIMIT,
     filters: FilterSpec | None = None,
+    allow_partial_pushdown: bool = False,
 ) -> DataFrame:
     """One day's raw records as a DataFrame (empty fetch -> error,
-    ref base_assets.py:61-63)."""
-    rows = fetch_day(fetcher, day, limit, filters)
+    ref base_assets.py:61-63).  ``allow_partial_pushdown`` passes
+    through to :func:`fetch_day`; with it set, apply
+    ``filters.to_column()`` after :func:`acled_spark.bronze.typed_cast`
+    (the raw frame is all-string, so typed predicates belong after the
+    cast)."""
+    rows = fetch_day(
+        fetcher, day, limit, filters,
+        allow_partial_pushdown=allow_partial_pushdown,
+    )
     if not rows:
         raise ValueError(f"no data returned for partition {day.isoformat()}")
     normalized = [

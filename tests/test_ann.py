@@ -77,3 +77,18 @@ def test_sim_ann_ivf_registry_recall_floor(spark):
         for q in by_q_exact
     ]
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_ivf_salted_join_identical_results(spark, index):
+    """salt_buckets widens the scoring join's key for parallelism;
+    results must be identical for any S."""
+    from acled_spark.ann import ivf_search
+    from acled_spark.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = emb.limit(7)
+    plain = ivf_search(index, probes, top_k=5, nprobe=2).collect()
+    salted = ivf_search(
+        index, probes, top_k=5, nprobe=2, salt_buckets=4
+    ).collect()
+    assert [tuple(r) for r in plain] == [tuple(r) for r in salted]

@@ -290,3 +290,17 @@ def test_schema_only_check_does_not_trigger_cache(spark, monkeypatch):
     )
     assert [r.passed for r in results] == [True, False]
     assert calls["cache"] == 0
+
+
+def test_run_checks_accepts_a_generator(spark):
+    """run_checks must not silently return [] for a generator argument
+    (it splits the sequence multiple times internally)."""
+    from acled_spark.checks.engine import (
+        ValidationError,
+        non_empty,
+        run_checks,
+    )
+
+    empty = spark.createDataFrame([], "event_id long")
+    with pytest.raises(ValidationError):
+        run_checks(empty, (c for c in [non_empty(blocking=True)]))

@@ -197,3 +197,24 @@ def test_fetch_day_raises_on_unpushable_filters():
     assert fetch_day(
         fetcher, date(2024, 1, 5), filters=spec, allow_partial_pushdown=True
     ) == []
+
+
+def test_to_params_pipe_in_scalar_values_goes_residual():
+    """eq/comparison/LIKE values share the pipe-delimited wire grammar
+    with IN — a scalar containing '|' would be server-side OR-split."""
+    from acled_spark.filters import FilterSpec, Predicate
+
+    spec = FilterSpec(
+        [
+            Predicate("source", "eq", "A|B"),
+            Predicate("actor1", "like", "X|Y"),
+            Predicate("notes", "prefix", "p|q"),
+            Predicate("country", "ne", "M|N"),
+            Predicate("year", "eq", 2024),  # clean scalar still travels
+        ]
+    )
+    params, residual = spec.to_params()
+    assert params == {"year": "2024"}
+    assert sorted(p.column for p in residual) == [
+        "actor1", "country", "notes", "source"
+    ]
