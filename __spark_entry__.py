@@ -15,35 +15,26 @@ from pyspark.sql import DataFrame, SparkSession
 from acled_spark.registry import oracle_map, spark_queries
 
 # Driver re-verification rotation: the driver checks ~50 queries per
-# round, so each round emits the LEAST-recently-verified half first and
-# every query's driver row is at most one round stale (VERDICT r2 #2).
-# Round 1 verified the set below; round 2 verified the complement; round
-# 3 therefore leads with this set again.  Registry names/signatures are
-# unchanged — only the emission order here rotates.
+# round, so each round emits the LEAST-recently-verified queries first
+# and every query's driver row stays at most ~one round stale (VERDICT
+# r2 #2).  Sets below record which round's CORRECTNESS_r0N.json last
+# wrote each query's row; emission order is never-verified, then oldest
+# round to newest.  Registry names/signatures are unchanged — only the
+# emission order here rotates.
+#
+# Round 3's 50-query cap left five r01-verified dedup queries unchecked
+# (they ranked last in the stale block) — those are now two rounds
+# stale and lead round 4, followed by the r02 half (whose source files
+# round 3 edited: silver/similarity/packing/pipeline/olap).
 _R1_DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
-        "a1_value_counts", "a2_conditional_counts", "a3_null_empty_audit",
-        "a4_daily_rollup", "a5_topk_groups", "a6_dim_rollup",
-        "a7_multi_measure_rollup", "a8_weekly_rollup", "a9_monthly_rollup",
-        "a10_descriptive_stats", "a11_distinct_counts", "a12_duplicate_keys",
-        "a13_histogram", "a14_group_deviation", "a15_risk_buckets",
-        "a16_percent_of_total", "a23_daily_anomaly", "a24_time_to_convert",
-        "a25_hour_profile", "p2_filter_dsl", "p3_date_range",
-        "p4_null_threshold", "p5_eq_filter", "p6_threshold_topk",
-        "p7_hash_split", "p8_stratified_sample", "p9_weighted_sample",
-        "text_token_stats", "text_quality_scores", "text_langid_confusion",
-        "text_fingerprints", "text_winnow_pairs", "text_repetition",
-        "text_contamination", "text_chunking", "text_tfidf_terms",
-        "doc_filter_funnel", "text_unigram_logprob", "text_bpe_token_stats",
-        "text_vocab_growth", "text_zipf_slope", "dedup_exact",
         "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
         "dedup_embedding_cosine", "dedup_cluster_census",
-        "j1_target_stat_lookup", "j2_static_map_lookup", "j3_anti_join",
     }
 )
 
-# Queries whose driver rows were written by the round-2 check
-# (CORRECTNESS_r02.json) — the FRESH half this round.
+# Queries whose freshest driver rows were written by the round-2 check
+# (CORRECTNESS_r02.json).
 _R2_DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
         "a17_rollup", "a18_cube", "a19_approx_distinct",
@@ -65,7 +56,45 @@ _R2_DRIVER_VERIFIED: frozenset[str] = frozenset(
         "w6_cumulative_distinct",
     }
 )
-_ALL_KNOWN = _R1_DRIVER_VERIFIED | _R2_DRIVER_VERIFIED
+
+# Queries verified by the round-3 check (CORRECTNESS_r03.json) — the
+# FRESH block this round, emitted last.
+_R3_DRIVER_VERIFIED: frozenset[str] = frozenset(
+    {
+        "a1_value_counts", "a2_conditional_counts", "a3_null_empty_audit",
+        "a4_daily_rollup", "a5_topk_groups", "a6_dim_rollup",
+        "a7_multi_measure_rollup", "a8_weekly_rollup", "a9_monthly_rollup",
+        "a10_descriptive_stats", "a11_distinct_counts", "a12_duplicate_keys",
+        "a13_histogram", "a14_group_deviation", "a15_risk_buckets",
+        "a16_percent_of_total", "a23_daily_anomaly", "a24_time_to_convert",
+        "a25_hour_profile", "a26_approx_quantiles", "chk_validation_summary",
+        "dedup_canonical_pick", "dedup_exact", "doc_filter_funnel",
+        "j1_target_stat_lookup", "j2_static_map_lookup", "j3_anti_join",
+        "p2_filter_dsl", "p3_date_range", "p4_null_threshold",
+        "p5_eq_filter", "p6_threshold_topk", "p7_hash_split",
+        "p8_stratified_sample", "p9_weighted_sample", "pack_materialize",
+        "sim_ann_ivf", "text_bpe_token_stats", "text_chunking",
+        "text_contamination", "text_fingerprints", "text_langid_confusion",
+        "text_quality_scores", "text_repetition", "text_tfidf_terms",
+        "text_token_stats", "text_unigram_logprob", "text_vocab_growth",
+        "text_winnow_pairs", "text_zipf_slope",
+    }
+)
+_ALL_KNOWN = _R1_DRIVER_VERIFIED | _R2_DRIVER_VERIFIED | _R3_DRIVER_VERIFIED
+
+# Within the r02-stale block, queries whose source files round 3
+# edited (silver.py, queries/similarity.py, queries/packing.py,
+# queries/pipeline.py, queries/olap.py) carry the most re-verification
+# value — they lead the block so the ~50-query cap can't drop them.
+_R3_EDITED_FILES: frozenset[str] = frozenset(
+    {
+        "s8_upsert_merge", "sim_topk_bruteforce", "sim_ann_lsh",
+        "sim_quantize_error", "sim_label_centroids", "sim_norm_outliers",
+        "pack_sequences", "mix_weights", "prep_corpus_stats",
+        "a17_rollup", "a18_cube", "a19_approx_distinct", "a21_unpivot",
+        "a22_time_grouping_sets", "q1_pricing_summary",
+    }
+)
 
 # Cheap-first hint within the stale block: scalar/filter one-scan
 # queries ahead of heavier dedup/text-class plans, so a wall-clock-capped
@@ -81,14 +110,17 @@ def _family_rank(name: str) -> int:
 
 
 def _ordered(names: list[str]) -> list[str]:
-    # Stale half (last verified in r01) first; queries added after the
-    # r02 snapshot have no driver row at all and lead the stale block.
+    # Never-verified queries lead, then oldest-round blocks first.
     never = [n for n in names if n not in _ALL_KNOWN]
-    stale = [n for n in names if n in _R1_DRIVER_VERIFIED]
-    fresh = [n for n in names if n in _ALL_KNOWN and n not in _R1_DRIVER_VERIFIED]
-    for block in (never, stale, fresh):
-        block.sort(key=lambda n: (_family_rank(n), names.index(n)))
-    return never + stale + fresh
+    blocks = [never] + [
+        [n for n in names if n in tier]
+        for tier in (_R1_DRIVER_VERIFIED, _R2_DRIVER_VERIFIED, _R3_DRIVER_VERIFIED)
+    ]
+    for block in blocks:
+        block.sort(
+            key=lambda n: (n not in _R3_EDITED_FILES, _family_rank(n), names.index(n))
+        )
+    return [n for block in blocks for n in block]
 
 
 def entry(spark: SparkSession) -> DataFrame:

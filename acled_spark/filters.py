@@ -202,7 +202,15 @@ class FilterSpec:
                 params[p.column] = "|".join(str(x) for x in p.value)
             elif (
                 p.op in ("like", "prefix")
-                and "%" not in str(p.value)
+                # Engine semantics are literal substring/prefix
+                # (contains/startswith); the API's LIKE grammar treats %
+                # and _ as wildcards and offers no documented escape, so
+                # any value containing a wildcard (or a backslash, whose
+                # server-side handling is unspecified) must stay
+                # engine-side or the pushed filter would match a
+                # superset and fetch_day would persist rows the caller
+                # excluded.
+                and not any(ch in str(p.value) for ch in ("%", "_", "\\"))
                 and clean(p.value)
             ):
                 pat = f"%{p.value}%" if p.op == "like" else f"{p.value}%"

@@ -132,6 +132,9 @@ class OAuthTokenClient:
     timeout: float = DEFAULT_TIMEOUT_SECONDS
     clock: Callable[[], float] = time.time
     transport: Callable[..., tuple[int, dict]] = field(default=_http_json)
+    max_retries: int = 3
+    backoff: float = 0.5
+    sleep: Callable[[float], None] = time.sleep
     current_token: TokenData | None = field(default=None, init=False)
 
     def __post_init__(self) -> None:
@@ -171,12 +174,38 @@ class OAuthTokenClient:
 
     def _grant(self, form: dict[str, str], kind: str) -> None:
         body = urllib.parse.urlencode(form).encode()
-        status, payload = self.transport(
-            self.token_url,
-            data=body,
-            headers={"Content-Type": "application/x-www-form-urlencoded"},
-            timeout=self.timeout,
-        )
+        # Transient failures (5xx / connection errors) get the same
+        # backoff budget as page requests — a blip at the token endpoint
+        # is not a credential rejection, and reporting it as
+        # AuthenticationError would kill an ingest that one retry saves.
+        attempt = 0
+        while True:
+            try:
+                status, payload = self.transport(
+                    self.token_url,
+                    data=body,
+                    headers={"Content-Type": "application/x-www-form-urlencoded"},
+                    timeout=self.timeout,
+                )
+            except (urllib.error.URLError, ConnectionError, TimeoutError) as exc:
+                if attempt >= self.max_retries:
+                    raise ApiError(
+                        f"{kind} grant failed after {attempt + 1} attempts: {exc}"
+                    ) from exc
+                self.sleep(self.backoff * (2**attempt))
+                attempt += 1
+                continue
+            if 500 <= status < 600:
+                if attempt >= self.max_retries:
+                    raise ApiError(
+                        f"{kind} grant failed after {attempt + 1} attempts: "
+                        f"HTTP {status}",
+                        status=status,
+                    )
+                self.sleep(self.backoff * (2**attempt))
+                attempt += 1
+                continue
+            break
         if status != 200 or "access_token" not in payload:
             raise AuthenticationError(
                 f"{kind} grant failed: HTTP {status} {payload}", status=status

@@ -176,7 +176,11 @@ def compact_partitions_zorder(
     """
     counts = partition_file_counts(path, partition_col)
     if partitions is None:
-        partitions = list(counts)
+        # same default as compact_partitions: only fragmented partitions
+        # rewrite — an implicit full-table rewrite is never the default
+        # at scale (pass partitions=list(counts) explicitly to re-cluster
+        # everything, e.g. after changing zorder_cols)
+        partitions = [p for p, nf in counts.items() if nf > files_per_partition]
     if not partitions:
         return {}
     df = spark.read.parquet(path).filter(

@@ -454,11 +454,13 @@ REGION_SLUGS = {
 
 
 def compute_region_counts(spark: SparkSession, sf_dir: str) -> list[dict]:
-    """Region -> event-count rollup feeding the choropleth.
+    """Region -> customer-count rollup feeding the choropleth.
 
-    Reuses the oracle-checked a7 rollup (the engine's admin1-count
-    analog, ref report.py:558-566); only the 25-row dim aggregate is
-    collected.
+    Reuses the oracle-checked a7 rollup (the engine's analog of the
+    reference's admin1 event-count map, ref report.py:558-566; the
+    testdata's events table carries no region key, so the nation-keyed
+    customer count is the measure and the artifact labels say so);
+    only the 25-row dim aggregate is collected.
     """
     return [
         {"region": r["nation"], "count": r["customer_count"]}
@@ -479,7 +481,7 @@ def map_region_slugs(
 
 
 def render_heatmap_json(
-    counts: list[dict], path: str, title: str = "Event Distribution by Region"
+    counts: list[dict], path: str, title: str = "Customer Distribution by Region"
 ) -> str:
     """Always-available choropleth artifact: the exact payload the PNG
     renderer would draw, plus the names the slug table dropped."""
@@ -488,10 +490,10 @@ def render_heatmap_json(
         json.dump(
             {
                 "title": title,
-                "series": "Event Count",
+                "series": "Customer Count",
                 "regions": mapped,
                 "regions_with_data": len(mapped),
-                "total_events": sum(mapped.values()),
+                "total_customers": sum(mapped.values()),
                 "unmapped": unmapped,
             },
             fh,
@@ -504,7 +506,7 @@ def render_heatmap_json(
 def render_heatmap_png(
     counts: list[dict],
     path: str,
-    title: str = "Event Distribution by Region",
+    title: str = "Customer Distribution by Region",
     map_cls=None,
 ) -> str:
     """pygal choropleth PNG (ref report.py:625-651), import-gated.
@@ -529,6 +531,6 @@ def render_heatmap_png(
     mapped, _ = map_region_slugs(counts)
     chart = map_cls(legend_at_bottom=True)
     chart.title = title
-    chart.add("Event Count", mapped)
+    chart.add("Customer Count", mapped)
     chart.render_to_png(path)
     return path

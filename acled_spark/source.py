@@ -63,6 +63,18 @@ def fetch_day(
                 "apply them engine-side (FilterSpec.apply after typed_cast) "
                 "and pass allow_partial_pushdown=True"
             )
+        # A pushed filter param overwriting a caller-supplied param of
+        # the same name (or vice versa) would silently change which rows
+        # the server returns — and could leave a caller-set base param
+        # inconsistent with the pushed `_where` companion.  Conflicting
+        # specifications must be explicit, not last-writer-wins.
+        clashes = sorted(set(extra) & set(pushed))
+        if clashes:
+            raise ValueError(
+                f"params and pushed filter params collide on {clashes}; "
+                "specify each field via either `params` or `filters`, "
+                "not both"
+            )
         extra.update(pushed)
     rows: list[dict] = []
     for page in range(1, MAX_PAGES + 1):

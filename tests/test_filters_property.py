@@ -218,3 +218,58 @@ def test_to_params_pipe_in_scalar_values_goes_residual():
     assert sorted(p.column for p in residual) == [
         "actor1", "country", "notes", "source"
     ]
+
+
+def test_to_params_like_wildcard_chars_go_residual():
+    """Engine LIKE semantics are literal (contains/startswith), but the
+    API LIKE grammar treats _ as a single-char wildcard and offers no
+    escape — pushing 'a_b' would server-match 'aXb' and under-filter.
+    Values with _ or \\ stay engine-side; eq (non-LIKE grammar) still
+    travels."""
+    from acled_spark.filters import FilterSpec, Predicate
+
+    spec = FilterSpec(
+        [
+            Predicate("actor1", "like", "UNIT_7"),
+            Predicate("notes", "prefix", "back\\slash"),
+            Predicate("event_type", "eq", "snake_case"),  # eq is literal
+            Predicate("source", "like", "clean value"),
+        ]
+    )
+    params, residual = spec.to_params()
+    assert params == {
+        "event_type": "snake_case",
+        "source": "%clean value%",
+        "source_where": "LIKE",
+    }
+    assert sorted(p.column for p in residual) == ["actor1", "notes"]
+
+
+def test_fetch_day_param_filter_collision_raises():
+    """A pushed filter param may not silently overwrite a caller-supplied
+    param of the same name (last-writer-wins would desync the _where
+    companion)."""
+    from datetime import date
+
+    import pytest
+
+    from acled_spark.filters import FilterSpec, Predicate
+    from acled_spark.source import fetch_day
+
+    def fetcher(day, page, limit, params):
+        return []
+
+    with pytest.raises(ValueError, match="collide.*event_type"):
+        fetch_day(
+            fetcher,
+            date(2024, 1, 5),
+            filters=FilterSpec([Predicate("event_type", "eq", "Riots")]),
+            params={"event_type": "Protests"},
+        )
+    # disjoint names still compose
+    assert fetch_day(
+        fetcher,
+        date(2024, 1, 5),
+        filters=FilterSpec([Predicate("event_type", "eq", "Riots")]),
+        params={"fields": "event_id_cnty"},
+    ) == []

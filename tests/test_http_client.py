@@ -42,6 +42,7 @@ class StubAcledHandler(BaseHTTPRequestHandler):
 
     rows: list[dict] = []
     fail_5xx_times = 0
+    fail_token_5xx_times = 0
     expire_tokens = False
     valid: set[str] = set()
     issued = 0
@@ -66,6 +67,9 @@ class StubAcledHandler(BaseHTTPRequestHandler):
         length = int(self.headers.get("Content-Length", 0))
         form = dict(urllib.parse.parse_qsl(self.rfile.read(length).decode()))
         cls.grants.append(form)
+        if cls.fail_token_5xx_times > 0:
+            cls.fail_token_5xx_times -= 1
+            return self._json(502, {"error": "bad gateway"})
         if form.get("grant_type") == "password":
             ok = form.get("username") == "u@x.io" and form.get("password") == "pw"
         elif form.get("grant_type") == "refresh_token":
@@ -112,6 +116,7 @@ class StubAcledHandler(BaseHTTPRequestHandler):
 def stub_server():
     StubAcledHandler.rows = []
     StubAcledHandler.fail_5xx_times = 0
+    StubAcledHandler.fail_token_5xx_times = 0
     StubAcledHandler.expire_tokens = False
     StubAcledHandler.valid = set()
     StubAcledHandler.issued = 0
@@ -242,12 +247,16 @@ def test_5xx_exhausts_retry_budget(stub_server):
 
 
 def test_connection_refused_retries_then_raises():
-    # nothing listens on this port; URLError path, not HTTPError
+    # nothing listens on this port; URLError path, not HTTPError.  The
+    # first failure happens during the token grant, so the GRANT-level
+    # backoff loop owns the retry budget (same policy as page requests).
     sleeps: list[float] = []
     f = make_http_fetcher(
         "u@x.io", "pw", base_url="http://127.0.0.1:9", max_retries=1
     )
     f.sleep = sleeps.append
+    f.auth.max_retries = 1
+    f.auth.sleep = sleeps.append
     with pytest.raises(ApiError):
         f(DAY, 1, 10, {})
     assert len(sleeps) == 1
@@ -394,3 +403,36 @@ def test_200_without_data_key_raises_not_truncates(stub_server, monkeypatch):
     f.auth.transport = transport
     with pytest.raises(ApiError, match="no 'data' key"):
         f(DAY, 1, 10, {})
+
+
+def test_token_grant_5xx_retries_then_succeeds(stub_server):
+    """A transient 5xx at the token endpoint is NOT a credential
+    rejection: the grant retries with backoff and the ingest proceeds."""
+    StubAcledHandler.rows = _rows(3)
+    StubAcledHandler.fail_token_5xx_times = 2
+    f = _fetcher(stub_server)
+    f.auth.sleep = lambda s: None
+    assert len(fetch_day(f, DAY, limit=10)) == 3
+    # 2 failed + 1 successful grant attempt, all password grants
+    assert len(StubAcledHandler.grants) == 3
+
+
+def test_token_grant_5xx_exhausts_budget_as_api_error(stub_server):
+    """A persistent token-endpoint outage surfaces as ApiError (retryable
+    infrastructure failure), never AuthenticationError (bad credentials)."""
+    StubAcledHandler.fail_token_5xx_times = 99
+    f = _fetcher(stub_server)
+    f.auth.sleep = lambda s: None
+    with pytest.raises(ApiError, match="password grant failed after") as exc:
+        fetch_day(f, DAY, limit=10)
+    assert not isinstance(exc.value, AuthenticationError)
+    assert len(StubAcledHandler.grants) == f.auth.max_retries + 1
+
+
+def test_token_grant_4xx_still_authentication_error(stub_server):
+    """Credential rejection (4xx) fails fast — no retry burn."""
+    f = make_http_fetcher("u@x.io", "WRONG", base_url=stub_server)
+    f.auth.sleep = lambda s: None
+    with pytest.raises(AuthenticationError):
+        fetch_day(f, DAY, limit=10)
+    assert len(StubAcledHandler.grants) == 1

@@ -146,3 +146,40 @@ def test_zorder_compaction_tightens_both_columns(spark, tmp_path):
     # both dimensions tighten: z-curve with >=1 bit per dim per 4 files
     assert spreads[0] < 0.8 * glob["u"], (spreads[0], glob["u"])
     assert spreads[1] < 0.8 * glob["v"], (spreads[1], glob["v"])
+
+
+def test_zorder_default_skips_unfragmented_partitions(spark, tmp_path):
+    """partitions=None must match compact_partitions' default — only
+    fragmented partitions (files > files_per_partition) rewrite; an
+    implicit full-table rewrite is never the default."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from acled_spark.maintenance import compact_partitions_zorder
+    from acled_spark.tables import load
+
+    path = os.path.join(str(tmp_path), "t")
+    ev = (
+        load(spark, "/root/testdata/sf0.001", "events")
+        .withColumn("day", F.to_date("ts"))
+        .filter(F.col("day").isin("2024-01-05", "2024-01-06"))
+        .select("event_id", "user_id", "value", "day")
+    )
+    # day=05 fragmented (8 files), day=06 already compact (1 file)
+    frag = ev.filter(F.col("day") == "2024-01-05").repartition(8)
+    frag.write.partitionBy("day").parquet(path)
+    compact = ev.filter(F.col("day") == "2024-01-06").coalesce(1)
+    compact.write.mode("append").partitionBy("day").parquet(path)
+
+    touched = compact_partitions_zorder(
+        spark, path, "day", zorder_cols=["user_id", "value"],
+        files_per_partition=2,
+    )
+    assert set(touched) == {"2024-01-05"}
+    # explicit full list still rewrites everything
+    touched_all = compact_partitions_zorder(
+        spark, path, "day", zorder_cols=["user_id", "value"],
+        partitions=["2024-01-05", "2024-01-06"], files_per_partition=2,
+    )
+    assert set(touched_all) == {"2024-01-05", "2024-01-06"}

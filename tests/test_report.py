@@ -162,11 +162,11 @@ def test_heatmap_json_fallback_structure(spark, tmp_path):
     render_heatmap_json(counts, path)
     with open(path) as fh:
         payload = json.load(fh)
-    assert payload["series"] == "Event Count"
+    assert payload["series"] == "Customer Count"
     assert payload["regions_with_data"] == len(payload["regions"]) > 0
     # the three deliberately-unmapped dimension values are reported
     assert payload["unmapped"] == ["NATION_22", "NATION_23", "NATION_24"]
-    assert payload["total_events"] == sum(payload["regions"].values())
+    assert payload["total_customers"] == sum(payload["regions"].values())
     # every mapped slug is a known table value; counts survive mapping
     from acled_spark.report import REGION_SLUGS
 
@@ -230,7 +230,7 @@ def test_heatmap_png_wiring_with_fake_map(tmp_path):
         map_cls=FakeMap,
     )
     assert calls["kwargs"] == {"legend_at_bottom": True}
-    assert calls["series"] == "Event Count"
+    assert calls["series"] == "Customer Count"
     assert calls["payload"] == {"nation-3": 7}
     assert calls["path"] == out
 
