@@ -128,20 +128,58 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Candidate pairs come from a self-join of (shingle, doc) — cost scales
     with actual shingle collisions, not |docs|².  Language is the blocking
-    key (near-dups across languages are not meaningful).  At 100 TB, add
-    a frequency cap dropping shingles shared by >X docs (stopword-grams)
-    to bound the join fan-out.
+    key (near-dups across languages are not meaningful).  The oracle needs
+    exact Jaccard, so no frequency cap here; at 100 TB pass
+    ``max_doc_freq`` to :func:`ngram_jaccard_pairs` to drop stopword-grams
+    and bound the join fan-out.
     """
     docs = load(spark, sf_dir, "documents")
+    return (
+        ngram_jaccard_pairs(docs)
+        .orderBy(F.desc("jaccard"), "doc1", "doc2")
+        .limit(20)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, max_doc_freq: int | None = None
+) -> DataFrame:
+    """(doc1, doc2, jaccard) candidate near-dup pairs over an inverted
+    shingle index.
+
+    ``max_doc_freq``: drop shingles shared by more than this many docs
+    (per language) BEFORE the self-join.  On real corpora a handful of
+    boilerplate grams ("all rights reserved …") appear in a large
+    fraction of documents; each contributes O(df²) join rows, so one hot
+    shingle can go quadratic in corpus size while every informative
+    shingle stays tiny.  The cap bounds the fan-out of any single
+    shingle at max_doc_freq², at the cost of under-counting the
+    intersection for pairs whose overlap was mostly boilerplate — which
+    is exactly the overlap a near-dup detector should ignore.  Default
+    ``None`` keeps the exact semantics (the oracle contract).
+    """
     sh = docs.select(
         "doc_id",
         "lang",
         F.explode(shingles_spark(F.col("text"))).alias("shingle"),
     )
+    if max_doc_freq is not None:
+        # Document frequency per (lang, shingle) via a window over the
+        # already-exploded stream: one extra shuffle on the same key the
+        # self-join uses, no second corpus scan.
+        w = Window.partitionBy("lang", "shingle")
+        sh = (
+            sh.withColumn("_df", F.count("*").over(w))
+            .filter(F.col("_df") <= max_doc_freq)
+            .drop("_df")
+        )
     # Set sizes come straight from the array length — no explode, no
     # aggregate — and broadcast-join onto the pair counts AFTER the heavy
     # shuffle, keeping the giant pairs exchange as narrow as possible
-    # (doc1, doc2, partial count only).
+    # (doc1, doc2, partial count only).  Sizes stay UNCAPPED even when
+    # the index is capped: the denominator is the true shingle-set size,
+    # so a capped run under-estimates jaccard (never over-) — dropped
+    # boilerplate can only push a pair below threshold, not fake one.
     sizes = docs.select(
         "doc_id", F.size(shingles_spark(F.col("text"))).alias("n_sh")
     )
@@ -175,8 +213,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("jaccard"),
         )
-        .orderBy(F.desc("jaccard"), "doc1", "doc2")
-        .limit(20)
     )
 
 
@@ -471,6 +507,49 @@ _BANDS_SQL = f"""
 """
 
 
+def lsh_candidate_edges(
+    bands: DataFrame, max_bucket: int | None = None
+) -> DataFrame:
+    """Distinct (u, v) candidate-pair edges from LSH band buckets.
+
+    Pair generation via per-bucket collect_list + HOF expansion, NOT a
+    bands-self-join: a self-join re-evaluates the whole signature
+    pipeline (and re-reads the corpus) for each side, while this runs
+    it once and shuffles only (band_key -> doc_id).
+
+    ``max_bucket``: drop buckets holding more than this many docs before
+    the quadratic pair expansion.  Bucket arrays stay tiny when LSH is
+    tuned, but adversarially skewed corpora (near-constant documents,
+    template boilerplate) can land a large doc fraction in ONE bucket —
+    a 1M-doc bucket is 5·10¹¹ pairs from a single group.  A dropped
+    bucket loses only candidates whose similarity evidence was that one
+    band; true near-dups still collide in the other bands (that
+    redundancy is why banding has >1 band).  Default ``None`` keeps the
+    exact semantics (the oracle contract).
+    """
+    buckets = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ds") <= max_bucket)
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x: F.transform(
+                F.filter(F.col("ds"), lambda y: y > x),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .distinct()
+    )
+
+
 def _propagation_sql(rounds: int) -> str:
     ctes = ["l1 AS (SELECT v, MIN(nbr) AS lbl FROM adj GROUP BY v)"]
     for k in range(2, rounds + 1):
@@ -521,37 +600,13 @@ def dedup_cluster_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     bands = minhash_bands_spark(docs)
-    # Pair generation via per-bucket collect_list + HOF expansion, NOT a
-    # bands-self-join: a self-join re-evaluates the whole signature
-    # pipeline (and re-reads the corpus) for each side, while this runs
-    # it once and shuffles only (band_key -> doc_id).  Bucket arrays stay
-    # tiny when LSH is tuned; at 100 TB a frequency cap on bucket size
-    # bounds the quadratic expansion (the oracle keeps it exact here).
-    buckets = (
-        bands.groupBy("band_id", "band_key")
-        .agg(F.collect_list("doc_id").alias("ds"))
-        .filter(F.size("ds") > 1)
-    )
-    pair_expr = F.flatten(
-        F.transform(
-            F.col("ds"),
-            lambda x: F.transform(
-                F.filter(F.col("ds"), lambda y: y > x),
-                lambda y: F.struct(x.alias("u"), y.alias("v")),
-            ),
-        )
-    )
     # localCheckpoint materializes the (tiny) edge set and truncates its
     # lineage — without it every propagation round re-evaluates the whole
     # signature pipeline upstream of the join (measured 6.3s -> ~3.5s at
     # sf0.1).  Every real iterative-graph job does this; at cluster scale
-    # it would be checkpoint() to durable storage instead.
-    ed = (
-        buckets.select(F.explode(pair_expr).alias("p"))
-        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
-        .distinct()
-        .localCheckpoint()
-    )
+    # it would be checkpoint() to durable storage instead.  No bucket cap
+    # here (the oracle keeps it exact); at 100 TB pass max_bucket.
+    ed = lsh_candidate_edges(bands).localCheckpoint()
     verts = ed.select(F.col("u").alias("x")).union(ed.select("v")).distinct()
     adj = (
         ed.select(F.col("u").alias("v"), F.col("v").alias("nbr"))

@@ -1,0 +1,156 @@
+"""Hot-shingle / hot-bucket frequency caps (VERDICT r3 #2).
+
+LSH candidate generation is bounded only probabilistically; on skewed
+real corpora one boilerplate gram or one near-constant-document bucket
+goes quadratic.  These tests plant exactly that skew and pin that the
+``max_doc_freq`` / ``max_bucket`` knobs bound the pair fan-out while
+true near-dup evidence survives — and that the default (cap off) is
+byte-identical to the exact semantics the oracles check.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+N_HOT = 60  # docs sharing the planted boilerplate gram / hot bucket
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+@pytest.fixture(scope="module")
+def boilerplate_corpus(spark):
+    """N_HOT docs with unique bodies + one shared boilerplate 3-gram;
+    two docs (9001, 9002) that genuinely near-duplicate each other."""
+    boiler = "all rights reserved"
+    rows = [f"unique body {i} alpha beta{i} gamma{i} {boiler}" for i in range(N_HOT)]
+    df = _docs(spark, rows)
+    near = spark.createDataFrame(
+        [
+            (9001, "the quick brown fox jumps over the lazy dog today", "en", "t", 50),
+            (9002, "the quick brown fox jumps over the lazy dog tonight", "en", "t", 51),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    return df.unionByName(near)
+
+
+def test_ngram_max_doc_freq_bounds_pair_fanout(boilerplate_corpus):
+    from acled_spark.queries.dedup import ngram_jaccard_pairs
+
+    uncapped = ngram_jaccard_pairs(boilerplate_corpus).count()
+    # the planted gram alone contributes C(N_HOT, 2) candidate pairs
+    assert uncapped >= N_HOT * (N_HOT - 1) // 2
+
+    capped = ngram_jaccard_pairs(boilerplate_corpus, max_doc_freq=10)
+    rows = capped.collect()
+    # boilerplate-only pairs are gone: fan-out is bounded, not quadratic
+    assert len(rows) < N_HOT
+    # the genuine near-dup pair survives (its shingles are low-frequency)
+    match = [r for r in rows if (r["doc1"], r["doc2"]) == (9001, 9002)]
+    assert match and match[0]["jaccard"] > 0.7
+
+
+def test_ngram_cap_at_or_above_df_is_exact(boilerplate_corpus):
+    """A cap no shingle exceeds must be a no-op (oracle-exactness)."""
+    from acled_spark.queries.dedup import ngram_jaccard_pairs
+
+    exact = sorted(
+        map(tuple, ngram_jaccard_pairs(boilerplate_corpus).collect())
+    )
+    lax = sorted(
+        map(
+            tuple,
+            ngram_jaccard_pairs(
+                boilerplate_corpus, max_doc_freq=N_HOT + 10
+            ).collect(),
+        )
+    )
+    assert exact == lax
+
+
+def test_ngram_capped_jaccard_never_overestimates(boilerplate_corpus):
+    """Capping drops intersection evidence only — every surviving pair's
+    jaccard is <= its exact value (a capped run can miss near-dups,
+    never invent them)."""
+    from acled_spark.queries.dedup import ngram_jaccard_pairs
+
+    exact = {
+        (r["doc1"], r["doc2"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(boilerplate_corpus).collect()
+    }
+    for r in ngram_jaccard_pairs(boilerplate_corpus, max_doc_freq=10).collect():
+        assert r["jaccard"] <= exact[(r["doc1"], r["doc2"])] + 1e-9
+
+
+@pytest.fixture(scope="module")
+def hot_bucket_corpus(spark):
+    """N_HOT identical template docs (one giant LSH bucket in EVERY
+    band) + one genuine near-dup pair in small buckets."""
+    rows = ["fixed template body repeated verbatim in every document"] * N_HOT
+    df = _docs(spark, rows)
+    near = spark.createDataFrame(
+        [
+            (9001, "the quick brown fox jumps over the lazy dog today", "en", "t", 50),
+            (9002, "the quick brown fox jumps over the lazy dog tonight", "en", "t", 51),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    return df.unionByName(near)
+
+
+def test_lsh_max_bucket_bounds_pair_expansion(hot_bucket_corpus):
+    from acled_spark.queries.dedup import lsh_candidate_edges, minhash_bands_spark
+
+    bands = minhash_bands_spark(hot_bucket_corpus)
+    uncapped = lsh_candidate_edges(bands).count()
+    assert uncapped >= N_HOT * (N_HOT - 1) // 2
+
+    capped = lsh_candidate_edges(bands, max_bucket=5).collect()
+    # the quadratic bucket is dropped wholesale
+    assert len(capped) < N_HOT
+    # the true near-dup pair still collides in its (small) buckets
+    assert (9001, 9002) in {(r["u"], r["v"]) for r in capped}
+
+
+def test_lsh_cap_at_or_above_bucket_size_is_exact(hot_bucket_corpus):
+    from acled_spark.queries.dedup import lsh_candidate_edges, minhash_bands_spark
+
+    bands = minhash_bands_spark(hot_bucket_corpus)
+    exact = sorted(map(tuple, lsh_candidate_edges(bands).collect()))
+    lax = sorted(
+        map(tuple, lsh_candidate_edges(bands, max_bucket=N_HOT + 10).collect())
+    )
+    assert exact == lax
+
+
+def test_registry_queries_unchanged_by_refactor(spark):
+    """dedup_ngram_jaccard / dedup_cluster_census still match their
+    oracles after extracting the capped builders (default = exact)."""
+    import duckdb
+
+    from acled_spark.registry import all_specs
+
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in ("documents",):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    for name in ("dedup_ngram_jaccard", "dedup_cluster_census"):
+        spec = all_specs()[name]
+        sdf = spec.builder(spark, sf)
+        cols = sorted(sdf.columns)
+        srows = sorted(
+            tuple(float(r[c]) for c in cols) for r in sdf.collect()
+        )
+        odf = con.execute(spec.oracle).fetchdf()
+        orows = sorted(
+            tuple(float(row[c]) for c in cols) for _, row in odf.iterrows()
+        )
+        assert srows == orows, name
