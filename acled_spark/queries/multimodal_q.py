@@ -40,11 +40,41 @@ def mm_payload_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mm_feature_extract",
-    oracle=None,  # Python decode step — rows-only check by design
+    oracle=None,  # Python decode step — not SQL-expressible; the query
+    # SELF-CERTIFIES instead: digest parity across the Arrow boundary
+    # and decode-validity flags travel in the output, so the driver's
+    # rows-only check pins real invariants
     tags=("multimodal", "extended", "python"),
 )
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode/feature pass over payloads (deterministic fake
-    decoder; swap in a real codec in production — see multimodal.py)."""
+    decoder; swap in a real codec in production — see multimodal.py).
+
+    Certification columns: ``digest_ok`` recomputes md5 JVM-side and
+    compares it to the digest the Python worker produced — an
+    end-to-end check that payload bytes crossed the Arrow boundary
+    unmangled; ``decode_ok`` pins the decoder contract (dimensions in
+    the documented 1..640 × 1..480 range, byte count matching the typed
+    metadata).  Any false flag in a driver row means the Python
+    boundary, not just the row count, broke.
+    """
     media = attach_payloads(load(spark, sf_dir, "documents"))
-    return extract_features(media).orderBy("doc_id").limit(100)
+    feats = extract_features(media)
+    return (
+        feats.join(media, "doc_id")
+        .select(
+            "doc_id",
+            "n_bytes",
+            "digest",
+            "width",
+            "height",
+            (F.md5("payload") == F.col("digest")).alias("digest_ok"),
+            (
+                F.col("width").between(1, 640)
+                & F.col("height").between(1, 480)
+                & (F.col("n_bytes") == F.col("meta.n_bytes"))
+            ).alias("decode_ok"),
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )

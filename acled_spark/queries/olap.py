@@ -171,22 +171,44 @@ def a21_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "a19_approx_distinct",
-    oracle=None,  # estimator output is engine-specific by design
+    oracle=None,  # estimator output is engine-specific by design; the
+    # query SELF-CERTIFIES instead: the error vs the exact count travels
+    # in the output, so the driver's rows-only check pins the bound
     tags=("agg", "scale"),
 )
 def a19_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimates — the 100 TB path for A11.
 
     Exact countDistinct shuffles every distinct value; HLL sketches
-    merge in constant space (rsd=0.01 ≈ 1% error).  No oracle: estimator
-    internals differ across engines; the rows-only check plus the exact
-    variant (a11_distinct_counts) bound correctness.
+    merge in constant space (rsd=0.01 ≈ 1% error).  The output carries
+    the realized relative error against the exact count computed in the
+    same aggregate plus a ``within_bound`` flag (5% = 5 standard
+    errors at rsd=0.01 — generous so the flag never flakes, tight
+    enough that a broken sketch trips it).  The exact columns are the
+    certification harness; the production path at 100 TB is the sketch
+    alone (a11_distinct_counts is the exact face).
     """
     ev = load(spark, sf_dir, "events")
-    return ev.agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-        F.approx_count_distinct("event_type", 0.01).alias("approx_types"),
-        F.count("*").alias("n_rows"),
+
+    def rel_err(approx: str, exact: str):
+        return F.round(
+            F.abs(F.col(approx) - F.col(exact)) / F.col(exact), 4
+        )
+
+    return (
+        ev.agg(
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("event_type", 0.01).alias("approx_types"),
+            F.countDistinct("event_type").alias("exact_types"),
+            F.count("*").alias("n_rows"),
+        )
+        .withColumn("rel_err_users", rel_err("approx_users", "exact_users"))
+        .withColumn("rel_err_types", rel_err("approx_types", "exact_types"))
+        .withColumn(
+            "within_bound",
+            (F.col("rel_err_users") <= 0.05) & (F.col("rel_err_types") <= 0.05),
+        )
     )
 
 
@@ -252,8 +274,10 @@ def a22_time_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "a26_approx_quantiles",
     oracle=None,  # sketch internals are engine-specific (Spark: Greenwald-
-    # Khanna; DuckDB: T-Digest) — accuracy vs the exact percentile is
-    # pinned in tests/test_approx_accuracy.py instead
+    # Khanna; DuckDB: T-Digest) — so the query SELF-CERTIFIES: the
+    # realized rank error of each sketch output travels in the result,
+    # and the driver's rows-only check pins the bound (also in
+    # tests/test_approx_accuracy.py)
     tags=("agg", "scale"),
 )
 def a26_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -265,15 +289,51 @@ def a26_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the GK sketch is constant-memory, mergeable, one pass — the only
     shape that survives a 10⁹-row group.  rsd knob = 1/accuracy: 10000
     here keeps worst-case rank error at 0.01%.
+
+    Certification columns: GK guarantees RANK error (not value error),
+    so a second conditional-aggregate pass computes the realized rank
+    of each returned quantile — fraction of the group's values <= it —
+    and ``max_rank_err`` / ``within_bound`` report the distance from
+    the target rank.  Bound = sketch guarantee (1/accuracy) + 1/n
+    discretization slack (the returned value is a data point, so its
+    realized rank sits on a 1/n grid).  The second scan is the
+    certification harness; the sketch pass alone is the scale path.
     """
     ev = load(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
+    sketch = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.percentile_approx("value", 0.5, 10000).alias("p50"),
+        F.percentile_approx("value", 0.9, 10000).alias("p90"),
+        F.percentile_approx("value", 0.99, 10000).alias("p99"),
+    )
+    # realized rank of each sketch quantile: one more scan of events
+    # with the tiny per-group quantile frame broadcast onto it
+    ranked = (
+        ev.join(F.broadcast(sketch), "event_type")
+        .groupBy("event_type")
         .agg(
-            F.count("*").alias("n"),
-            F.percentile_approx("value", 0.5, 10000).alias("p50"),
-            F.percentile_approx("value", 0.9, 10000).alias("p90"),
-            F.percentile_approx("value", 0.99, 10000).alias("p99"),
+            *[
+                F.avg((F.col("value") <= F.col(p)).cast("double")).alias(
+                    f"rank_{p}"
+                )
+                for p in ("p50", "p90", "p99")
+            ]
+        )
+    )
+    max_err = F.greatest(
+        F.abs(F.col("rank_p50") - 0.5),
+        F.abs(F.col("rank_p90") - 0.9),
+        F.abs(F.col("rank_p99") - 0.99),
+    )
+    return (
+        sketch.join(F.broadcast(ranked), "event_type")
+        .withColumn("max_rank_err", F.round(max_err, 6))
+        .withColumn(
+            "within_bound",
+            F.col("max_rank_err") <= (1.0 / 10000 + 1.0 / F.col("n")),
+        )
+        .select(
+            "event_type", "n", "p50", "p90", "p99", "max_rank_err", "within_bound"
         )
         .orderBy("event_type")
     )

@@ -92,3 +92,21 @@ def test_ivf_salted_join_identical_results(spark, index):
         index, probes, top_k=5, nprobe=2, salt_buckets=4
     ).collect()
     assert [tuple(r) for r in plain] == [tuple(r) for r in salted]
+
+
+def test_sim_ann_ivf_emits_recall_column(spark):
+    """The query output itself carries recall@k vs the exact baseline
+    (constant per query group, >= the tested floor) — driver-visible
+    self-certification."""
+    from acled_spark.queries.similarity import TOP_K, sim_ann_ivf
+
+    rows = sim_ann_ivf(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], set()).add(r["recall_at_k"])
+    # one recall value per query, and the mean holds the floor
+    assert all(len(v) == 1 for v in by_q.values())
+    mean = sum(next(iter(v)) for v in by_q.values()) / len(by_q)
+    assert mean >= 0.8, by_q
+    assert all(0.0 <= next(iter(v)) <= 1.0 for v in by_q.values())

@@ -130,3 +130,29 @@ def test_approx_quantiles_close_to_exact(spark):
             assert abs(approx[et][q] - ex[q]) <= 0.01 * max(abs(ex[q]), 1e-9), (
                 et, q, approx[et][q], ex[q],
             )
+
+
+def test_a19_self_certifies_within_bound(spark):
+    """The registry query's own output carries rel-err vs exact and a
+    within_bound flag — the invariant the driver's rows-only check pins."""
+    from acled_spark.registry import all_specs
+
+    row = all_specs()["a19_approx_distinct"].builder(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert row["within_bound"] is True
+    assert row["rel_err_users"] <= 0.05
+    assert row["rel_err_types"] <= 0.05
+    assert row["exact_users"] > 0
+
+
+def test_a26_self_certifies_rank_error(spark):
+    from acled_spark.registry import all_specs
+
+    rows = all_specs()["a26_approx_quantiles"].builder(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["within_bound"] is True, (r["event_type"], r["max_rank_err"])
+        assert r["max_rank_err"] <= 1 / 10000 + 1 / r["n"]

@@ -91,3 +91,17 @@ def test_sample_frames_fanout_and_determinism(spark):
         idx = r["frame_idx"]
         assert idx % 3 == 0
         assert bytes(r["frame"]) == p[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
+
+
+def test_mm_feature_extract_self_certifies(spark):
+    """digest_ok pins Arrow round-trip byte fidelity (md5 recomputed
+    JVM-side == Python-side digest); decode_ok pins the decoder
+    contract + metadata byte-count parity."""
+    from acled_spark.registry import all_specs
+
+    rows = all_specs()["mm_feature_extract"].builder(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    assert all(r["digest_ok"] for r in rows)
+    assert all(r["decode_ok"] for r in rows)
