@@ -40,6 +40,12 @@ def main(argv: list[str] | None = None) -> int:
         "ingest", help="fetch day partitions over HTTP into bronze"
     )
     pi.add_argument("--bronze", required=True, help="bronze table path")
+    pi.add_argument(
+        "--silver",
+        help="silver table path; when set, each day runs the FULL "
+        "lifecycle (fetch -> bronze checks -> bronze -> keyed silver "
+        "upsert -> silver checks) instead of bronze-only",
+    )
     pi.add_argument("--start", required=True, help="first day (YYYY-MM-DD)")
     pi.add_argument("--end", help="last day inclusive; default = start")
     pi.add_argument("--base-url", default="https://acleddata.com")
@@ -117,7 +123,7 @@ def _ingest(args) -> int:
     from datetime import date
 
     from acled_spark.http_client import make_http_fetcher
-    from acled_spark.scheduler import run_backfill
+    from acled_spark.scheduler import missing_partitions, run_backfill
     from acled_spark.session import get_spark
     from acled_spark.source import partition_days
 
@@ -136,9 +142,24 @@ def _ingest(args) -> int:
         username, password, base_url=args.base_url, endpoint=args.endpoint
     )
     spark = get_spark(app_name="acled-spark-ingest")
-    done = run_backfill(
-        spark, fetcher, args.bronze, partition_days(start, end), limit=args.limit
-    )
+    if args.silver:
+        from acled_spark.pipeline import run_day
+
+        done = missing_partitions(args.bronze, partition_days(start, end))
+        for day in done:
+            result = run_day(
+                spark, fetcher, day, args.bronze, args.silver,
+                page_limit=args.limit,
+            )
+            checks = result.bronze_checks + result.silver_checks
+            print(
+                f"{day.isoformat()}: {result.rows} rows, "
+                f"{sum(c.passed for c in checks)}/{len(checks)} checks passed"
+            )
+    else:
+        done = run_backfill(
+            spark, fetcher, args.bronze, partition_days(start, end), limit=args.limit
+        )
     print(f"materialized {len(done)} partition(s): "
           + ", ".join(d.isoformat() for d in done))
     return 0

@@ -436,3 +436,83 @@ def test_token_grant_4xx_still_authentication_error(stub_server):
     with pytest.raises(AuthenticationError):
         fetch_day(f, DAY, limit=10)
     assert len(StubAcledHandler.grants) == 1
+
+
+def test_cli_ingest_full_lifecycle_to_silver_and_rollup(
+    stub_server, spark, tmp_path, monkeypatch
+):
+    """python -m acled_spark ingest --silver: the CLI composition of the
+    whole lifecycle — OAuth fetch -> bronze checks -> bronze -> keyed
+    silver upsert -> silver checks — then a daily rollup over the silver
+    table (the a4 shape), plus replay idempotence: re-sending day 1 with
+    updated rows must update in place, never duplicate."""
+    from pyspark.sql import functions as F
+
+    from acled_spark.__main__ import main
+
+    def day_rows(day, n, fat_offset=0):
+        return [
+            {
+                "event_id_cnty": f"LC{i:03d}",
+                "event_date": day,
+                "year": "2024",
+                "event_type": "Riots",
+                "fatalities": str((i + fat_offset) % 4),
+                "timestamp": str(1709600000 + i),
+            }
+            for i in range(n)
+        ]
+
+    monkeypatch.setenv("ACLED_USERNAME", "u@x.io")
+    monkeypatch.setenv("ACLED_PASSWORD", "pw")
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+
+    StubAcledHandler.rows = day_rows("2024-03-05", 11)
+    rc = main(
+        ["ingest", "--bronze", bronze, "--silver", silver,
+         "--start", "2024-03-05", "--base-url", stub_server, "--limit", "5"]
+    )
+    assert rc == 0
+    assert spark.read.parquet(silver).count() == 11
+
+    # second day lands as its own partition
+    StubAcledHandler.rows = day_rows("2024-03-06", 7)
+    assert main(
+        ["ingest", "--bronze", bronze, "--silver", silver,
+         "--start", "2024-03-06", "--base-url", stub_server, "--limit", "5"]
+    ) == 0
+
+    # replay day 1 with changed fatalities: bronze partition for that day
+    # must be re-fetched (delete it to simulate a reprocess request) and
+    # the silver upsert must UPDATE the 11 keys, not append
+    import shutil
+
+    shutil.rmtree(f"{bronze}/event_date=2024-03-05")
+    StubAcledHandler.rows = day_rows("2024-03-05", 11, fat_offset=1)
+    assert main(
+        ["ingest", "--bronze", bronze, "--silver", silver,
+         "--start", "2024-03-05", "--base-url", stub_server, "--limit", "5"]
+    ) == 0
+
+    out = spark.read.parquet(silver)
+    assert out.count() == 18  # 11 updated + 7, no duplicates
+    # updated values won: LC000 now has fatalities (0+1)%4 = 1
+    row = out.filter(F.col("event_id_cnty") == "LC000").collect()[0]
+    assert row["fatalities"] == 1
+
+    # the a4 daily-rollup shape over the silver table
+    rollup = (
+        out.groupBy("event_date")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("fatalities").alias("total_fatalities"),
+        )
+        .orderBy("event_date")
+        .collect()
+    )
+    assert [(str(r["event_date"]), r["n_events"]) for r in rollup] == [
+        ("2024-03-05", 11),
+        ("2024-03-06", 7),
+    ]
+    assert all(r["total_fatalities"] > 0 for r in rollup)

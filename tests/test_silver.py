@@ -284,17 +284,21 @@ def test_delta_dispatch_reaches_merge(spark, tmp_path, monkeypatch):
     import acled_spark.silver as silver_mod
 
     calls = {}
+    seq = []
 
     class FakeMergeBuilder:
         def whenMatchedUpdateAll(self):
+            seq.append("whenMatchedUpdateAll")
             calls["matched"] = True
             return self
 
         def whenNotMatchedInsertAll(self):
+            seq.append("whenNotMatchedInsertAll")
             calls["not_matched"] = True
             return self
 
         def execute(self):
+            seq.append("execute")
             calls["executed"] = True
 
     class FakeDeltaHandle:
@@ -328,6 +332,7 @@ def test_delta_dispatch_reaches_merge(spark, tmp_path, monkeypatch):
         key="event_id", partition_col="day", table_format="auto",
     )
     assert calls["executed"] and calls["matched"] and calls["not_matched"]
+    assert seq == ["whenMatchedUpdateAll", "whenNotMatchedInsertAll", "execute"]
     assert calls["source_rows"] == calls["source_keys"] == batch.count()
     # merge condition carries the key equality and the partition pruning
     assert "event_id" in calls["condition"] and "day" in calls["condition"]
