@@ -30,6 +30,7 @@ SEED = 42
 class IvfIndex:
     model: KMeansModel
     assigned: DataFrame  # vec_id, embedding (array), cell
+    base_cost: float | None = None  # mean squared centroid distance at fit
 
     def unpersist(self) -> None:
         """Release the cached cell assignment (see build_ivf_index)."""
@@ -83,11 +84,15 @@ def build_ivf_index(
     )
     model = km.fit(with_vec)
     assigned = model.transform(with_vec).select(id_col, vec_col, "cell")
+    # Mean squared centroid distance at fit time — the staleness
+    # baseline for incremental maintenance (trainingCost is the sum over
+    # the cached build frame, so the count is one cheap cached pass).
+    base_cost = model.summary.trainingCost / max(with_vec.count(), 1)
     if persist:
         assigned = assigned.cache()
         assigned.count()  # materialize the index before freeing the build frame
     with_vec.unpersist()
-    return IvfIndex(model=model, assigned=assigned)
+    return IvfIndex(model=model, assigned=assigned, base_cost=base_cost)
 
 
 def ivf_search(
@@ -217,3 +222,164 @@ def ivf_search(
         .filter(F.col("rnk") <= top_k)
         .orderBy("query_id", "rnk")
     )
+
+
+# --- incremental maintenance ------------------------------------------------
+# A 100 TB corpus cannot refit the quantizer per batch of new vectors;
+# the standard IVF maintenance contract is: ASSIGN new/updated vectors
+# to the frozen centroids (a narrow map — the same transform the build
+# used), track how far the data has drifted from the centroids, and
+# refit only when the drift signal says the cells no longer describe
+# the corpus.
+
+
+def _assign_cells(
+    index: IvfIndex, vectors: DataFrame, vec_col: str, id_col: str
+) -> DataFrame:
+    """(id, vec, cell) for new vectors against the FROZEN quantizer —
+    byte-identical normalization + model.transform as the build path,
+    so an upserted vector lands in exactly the cell a full rebuild
+    would give it (given unchanged centroids)."""
+    dot_self = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col(vec_col), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double"),
+    )
+    with_norm = vectors.withColumn("__nrm", F.sqrt(dot_self))
+    normed = F.when(
+        F.col("__nrm") > 0,
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("__nrm")),
+    ).otherwise(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+    with_vec = with_norm.withColumn("__vec", array_to_vector(normed))
+    return index.model.transform(with_vec).select(id_col, vec_col, "cell")
+
+
+def ivf_upsert(
+    index: IvfIndex,
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    persist: bool = True,
+) -> IvfIndex:
+    """Fold new/updated vectors into the index WITHOUT a refit.
+
+    New ids are assigned to their nearest existing cell; existing ids
+    are replaced (updated embedding, re-assigned cell) via an anti-join
+    on the id — the keyed-upsert contract, same survivor policy as the
+    silver layer.  Returns a NEW IvfIndex sharing the frozen model;
+    ``base_cost`` carries over (it describes the centroids, which did
+    not move).  The old assignment cache is released when the new one
+    is materialized.
+
+    Scale: assignment is model.transform (narrow map over the batch
+    only), the anti-join keys on the id — nothing rescans the existing
+    corpus beyond the one merge, and batches compose:
+    upsert(upsert(i, a), b) == upsert(i, a+b) for disjoint ids.
+    """
+    fresh = _assign_cells(index, vectors, vec_col, id_col)
+    kept = index.assigned.join(
+        fresh.select(id_col), id_col, "left_anti"
+    )
+    merged = kept.unionByName(fresh)
+    if persist:
+        merged = merged.cache()
+        merged.count()
+        index.assigned.unpersist()
+    return IvfIndex(model=index.model, assigned=merged, base_cost=index.base_cost)
+
+
+def ivf_staleness(
+    index: IvfIndex, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> dict:
+    """Drift of the current corpus from the frozen centroids.
+
+    Returns ``{mean_sq_dist, base_cost, drift_ratio, n_vectors}`` where
+    ``drift_ratio = mean_sq_dist / base_cost`` (1.0 = as tight as at
+    fit time).  Upserts from the distribution KMeans saw keep the ratio
+    near 1; a growing ratio means the cells no longer describe the
+    corpus — the refit signal (a common production policy: refit at
+    drift_ratio > ~1.5, or on a cadence, whichever first).
+
+    One distributed pass: normalized vectors join the broadcast
+    nlist-row centroid table on the assigned cell; no driver collect of
+    vectors.
+    """
+    spark = index.assigned.sparkSession
+    centroids = spark.createDataFrame(
+        [
+            (i, [float(x) for x in c])
+            for i, c in enumerate(index.model.clusterCenters())
+        ],
+        "cell int, centroid array<double>",
+    )
+    dot_self = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col(vec_col), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double"),
+    )
+    normed = F.when(
+        F.col("__nrm") > 0,
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("__nrm")),
+    ).otherwise(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+    sq_dist = F.aggregate(
+        F.zip_with(F.col("__n"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    row = (
+        index.assigned.withColumn("__nrm", F.sqrt(dot_self))
+        .withColumn("__n", normed)
+        .join(F.broadcast(centroids), "cell")
+        .agg(
+            F.avg(sq_dist).alias("mean_sq_dist"),
+            F.count("*").alias("n_vectors"),
+        )
+        .collect()[0]
+    )
+    mean_sq = float(row["mean_sq_dist"] or 0.0)
+    base = index.base_cost
+    return {
+        "mean_sq_dist": mean_sq,
+        "base_cost": base,
+        "drift_ratio": (mean_sq / base) if base else float("nan"),
+        "n_vectors": row["n_vectors"],
+    }
+
+
+class IvfMaintainer:
+    """``foreachBatch`` face for streaming vector upserts.
+
+    Wraps a mutable index reference so a Structured Streaming sink can
+    fold micro-batches in::
+
+        maint = IvfMaintainer(build_ivf_index(corpus))
+        (stream.writeStream.foreachBatch(maint).start())
+
+    After each batch, ``maint.index`` serves searches including the new
+    vectors, and ``maint.staleness()`` reports drift;
+    ``needs_refit(threshold)`` is the scheduling signal.  (Refit itself
+    is a batch job — rebuild with :func:`build_ivf_index` and swap.)
+    """
+
+    def __init__(
+        self,
+        index: IvfIndex,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ):
+        self.index = index
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.batches_applied = 0
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        self.index = ivf_upsert(
+            self.index, batch_df, vec_col=self.vec_col, id_col=self.id_col
+        )
+        self.batches_applied += 1
+
+    def staleness(self) -> dict:
+        return ivf_staleness(self.index, self.vec_col, self.id_col)
+
+    def needs_refit(self, threshold: float = 1.5) -> bool:
+        return self.staleness()["drift_ratio"] > threshold
