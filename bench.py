@@ -40,12 +40,17 @@ def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def run_bench() -> tuple[dict[str, float], float | str]:
+def run_bench(only: set[str] | None = None) -> tuple[dict[str, float], float | str]:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark(app_name="acled-spark-bench")
 
     specs = all_specs()
+    if only is not None:
+        unknown = only - set(specs)
+        if unknown:
+            raise SystemExit(f"bench: unknown queries in --only: {sorted(unknown)}")
+        specs = {k: v for k, v in specs.items() if k in only}
     # Warm the JVM + parquet footers once so per-query numbers measure the
     # query, not session startup.
     from acled_spark.tables import TABLE_NAMES, load
@@ -130,6 +135,14 @@ def main() -> None:
     check_mode = "--check" in argv
     if check_mode:
         argv.remove("--check")
+    only = None
+    if "--only" in argv:
+        # subset run (e.g. the heavy tier at a custom SPARK_GRAFT_SF_DIR);
+        # BENCH_FULL.json is NOT rewritten — it stays the all-query
+        # baseline the driver and --check compare against
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
     baseline_path = argv[0] if argv else FULL_PATH
     base = None
     if check_mode:
@@ -137,9 +150,10 @@ def main() -> None:
         with open(baseline_path) as fh:
             base = json.load(fh)
 
-    timings, sf = run_bench()
-    with open(FULL_PATH, "w") as fh:
-        json.dump({"sf": sf, "queries": timings}, fh, indent=1, sort_keys=True)
+    timings, sf = run_bench(only)
+    if only is None:
+        with open(FULL_PATH, "w") as fh:
+            json.dump({"sf": sf, "queries": timings}, fh, indent=1, sort_keys=True)
     print(summary_line(timings, sf))
     if check_mode:
         sys.exit(check(timings, base))
