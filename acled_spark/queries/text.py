@@ -1071,3 +1071,60 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("log_log_corr"),
     )
+
+
+# --- PII scrub report -------------------------------------------------------
+from acled_spark.pii import counts_sql as _pii_counts_sql
+from acled_spark.pii import pii_counts as _pii_counts
+from acled_spark.pii import scrub_pii as _scrub_pii
+from acled_spark.pii import scrub_sql as _pii_scrub_sql
+
+_PII_COUNT_COLS = ", ".join(
+    f"CAST(SUM({expr}) AS BIGINT) AS pii_{name}"
+    for name, expr in _pii_counts_sql("text").items()
+)
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS docs,
+           {_PII_COUNT_COLS},
+           CAST(SUM(CASE WHEN length(text) <> length({_pii_scrub_sql('text')})
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_redacted,
+           CAST(SUM(length(text) - length({_pii_scrub_sql('text')})) AS BIGINT)
+             AS chars_delta
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    tags=("text", "pii", "extended"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus PII audit: per-language match counts for every pattern in
+    :data:`acled_spark.pii.PII_PATTERNS` plus the redaction footprint
+    (docs touched, character delta) of the full scrub chain.
+
+    The patterns live in the Java-regex/RE2 common subset, so the SAME
+    strings drive this builder and the oracle — the parity check is a
+    cross-engine regex-semantics test, and tests/test_pii.py covers the
+    match-positive half on planted PII (this synthetic corpus is
+    digit-free, so counts here are honest zeros).  Scale: per-document
+    codegen expressions riding the scan; one small (lang) rollup.
+    """
+    docs = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    scrubbed = _scrub_pii(text)
+    aggs = [F.count("*").alias("docs")]
+    aggs += [
+        F.sum(c).cast("long").alias(f"pii_{name}")
+        for name, c in _pii_counts(text).items()
+    ]
+    aggs.append(
+        F.sum((F.length(text) != F.length(scrubbed)).cast("int"))
+        .cast("long")
+        .alias("docs_redacted")
+    )
+    aggs.append(
+        F.sum(F.length(text) - F.length(scrubbed)).cast("long").alias("chars_delta")
+    )
+    return docs.groupBy("lang").agg(*aggs).orderBy("lang")
