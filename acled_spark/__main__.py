@@ -145,7 +145,16 @@ def _ingest(args) -> int:
     if args.silver:
         from acled_spark.pipeline import run_day
 
-        done = missing_partitions(args.bronze, partition_days(start, end))
+        # A day can be materialized in bronze but absent from silver
+        # (e.g. an earlier bronze-only run of the same range) — gating
+        # on bronze alone would skip it forever.  run_day is
+        # replay-safe end to end, so re-running a half-done day is
+        # correct; select days missing from EITHER table.
+        all_days = partition_days(start, end)
+        done = sorted(
+            set(missing_partitions(args.bronze, all_days))
+            | set(missing_partitions(args.silver, all_days))
+        )
         for day in done:
             result = run_day(
                 spark, fetcher, day, args.bronze, args.silver,

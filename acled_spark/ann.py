@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from acled_spark.silver import merge_updates
+
 SEED = 42
 
 
@@ -277,6 +279,11 @@ def ivf_upsert(
     upsert(upsert(i, a), b) == upsert(i, a+b) for disjoint ids.
     """
     fresh = _assign_cells(index, vectors, vec_col, id_col)
+    # One surviving row per id WITHIN the batch too — a micro-batch
+    # carrying two updates for one key would otherwise leave duplicate
+    # ids in the index (double-counted in search results and drift
+    # stats).  Same content-hash survivor policy as the silver layer.
+    fresh = merge_updates(fresh.limit(0), fresh, id_col)
     kept = index.assigned.join(
         fresh.select(id_col), id_col, "left_anti"
     )
@@ -338,10 +345,18 @@ def ivf_staleness(
     )
     mean_sq = float(row["mean_sq_dist"] or 0.0)
     base = index.base_cost
+    # No usable baseline (externally built index, or a degenerate fit
+    # with trainingCost 0): any measured drift must read as
+    # "refit-worthy", never NaN — a NaN ratio makes needs_refit()'s
+    # comparison silently False forever and kills the signal.
+    if base is None or base <= 0.0:
+        ratio = 1.0 if mean_sq == 0.0 else float("inf")
+    else:
+        ratio = mean_sq / base
     return {
         "mean_sq_dist": mean_sq,
         "base_cost": base,
-        "drift_ratio": (mean_sq / base) if base else float("nan"),
+        "drift_ratio": ratio,
         "n_vectors": row["n_vectors"],
     }
 

@@ -292,12 +292,17 @@ def a26_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Certification columns: GK guarantees RANK error (not value error),
     so a second conditional-aggregate pass computes the realized rank
-    of each returned quantile — fraction of the group's values <= it —
-    and ``max_rank_err`` / ``within_bound`` report the distance from
-    the target rank.  Bound = sketch guarantee (1/accuracy) + 1/n
-    discretization slack (the returned value is a data point, so its
-    realized rank sits on a 1/n grid).  The second scan is the
-    certification harness; the sketch pass alone is the scale path.
+    of each returned quantile.  With ties, a value does not have ONE
+    rank but an interval [frac(< p), frac(<= p)] — the whole tie run
+    shares the value — and the guarantee holds if the target rank
+    falls within that interval (± slack); judging only the <=-rank
+    would flag a correct sketch on tie-heavy or near-constant data.
+    ``max_rank_err`` is therefore the distance from the target rank to
+    the realized rank INTERVAL, and ``within_bound`` pins it to the
+    sketch guarantee (1/accuracy) + 1/n discretization slack (the
+    returned value is a data point, so interval endpoints sit on a 1/n
+    grid).  The second scan is the certification harness; the sketch
+    pass alone is the scale path.
     """
     ev = load(spark, sf_dir, "events")
     sketch = ev.groupBy("event_type").agg(
@@ -308,22 +313,30 @@ def a26_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # realized rank of each sketch quantile: one more scan of events
     # with the tiny per-group quantile frame broadcast onto it
+    rank_aggs = []
+    for p in ("p50", "p90", "p99"):
+        rank_aggs.append(
+            F.avg((F.col("value") < F.col(p)).cast("double")).alias(f"lo_{p}")
+        )
+        rank_aggs.append(
+            F.avg((F.col("value") <= F.col(p)).cast("double")).alias(f"hi_{p}")
+        )
     ranked = (
         ev.join(F.broadcast(sketch), "event_type")
         .groupBy("event_type")
-        .agg(
-            *[
-                F.avg((F.col("value") <= F.col(p)).cast("double")).alias(
-                    f"rank_{p}"
-                )
-                for p in ("p50", "p90", "p99")
-            ]
-        )
+        .agg(*rank_aggs)
     )
+
+    def _interval_err(p: str, q: float) -> F.Column:
+        # distance from target rank q to [lo, hi]; 0 when q lies inside
+        return F.greatest(
+            F.lit(0.0), F.col(f"lo_{p}") - F.lit(q), F.lit(q) - F.col(f"hi_{p}")
+        )
+
     max_err = F.greatest(
-        F.abs(F.col("rank_p50") - 0.5),
-        F.abs(F.col("rank_p90") - 0.9),
-        F.abs(F.col("rank_p99") - 0.99),
+        _interval_err("p50", 0.5),
+        _interval_err("p90", 0.9),
+        _interval_err("p99", 0.99),
     )
     return (
         sketch.join(F.broadcast(ranked), "event_type")

@@ -1091,7 +1091,7 @@ _PII_COUNT_COLS = ", ".join(
     SELECT lang,
            COUNT(*) AS docs,
            {_PII_COUNT_COLS},
-           CAST(SUM(CASE WHEN length(text) <> length({_pii_scrub_sql('text')})
+           CAST(SUM(CASE WHEN text <> {_pii_scrub_sql('text')}
                          THEN 1 ELSE 0 END) AS BIGINT) AS docs_redacted,
            CAST(SUM(length(text) - length({_pii_scrub_sql('text')})) AS BIGINT)
              AS chars_delta
@@ -1119,10 +1119,12 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(c).cast("long").alias(f"pii_{name}")
         for name, c in _pii_counts(text).items()
     ]
+    # string inequality, not length inequality: a replacement token can
+    # be exactly as long as the match it covered (e.g. a 7-char email
+    # -> '[EMAIL]'), and the audit row must not contradict its own
+    # pii_* counts
     aggs.append(
-        F.sum((F.length(text) != F.length(scrubbed)).cast("int"))
-        .cast("long")
-        .alias("docs_redacted")
+        F.sum((text != scrubbed).cast("int")).cast("long").alias("docs_redacted")
     )
     aggs.append(
         F.sum(F.length(text) - F.length(scrubbed)).cast("long").alias("chars_delta")

@@ -66,14 +66,20 @@ def fetch_day(
         # A pushed filter param overwriting a caller-supplied param of
         # the same name (or vice versa) would silently change which rows
         # the server returns — and could leave a caller-set base param
-        # inconsistent with the pushed `_where` companion.  Conflicting
-        # specifications must be explicit, not last-writer-wins.
-        clashes = sorted(set(extra) & set(pushed))
+        # inconsistent with the pushed `_where` companion.  The clash
+        # check compares FIELDS, not raw keys: a caller-set
+        # `{col}_where` against a pushed `{col}` (or any other mixed
+        # base/companion split of one field) rewrites the operator the
+        # filter asked for, so it must be just as explicit.
+        def _field(k: str) -> str:
+            return k[: -len("_where")] if k.endswith("_where") else k
+
+        clashes = sorted({_field(k) for k in extra} & {_field(k) for k in pushed})
         if clashes:
             raise ValueError(
-                f"params and pushed filter params collide on {clashes}; "
-                "specify each field via either `params` or `filters`, "
-                "not both"
+                f"params and pushed filter params collide on fields "
+                f"{clashes}; specify each field via either `params` or "
+                "`filters`, not both"
             )
         extra.update(pushed)
     rows: list[dict] = []

@@ -141,6 +141,8 @@ def main() -> None:
         # BENCH_FULL.json is NOT rewritten — it stays the all-query
         # baseline the driver and --check compare against
         i = argv.index("--only")
+        if i + 1 >= len(argv):
+            raise SystemExit("bench: --only requires a comma-separated query list")
         only = set(argv[i + 1].split(","))
         del argv[i : i + 2]
     baseline_path = argv[0] if argv else FULL_PATH

@@ -273,3 +273,49 @@ def test_ivf_maintainer_foreach_batch_face(spark, index):
     one_shot = ivf_upsert(index, b1.unionByName(b2), persist=False)
     assert one_shot.assigned.count() == maint.index.assigned.count()
     maint.index.unpersist()
+
+
+def test_ivf_upsert_dedupes_duplicate_ids_within_batch(spark, index):
+    """A micro-batch carrying two updates for one vec_id must leave ONE
+    row for it in the index (the silver survivor contract) — duplicate
+    rows would double-count searches and drift stats."""
+    from acled_spark.ann import ivf_upsert
+
+    emb = load(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    donor = emb.filter(F.col("vec_id") == 5).first()
+    twice = spark.createDataFrame(
+        [
+            (5, [float(x) for x in donor["embedding"]], "a"),
+            (5, [float(x) + 1e-3 for x in donor["embedding"]], "b"),
+        ],
+        "vec_id long, embedding array<float>, label string",
+    )
+    idx2 = ivf_upsert(index, twice, persist=False)
+    assert idx2.assigned.count() == n
+    assert idx2.assigned.filter(F.col("vec_id") == 5).count() == 1
+    # a brand-new id duplicated in the batch lands exactly once too
+    fresh_dup = twice.withColumn("vec_id", F.lit(990007).cast("long"))
+    idx3 = ivf_upsert(index, fresh_dup, persist=False)
+    assert idx3.assigned.filter(F.col("vec_id") == 990007).count() == 1
+    assert idx3.assigned.count() == n + 1
+
+
+def test_ivf_staleness_without_usable_base_cost_never_nan(spark, index):
+    """base_cost None (externally built index) or 0.0 (degenerate fit)
+    must yield a refit-worthy drift_ratio, not NaN — NaN > threshold is
+    silently False and kills the refit signal forever."""
+    import math
+
+    from acled_spark.ann import IvfIndex, IvfMaintainer, ivf_staleness
+
+    for broken_base in (None, 0.0):
+        idx = IvfIndex(
+            model=index.model, assigned=index.assigned, base_cost=broken_base
+        )
+        st = ivf_staleness(idx)
+        assert not math.isnan(st["drift_ratio"])
+        # real corpus has nonzero spread around the centroids
+        assert st["mean_sq_dist"] > 0
+        assert st["drift_ratio"] == float("inf")
+        assert IvfMaintainer(idx).needs_refit()

@@ -273,3 +273,35 @@ def test_fetch_day_param_filter_collision_raises():
         filters=FilterSpec([Predicate("event_type", "eq", "Riots")]),
         params={"fields": "event_id_cnty"},
     ) == []
+
+
+def test_fetch_day_where_companion_collision_raises():
+    """The clash guard compares FIELDS, not raw keys: a caller-set
+    `{col}_where` against a pushed base `{col}` would rewrite the
+    operator the filter asked for (eq pushes no _where, so the server
+    would apply the caller's operator to the filter's value)."""
+    from datetime import date
+
+    import pytest
+
+    from acled_spark.filters import FilterSpec, Predicate
+    from acled_spark.source import fetch_day
+
+    def fetcher(day, page, limit, params):
+        return []
+
+    with pytest.raises(ValueError, match="collide.*fatalities"):
+        fetch_day(
+            fetcher,
+            date(2024, 1, 5),
+            filters=FilterSpec([Predicate("fatalities", "eq", 5)]),
+            params={"fatalities_where": ">"},
+        )
+    # and the mirrored split: caller base key vs pushed _where companion
+    with pytest.raises(ValueError, match="collide.*fatalities"):
+        fetch_day(
+            fetcher,
+            date(2024, 1, 5),
+            filters=FilterSpec([Predicate("fatalities", "ge", 5)]),
+            params={"fatalities": "9"},
+        )

@@ -516,3 +516,50 @@ def test_cli_ingest_full_lifecycle_to_silver_and_rollup(
         ("2024-03-06", 7),
     ]
     assert all(r["total_fatalities"] > 0 for r in rollup)
+
+
+def test_cli_silver_flag_backfills_days_already_in_bronze(
+    stub_server, spark, tmp_path, monkeypatch
+):
+    """A bronze-only run followed by a --silver run of the SAME range
+    must still materialize silver: day selection gates on days missing
+    from EITHER table, not bronze alone (a bronze-present/silver-absent
+    day would otherwise be skipped forever)."""
+    from acled_spark.__main__ import main
+
+    monkeypatch.setenv("ACLED_USERNAME", "u@x.io")
+    monkeypatch.setenv("ACLED_PASSWORD", "pw")
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+
+    StubAcledHandler.rows = [
+        {
+            "event_id_cnty": f"BF{i:03d}",
+            "event_date": "2024-03-07",
+            "year": "2024",
+            "event_type": "Riots",
+            "fatalities": str(i % 3),
+            "timestamp": str(1709600000 + i),
+        }
+        for i in range(9)
+    ]
+    # pass 1: bronze only
+    assert main(
+        ["ingest", "--bronze", bronze,
+         "--start", "2024-03-07", "--base-url", stub_server, "--limit", "5"]
+    ) == 0
+    assert spark.read.parquet(bronze).count() == 9
+
+    # pass 2: same range, now with --silver — must run, not no-op
+    assert main(
+        ["ingest", "--bronze", bronze, "--silver", silver,
+         "--start", "2024-03-07", "--base-url", stub_server, "--limit", "5"]
+    ) == 0
+    assert spark.read.parquet(silver).count() == 9
+
+    # pass 3: fully materialized range with --silver is a clean no-op
+    assert main(
+        ["ingest", "--bronze", bronze, "--silver", silver,
+         "--start", "2024-03-07", "--base-url", stub_server, "--limit", "5"]
+    ) == 0
+    assert spark.read.parquet(silver).count() == 9
