@@ -1,0 +1,120 @@
+"""Incremental dedup signature store: batch-vs-store verdicts and the
+append lifecycle, never rescanning corpus text (the per-batch shape a
+100 TB pipeline actually runs; check semantics oracle-pinned by the
+dedup_incremental_check registry query)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from acled_spark.dedup_store import append_batch, check_batch, init_store
+from acled_spark.tables import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    root = str(tmp_path / "sigstore")
+    corpus = load(spark, SF_DIR, "documents").filter(F.col("doc_id") < 60)
+    init_store(corpus, root)
+    return root, corpus
+
+
+def _mk_batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_check_classifies_exact_near_and_new(spark, store):
+    root, corpus = store
+    donor = corpus.filter(F.col("doc_id") == 7).first()
+    words = donor["text"].split()
+    near_text = " ".join(words[:-1] + ["changedword"])
+    batch = _mk_batch(spark, [
+        # new id, text identical to a store doc -> exact dup of 7's group
+        (1007, donor["text"], donor["lang"], donor["source"], donor["n_chars"]),
+        # one word swapped -> not exact; shares shingles -> band collisions
+        (1008, near_text, donor["lang"], donor["source"], len(near_text)),
+        # genuinely novel text
+        (1009, "completely novel words never seen in this corpus at all",
+         "en", "srcx", 55),
+    ])
+    v = {r["doc_id"]: r for r in check_batch(spark, batch, root).collect()}
+    assert v[1007]["is_exact_dup"] and not v[1007]["is_batch_dup"]
+    # dup_of points at the store's canonical (min doc_id) for that text
+    assert v[1007]["dup_of"] is not None and v[1007]["dup_of"] < 60
+    assert not v[1008]["is_exact_dup"]
+    assert v[1008]["n_band_collisions"] > 0
+    assert not v[1009]["is_exact_dup"] and not v[1009]["is_batch_dup"]
+    assert v[1009]["n_band_collisions"] == 0
+
+
+def test_within_batch_dups_one_survivor(spark, store):
+    root, _ = store
+    novel = "words the store has never seen before in any combination"
+    batch = _mk_batch(spark, [
+        (2001, novel, "en", "srcx", len(novel)),
+        (2002, novel, "en", "srcx", len(novel)),
+    ])
+    v = {r["doc_id"]: r for r in check_batch(spark, batch, root).collect()}
+    assert not v[2001]["is_exact_dup"] and not v[2002]["is_exact_dup"]
+    assert not v[2001]["is_batch_dup"]      # min doc_id is canonical
+    assert v[2002]["is_batch_dup"]
+
+
+def test_append_grows_store_by_survivors_and_is_idempotent(spark, store):
+    root, corpus = store
+    n0 = spark.read.parquet(f"{root}/exact").count()
+    donor = corpus.filter(F.col("doc_id") == 3).first()
+    novel = "fresh append text with enough distinct words to shingle fully"
+    batch = _mk_batch(spark, [
+        (3001, donor["text"], donor["lang"], donor["source"], donor["n_chars"]),
+        (3002, novel, "en", "srcy", len(novel)),
+        (3003, novel, "en", "srcy", len(novel)),  # within-batch dup
+    ])
+    appended = append_batch(spark, batch, root)
+    # only the within-batch canonical of the novel text survives
+    assert appended == 1
+    assert spark.read.parquet(f"{root}/exact").count() == n0 + 1
+    assert spark.read.parquet(f"{root}/bands").filter(
+        F.col("doc_id") == 3002
+    ).count() == 4
+
+    # the appended doc is now an exact dup for future batches
+    again = _mk_batch(spark, [(4001, novel, "en", "srcy", len(novel))])
+    v = check_batch(spark, again, root).collect()[0]
+    assert v["is_exact_dup"] and v["dup_of"] == 3002
+
+    # replaying the same batch appends nothing (idempotent)
+    assert append_batch(spark, batch, root) == 0
+    assert spark.read.parquet(f"{root}/exact").count() == n0 + 1
+
+
+def test_incremental_agrees_with_global_exact_dedup(spark, store):
+    """Store(half) + check(other half) must reproduce the global
+    exact-dedup verdict: a batch doc is exact-dup iff its fingerprint
+    group in the FULL corpus contains a store doc."""
+    root, corpus = store
+    batch = load(spark, SF_DIR, "documents").filter(
+        (F.col("doc_id") >= 60) & (F.col("doc_id") < 120)
+    )
+    v = check_batch(spark, batch, root)
+    from acled_spark.queries.text import fingerprint_spark
+
+    full = load(spark, SF_DIR, "documents").select(
+        "doc_id", fingerprint_spark(F.col("text")).alias("fp")
+    )
+    store_fps = {
+        r["fp"] for r in full.filter(F.col("doc_id") < 60).select("fp").collect()
+    }
+    batch_fp = {
+        r["doc_id"]: r["fp"]
+        for r in full.filter(
+            (F.col("doc_id") >= 60) & (F.col("doc_id") < 120)
+        ).collect()
+    }
+    for r in v.collect():
+        assert r["is_exact_dup"] == (batch_fp[r["doc_id"]] in store_fps)

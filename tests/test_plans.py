@@ -174,3 +174,12 @@ def test_ivf_probe_selection_broadcasts_centroids(spark):
     plan = buf.getvalue()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pii_scrub_single_scan_no_python(spark):
+    """The PII audit is chained regexp expressions riding ONE corpus
+    scan (plus the small lang rollup) — a second scan or a Python
+    eval node would break the 100-TB shape."""
+    plan = _plan(spark, "text_pii_scrub")
+    assert _scan_count(plan) == 1, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
