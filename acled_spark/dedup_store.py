@@ -124,3 +124,35 @@ def append_batch(
         exact.write.mode("append").parquet(_exact_path(root))
         bands.write.mode("append").parquet(_bands_path(root))
     return n
+
+
+class DedupMaintainer:
+    """``foreachBatch`` face for streaming ingest dedup — the dedup
+    analog of :class:`acled_spark.ann.IvfMaintainer`.
+
+    Each micro-batch is classified against the store, the verdicts are
+    handed to ``on_verdicts`` (route dups to a quarantine sink, count
+    them, attach them to the batch — the pipeline's policy, not the
+    store's), and the survivors' signatures are appended so the NEXT
+    batch sees them::
+
+        maint = DedupMaintainer(root, on_verdicts=sink_fn)
+        stream.writeStream.foreachBatch(maint).start()
+
+    Appends are id-idempotent (check_batch/append_batch contract), so
+    a replayed epoch after a crash re-appends nothing — exactly-once
+    store growth on top of at-least-once foreachBatch delivery.
+    """
+
+    def __init__(self, root: str, on_verdicts=None):
+        self.root = root
+        self.on_verdicts = on_verdicts
+        self.batches_applied = 0
+        self.docs_appended = 0
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if self.on_verdicts is not None:
+            self.on_verdicts(check_batch(spark, batch_df, self.root))
+        self.docs_appended += append_batch(spark, batch_df, self.root)
+        self.batches_applied += 1

@@ -118,3 +118,36 @@ def test_incremental_agrees_with_global_exact_dedup(spark, store):
     }
     for r in v.collect():
         assert r["is_exact_dup"] == (batch_fp[r["doc_id"]] in store_fps)
+
+
+def test_dedup_maintainer_foreach_batch_face(spark, store):
+    """Streaming face: batches fold in sequentially, verdicts surface
+    per epoch, replayed epochs append nothing (exactly-once growth)."""
+    from acled_spark.dedup_store import DedupMaintainer
+
+    root, _ = store
+    n0 = spark.read.parquet(f"{root}/exact").count()
+    seen = []
+    maint = DedupMaintainer(root, on_verdicts=lambda v: seen.append(v.collect()))
+
+    t1 = "streaming batch one brings words unseen by the store before now"
+    t2 = "streaming batch two also carries its own completely fresh text"
+    b1 = _mk_batch(spark, [(5001, t1, "en", "s", len(t1))])
+    b2 = _mk_batch(spark, [
+        (5002, t2, "en", "s", len(t2)),
+        (5003, t1, "en", "s", len(t1)),   # dup of batch 1's doc
+    ])
+    maint(b1, epoch_id=0)
+    maint(b2, epoch_id=1)
+    assert maint.batches_applied == 2
+    # 5003 duplicates 5001, which epoch 0 appended -> exact dup
+    v2 = {r["doc_id"]: r for r in seen[1]}
+    assert v2[5003]["is_exact_dup"] and v2[5003]["dup_of"] == 5001
+    assert not v2[5002]["is_exact_dup"]
+    assert maint.docs_appended == 2
+    assert spark.read.parquet(f"{root}/exact").count() == n0 + 2
+
+    # crash-replay of epoch 1: verdicts re-emitted, nothing re-appended
+    maint(b2, epoch_id=1)
+    assert maint.docs_appended == 2
+    assert spark.read.parquet(f"{root}/exact").count() == n0 + 2
