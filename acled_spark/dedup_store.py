@@ -61,10 +61,19 @@ def signatures(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def init_store(docs: DataFrame, root: str) -> None:
-    """Materialize the signature store for an initial corpus."""
-    exact, bands = signatures(docs)
-    exact.write.mode("overwrite").parquet(_exact_path(root))
-    bands.write.mode("overwrite").parquet(_bands_path(root))
+    """Materialize the signature store for an initial corpus.
+
+    The bootstrap corpus is deduped to its canonical rows first (min
+    doc_id per fingerprint — the same survivor the ``dup_of`` pointer
+    names), so the one-signature-per-distinct-text invariant holds
+    from day one, not just for appended batches.
+    """
+    exact, _ = signatures(docs)
+    canon_ids = exact.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    canon_docs = docs.join(canon_ids.select("doc_id"), "doc_id", "left_semi")
+    exact_c, bands_c = signatures(canon_docs)
+    exact_c.write.mode("overwrite").parquet(_exact_path(root))
+    bands_c.write.mode("overwrite").parquet(_bands_path(root))
 
 
 def check_batch(spark: SparkSession, batch: DataFrame, root: str) -> DataFrame:
@@ -98,31 +107,62 @@ def append_batch(
     batch: DataFrame,
     root: str,
     survivors_only: bool = True,
+    verdicts: DataFrame | None = None,
 ) -> int:
     """Fold a batch's signatures into the store; returns docs appended.
 
     ``survivors_only`` appends only docs that are neither exact dups of
     the store nor within-batch dups — the store stays one-signature-
-    per-distinct-text and replays are no-ops.  Already-present doc_ids
-    are always skipped (idempotent append, the keyed-upsert contract).
+    per-distinct-text and replays are no-ops.  Pass ``verdicts`` (a
+    prior :func:`check_batch` result for the SAME batch) to skip
+    re-deriving them.
+
+    A batch doc reusing a doc_id already in the store with DIFFERENT
+    text is an upstream identity bug and raises — silently dropping it
+    (the old anti-join behavior) would leave the new text's signatures
+    out of the store forever, a permanent dedup false negative.
+    Replays of the same (id, text) are skipped as before.
+
+    Crash safety: bands/ is written BEFORE exact/, and the replay gate
+    keys on exact/ — a crash between the two writes leaves orphan band
+    rows that the replay simply re-appends next to (then writes
+    exact/), and duplicate store band rows are semantically inert
+    because the collision check is a left_semi join.  A crash before
+    bands/ commits is a plain full replay.  That is what makes store
+    growth exactly-once under at-least-once foreachBatch delivery.
     """
-    verdicts = check_batch(spark, batch, root)
+    if verdicts is None:
+        verdicts = check_batch(spark, batch, root)
     keep_ids = verdicts
     if survivors_only:
         keep_ids = verdicts.filter(~F.col("is_exact_dup") & ~F.col("is_batch_dup"))
     keep = batch.join(keep_ids.select("doc_id"), "doc_id", "left_semi")
-    # idempotency: a replayed batch's ids are already in the store
-    store_ids = spark.read.parquet(_exact_path(root)).select("doc_id")
-    keep = keep.join(store_ids, "doc_id", "left_anti")
+    store_exact = spark.read.parquet(_exact_path(root))
+    batch_fps = keep.select(
+        "doc_id", fingerprint_spark(F.col("text")).alias("batch_fp")
+    )
+    conflicts = (
+        store_exact.join(F.broadcast(batch_fps), "doc_id")
+        .filter(F.col("fingerprint") != F.col("batch_fp"))
+        .count()
+    )
+    if conflicts:
+        raise ValueError(
+            f"{conflicts} batch doc_id(s) already exist in the store with "
+            "different text — re-key the batch or retire the old ids; "
+            "appending would silently shadow the new content"
+        )
+    # idempotency: a replayed batch's (id, text) rows are already there
+    keep = keep.join(store_exact.select("doc_id"), "doc_id", "left_anti")
+    # one materialization of the surviving batch rows severs the
+    # store-read lineage before the store writes AND keeps the shingle
+    # pipeline from re-running per derived frame/action
+    keep = keep.localCheckpoint()
     exact, bands = signatures(keep)
-    # the append reads the store (for the verdict/anti joins) and then
-    # writes it — sever the read before the write lands
-    exact = exact.localCheckpoint()
-    bands = bands.localCheckpoint()
-    n = exact.count()
+    n = keep.count()
     if n:
-        exact.write.mode("append").parquet(_exact_path(root))
         bands.write.mode("append").parquet(_bands_path(root))
+        exact.write.mode("append").parquet(_exact_path(root))
     return n
 
 
@@ -152,7 +192,13 @@ class DedupMaintainer:
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        # one classify per batch: materialized once, shared by the
+        # policy hook and the append (verdict joins + the batch
+        # shingle/minhash aggregate would otherwise re-run per consumer)
+        verdicts = check_batch(spark, batch_df, self.root).localCheckpoint()
         if self.on_verdicts is not None:
-            self.on_verdicts(check_batch(spark, batch_df, self.root))
-        self.docs_appended += append_batch(spark, batch_df, self.root)
+            self.on_verdicts(verdicts)
+        self.docs_appended += append_batch(
+            spark, batch_df, self.root, verdicts=verdicts
+        )
         self.batches_applied += 1

@@ -731,9 +731,17 @@ def incremental_classify(
         "dup_of",
         (F.col("doc_id") != F.col("batch_canonical")).alias("is_batch_dup"),
     )
+    # left_semi returns each batch band row at most once no matter how
+    # many store rows share the key, so NO .distinct() on the store
+    # side — at the design point (a ~20 GB bands store per 100 TB
+    # corpus) a distinct would hash-aggregate and re-shuffle the whole
+    # store on every ingest batch and destroy its bucketed layout.
+    # (The DuckDB oracle needs DISTINCT only because it counts via an
+    # inner join.)  Duplicate store band rows are also why a crashed
+    # append replay is harmless — see dedup_store.append_batch.
     collisions = (
         batch_bands.join(
-            store_bands.select("band_id", "band_key").distinct(),
+            store_bands.select("band_id", "band_key"),
             ["band_id", "band_key"],
             "left_semi",
         )

@@ -151,3 +151,64 @@ def test_dedup_maintainer_foreach_batch_face(spark, store):
     maint(b2, epoch_id=1)
     assert maint.docs_appended == 2
     assert spark.read.parquet(f"{root}/exact").count() == n0 + 2
+
+
+def test_append_raises_on_id_reuse_with_different_text(spark, store):
+    """A batch doc_id already in the store with DIFFERENT text is an
+    upstream identity bug: silently dropping it would leave the new
+    text's signatures out of the store forever."""
+    root, corpus = store
+    assert corpus.filter(F.col("doc_id") == 7).count() == 1
+    batch = _mk_batch(spark, [
+        (7, "totally different replacement text for an existing id",
+         "en", "s", 52),
+    ])
+    with pytest.raises(ValueError, match="different text"):
+        append_batch(spark, batch, root)
+    # replaying the ORIGINAL (id, text) is still a clean no-op
+    donor = corpus.filter(F.col("doc_id") == 7).first()
+    replay = _mk_batch(
+        spark,
+        [(7, donor["text"], donor["lang"], donor["source"], donor["n_chars"])],
+    )
+    assert append_batch(spark, replay, root, survivors_only=False) == 0
+
+
+def test_crash_between_band_and_exact_writes_self_heals(spark, store):
+    """Crash-ordering contract: bands/ commits before exact/, the
+    replay gate keys on exact/ — so a crash between the two writes is
+    healed by the replay (exact lands, duplicate band rows are inert
+    for the left_semi collision check)."""
+    root, _ = store
+    novel = "crash window text with plenty of fresh never stored words"
+    batch = _mk_batch(spark, [(6001, novel, "en", "s", len(novel))])
+    # simulate the crash: append only the bands half manually
+    from acled_spark.dedup_store import signatures
+
+    _, bands = signatures(batch)
+    bands.write.mode("append").parquet(f"{root}/bands")
+    # replay the epoch through the normal path
+    assert append_batch(spark, batch, root) == 1
+    # store is consistent: doc present in exact/, and a future copy is
+    # flagged with full band collisions despite the duplicated band rows
+    again = _mk_batch(spark, [(6002, novel, "en", "s", len(novel))])
+    v = check_batch(spark, again, root).collect()[0]
+    assert v["is_exact_dup"] and v["dup_of"] == 6001
+    assert v["n_band_collisions"] == 4
+
+
+def test_init_store_bootstraps_one_signature_per_distinct_text(spark, tmp_path):
+    root = str(tmp_path / "dupstore")
+    text = "the same document text repeated under several doc ids here"
+    docs = _mk_batch(spark, [
+        (1, text, "en", "s", len(text)),
+        (2, text, "en", "s", len(text)),
+        (3, "another distinct text with its own words entirely", "en", "s", 49),
+    ])
+    init_store(docs, root)
+    exact = spark.read.parquet(f"{root}/exact")
+    assert exact.count() == 2          # one per distinct text
+    assert exact.filter(F.col("doc_id") == 1).count() == 1  # min id survives
+    assert spark.read.parquet(f"{root}/bands").select(
+        "doc_id"
+    ).distinct().count() == 2
