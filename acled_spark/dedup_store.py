@@ -24,10 +24,11 @@ Layout under ``root`` (two parquet tables):
 - ``bands/``  — ``(doc_id, band_id, band_key)``
 
 Scale notes: both checks join on a digest, never on text.  On a
-cluster, write both tables bucketed by their join key
-(``fingerprint`` / ``band_key``) so every incremental check is a
-store-side-shuffle-free bucket join; appends preserve bucketing via
-``saveAsTable`` into the same bucketed table.  Store size is
+cluster, pass ``root="table:<name>"`` to store both tables BUCKETED by
+their join key (``fingerprint`` / ``band_key``): every incremental
+check then reads pre-clustered buckets with no store-side Exchange,
+and appends preserve the bucket spec (plan-asserted in
+tests/test_dedup_store.py).  Store size is
 ~(32 hex + 4×40) bytes/doc — a 100 TB corpus of 100 B docs carries a
 ~20 GB store, comfortably a broadcast candidate per band at nlist
 partitioning or a bucket-join otherwise.
@@ -44,12 +45,64 @@ from acled_spark.queries.dedup import incremental_classify, minhash_bands_spark
 from acled_spark.queries.text import fingerprint_spark
 
 
+#: ``root`` accepts two backends: a filesystem path (two plain parquet
+#: dirs) or ``table:<name>`` — metastore tables ``<name>_exact`` /
+#: ``<name>_bands`` BUCKETED by their join key (fingerprint /
+#: band_key), which is the cluster deployment: every check's
+#: store-side join reads pre-clustered buckets with no Exchange, so a
+#: per-batch check never re-shuffles the corpus-sized signature table
+#: (plan-asserted in tests/test_dedup_store.py).
+_TABLE_PREFIX = "table:"
+_N_BUCKETS = 64
+
+
+def _is_table(root: str) -> bool:
+    return root.startswith(_TABLE_PREFIX)
+
+
+def _table_names(root: str) -> tuple[str, str]:
+    base = root[len(_TABLE_PREFIX):]
+    return f"{base}_exact", f"{base}_bands"
+
+
 def _exact_path(root: str) -> str:
     return posixpath.join(root, "exact")
 
 
 def _bands_path(root: str) -> str:
     return posixpath.join(root, "bands")
+
+
+def _read_exact(spark: SparkSession, root: str) -> DataFrame:
+    if _is_table(root):
+        return spark.table(_table_names(root)[0])
+    return spark.read.parquet(_exact_path(root))
+
+
+def _read_bands(spark: SparkSession, root: str) -> DataFrame:
+    if _is_table(root):
+        return spark.table(_table_names(root)[1])
+    return spark.read.parquet(_bands_path(root))
+
+
+def _write(exact: DataFrame, bands: DataFrame, root: str, mode: str) -> None:
+    """bands/ first, exact/ second — the crash-ordering contract of
+    :func:`append_batch` (the replay gate keys on exact)."""
+    if _is_table(root):
+        e_name, b_name = _table_names(root)
+        # the bucket spec must be restated on every append or Spark
+        # refuses the write against the existing bucketed table
+        (
+            bands.write.bucketBy(_N_BUCKETS, "band_key").sortBy("band_key")
+            .mode(mode).format("parquet").saveAsTable(b_name)
+        )
+        (
+            exact.write.bucketBy(_N_BUCKETS, "fingerprint").sortBy("fingerprint")
+            .mode(mode).format("parquet").saveAsTable(e_name)
+        )
+    else:
+        bands.write.mode(mode).parquet(_bands_path(root))
+        exact.write.mode(mode).parquet(_exact_path(root))
 
 
 def signatures(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -72,8 +125,7 @@ def init_store(docs: DataFrame, root: str) -> None:
     canon_ids = exact.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
     canon_docs = docs.join(canon_ids.select("doc_id"), "doc_id", "left_semi")
     exact_c, bands_c = signatures(canon_docs)
-    exact_c.write.mode("overwrite").parquet(_exact_path(root))
-    bands_c.write.mode("overwrite").parquet(_bands_path(root))
+    _write(exact_c, bands_c, root, mode="overwrite")
 
 
 def check_batch(spark: SparkSession, batch: DataFrame, root: str) -> DataFrame:
@@ -97,9 +149,9 @@ def check_batch(spark: SparkSession, batch: DataFrame, root: str) -> DataFrame:
     corpus text is never read.
     """
     exact, bands = signatures(batch)
-    store_exact = spark.read.parquet(_exact_path(root))
-    store_bands = spark.read.parquet(_bands_path(root))
-    return incremental_classify(exact, bands, store_exact, store_bands)
+    return incremental_classify(
+        exact, bands, _read_exact(spark, root), _read_bands(spark, root)
+    )
 
 
 def append_batch(
@@ -137,7 +189,7 @@ def append_batch(
     if survivors_only:
         keep_ids = verdicts.filter(~F.col("is_exact_dup") & ~F.col("is_batch_dup"))
     keep = batch.join(keep_ids.select("doc_id"), "doc_id", "left_semi")
-    store_exact = spark.read.parquet(_exact_path(root))
+    store_exact = _read_exact(spark, root)
     batch_fps = keep.select(
         "doc_id", fingerprint_spark(F.col("text")).alias("batch_fp")
     )
@@ -161,8 +213,7 @@ def append_batch(
     exact, bands = signatures(keep)
     n = keep.count()
     if n:
-        bands.write.mode("append").parquet(_bands_path(root))
-        exact.write.mode("append").parquet(_exact_path(root))
+        _write(exact, bands, root, mode="append")
     return n
 
 
