@@ -25,10 +25,11 @@ Layout under ``root`` (two parquet tables):
 
 Scale notes: both checks join on a digest, never on text.  On a
 cluster, pass ``root="table:<name>"`` to store both tables BUCKETED by
-their join key (``fingerprint`` / ``band_key``): every incremental
-check then reads pre-clustered buckets with no store-side Exchange,
-and appends preserve the bucket spec (plan-asserted in
-tests/test_dedup_store.py).  Store size is
+their full join key set (``fingerprint``; ``band_id, band_key``):
+every incremental check then reads pre-clustered buckets with no
+store-side Exchange, and appends preserve the bucket spec
+(plan-asserted for both scans in tests/test_dedup_store.py).  Store
+size is
 ~(32 hex + 4×40) bytes/doc — a 100 TB corpus of 100 B docs carries a
 ~20 GB store, comfortably a broadcast candidate per band at nlist
 partitioning or a bucket-join otherwise.
@@ -47,11 +48,11 @@ from acled_spark.queries.text import fingerprint_spark
 
 #: ``root`` accepts two backends: a filesystem path (two plain parquet
 #: dirs) or ``table:<name>`` — metastore tables ``<name>_exact`` /
-#: ``<name>_bands`` BUCKETED by their join key (fingerprint /
-#: band_key), which is the cluster deployment: every check's
+#: ``<name>_bands`` BUCKETED by their FULL join key set (fingerprint;
+#: band_id+band_key), which is the cluster deployment: every check's
 #: store-side join reads pre-clustered buckets with no Exchange, so a
 #: per-batch check never re-shuffles the corpus-sized signature table
-#: (plan-asserted in tests/test_dedup_store.py).
+#: (both scans plan-asserted in tests/test_dedup_store.py).
 _TABLE_PREFIX = "table:"
 _N_BUCKETS = 64
 
@@ -91,9 +92,15 @@ def _write(exact: DataFrame, bands: DataFrame, root: str, mode: str) -> None:
     if _is_table(root):
         e_name, b_name = _table_names(root)
         # the bucket spec must be restated on every append or Spark
-        # refuses the write against the existing bucketed table
+        # refuses the write against the existing bucketed table.
+        # bands bucket on BOTH join keys: the collision check joins on
+        # (band_id, band_key), and a band_key-only bucketing cannot
+        # co-partition that join — the planner then disables the
+        # bucketed scan and re-shuffles the whole store (observed:
+        # "Bucketed: false (disabled by query planner)" + Exchange).
         (
-            bands.write.bucketBy(_N_BUCKETS, "band_key").sortBy("band_key")
+            bands.write.bucketBy(_N_BUCKETS, "band_id", "band_key")
+            .sortBy("band_id", "band_key")
             .mode(mode).format("parquet").saveAsTable(b_name)
         )
         (

@@ -90,3 +90,23 @@ def assert_parity(spark, duck, spec, sf_dir: str = SF_DIR) -> None:
             f"{spec.name}: first differing row #{i} (cols {n_cols}):\n"
             f"  spark={sr}\n  duck ={dr}"
         )
+
+
+def formatted_plan(spark, df, disable_broadcast: bool = False) -> str:
+    """Capture df.explain(mode='formatted') as a string; optionally with
+    auto-broadcast off so join-strategy assertions see the shuffle shape.
+    (Shared by the plan-pinning tests — the idiom was previously copied
+    per test file.)"""
+    import io
+    from contextlib import redirect_stdout
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    if disable_broadcast:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain(mode="formatted")
+        return buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

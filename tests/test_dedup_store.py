@@ -217,13 +217,13 @@ def test_init_store_bootstraps_one_signature_per_distinct_text(spark, tmp_path):
 def test_bucketed_table_store_matches_path_store_and_avoids_store_shuffle(
     spark, store, tmp_path
 ):
-    """table: backend — bucketed metastore tables keyed on the join
-    digests.  Verdicts must be identical to the path backend, appends
-    must preserve the bucket spec, and the store-side exact join must
-    read pre-clustered buckets (Bucketed: true, no Exchange above the
-    store scan) — the 'bucket at scale' claim as code."""
-    import io
-    from contextlib import redirect_stdout
+    """table: backend — bucketed metastore tables keyed on the FULL
+    join key set.  Verdicts must be identical to the path backend,
+    appends must preserve the bucket spec, and BOTH store scans (exact
+    and bands) must read pre-clustered buckets — no 'Bucketed: false
+    (disabled by query planner)' anywhere — the 'bucket at scale'
+    claim as code."""
+    from tests.conftest import formatted_plan
 
     root_path, corpus = store
     troot = "table:sig_t"
@@ -240,26 +240,26 @@ def test_bucketed_table_store_matches_path_store_and_avoids_store_shuffle(
             check_batch(spark, batch, root_path).collect()
         )
 
-        # plan: bucketed store scan feeds the fingerprint join without
-        # an Exchange on the store side
-        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        try:
-            buf = io.StringIO()
-            with redirect_stdout(buf):
-                check_batch(spark, batch, troot).explain(mode="formatted")
-            plan = buf.getvalue()
-            assert "Bucketed: true" in plan, plan[:2000]
-        finally:
-            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        # plan: BOTH bucketed store scans feed their joins without the
+        # planner falling back to an unbucketed scan + Exchange (a
+        # band_key-only bucketing regressed exactly that way: the
+        # (band_id, band_key) join couldn't be co-partitioned)
+        plan = formatted_plan(
+            spark, check_batch(spark, batch, troot), disable_broadcast=True
+        )
+        assert plan.count("Bucketed: true") == 2, plan[:3000]
+        assert "disabled by query planner" not in plan, plan[:3000]
 
         # append keeps the bucket spec and future checks see the doc
         novel = "bucketed append text never before present in any store"
         nb = _mk_batch(spark, [(8001, novel, "en", "s", len(novel))])
         assert append_batch(spark, nb, troot) == 1
-        desc = spark.sql("DESCRIBE TABLE EXTENDED sig_t_exact").collect()
-        desc_txt = "\n".join(str(r) for r in desc)
-        assert "fingerprint" in desc_txt and "Num Buckets" in desc_txt
+        desc = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql("DESCRIBE TABLE EXTENDED sig_t_exact").collect()
+        }
+        assert "fingerprint" in desc.get("Bucket Columns", "")
+        assert desc.get("Num Buckets") is not None
         v = check_batch(
             spark, _mk_batch(spark, [(8002, novel, "en", "s", len(novel))]), troot
         ).collect()[0]
