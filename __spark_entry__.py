@@ -26,6 +26,15 @@ from acled_spark.registry import oracle_map, spark_queries
 # (they ranked last in the stale block) — those are now two rounds
 # stale and lead round 4, followed by the r02 half (whose source files
 # round 3 edited: silver/similarity/packing/pipeline/olap).
+#
+# Round 4 bookkeeping for the NEXT rotation update: two queries added
+# this round (text_pii_scrub, dedup_incremental_check) are in no tier
+# below, so they auto-lead as never-verified; round 4 also edited
+# queries/olap.py (a26 bound logic), queries/text.py (pii append +
+# docs_redacted), queries/dedup.py (incremental_classify append,
+# collision-join distinct drop), ann.py, source.py — after
+# CORRECTNESS_r04 lands, fold its verified names into a new
+# _R4_DRIVER_VERIFIED tier and retire the empties.
 _R1_DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
         "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",

@@ -4,8 +4,6 @@ the join needs NO shuffle)."""
 
 from __future__ import annotations
 
-import io
-from contextlib import redirect_stdout
 
 import pytest
 from pyspark.sql import functions as F
@@ -31,23 +29,17 @@ def bucketed_tables(spark):
 
 
 def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
+    from tests.conftest import formatted_plan
+
     orders_b, lineitem_b = bucketed_tables
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        joined = spark.table(orders_b).join(
-            spark.table(lineitem_b),
-            F.col("o_orderkey") == F.col("l_orderkey"),
-        )
-        buf = io.StringIO()
-        with redirect_stdout(buf):
-            joined.explain(mode="formatted")
-        plan = buf.getvalue()
-        assert "Exchange" not in plan, plan[:1500]
-        assert "SortMergeJoin" in plan
-        assert "Bucketed: true" in plan
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    joined = spark.table(orders_b).join(
+        spark.table(lineitem_b),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    plan = formatted_plan(spark, joined, disable_broadcast=True)
+    assert "Exchange" not in plan, plan[:1500]
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
 
 
 def test_bucketed_join_correct(spark, bucketed_tables):

@@ -4,14 +4,13 @@ S3-key-per-day layout; we get it from hive partitioning)."""
 
 from __future__ import annotations
 
-import io
 import os
-from contextlib import redirect_stdout
 
 import pytest
 from pyspark.sql import functions as F
 
 from acled_spark.tables import load
+from tests.conftest import formatted_plan
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -28,10 +27,7 @@ def test_day_filter_prunes_partitions(spark, partitioned_events):
     df = spark.read.parquet(partitioned_events).filter(
         F.col("day") == "2024-01-05"
     )
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df.explain(mode="formatted")
-    plan = buf.getvalue()
+    plan = formatted_plan(spark, df)
     assert "PartitionFilters" in plan
     # the equality predicate must appear as a partition filter, not a
     # post-scan data filter
@@ -51,10 +47,9 @@ def test_range_filter_prunes_partitions(spark, partitioned_events):
     assert len(got_days) == 3
     # plan evidence: both range bounds land in PartitionFilters
     # (NB: df.inputFiles() reports the UNFILTERED relation — useless here)
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df.explain(mode="formatted")
     pf_line = next(
-        l for l in buf.getvalue().splitlines() if "PartitionFilters" in l
+        l
+        for l in formatted_plan(spark, df).splitlines()
+        if "PartitionFilters" in l
     )
     assert "2024-01-10" in pf_line and "2024-01-12" in pf_line

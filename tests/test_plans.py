@@ -13,14 +13,9 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def _plan(spark, name: str) -> str:
-    df = all_specs()[name].builder(spark, SF_DIR)
-    import io
-    from contextlib import redirect_stdout
+    from tests.conftest import formatted_plan
 
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df.explain(mode="formatted")
-    return buf.getvalue()
+    return formatted_plan(spark, all_specs()[name].builder(spark, SF_DIR))
 
 
 def test_filter_dsl_pushes_to_scan(spark):
@@ -161,17 +156,13 @@ def test_ivf_probe_selection_broadcasts_centroids(spark):
     broadcast join, with no cartesian product over the corpus."""
     from acled_spark.ann import build_ivf_index, ivf_search
     from acled_spark.tables import load
-    import io
-    from contextlib import redirect_stdout
+    from tests.conftest import formatted_plan
 
     emb = load(spark, SF_DIR, "embeddings")
     index = build_ivf_index(emb, nlist=4, max_iter=3)
     probes = emb.limit(10)
     out = ivf_search(index, probes, top_k=5, nprobe=2)
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        out.explain(mode="formatted")
-    plan = buf.getvalue()
+    plan = formatted_plan(spark, out)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
 
