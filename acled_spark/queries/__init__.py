@@ -7,6 +7,7 @@ Modules map to SURVEY.md §2 sections:
     windows      §2.5 window functions (W1-W4)
     scalars      §2.8 scalar functions (F1-F11)
     dedup        extended: deduplication family
+    cdc          extended: corpus snapshot diff (CDC)
     text         extended: text analysis family
     similarity   extended: similarity search
     mlq          §2.9 SQL-expressible ML feature ops
@@ -14,6 +15,7 @@ Modules map to SURVEY.md §2 sections:
 
 from acled_spark.queries import (  # noqa: F401
     aggregates,
+    cdc,
     dedup,
     filters_q,
     joins,

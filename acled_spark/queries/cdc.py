@@ -1,0 +1,123 @@
+"""Corpus snapshot diff (CDC) — what changed between two corpus versions.
+
+An incremental 100-TB pipeline never re-processes the whole corpus per
+release; it diffs the new snapshot against the previous one and routes
+only the delta (added / changed docs) into dedup, quality scoring, and
+packing, while tombstoning removed docs.  The diff itself must not
+compare text: both sides reduce to ``(doc_id, source, fingerprint)`` at
+the scan, so the full-outer join moves ~50 bytes/doc regardless of
+document size — the same digest-only discipline as
+:mod:`acled_spark.dedup_store`.
+
+``snapshot_diff`` is the reusable two-frame API; the registered
+``cdc_snapshot_diff`` query derives deterministic old/new snapshots from
+the static test corpus (modulus-picked deletes, adds, and edits) so the
+semantics sit behind the DuckDB oracle gate.
+
+Ref parity: the reference pipeline re-ingests day partitions and
+upserts (assets/base_assets.py) but has no snapshot-level diff; this
+extends the LLM-pipeline surface (SURVEY.md extended ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from acled_spark.queries.text import FINGERPRINT_SQL, fingerprint_spark
+from acled_spark.registry import query
+from acled_spark.tables import load
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Per-document change status between two corpus snapshots.
+
+    Inputs need ``doc_id``, ``source``, ``text``; output is one row per
+    doc_id present in either snapshot with ``status`` in
+    ``added | removed | changed | unchanged`` (text compared via the
+    whitespace/case-normalized fingerprint, so formatting-only edits are
+    ``unchanged`` — exactly the docs downstream dedup would not re-key).
+
+    Plan shape: each side is a narrow scan-side projection to
+    ``(doc_id, source, fp)``; the only exchange is the full-outer join
+    keyed on doc_id.  Text never shuffles.
+    """
+    o = old.select(
+        "doc_id",
+        F.col("source").alias("src_old"),
+        fingerprint_spark(F.col("text")).alias("old_fp"),
+    )
+    n = new.select(
+        "doc_id",
+        F.col("source").alias("src_new"),
+        fingerprint_spark(F.col("text")).alias("new_fp"),
+    )
+    return o.join(n, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("src_new", "src_old").alias("source"),
+        F.when(F.col("old_fp").isNull(), "added")
+        .when(F.col("new_fp").isNull(), "removed")
+        .when(F.col("old_fp") == F.col("new_fp"), "unchanged")
+        .otherwise("changed")
+        .alias("status"),
+    )
+
+
+# Deterministic snapshot simulation over the static corpus: doc_id≡3
+# (mod 11) rows are missing from OLD (they read as "added"), doc_id≡5
+# (mod 13) rows are missing from NEW ("removed"), and doc_id≡0 (mod 7)
+# rows carry an appended revision marker in NEW ("changed" — appended,
+# not case-flipped, because the fingerprint normalizes case).
+_NEW_TEXT_SQL = "CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END"
+_NEW_FP_SQL = FINGERPRINT_SQL.replace("(text,", f"(({_NEW_TEXT_SQL}),")
+
+
+@query(
+    "cdc_snapshot_diff",
+    oracle=f"""
+    WITH old AS (
+      SELECT doc_id, source, {FINGERPRINT_SQL} AS old_fp
+      FROM documents WHERE doc_id % 11 <> 3
+    ),
+    new AS (
+      SELECT doc_id, source, {_NEW_FP_SQL} AS new_fp
+      FROM documents WHERE doc_id % 13 <> 5
+    ),
+    diff AS (
+      SELECT COALESCE(new.source, old.source) AS source,
+             CASE WHEN old.old_fp IS NULL THEN 'added'
+                  WHEN new.new_fp IS NULL THEN 'removed'
+                  WHEN old.old_fp = new.new_fp THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM old FULL JOIN new USING (doc_id)
+    )
+    SELECT status, source, COUNT(*) AS n_docs
+    FROM diff GROUP BY status, source ORDER BY status, source
+    """,
+    tags=("cdc", "incremental", "extended"),
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change census between two simulated corpus snapshots: counts per
+    (status, source) from :func:`snapshot_diff` over modulus-derived
+    old/new versions of the documents table.
+
+    Scale: two scans of the corpus (one per snapshot), each reduced to
+    digests scan-side; one doc_id-keyed exchange; the census rollup is
+    (status, source)-sized.  At 100 TB the join can be made
+    exchange-free entirely by storing snapshots bucketed by doc_id —
+    same recipe as the dedup signature store's ``table:`` backend.
+    """
+    docs = load(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 11 != 3)
+    new = docs.filter(F.col("doc_id") % 13 != 5).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+        ).otherwise(F.col("text")),
+    )
+    return (
+        snapshot_diff(old, new)
+        .groupBy("status", "source")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("status", "source")
+    )

@@ -1130,3 +1130,103 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length(text) - F.length(scrubbed)).cast("long").alias("chars_delta")
     )
     return docs.groupBy("lang").agg(*aggs).orderBy("lang")
+
+
+# --- hashed linear quality classifier ----------------------------------------
+# fastText-style corpus filtering (the CCNet/RefinedWeb "quality model"
+# step): hash every token into a fixed bucket space, look the bucket up
+# in a linear weight vector, squash the mean weight into a keep score.
+# In production the weights come from a trained model and ship as a
+# broadcast literal array (vocab-free, so the model is O(buckets) bytes
+# no matter the corpus); here they derive from a fixed integer formula
+# so the builder and the DuckDB oracle share them exactly.
+QC_BUCKETS = 64
+QC_WEIGHTS: tuple[int, ...] = tuple(
+    (b * 2654435761) % 1001 - 500 for b in range(QC_BUCKETS)
+)
+_QC_WEIGHTS_SQL = "[" + ", ".join(str(w) for w in QC_WEIGHTS) + "]"
+_QC_BUCKET_SQL = f"({hex_to_int_sql('substr(md5(w), 1, 4)', 4)}) % {QC_BUCKETS}"
+
+
+def _qc_weight(token: Column) -> Column:
+    """Weight of one token: md5-bucket into the literal weight array."""
+    bucket = (
+        F.conv(F.substring(F.md5(token), 1, 4), 16, 10).cast("long") % QC_BUCKETS
+    )
+    arr = F.array(*[F.lit(w) for w in QC_WEIGHTS])
+    return F.element_at(arr, (bucket + 1).cast("int")).cast("long")
+
+
+@query(
+    "text_quality_classifier",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tw AS (
+      SELECT doc_id, lang, COUNT(*) AS n_tokens,
+             SUM(list_extract({_QC_WEIGHTS_SQL}, {_QC_BUCKET_SQL} + 1)) AS wsum
+      FROM tok GROUP BY doc_id, lang
+    ),
+    sc AS (
+      SELECT lang,
+             CAST(FLOOR((0.5 + (wsum / (1000.0 * n_tokens))
+                         / (2 * (1 + abs(wsum / (1000.0 * n_tokens)))))
+                        * 10000) AS BIGINT) AS score_m
+      FROM tw
+    )
+    SELECT lang, COUNT(*) AS docs,
+           CAST(SUM(CASE WHEN score_m >= 5000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_keep,
+           ROUND(CAST(SUM(CASE WHEN score_m >= 5000 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4) AS keep_share,
+           ROUND(SUM(score_m) / 10000.0 / COUNT(*), 4) AS avg_score
+    FROM sc GROUP BY lang ORDER BY lang
+    """,
+    tags=("text", "quality", "ml", "extended"),
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language keep/drop census from a hashed linear quality model.
+
+    Every token hashes (md5 -> 4 hex digits -> mod ``QC_BUCKETS``) into
+    a 64-weight linear model; a document's score is the mean bucket
+    weight squashed by the *rational* sigmoid ``0.5 + x/(2(1+|x|))`` —
+    deliberately not ``exp``-based, because +, *, /, abs are
+    correctly-rounded IEEE ops that agree bit-for-bit across engines
+    while libm ``exp`` may differ in the last ulp.  Integer weights keep
+    the per-doc sum exact (no float accumulation-order drift), and the
+    score is floored into basis points before any cross-doc aggregate.
+
+    Scale: the model is a 64-literal array baked into the codegen'd
+    expression — zero joins, zero broadcast traffic, one (lang) rollup;
+    swapping in a trained fastText model is replacing ``QC_WEIGHTS``
+    with the trained vector (or a ``F.broadcast`` lookup for
+    vocab-sized models).  Ref parity target: the reference has no
+    quality classifier; this extends the LLM-pipeline surface
+    (SURVEY.md extended ops).
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = _tokens_spark(F.col("text"))
+    d = docs.select(
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + _qc_weight(t)
+        ).alias("wsum"),
+    )
+    x = F.col("wsum") / (1000.0 * F.col("n_tokens"))
+    score = 0.5 + x / (2 * (1 + F.abs(x)))
+    sc = d.select("lang", F.floor(score * 10000).cast("long").alias("score_m"))
+    keep = (F.col("score_m") >= 5000).cast("long")
+    return (
+        sc.groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(keep).alias("n_keep"),
+            F.round(F.sum(keep).cast("double") / F.count("*"), 4).alias("keep_share"),
+            F.round(F.sum("score_m") / 10000.0 / F.count("*"), 4).alias("avg_score"),
+        )
+        .orderBy("lang")
+    )
