@@ -143,23 +143,27 @@ def _ingest(args) -> int:
     )
     spark = get_spark(app_name="acled-spark-ingest")
     if args.silver:
-        from acled_spark.pipeline import run_day
+        from acled_spark.pipeline import promote_day, run_day
 
         # A day can be materialized in bronze but absent from silver
         # (e.g. an earlier bronze-only run of the same range) — gating
-        # on bronze alone would skip it forever.  run_day is
-        # replay-safe end to end, so re-running a half-done day is
-        # correct; select days missing from EITHER table.
+        # on bronze alone would skip it forever, but re-FETCHING it
+        # would re-download data that already sits in bronze.  So:
+        # bronze-missing days run the full fetch lifecycle; days only
+        # missing from silver promote the existing bronze partition.
+        # Both paths are replay-safe for half-done days.
         all_days = partition_days(start, end)
-        done = sorted(
-            set(missing_partitions(args.bronze, all_days))
-            | set(missing_partitions(args.silver, all_days))
-        )
+        miss_bronze = set(missing_partitions(args.bronze, all_days))
+        miss_silver = set(missing_partitions(args.silver, all_days))
+        done = sorted(miss_bronze | miss_silver)
         for day in done:
-            result = run_day(
-                spark, fetcher, day, args.bronze, args.silver,
-                page_limit=args.limit,
-            )
+            if day in miss_bronze:
+                result = run_day(
+                    spark, fetcher, day, args.bronze, args.silver,
+                    page_limit=args.limit,
+                )
+            else:
+                result = promote_day(spark, day, args.bronze, args.silver)
             checks = result.bronze_checks + result.silver_checks
             print(
                 f"{day.isoformat()}: {result.rows} rows, "

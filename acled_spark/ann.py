@@ -295,9 +295,7 @@ def ivf_upsert(
     return IvfIndex(model=index.model, assigned=merged, base_cost=index.base_cost)
 
 
-def ivf_staleness(
-    index: IvfIndex, vec_col: str = "embedding", id_col: str = "vec_id"
-) -> dict:
+def ivf_staleness(index: IvfIndex, vec_col: str = "embedding") -> dict:
     """Drift of the current corpus from the frozen centroids.
 
     Returns ``{mean_sq_dist, base_cost, drift_ratio, n_vectors}`` where
@@ -394,7 +392,7 @@ class IvfMaintainer:
         self.batches_applied += 1
 
     def staleness(self) -> dict:
-        return ivf_staleness(self.index, self.vec_col, self.id_col)
+        return ivf_staleness(self.index, self.vec_col)
 
     def needs_refit(self, threshold: float = 1.5) -> bool:
         return self.staleness()["drift_ratio"] > threshold

@@ -135,6 +135,26 @@ def init_store(docs: DataFrame, root: str) -> None:
     _write(exact_c, bands_c, root, mode="overwrite")
 
 
+def _checkpointed_signatures(batch: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Batch signature frames, materialized ONCE.
+
+    Every consumer (verdict joins, conflict check, append writes) reads
+    the checkpointed frames, so the dominant per-batch cost — the
+    shingle explode + minhash aggregate — runs a single time, and the
+    later store appends carry no store-read lineage.
+    """
+    exact, bands = signatures(batch)
+    return exact.localCheckpoint(), bands.localCheckpoint()
+
+
+def _classify(
+    spark: SparkSession, exact: DataFrame, bands: DataFrame, root: str
+) -> DataFrame:
+    return incremental_classify(
+        exact, bands, _read_exact(spark, root), _read_bands(spark, root)
+    )
+
+
 def check_batch(spark: SparkSession, batch: DataFrame, root: str) -> DataFrame:
     """Classify each batch document against the store (and the batch).
 
@@ -153,12 +173,61 @@ def check_batch(spark: SparkSession, batch: DataFrame, root: str) -> DataFrame:
 
     Plan shape: batch signatures are computed once and joined against
     the two store tables on digests; aggregation keys are doc_id.  The
-    corpus text is never read.
+    corpus text is never read.  (When a check is immediately followed
+    by an append, use :func:`process_batch`, which shares one signature
+    computation across both.)
     """
     exact, bands = signatures(batch)
-    return incremental_classify(
-        exact, bands, _read_exact(spark, root), _read_bands(spark, root)
+    return _classify(spark, exact, bands, root)
+
+
+def _append_signatures(
+    spark: SparkSession,
+    exact_all: DataFrame,
+    bands_all: DataFrame,
+    verdicts: DataFrame,
+    root: str,
+    survivors_only: bool,
+) -> int:
+    """Append the keepable subset of precomputed batch signatures."""
+    store_exact = _read_exact(spark, root)
+    # Id-reuse guard on the FULL batch, not just survivors: a batch doc
+    # reusing a doc_id already in the store with DIFFERENT text is an
+    # upstream identity bug even when its new text happens to duplicate
+    # some other doc (it would be silently dropped and the id mapping
+    # left ambiguous), so the check must see dup rows too.
+    conflicts = (
+        store_exact.join(
+            F.broadcast(exact_all.withColumnRenamed("fingerprint", "batch_fp")),
+            "doc_id",
+        )
+        .filter(F.col("fingerprint") != F.col("batch_fp"))
+        .count()
     )
+    if conflicts:
+        raise ValueError(
+            f"{conflicts} batch doc_id(s) already exist in the store with "
+            "different text — re-key the batch or retire the old ids; "
+            "appending would silently shadow the new content"
+        )
+    keep_ids = verdicts
+    if survivors_only:
+        keep_ids = verdicts.filter(~F.col("is_exact_dup") & ~F.col("is_batch_dup"))
+    # idempotency: a replayed batch's (id, text) rows are already there
+    keep_ids = (
+        keep_ids.select("doc_id")
+        .join(store_exact.select("doc_id"), "doc_id", "left_anti")
+        .localCheckpoint()  # severs the store-read lineage pre-append
+    )
+    n = keep_ids.count()
+    if n:
+        _write(
+            exact_all.join(keep_ids, "doc_id", "left_semi"),
+            bands_all.join(keep_ids, "doc_id", "left_semi"),
+            root,
+            mode="append",
+        )
+    return n
 
 
 def append_batch(
@@ -174,13 +243,15 @@ def append_batch(
     the store nor within-batch dups — the store stays one-signature-
     per-distinct-text and replays are no-ops.  Pass ``verdicts`` (a
     prior :func:`check_batch` result for the SAME batch) to skip
-    re-deriving them.
+    re-deriving them — or use :func:`process_batch` to get check +
+    append off one signature computation.
 
     A batch doc reusing a doc_id already in the store with DIFFERENT
     text is an upstream identity bug and raises — silently dropping it
     (the old anti-join behavior) would leave the new text's signatures
-    out of the store forever, a permanent dedup false negative.
-    Replays of the same (id, text) are skipped as before.
+    out of the store forever, a permanent dedup false negative.  The
+    guard covers the whole batch, dup rows included.  Replays of the
+    same (id, text) are skipped as before.
 
     Crash safety: bands/ is written BEFORE exact/, and the replay gate
     keys on exact/ — a crash between the two writes leaves orphan band
@@ -190,38 +261,34 @@ def append_batch(
     bands/ commits is a plain full replay.  That is what makes store
     growth exactly-once under at-least-once foreachBatch delivery.
     """
+    exact_all, bands_all = _checkpointed_signatures(batch)
     if verdicts is None:
-        verdicts = check_batch(spark, batch, root)
-    keep_ids = verdicts
-    if survivors_only:
-        keep_ids = verdicts.filter(~F.col("is_exact_dup") & ~F.col("is_batch_dup"))
-    keep = batch.join(keep_ids.select("doc_id"), "doc_id", "left_semi")
-    store_exact = _read_exact(spark, root)
-    batch_fps = keep.select(
-        "doc_id", fingerprint_spark(F.col("text")).alias("batch_fp")
+        verdicts = _classify(spark, exact_all, bands_all, root)
+    return _append_signatures(
+        spark, exact_all, bands_all, verdicts, root, survivors_only
     )
-    conflicts = (
-        store_exact.join(F.broadcast(batch_fps), "doc_id")
-        .filter(F.col("fingerprint") != F.col("batch_fp"))
-        .count()
+
+
+def process_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    root: str,
+    survivors_only: bool = True,
+) -> tuple[DataFrame, int]:
+    """Classify AND append one ingest batch off a single signature pass.
+
+    Returns ``(verdicts, n_appended)``; the verdicts frame is
+    materialized (safe to hand to a policy sink after the append).
+    This is the per-batch hot path — :class:`DedupMaintainer` calls it —
+    and it computes the batch shingle/minhash signatures exactly once,
+    where a ``check_batch`` + ``append_batch`` pair would run them twice.
+    """
+    exact_all, bands_all = _checkpointed_signatures(batch)
+    verdicts = _classify(spark, exact_all, bands_all, root).localCheckpoint()
+    n = _append_signatures(
+        spark, exact_all, bands_all, verdicts, root, survivors_only
     )
-    if conflicts:
-        raise ValueError(
-            f"{conflicts} batch doc_id(s) already exist in the store with "
-            "different text — re-key the batch or retire the old ids; "
-            "appending would silently shadow the new content"
-        )
-    # idempotency: a replayed batch's (id, text) rows are already there
-    keep = keep.join(store_exact.select("doc_id"), "doc_id", "left_anti")
-    # one materialization of the surviving batch rows severs the
-    # store-read lineage before the store writes AND keeps the shingle
-    # pipeline from re-running per derived frame/action
-    keep = keep.localCheckpoint()
-    exact, bands = signatures(keep)
-    n = keep.count()
-    if n:
-        _write(exact, bands, root, mode="append")
-    return n
+    return verdicts, n
 
 
 class DedupMaintainer:
@@ -250,13 +317,11 @@ class DedupMaintainer:
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        # one classify per batch: materialized once, shared by the
-        # policy hook and the append (verdict joins + the batch
-        # shingle/minhash aggregate would otherwise re-run per consumer)
-        verdicts = check_batch(spark, batch_df, self.root).localCheckpoint()
+        # process_batch computes the batch signatures ONCE and shares
+        # them across the verdict joins, the conflict check, and the
+        # append — the policy hook sees the same materialized verdicts
+        verdicts, n = process_batch(spark, batch_df, self.root)
         if self.on_verdicts is not None:
             self.on_verdicts(verdicts)
-        self.docs_appended += append_batch(
-            spark, batch_df, self.root, verdicts=verdicts
-        )
+        self.docs_appended += n
         self.batches_applied += 1

@@ -159,8 +159,14 @@ class OAuthTokenClient:
             try:
                 self._refresh_grant()
                 return self.current_token.access_token
-            except AuthenticationError:
-                pass  # fall through to a fresh password grant
+            except ApiError:
+                # Fall through to a fresh password grant on ANY refresh
+                # failure — not just a 4xx rejection: some servers answer
+                # an expired/revoked refresh token with a 5xx, and after
+                # _grant's backoff budget is spent the password grant is
+                # the remaining recovery path (at worst it fails the same
+                # way and its error propagates).
+                pass
         self._password_grant()
         return self.current_token.access_token
 

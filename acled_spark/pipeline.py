@@ -86,3 +86,48 @@ def run_day(
         bronze_checks=bronze_results,
         silver_checks=silver_results,
     )
+
+
+def promote_day(
+    spark: SparkSession,
+    day: date,
+    bronze_path: str,
+    silver_path: str,
+    raise_on_blocking: bool = True,
+) -> DayRunResult:
+    """Steps 3-6 of :func:`run_day` for a day ALREADY materialized in
+    bronze: validate the bronze slice, upsert it into silver, validate
+    the silver slice — no network fetch and no bronze rewrite.
+
+    This is the bronze→silver catch-up path: a bronze-only backfill
+    followed by an ``ingest --silver`` of the same range must not
+    re-download every day from the API when the rows already sit in the
+    bronze table.
+    """
+    from pyspark.sql import functions as F
+
+    suites = load_suites()
+    day_lit = F.lit(day.isoformat()).cast("date")
+    typed = spark.read.parquet(bronze_path).filter(F.col(PARTITION_COL) == day_lit)
+    bronze_results = run_checks(
+        typed, suites["acled_bronze"], raise_on_blocking=raise_on_blocking
+    )
+    upsert_partitioned(
+        spark,
+        typed,
+        silver_path,
+        key=PRIMARY_KEY,
+        partition_col=PARTITION_COL,
+    )
+    day_slice = spark.read.parquet(silver_path).filter(
+        F.col(PARTITION_COL) == day_lit
+    )
+    silver_results = run_checks(
+        day_slice, suites["acled_silver"], raise_on_blocking=raise_on_blocking
+    )
+    return DayRunResult(
+        day=day,
+        rows=typed.count(),
+        bronze_checks=bronze_results,
+        silver_checks=silver_results,
+    )

@@ -42,22 +42,28 @@ def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     ``(doc_id, source, fp)``; the only exchange is the full-outer join
     keyed on doc_id.  Text never shuffles.
     """
+    # presence is a dedicated flag, NOT fingerprint-null-ness: a NULL
+    # text fingerprints to NULL, and testing the fp would misreport a
+    # NULL-text doc present in both snapshots (or only the old one) as
+    # "added"
     o = old.select(
         "doc_id",
         F.col("source").alias("src_old"),
         fingerprint_spark(F.col("text")).alias("old_fp"),
+        F.lit(True).alias("in_old"),
     )
     n = new.select(
         "doc_id",
         F.col("source").alias("src_new"),
         fingerprint_spark(F.col("text")).alias("new_fp"),
+        F.lit(True).alias("in_new"),
     )
     return o.join(n, "doc_id", "full_outer").select(
         "doc_id",
         F.coalesce("src_new", "src_old").alias("source"),
-        F.when(F.col("old_fp").isNull(), "added")
-        .when(F.col("new_fp").isNull(), "removed")
-        .when(F.col("old_fp") == F.col("new_fp"), "unchanged")
+        F.when(F.col("in_old").isNull(), "added")
+        .when(F.col("in_new").isNull(), "removed")
+        .when(F.col("old_fp").eqNullSafe(F.col("new_fp")), "unchanged")
         .otherwise("changed")
         .alias("status"),
     )

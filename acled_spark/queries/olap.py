@@ -305,12 +305,15 @@ def a26_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass alone is the scale path.
     """
     ev = load(spark, sf_dir, "events")
+    # event_type-sized; materialized once so the sketch pass (the
+    # expensive corpus aggregate) is not re-run for each of its two
+    # consumers below (the rank join and the final output join)
     sketch = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.percentile_approx("value", 0.5, 10000).alias("p50"),
         F.percentile_approx("value", 0.9, 10000).alias("p90"),
         F.percentile_approx("value", 0.99, 10000).alias("p99"),
-    )
+    ).localCheckpoint()
     # realized rank of each sketch quantile: one more scan of events
     # with the tiny per-group quantile frame broadcast onto it
     rank_aggs = []

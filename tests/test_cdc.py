@@ -20,6 +20,8 @@ def test_snapshot_diff_statuses(spark):
             (2, "s0", "gamma delta"),       # changed in new
             (3, "s1", "epsilon"),           # removed in new
             (5, "s1", "Zeta   Eta"),        # formatting-only edit -> unchanged
+            (6, "s2", None),                # NULL text, both sides -> unchanged
+            (7, "s2", None),                # NULL text, old only -> removed
         ],
         _COLS,
     )
@@ -29,6 +31,8 @@ def test_snapshot_diff_statuses(spark):
             (2, "s0", "gamma delta rev2"),
             (4, "s2", "theta"),             # added
             (5, "s1", "zeta eta"),
+            (6, "s2", None),
+            (8, "s2", None),                # NULL text, new only -> added
         ],
         _COLS,
     )
@@ -42,6 +46,9 @@ def test_snapshot_diff_statuses(spark):
         3: ("removed", "s1"),
         4: ("added", "s2"),
         5: ("unchanged", "s1"),
+        6: ("unchanged", "s2"),
+        7: ("removed", "s2"),
+        8: ("added", "s2"),
     }
 
 

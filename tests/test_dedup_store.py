@@ -174,6 +174,24 @@ def test_append_raises_on_id_reuse_with_different_text(spark, store):
     assert append_batch(spark, replay, root, survivors_only=False) == 0
 
 
+def test_append_raises_on_id_reuse_even_when_new_text_is_a_dup(spark, store):
+    """The id-reuse guard must cover dup rows too: a batch doc reusing
+    store id 7 with OTHER-doc text is still an identity bug — filtering
+    it as an exact dup before the check would let it pass silently."""
+    root, corpus = store
+    donor = corpus.filter(F.col("doc_id") != 7).first()
+    assert donor is not None
+    batch = _mk_batch(
+        spark,
+        [(7, donor["text"], donor["lang"], donor["source"], donor["n_chars"])],
+    )
+    # sanity: this batch row IS an exact dup of the donor's store row
+    v = check_batch(spark, batch, root).collect()[0]
+    assert v["is_exact_dup"]
+    with pytest.raises(ValueError, match="different text"):
+        append_batch(spark, batch, root)
+
+
 def test_crash_between_band_and_exact_writes_self_heals(spark, store):
     """Crash-ordering contract: bands/ commits before exact/, the
     replay gate keys on exact/ — so a crash between the two writes is

@@ -224,6 +224,28 @@ def test_failed_refresh_falls_back_to_password_grant(stub_server):
     assert kinds == ["password", "refresh_token", "password"]
 
 
+def test_refresh_5xx_exhaustion_falls_back_to_password_grant(stub_server):
+    """Some servers answer an expired/revoked refresh token with a 5xx.
+    After the refresh grant burns its backoff budget, the password grant
+    is the remaining recovery path — the ApiError must not propagate."""
+    f = _fetcher(stub_server)
+    client = f.auth
+    client.sleep = lambda s: None
+    client.get_access_token()
+    client.current_token.expires_at = client.clock() + 10
+    # fail exactly the refresh grant's attempts; the password grant that
+    # follows hits a healthy endpoint
+    StubAcledHandler.fail_token_5xx_times = client.max_retries + 1
+    token = client.get_access_token()
+    assert token == "token-2"
+    kinds = [g["grant_type"] for g in StubAcledHandler.grants]
+    assert kinds == (
+        ["password"]
+        + ["refresh_token"] * (client.max_retries + 1)
+        + ["password"]
+    )
+
+
 # --- transient-failure retry -------------------------------------------------
 
 
@@ -550,12 +572,15 @@ def test_cli_silver_flag_backfills_days_already_in_bronze(
     ) == 0
     assert spark.read.parquet(bronze).count() == 9
 
-    # pass 2: same range, now with --silver — must run, not no-op
+    # pass 2: same range, now with --silver — must run, not no-op, and
+    # must PROMOTE the existing bronze partition rather than re-fetch it
+    seen_before = len(StubAcledHandler.requests_seen)
     assert main(
         ["ingest", "--bronze", bronze, "--silver", silver,
          "--start", "2024-03-07", "--base-url", stub_server, "--limit", "5"]
     ) == 0
     assert spark.read.parquet(silver).count() == 9
+    assert len(StubAcledHandler.requests_seen) == seen_before
 
     # pass 3: fully materialized range with --silver is a clean no-op
     assert main(
