@@ -174,3 +174,25 @@ def test_pii_scrub_single_scan_no_python(spark):
     plan = _plan(spark, "text_pii_scrub")
     assert _scan_count(plan) == 1, plan[:2000]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quality_classifier_zero_join_single_scan(spark):
+    """The hashed linear model is a literal array inside the codegen'd
+    aggregate expression: one corpus scan, no join or broadcast for the
+    model, no Python eval nodes."""
+    plan = _plan(spark, "text_quality_classifier")
+    assert _scan_count(plan) == 1, plan[:2000]
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_snapshot_diff_digest_only_full_outer(spark):
+    """CDC diff = two snapshot scans reduced to digests, one full-outer
+    join on doc_id; document text must never appear in an Exchange."""
+    plan = _plan(spark, "cdc_snapshot_diff")
+    assert _scan_count(plan) == 2, plan[:2000]
+    assert "FullOuter" in plan
+    final = plan.split("== Physical Plan ==")[-1]
+    for line in final.splitlines():
+        if "Exchange" in line and "hashpartitioning" in line:
+            assert "text" not in line, line

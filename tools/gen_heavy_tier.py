@@ -23,6 +23,10 @@ from __future__ import annotations
 import os
 import sys
 
+# runnable as `python tools/gen_heavy_tier.py` from the repo root:
+# python puts tools/ (the script dir) on sys.path, not the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 COPIES = 10
 ID_STRIDE = 100_000_000
 SF01 = "/root/testdata/sf0.1"
