@@ -72,7 +72,10 @@ def fake_decode(payload: bytes) -> tuple[int, int]:
 
 
 def extract_features(
-    media: DataFrame, decoder=fake_decode, batch_size_hint: int | None = None
+    media: DataFrame,
+    decoder=fake_decode,
+    batch_size_hint: int | None = None,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads (mapInPandas).
 
@@ -80,6 +83,12 @@ def extract_features(
     decode/resize/frame-sample step plugs into ``decoder``.  Metadata-only
     columns are pruned out BEFORE the Python boundary so only the bytes
     that must cross, cross.
+
+    ``passthrough``: names of extra ``media`` columns echoed through the
+    boundary unchanged (types taken from the input schema).  A few small
+    expectation columns riding the Arrow batch are far cheaper than the
+    alternative — re-scanning the media source and shuffling payload-wide
+    rows through a doc_id join to recombine features with their inputs.
     """
     import hashlib
 
@@ -88,19 +97,21 @@ def extract_features(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             dims = [decoder(p) for p in pdf["payload"]]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": [len(p) for p in pdf["payload"]],
-                    "digest": [
-                        hashlib.md5(p).hexdigest() for p in pdf["payload"]
-                    ],
-                    "width": [d[0] for d in dims],
-                    "height": [d[1] for d in dims],
-                }
-            )
+            out = {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": [len(p) for p in pdf["payload"]],
+                "digest": [hashlib.md5(p).hexdigest() for p in pdf["payload"]],
+                "width": [d[0] for d in dims],
+                "height": [d[1] for d in dims],
+            }
+            for c in passthrough:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return media.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+    schema = FEATURE_SCHEMA + "".join(
+        f", {c} {media.schema[c].dataType.simpleString()}" for c in passthrough
+    )
+    return media.select("doc_id", "payload", *passthrough).mapInPandas(run, schema)
 
 
 RESIZED_SCHEMA = (

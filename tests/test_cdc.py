@@ -63,3 +63,55 @@ def test_snapshot_diff_never_shuffles_text(spark):
     for line in exchange_and_below.splitlines():
         if line.strip().startswith("+- Exchange") or line.strip().startswith("Exchange"):
             assert "text" not in line, line
+
+
+# --- property: snapshot_diff vs a pure-Python reference ----------------------
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_texts = st.sampled_from(
+    ["alpha beta", "Alpha   Beta", "gamma", "gamma rev2", "delta", None]
+)
+_snapshot = st.dictionaries(
+    st.integers(min_value=0, max_value=9), _texts, max_size=8
+)
+
+
+def _norm(t):
+    return None if t is None else re.sub(r"\s+", " ", t).strip().lower()
+
+
+def _ref_diff(old: dict, new: dict) -> dict:
+    out = {}
+    for i in set(old) | set(new):
+        if i not in old:
+            out[i] = "added"
+        elif i not in new:
+            out[i] = "removed"
+        elif _norm(old[i]) == _norm(new[i]):
+            out[i] = "unchanged"
+        else:
+            out[i] = "changed"
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(old=_snapshot, new=_snapshot)
+def test_snapshot_diff_matches_reference(spark, old, new):
+    schema = "doc_id long, source string, text string"
+    odf = spark.createDataFrame(
+        [(i, "s", t) for i, t in old.items()], schema
+    )
+    ndf = spark.createDataFrame(
+        [(i, "s", t) for i, t in new.items()], schema
+    )
+    got = {
+        r["doc_id"]: r["status"] for r in snapshot_diff(odf, ndf).collect()
+    }
+    assert got == _ref_diff(old, new)

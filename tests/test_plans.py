@@ -196,3 +196,12 @@ def test_snapshot_diff_digest_only_full_outer(spark):
     for line in final.splitlines():
         if "Exchange" in line and "hashpartitioning" in line:
             assert "text" not in line, line
+
+
+def test_mm_feature_extract_single_scan_no_join(spark):
+    """The certification columns (jvm digest, meta bytes) ride through
+    the Arrow batch as passthrough columns: one scan, no second
+    media derivation, no payload-wide recombine join."""
+    plan = _plan(spark, "mm_feature_extract")
+    assert _scan_count(plan) == 1, plan[:2000]
+    assert "Join" not in plan
