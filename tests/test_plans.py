@@ -205,3 +205,13 @@ def test_mm_feature_extract_single_scan_no_join(spark):
     plan = _plan(spark, "mm_feature_extract")
     assert _scan_count(plan) == 1, plan[:2000]
     assert "Join" not in plan
+
+
+def test_drift_psi_single_scan(spark):
+    """PSI = one corpus scan to (type, bin) partials, consumed eagerly
+    by the localCheckpoint; the executed plan must contain ZERO parquet
+    scans — the grid completion and ln arithmetic read only the
+    materialized |types|·bins frame (ExistingRDD)."""
+    plan = _plan(spark, "drift_psi")
+    assert _scan_count(plan) == 0, plan[:2000]
+    assert "ExistingRDD" in plan
