@@ -116,3 +116,124 @@ def read_csv(
     spark: SparkSession, path: str, schema: str, header: bool = True
 ) -> DataFrame:
     return spark.read.schema(schema).option("header", header).csv(path)
+
+
+# --- shard manifests: export integrity for training runs ---------------------
+MANIFEST_NAME = "_manifest.json"
+
+#: 15 hex digits (60 bits) per row, summed as DECIMAL (a long sum would
+#: overflow under ANSI after ~2^3 rows of near-max digests): the sum is
+#: ORDER-INDEPENDENT, so a re-read under any task scheduling reproduces
+#: it — and any dropped, duplicated, or edited row shifts it (unlike an
+#: XOR fold, where a duplicated row cancels itself out).
+_DIGEST_HEX_DIGITS = 15
+
+
+def _shard_stats(df: DataFrame) -> DataFrame:
+    """(shard, rows, digest) per input file of an already-loaded export."""
+    row_digest = F.conv(
+        F.substring(F.md5(F.to_json(F.struct(*df.columns))), 1, _DIGEST_HEX_DIGITS),
+        16,
+        10,
+    ).cast("decimal(20,0)")
+    return (
+        df.withColumn("_shard", F.element_at(F.split(F.input_file_name(), "/"), -1))
+        .groupBy("_shard")
+        .agg(
+            F.count("*").alias("rows"),
+            F.sum(row_digest).cast("decimal(38,0)").alias("digest"),
+        )
+        .withColumnRenamed("_shard", "shard")
+    )
+
+
+def shard_manifest(df: DataFrame) -> list[dict]:
+    """Per-shard row counts + content digests of a loaded export.
+
+    ``df`` must come straight from a reader (``read_jsonl``/``read_csv``
+    /parquet) so ``input_file_name()`` is populated.  The digest is a
+    sum of per-row md5 prefixes over the canonical JSON encoding of the
+    full row — order-independent, partitioning-independent, and
+    computed distributed (one scan, a |shards|-row aggregate).
+    """
+    rows = _shard_stats(df).orderBy("shard").collect()
+    # digest serialized as a string: it exceeds 2^63 on large shards and
+    # must survive a JSON round-trip exactly
+    return [
+        {"shard": r["shard"], "rows": r["rows"], "digest": str(r["digest"])}
+        for r in rows
+    ]
+
+
+def write_manifest(df: DataFrame, path: str) -> int:
+    """Materialize ``MANIFEST_NAME`` next to an export's shards.
+
+    Call after the export write, passing the re-read frame (the manifest
+    must describe the BYTES ON DISK, not the pre-write plan).  Returns
+    the number of shards recorded.  The manifest itself is tiny
+    (|shards| entries) and written driver-side via the JVM filesystem
+    API, so it works on any Hadoop-supported scheme.
+    """
+    import json
+
+    entries = shard_manifest(df)
+    spark = df.sparkSession
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path, MANIFEST_NAME)
+    fs = p.getFileSystem(conf)
+    out = fs.create(p, True)
+    out.write(bytearray(json.dumps(entries, indent=1).encode()))
+    out.close()
+    return len(entries)
+
+
+def verify_manifest(df: DataFrame, path: str) -> list[dict]:
+    """Re-derive shard stats and diff them against ``MANIFEST_NAME``.
+
+    Returns a list of mismatch records (empty == export intact): one per
+    shard that is missing, unexpected, or whose rows/digest changed —
+    the pre-training integrity gate that catches partial writes,
+    truncated shards, and hand-edited files before a run trains on them.
+    """
+    import json
+
+    # the leading underscore keeps Spark DATA readers from picking the
+    # manifest up as a shard — which also hides it from spark.read.text,
+    # so it comes back through the Hadoop FS API
+    spark = df.sparkSession
+    # an integrity gate must see the DISK, not the session's cached file
+    # listing: without this, a shard mutated after an earlier read of
+    # the same path fails with a stale-length read error (or worse,
+    # verifies against cached bytes)
+    spark.catalog.refreshByPath(path)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path, MANIFEST_NAME)
+    fs = p.getFileSystem(conf)
+    stream = fs.open(p)
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    recorded = {e["shard"]: e for e in json.loads(text)}
+    actual = {e["shard"]: e for e in shard_manifest(df)}
+    problems: list[dict] = []
+    for shard in sorted(set(recorded) | set(actual)):
+        if shard not in actual:
+            problems.append({"shard": shard, "problem": "missing"})
+        elif shard not in recorded:
+            problems.append({"shard": shard, "problem": "unexpected"})
+        elif (recorded[shard]["rows"], recorded[shard]["digest"]) != (
+            actual[shard]["rows"],
+            actual[shard]["digest"],
+        ):
+            problems.append(
+                {
+                    "shard": shard,
+                    "problem": "content_mismatch",
+                    "recorded": recorded[shard],
+                    "actual": actual[shard],
+                }
+            )
+    return problems

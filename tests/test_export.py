@@ -90,3 +90,54 @@ def test_csv_roundtrip(spark, tmp_path):
     s = orders.agg(F.round(F.sum("o_totalprice"), 2).alias("t")).collect()[0]["t"]
     b = back.agg(F.round(F.sum("o_totalprice"), 2).alias("t")).collect()[0]["t"]
     assert s == b
+
+
+# --- shard manifests ---------------------------------------------------------
+def test_manifest_roundtrip_and_corruption_detection(spark, tmp_path):
+    from acled_spark.export import (
+        shard_manifest,
+        verify_manifest,
+        write_manifest,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    out = str(tmp_path / "export")
+    write_jsonl(docs, out, shards=4, sort_col="doc_id", compression="none")
+
+    back = read_jsonl(spark, out, DOC_SCHEMA)
+    n = write_manifest(back, out)
+    assert n == 4
+    # intact export verifies clean, and a re-read (fresh frame, possibly
+    # different task scheduling) reproduces every digest
+    assert verify_manifest(read_jsonl(spark, out, DOC_SCHEMA), out) == []
+
+    entries = shard_manifest(read_jsonl(spark, out, DOC_SCHEMA))
+    assert sum(e["rows"] for e in entries) == docs.count()
+    assert all(e["digest"] for e in entries)
+
+    # corrupt one shard: append a valid JSONL row.  Drop the local-FS
+    # CRC sidecar as a rewriting process would regenerate it — the
+    # manifest exists exactly for corruption that arrives with
+    # CONSISTENT file checksums (partial re-export, silent rewrite).
+    part = sorted(glob.glob(f"{out}/part-*.json"))[1]
+    with open(part, "a") as fh:
+        fh.write(
+            json.dumps(
+                {"doc_id": 999999, "text": "injected", "lang": "en",
+                 "source": "evil", "n_chars": 8}
+            )
+            + "\n"
+        )
+    crc = os.path.join(out, f".{os.path.basename(part)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    problems = verify_manifest(read_jsonl(spark, out, DOC_SCHEMA), out)
+    assert len(problems) == 1
+    assert problems[0]["problem"] == "content_mismatch"
+    assert problems[0]["shard"] == os.path.basename(part)
+    assert problems[0]["actual"]["rows"] == problems[0]["recorded"]["rows"] + 1
+
+    # delete a shard entirely -> missing
+    os.remove(part)
+    problems = verify_manifest(read_jsonl(spark, out, DOC_SCHEMA), out)
+    assert {p["problem"] for p in problems} == {"missing"}
