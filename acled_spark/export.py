@@ -22,6 +22,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import posixpath
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -147,7 +149,7 @@ def _shard_stats(df: DataFrame) -> DataFrame:
     )
 
 
-def shard_manifest(df: DataFrame) -> list[dict]:
+def shard_manifest(df: DataFrame, path: str | None = None) -> list[dict]:
     """Per-shard row counts + content digests of a loaded export.
 
     ``df`` must come straight from a reader (``read_jsonl``/``read_csv``
@@ -155,14 +157,25 @@ def shard_manifest(df: DataFrame) -> list[dict]:
     sum of per-row md5 prefixes over the canonical JSON encoding of the
     full row — order-independent, partitioning-independent, and
     computed distributed (one scan, a |shards|-row aggregate).
+
+    Pass ``path`` to reconcile against the ON-DISK file inventory:
+    ``input_file_name`` grouping only sees files that yield rows, so
+    without the listing a zero-row shard (truncated file, foreign
+    leftover from a partial re-export) would be invisible; with it,
+    such files appear as ``rows=0, digest="0"`` entries.
     """
-    rows = _shard_stats(df).orderBy("shard").collect()
-    # digest serialized as a string: it exceeds 2^63 on large shards and
-    # must survive a JSON round-trip exactly
-    return [
-        {"shard": r["shard"], "rows": r["rows"], "digest": str(r["digest"])}
-        for r in rows
-    ]
+    from acled_spark.fsutil import fs_list_data_files
+
+    stats = {
+        r["shard"]: {"shard": r["shard"], "rows": r["rows"], "digest": str(r["digest"])}
+        # digest serialized as a string: it exceeds 2^63 on large shards
+        # and must survive a JSON round-trip exactly
+        for r in _shard_stats(df).collect()
+    }
+    if path is not None:
+        for name in fs_list_data_files(df.sparkSession, path):
+            stats.setdefault(name, {"shard": name, "rows": 0, "digest": "0"})
+    return [stats[k] for k in sorted(stats)]
 
 
 def write_manifest(df: DataFrame, path: str) -> int:
@@ -171,53 +184,50 @@ def write_manifest(df: DataFrame, path: str) -> int:
     Call after the export write, passing the re-read frame (the manifest
     must describe the BYTES ON DISK, not the pre-write plan).  Returns
     the number of shards recorded.  The manifest itself is tiny
-    (|shards| entries) and written driver-side via the JVM filesystem
-    API, so it works on any Hadoop-supported scheme.
+    (|shards| entries), hidden from Spark data readers by its leading
+    underscore, and written driver-side via the Hadoop FS API so it
+    works on any supported scheme.
     """
     import json
 
-    entries = shard_manifest(df)
-    spark = df.sparkSession
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(path, MANIFEST_NAME)
-    fs = p.getFileSystem(conf)
-    out = fs.create(p, True)
-    out.write(bytearray(json.dumps(entries, indent=1).encode()))
-    out.close()
+    from acled_spark.fsutil import fs_write_text
+
+    entries = shard_manifest(df, path)
+    fs_write_text(
+        df.sparkSession,
+        posixpath.join(path, MANIFEST_NAME),
+        json.dumps(entries, indent=1),
+    )
     return len(entries)
 
 
-def verify_manifest(df: DataFrame, path: str) -> list[dict]:
-    """Re-derive shard stats and diff them against ``MANIFEST_NAME``.
+def verify_manifest(
+    spark: SparkSession, path: str, schema: str, reader=read_jsonl
+) -> list[dict]:
+    """Re-derive shard stats from DISK and diff against ``MANIFEST_NAME``.
 
     Returns a list of mismatch records (empty == export intact): one per
     shard that is missing, unexpected, or whose rows/digest changed —
     the pre-training integrity gate that catches partial writes,
-    truncated shards, and hand-edited files before a run trains on them.
+    truncated shards, and silent rewrites (the corruption that arrives
+    with CONSISTENT file checksums) before a run trains on them.
+
+    The gate builds its OWN fresh read after dropping Spark's cached
+    file listing for ``path`` — a caller-supplied frame could carry a
+    stale InMemoryFileIndex from before the corruption and either crash
+    on changed files or silently verify the original bytes.
     """
     import json
 
-    # the leading underscore keeps Spark DATA readers from picking the
-    # manifest up as a shard — which also hides it from spark.read.text,
-    # so it comes back through the Hadoop FS API
-    spark = df.sparkSession
-    # an integrity gate must see the DISK, not the session's cached file
-    # listing: without this, a shard mutated after an earlier read of
-    # the same path fails with a stale-length read error (or worse,
-    # verifies against cached bytes)
+    from acled_spark.fsutil import fs_read_text
+
     spark.catalog.refreshByPath(path)
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(path, MANIFEST_NAME)
-    fs = p.getFileSystem(conf)
-    stream = fs.open(p)
-    try:
-        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-    finally:
-        stream.close()
-    recorded = {e["shard"]: e for e in json.loads(text)}
-    actual = {e["shard"]: e for e in shard_manifest(df)}
+    df = reader(spark, path, schema)
+    recorded = {
+        e["shard"]: e
+        for e in json.loads(fs_read_text(spark, posixpath.join(path, MANIFEST_NAME)))
+    }
+    actual = {e["shard"]: e for e in shard_manifest(df, path)}
     problems: list[dict] = []
     for shard in sorted(set(recorded) | set(actual)):
         if shard not in actual:

@@ -31,31 +31,8 @@ SIDECAR_NAME = "package.json"
 PACKAGE_FORMAT_VERSION = 1
 
 
-def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    out = fs.create(jpath, True)
-    try:
-        out.write(text.encode("utf-8"))
-    finally:
-        out.close()
-
-
-def _fs_read_text(spark: SparkSession, path: str) -> str:
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    stream = fs.open(jpath)
-    try:
-        # py4j passes arrays by value, so a read-into-buffer loop can't
-        # work from Python; commons-io (on Spark's classpath) drains the
-        # stream JVM-side in one call.
-        return jvm.org.apache.commons.io.IOUtils.toString(
-            stream, "UTF-8"
-        )
-    finally:
-        stream.close()
+from acled_spark.fsutil import fs_read_text as _fs_read_text  # noqa: E402
+from acled_spark.fsutil import fs_write_text as _fs_write_text  # noqa: E402
 
 
 def save_model_package(

@@ -94,6 +94,13 @@ def extract_features(
 
     import pandas as pd
 
+    clash = set(passthrough) & {"doc_id", "n_bytes", "digest", "width", "height"}
+    if clash:
+        raise ValueError(
+            f"passthrough columns collide with feature outputs: {sorted(clash)}"
+            " — alias them on the input frame first"
+        )
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             dims = [decoder(p) for p in pdf["payload"]]

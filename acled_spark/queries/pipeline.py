@@ -393,9 +393,13 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_PSI_BINS - 1),
             F.greatest(F.lit(0), F.floor(F.col("value") / _PSI_WIDTH).cast("int")),
         ).alias("bin"),
-        (F.col("ts") >= F.lit(_PSI_SPLIT).cast("timestamp")).cast("int").alias(
-            "is_new"
-        ),
+        # when/otherwise (not a bare cast) so a NULL ts lands in the OLD
+        # period like the oracle's CASE, instead of vanishing from both
+        # counts; timestamp_ntz matches the table's type so the split is
+        # session-timezone-independent (the repo literal convention)
+        F.when(F.col("ts") >= F.lit(_PSI_SPLIT).cast("timestamp_ntz"), 1)
+        .otherwise(0)
+        .alias("is_new"),
     )
     # |types|·bins rows; materialized once so the bin-grid completion
     # below derives the type domain from THIS tiny frame instead of

@@ -107,9 +107,9 @@ def test_manifest_roundtrip_and_corruption_detection(spark, tmp_path):
     back = read_jsonl(spark, out, DOC_SCHEMA)
     n = write_manifest(back, out)
     assert n == 4
-    # intact export verifies clean, and a re-read (fresh frame, possibly
-    # different task scheduling) reproduces every digest
-    assert verify_manifest(read_jsonl(spark, out, DOC_SCHEMA), out) == []
+    # intact export verifies clean, and the gate's own fresh read
+    # (possibly different task scheduling) reproduces every digest
+    assert verify_manifest(spark, out, DOC_SCHEMA) == []
 
     entries = shard_manifest(read_jsonl(spark, out, DOC_SCHEMA))
     assert sum(e["rows"] for e in entries) == docs.count()
@@ -131,13 +131,30 @@ def test_manifest_roundtrip_and_corruption_detection(spark, tmp_path):
     crc = os.path.join(out, f".{os.path.basename(part)}.crc")
     if os.path.exists(crc):
         os.remove(crc)
-    problems = verify_manifest(read_jsonl(spark, out, DOC_SCHEMA), out)
+    problems = verify_manifest(spark, out, DOC_SCHEMA)
     assert len(problems) == 1
     assert problems[0]["problem"] == "content_mismatch"
     assert problems[0]["shard"] == os.path.basename(part)
     assert problems[0]["actual"]["rows"] == problems[0]["recorded"]["rows"] + 1
 
-    # delete a shard entirely -> missing
+    # delete a shard entirely -> missing (the gate's fresh read makes
+    # this a report, not a stale-listing read crash)
     os.remove(part)
-    problems = verify_manifest(read_jsonl(spark, out, DOC_SCHEMA), out)
+    problems = verify_manifest(spark, out, DOC_SCHEMA)
     assert {p["problem"] for p in problems} == {"missing"}
+
+    # truncate another shard to zero bytes: the file inventory keeps it
+    # visible, so it reports as content_mismatch (rows 0), not missing
+    part2 = sorted(glob.glob(f"{out}/part-*.json"))[0]
+    open(part2, "w").close()
+    crc2 = os.path.join(out, f".{os.path.basename(part2)}.crc")
+    if os.path.exists(crc2):
+        os.remove(crc2)
+    problems = {p["shard"]: p["problem"] for p in verify_manifest(spark, out, DOC_SCHEMA)}
+    assert problems[os.path.basename(part2)] == "content_mismatch"
+
+    # a foreign data file dropped into the export dir -> unexpected
+    with open(os.path.join(out, "part-99999-foreign.json"), "w") as fh:
+        pass
+    problems = {p["shard"]: p["problem"] for p in verify_manifest(spark, out, DOC_SCHEMA)}
+    assert problems["part-99999-foreign.json"] == "unexpected"

@@ -105,3 +105,15 @@ def test_mm_feature_extract_self_certifies(spark):
     assert rows
     assert all(r["digest_ok"] for r in rows)
     assert all(r["decode_ok"] for r in rows)
+
+
+def test_extract_features_rejects_colliding_passthrough(spark):
+    import pytest
+
+    from acled_spark.multimodal import attach_payloads, extract_features
+    from acled_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    media = attach_payloads(load(spark, SF_DIR, "documents"))
+    with pytest.raises(ValueError, match="collide"):
+        extract_features(media, passthrough=("n_bytes",))
