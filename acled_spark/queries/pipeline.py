@@ -383,12 +383,11 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     persist each period's (type, bin) counts — PSI between ANY two
     periods is then arithmetic on two tiny stored frames, no rescan.
     """
-    from pyspark.sql.window import Window
+    from acled_spark.drift import psi_from_merged
 
     ev = load(spark, sf_dir, "events")
-    bins = float(_PSI_BINS) / 2.0
     e = ev.select(
-        "event_type",
+        F.col("event_type").alias("group"),
         F.least(
             F.lit(_PSI_BINS - 1),
             F.greatest(F.lit(0), F.floor(F.col("value") / _PSI_WIDTH).cast("int")),
@@ -401,48 +400,18 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_new"),
     )
-    # |types|·bins rows; materialized once so the bin-grid completion
-    # below derives the type domain from THIS tiny frame instead of
-    # re-scanning the corpus (scan count pinned to 1 in test_plans.py)
-    counts = (
-        e.groupBy("event_type", "bin")
+    # ONE corpus scan to the |types|·bins sketch; materialized so the
+    # shared PSI core (grid completion, window totals, ln arithmetic —
+    # acled_spark/drift.py, the same code DriftMonitor runs per batch)
+    # never re-scans events (plan pin: zero parquet scans)
+    merged = (
+        e.groupBy("group", "bin")
         .agg(
             F.sum("is_new").alias("n_new_b"),
             F.sum(1 - F.col("is_new")).alias("n_old_b"),
         )
         .localCheckpoint()
     )
-    grid = counts.select("event_type").distinct().select(
-        "event_type",
-        F.explode(F.sequence(F.lit(0), F.lit(_PSI_BINS - 1))).alias("bin"),
-    )
-    full = grid.join(counts, ["event_type", "bin"], "left").fillna(
-        0, subset=["n_new_b", "n_old_b"]
-    )
-    w = Window.partitionBy("event_type")
-    probs = full.select(
-        "event_type",
-        "n_new_b",
-        "n_old_b",
-        F.sum("n_old_b").over(w).cast("long").alias("n_old_t"),
-        F.sum("n_new_b").over(w).cast("long").alias("n_new_t"),
-    )
-    p_new = (F.col("n_new_b") + 0.5) / (F.col("n_new_t") + bins)
-    p_old = (F.col("n_old_b") + 0.5) / (F.col("n_old_t") + bins)
-    terms = probs.select(
-        "event_type",
-        "n_old_t",
-        "n_new_t",
-        ((p_new - p_old) * F.log(p_new / p_old)).alias("term"),
-    )
-    psi = F.round(F.sum("term"), 4)
-    return (
-        terms.groupBy("event_type")
-        .agg(
-            F.max("n_old_t").alias("n_old"),
-            F.max("n_new_t").alias("n_new"),
-            psi.alias("psi"),
-            (psi >= 0.1).alias("drifted"),
-        )
-        .orderBy("event_type")
+    return psi_from_merged(merged, _PSI_BINS).withColumnRenamed(
+        "group", "event_type"
     )
