@@ -5,6 +5,7 @@ list the library, or run real HTTP ingestion into bronze.
     python -m acled_spark run a4_daily_rollup --sf-dir /root/testdata/sf0.01 -n 20
     python -m acled_spark explain j5_multiway_revenue
     python -m acled_spark oracle a4_daily_rollup      # print the DuckDB oracle
+    python -m acled_spark sql "SELECT lang, count(*) FROM documents GROUP BY lang"
     ACLED_USERNAME=u ACLED_PASSWORD=p \\
       python -m acled_spark ingest --bronze /data/bronze \\
         --start 2024-01-01 --end 2024-01-03
@@ -54,6 +55,18 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--username-env", default="ACLED_USERNAME")
     pi.add_argument("--password-env", default="ACLED_PASSWORD")
 
+    ps = sub.add_parser(
+        "sql",
+        help="run ad-hoc Spark SQL with the testdata tables registered "
+        "as views (the reference's raw-SQL reporting workflow)",
+    )
+    ps.add_argument("statement", help="a single SQL statement")
+    ps.add_argument("--sf-dir", default="/root/testdata/sf0.01", dest="sf_dir")
+    ps.add_argument("-n", "--rows", type=int, default=20)
+    ps.add_argument(
+        "--explain", action="store_true", help="show the physical plan instead"
+    )
+
     pr = sub.add_parser(
         "report", help="assemble KPIs and write text/JSON (+gated PDF/PNG) artifacts"
     )
@@ -74,6 +87,8 @@ def main(argv: list[str] | None = None) -> int:
         return _ingest(args)
     if args.cmd == "report":
         return _report(args)
+    if args.cmd == "sql":
+        return _sql(args)
 
     from acled_spark.registry import all_specs
 
@@ -105,6 +120,24 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name=f"acled-spark-{args.cmd}")
     df = spec.builder(spark, args.sf_dir)
     if args.cmd == "explain":
+        df.explain(mode="formatted")
+    else:
+        df.show(args.rows, truncate=False)
+    return 0
+
+
+def _sql(args) -> int:
+    """Ad-hoc SQL over the registered tables — the migration path for
+    the reference's ~15 raw report queries: point the statement at the
+    same view names the oracle gate uses (region nation customer
+    supplier part orders lineitem events documents embeddings)."""
+    from acled_spark.session import get_spark
+    from acled_spark.tables import register_views
+
+    spark = get_spark(app_name="acled-spark-sql")
+    register_views(spark, args.sf_dir)
+    df = spark.sql(args.statement)
+    if args.explain:
         df.explain(mode="formatted")
     else:
         df.show(args.rows, truncate=False)

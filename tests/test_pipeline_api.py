@@ -57,3 +57,19 @@ def test_run_day_blocking_check_halts(spark, tmp_path):
             os.path.join(str(tmp_path), "b"), os.path.join(str(tmp_path), "s"),
             page_limit=5000,
         )
+
+
+def test_cli_sql_subcommand(spark, capsys):
+    """Ad-hoc SQL against the registered views — the raw-SQL reporting
+    migration path (uses the session fixture's JVM via get_spark's
+    getOrCreate, so no second context spins up)."""
+    from acled_spark.__main__ import main
+
+    rc = main(
+        ["sql",
+         "SELECT lang, count(*) AS docs FROM documents GROUP BY lang ORDER BY lang",
+         "--sf-dir", "/root/testdata/sf0.001"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "lang" in out and "docs" in out and "| en " in out.replace("|en", "| en ")
