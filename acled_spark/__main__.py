@@ -119,11 +119,16 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name=f"acled-spark-{args.cmd}")
     df = spec.builder(spark, args.sf_dir)
-    if args.cmd == "explain":
+    _render(df, explain=args.cmd == "explain", rows=args.rows)
+    return 0
+
+
+def _render(df, explain: bool, rows: int) -> None:
+    """One output policy for every frame-producing subcommand."""
+    if explain:
         df.explain(mode="formatted")
     else:
-        df.show(args.rows, truncate=False)
-    return 0
+        df.show(rows, truncate=False)
 
 
 def _sql(args) -> int:
@@ -136,11 +141,7 @@ def _sql(args) -> int:
 
     spark = get_spark(app_name="acled-spark-sql")
     register_views(spark, args.sf_dir)
-    df = spark.sql(args.statement)
-    if args.explain:
-        df.explain(mode="formatted")
-    else:
-        df.show(args.rows, truncate=False)
+    _render(spark.sql(args.statement), explain=args.explain, rows=args.rows)
     return 0
 
 

@@ -65,14 +65,33 @@ def psi_scores(old_counts: DataFrame, new_counts: DataFrame, n_bins: int = DEFAU
     one sketch still scores, maximally drifted).  Output:
     ``(group, n_old, n_new, psi, drifted)``.
     """
+    old = old_counts.select(
+        F.col("group").alias("g_old"),
+        F.col("bin").alias("b_old"),
+        F.col("n").alias("n_old_b"),
+    )
+    new = new_counts.select(
+        F.col("group").alias("g_new"),
+        F.col("bin").alias("b_new"),
+        F.col("n").alias("n_new_b"),
+    )
     merged = (
-        old_counts.select("group", "bin", F.col("n").alias("n_old_b"))
-        .join(
-            new_counts.select("group", "bin", F.col("n").alias("n_new_b")),
-            ["group", "bin"],
+        # null-safe on group: a NULL group key (upstream regression
+        # blanking the dimension) must still merge and score, not fall
+        # out of a usingColumns join and report psi=0 for exactly the
+        # population that changed
+        old.join(
+            new,
+            F.col("g_old").eqNullSafe(F.col("g_new"))
+            & (F.col("b_old") == F.col("b_new")),
             "full_outer",
         )
-        .fillna(0, subset=["n_old_b", "n_new_b"])
+        .select(
+            F.coalesce("g_old", "g_new").alias("group"),
+            F.coalesce("b_old", "b_new").alias("bin"),
+            F.coalesce("n_old_b", F.lit(0)).alias("n_old_b"),
+            F.coalesce("n_new_b", F.lit(0)).alias("n_new_b"),
+        )
         # tiny (|groups|·bins); materialized so grid completion derives
         # the group domain without re-running either input's lineage
         .localCheckpoint()
@@ -88,8 +107,19 @@ def psi_from_merged(merged: DataFrame, n_bins: int = DEFAULT_BINS) -> DataFrame:
     grid = merged.select("group").distinct().select(
         "group", F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin")
     )
-    filled = grid.join(merged, ["group", "bin"], "left").fillna(
-        0, subset=["n_old_b", "n_new_b"]
+    # null-safe on group so a NULL group's counts attach to its grid
+    # rows instead of being zero-filled away (bin is never NULL: the
+    # binner clamps NULL values into bin 0)
+    filled = grid.alias("g").join(
+        merged.alias("m"),
+        F.col("g.group").eqNullSafe(F.col("m.group"))
+        & (F.col("g.bin") == F.col("m.bin")),
+        "left",
+    ).select(
+        F.col("g.group").alias("group"),
+        F.col("g.bin").alias("bin"),
+        F.coalesce("m.n_old_b", F.lit(0)).alias("n_old_b"),
+        F.coalesce("m.n_new_b", F.lit(0)).alias("n_new_b"),
     )
     from pyspark.sql.window import Window
 
@@ -166,8 +196,27 @@ class DriftMonitor:
         self.update_reference = update_reference
         self.batches_scored = 0
 
+    def _staging(self) -> str:
+        return self.root.rstrip("/") + "._staging"
+
+    def _recover_staging(self, spark) -> None:
+        """Promote a completed staging fold if a crash between the
+        reference delete and the rename left ``root`` missing.  When
+        ``root`` survived, any staging leftover is stale and the next
+        fold's ``mode("overwrite")`` simply replaces it."""
+        from acled_spark.fsutil import fs_exists, fs_replace_dir
+
+        if fs_exists(spark, self._staging()) and not fs_exists(spark, self.root):
+            fs_replace_dir(spark, self._staging(), self.root)
+
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            # idle trigger intervals hand foreachBatch zero-row batches;
+            # scoring one would read EVERY reference group as maximally
+            # drifted (n_new_t=0 → uniform p_new) and page on no data
+            return
+        self._recover_staging(spark)
         new = bin_counts(
             batch_df, self.value_col, self.group_col, self.n_bins, self.width
         ).localCheckpoint()  # one batch scan, shared by score + fold
@@ -176,12 +225,18 @@ class DriftMonitor:
         if self.on_scores is not None:
             self.on_scores(scores)
         if self.update_reference:
+            from acled_spark.fsutil import fs_replace_dir
+
             merged = (
                 old.unionByName(new)
                 .groupBy("group", "bin")
                 .agg(F.sum("n").alias("n"))
-                # sever the reference-read lineage before overwriting it
+                # sever the reference-read lineage before replacing it
                 .localCheckpoint()
             )
-            merged.write.mode("overwrite").parquet(self.root)
+            # stage-then-swap: a crash mid-fold must never destroy the
+            # accumulated baseline (an in-place overwrite deletes the
+            # old reference before the new one is committed)
+            merged.write.mode("overwrite").parquet(self._staging())
+            fs_replace_dir(spark, self._staging(), self.root)
         self.batches_scored += 1

@@ -132,21 +132,40 @@ _DIGEST_HEX_DIGITS = 15
 
 
 def _shard_stats(df: DataFrame) -> DataFrame:
-    """(shard, rows, digest) per input file of an already-loaded export."""
+    """(file URI, rows, digest) per input file of an already-loaded
+    export.  Grouped on the FULL ``input_file_name()`` URI, not the
+    basename: partitioned layouts reuse basenames across subdirectories
+    (every task writes ``part-00000-<uuid>...`` under its own
+    ``lang=…/``), so a basename key would silently merge distinct
+    files.  The tiny result is relativized/decoded driver-side."""
     row_digest = F.conv(
         F.substring(F.md5(F.to_json(F.struct(*df.columns))), 1, _DIGEST_HEX_DIGITS),
         16,
         10,
     ).cast("decimal(20,0)")
     return (
-        df.withColumn("_shard", F.element_at(F.split(F.input_file_name(), "/"), -1))
-        .groupBy("_shard")
+        df.withColumn("_file", F.input_file_name())
+        .groupBy("_file")
         .agg(
             F.count("*").alias("rows"),
             F.sum(row_digest).cast("decimal(38,0)").alias("digest"),
         )
-        .withColumnRenamed("_shard", "shard")
     )
+
+
+def _rel_shard_name(file_uri: str, root_path: str | None) -> str:
+    """Manifest key for one input file: its path relative to the export
+    root (``input_file_name`` URIs are percent-encoded — decoded here so
+    keys match the on-disk listing's raw names), basename if the file
+    lies elsewhere or no root was given."""
+    from urllib.parse import unquote, urlparse
+
+    p = unquote(urlparse(file_uri).path)
+    if root_path:
+        prefix = root_path.rstrip("/") + "/"
+        if p.startswith(prefix):
+            return p[len(prefix):]
+    return posixpath.basename(p)
 
 
 def shard_manifest(df: DataFrame, path: str | None = None) -> list[dict]:
@@ -162,16 +181,20 @@ def shard_manifest(df: DataFrame, path: str | None = None) -> list[dict]:
     ``input_file_name`` grouping only sees files that yield rows, so
     without the listing a zero-row shard (truncated file, foreign
     leftover from a partial re-export) would be invisible; with it,
-    such files appear as ``rows=0, digest="0"`` entries.
+    such files appear as ``rows=0, digest="0"`` entries.  Shards are
+    keyed by path RELATIVE to ``path`` (basename for flat exports), so
+    partitioned layouts — whose tasks reuse basenames across
+    subdirectories — keep one entry per physical file.
     """
-    from acled_spark.fsutil import fs_list_data_files
+    from acled_spark.fsutil import fs_list_data_files, fs_qualified_path
 
-    stats = {
-        r["shard"]: {"shard": r["shard"], "rows": r["rows"], "digest": str(r["digest"])}
+    root = fs_qualified_path(df.sparkSession, path) if path is not None else None
+    stats: dict[str, dict] = {}
+    for r in _shard_stats(df).collect():
+        name = _rel_shard_name(r["_file"], root)
         # digest serialized as a string: it exceeds 2^63 on large shards
         # and must survive a JSON round-trip exactly
-        for r in _shard_stats(df).collect()
-    }
+        stats[name] = {"shard": name, "rows": r["rows"], "digest": str(r["digest"])}
     if path is not None:
         for name in fs_list_data_files(df.sparkSession, path):
             stats.setdefault(name, {"shard": name, "rows": 0, "digest": "0"})
@@ -216,10 +239,18 @@ def verify_manifest(
     file listing for ``path`` — a caller-supplied frame could carry a
     stale InMemoryFileIndex from before the corruption and either crash
     on changed files or silently verify the original bytes.
+
+    Codec-level corruption (a truncated gzip member throws EOFException
+    JVM-side — DROPMALFORMED only absorbs JSON parse errors) fails the
+    one-job bulk pass, so the gate falls back to reading each on-disk
+    shard in isolation and reports the undecodable ones as
+    ``problem="unreadable"`` instead of raising.  (The fallback reads
+    files individually, so for partition-directory layouts its digests
+    omit the directory-derived columns — counts still reconcile.)
     """
     import json
 
-    from acled_spark.fsutil import fs_read_text
+    from acled_spark.fsutil import fs_list_data_files, fs_read_text
 
     spark.catalog.refreshByPath(path)
     df = reader(spark, path, schema)
@@ -227,11 +258,35 @@ def verify_manifest(
         e["shard"]: e
         for e in json.loads(fs_read_text(spark, posixpath.join(path, MANIFEST_NAME)))
     }
-    actual = {e["shard"]: e for e in shard_manifest(df, path)}
+    unreadable: set[str] = set()
+    try:
+        actual = {e["shard"]: e for e in shard_manifest(df, path)}
+    except Exception:
+        actual = {}
+        for name in fs_list_data_files(spark, path):
+            try:
+                entries = shard_manifest(reader(spark, posixpath.join(path, name), schema))
+                stat = entries[0] if entries else {"rows": 0, "digest": "0"}
+                actual[name] = {
+                    "shard": name,
+                    "rows": stat["rows"],
+                    "digest": stat["digest"],
+                }
+            except Exception:
+                unreadable.add(name)
+                actual[name] = {"shard": name, "rows": -1, "digest": ""}
     problems: list[dict] = []
     for shard in sorted(set(recorded) | set(actual)):
         if shard not in actual:
             problems.append({"shard": shard, "problem": "missing"})
+        elif shard in unreadable:
+            problems.append(
+                {
+                    "shard": shard,
+                    "problem": "unreadable",
+                    "recorded": recorded.get(shard),
+                }
+            )
         elif shard not in recorded:
             problems.append({"shard": shard, "problem": "unexpected"})
         elif (recorded[shard]["rows"], recorded[shard]["digest"]) != (

@@ -37,14 +37,52 @@ def fs_read_text(spark: SparkSession, path: str) -> str:
         stream.close()
 
 
-def fs_list_data_files(spark: SparkSession, path: str) -> list[str]:
-    """Names of the VISIBLE data files directly under ``path`` — the
-    same inventory Spark's readers consume (hidden ``_``/``.`` names
-    such as _SUCCESS, _manifest.json, and .crc sidecars excluded)."""
+def fs_exists(spark: SparkSession, path: str) -> bool:
     fs, jpath, _ = _fs_and_path(spark, path)
+    return fs.exists(jpath)
+
+
+def fs_replace_dir(spark: SparkSession, src: str, dest: str) -> None:
+    """Replace ``dest`` with the fully-written ``src`` (delete + rename).
+
+    Not atomic — Hadoop FS has no directory swap — but ``src`` is
+    complete before ``dest`` is touched, so a crash inside the window
+    loses nothing: ``dest`` is gone but ``src`` still holds the full
+    payload and a restart can promote it (see
+    :meth:`acled_spark.drift.DriftMonitor._recover_staging`).  A plain
+    ``mode("overwrite")`` write has the opposite failure shape: the old
+    data is deleted before the new data exists.
+    """
+    fs, jdest, jvm = _fs_and_path(spark, dest)
+    jsrc = jvm.org.apache.hadoop.fs.Path(src)
+    if fs.exists(jdest) and not fs.delete(jdest, True):
+        raise IOError(f"could not delete {dest}")
+    if not fs.rename(jsrc, jdest):
+        raise IOError(f"could not rename {src} -> {dest}")
+
+
+def fs_qualified_path(spark: SparkSession, path: str) -> str:
+    """The filesystem-resolved absolute (decoded) path of ``path`` —
+    the prefix against which file URIs relativize."""
+    fs, jpath, _ = _fs_and_path(spark, path)
+    return fs.makeQualified(jpath).toUri().getPath()
+
+
+def fs_list_data_files(spark: SparkSession, path: str) -> list[str]:
+    """Root-relative paths of the VISIBLE data files under ``path`` —
+    the same inventory Spark's readers consume (hidden ``_``/``.``
+    components such as _SUCCESS, _manifest.json, and .crc sidecars
+    excluded at every level).  Recursive, so partitioned layouts
+    (``lang=en/part-*.parquet``) are inventoried file-by-file; for a
+    flat export the relative path IS the basename."""
+    fs, jpath, _ = _fs_and_path(spark, path)
+    root = fs.makeQualified(jpath).toUri().getPath().rstrip("/")
     names = []
-    for status in fs.listStatus(jpath):
-        name = status.getPath().getName()
-        if status.isFile() and not name.startswith(("_", ".")):
-            names.append(name)
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        p = it.next().getPath().toUri().getPath()
+        rel = p[len(root) + 1 :] if p.startswith(root + "/") else p.rsplit("/", 1)[-1]
+        if any(part.startswith(("_", ".")) for part in rel.split("/")):
+            continue
+        names.append(rel)
     return sorted(names)

@@ -339,7 +339,9 @@ _PSI_WIDTH = 50.0  # value spans [0, 500)
       SELECT grid.event_type, grid.bin,
              COALESCE(counts.n_new_b, 0) AS n_new_b,
              COALESCE(counts.n_old_b, 0) AS n_old_b
-      FROM grid LEFT JOIN counts USING (event_type, bin)
+      FROM grid LEFT JOIN counts
+        ON grid.event_type IS NOT DISTINCT FROM counts.event_type
+       AND grid.bin = counts.bin
     ),
     probs AS (
       SELECT event_type, n_new_b, n_old_b,

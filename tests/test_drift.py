@@ -79,3 +79,60 @@ def test_moving_baseline_folds_batch_counts(spark, tmp_path):
     # a replay of the same batch against the GROWN reference still scores
     mon(batch, epoch_id=1)
     assert mon.batches_scored == 2
+
+
+def test_null_group_counts_merge_and_score(spark):
+    """A NULL group key (upstream regression blanking the dimension)
+    must merge across sketches and score — not fall out of the joins
+    and read as psi=0/n=0 for exactly the population that changed."""
+    old = spark.createDataFrame(
+        [(None, 10.0)] * 40 + [("click", 10.0)] * 40,
+        "event_type string, value double",
+    )
+    new = spark.createDataFrame(
+        [(None, 10.0)] * 60 + [("click", 10.0)] * 20,
+        "event_type string, value double",
+    )
+    rows = {r["group"]: r for r in psi_scores(bin_counts(old), bin_counts(new)).collect()}
+    assert None in rows
+    assert rows[None]["n_old"] == 40 and rows[None]["n_new"] == 60
+    # identical value distribution within the group -> stable psi
+    assert rows[None]["psi"] < 0.05
+    assert rows["click"]["n_old"] == 40 and rows["click"]["n_new"] == 20
+
+
+def test_empty_batch_is_skipped(spark, tmp_path):
+    """Zero-row micro-batches (idle trigger intervals) must not score:
+    an empty sketch reads every reference group as maximally drifted."""
+    ref, _ = _halves(spark)
+    root = str(tmp_path / "ref")
+    init_reference(ref, root)
+    fired = []
+    mon = DriftMonitor(root, on_scores=fired.append, update_reference=True)
+    mon(ref.filter(F.lit(False)), epoch_id=0)
+    assert fired == [] and mon.batches_scored == 0
+    # reference untouched by the skipped fold
+    assert spark.read.parquet(root).agg(F.sum("n")).collect()[0][0] == ref.count()
+
+
+def test_staging_recovery_after_crash(spark, tmp_path):
+    """A crash between the reference delete and the staging rename must
+    be recoverable: the next batch promotes the completed staging fold."""
+    import os
+
+    ref, batch = _halves(spark)
+    root = str(tmp_path / "ref")
+    init_reference(ref, root)
+    mon = DriftMonitor(root, update_reference=True)
+    mon(batch, epoch_id=0)
+    total = spark.read.parquet(root).agg(F.sum("n")).collect()[0][0]
+    # simulate the crash window: reference deleted, staging complete
+    os.rename(root, root + "._staging")
+    fired = []
+    mon2 = DriftMonitor(root, on_scores=fired.append, update_reference=True)
+    mon2(batch, epoch_id=1)
+    assert len(fired) == 1  # scored against the recovered reference
+    assert (
+        spark.read.parquet(root).agg(F.sum("n")).collect()[0][0]
+        == total + batch.count()
+    )

@@ -158,3 +158,63 @@ def test_manifest_roundtrip_and_corruption_detection(spark, tmp_path):
         pass
     problems = {p["shard"]: p["problem"] for p in verify_manifest(spark, out, DOC_SCHEMA)}
     assert problems["part-99999-foreign.json"] == "unexpected"
+
+
+def test_truncated_gzip_shard_reports_unreadable(spark, tmp_path):
+    """Codec-level corruption (truncated gzip member) must come back as
+    a problem record from the gate, not a Py4J crash: DROPMALFORMED
+    only absorbs JSON parse errors, so the bulk pass fails and the
+    per-shard fallback isolates the undecodable file."""
+    from acled_spark.export import verify_manifest, write_manifest
+
+    docs = load(spark, SF_DIR, "documents")
+    out = str(tmp_path / "gz_export")
+    write_jsonl(docs, out, shards=3, sort_col="doc_id")  # gzip default
+    write_manifest(read_jsonl(spark, out, DOC_SCHEMA), out)
+    assert verify_manifest(spark, out, DOC_SCHEMA) == []
+
+    part = sorted(glob.glob(f"{out}/part-*.gz"))[1]
+    blob = open(part, "rb").read()
+    with open(part, "wb") as fh:
+        fh.write(blob[: len(blob) // 2])  # mid-stream truncation
+    crc = os.path.join(out, f".{os.path.basename(part)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    problems = {p["shard"]: p for p in verify_manifest(spark, out, DOC_SCHEMA)}
+    assert problems[os.path.basename(part)]["problem"] == "unreadable"
+    # intact shards still verified clean by the fallback
+    assert set(problems) == {os.path.basename(part)}
+
+
+def test_partitioned_export_manifest(spark, tmp_path):
+    """Partition-directory layouts reuse basenames across subdirs, so
+    manifest keys must be root-relative paths and the on-disk inventory
+    must recurse — one entry per physical file, zero-row reconciliation
+    intact."""
+    from acled_spark.export import shard_manifest, verify_manifest, write_manifest
+
+    docs = load(spark, SF_DIR, "documents")
+    out = str(tmp_path / "by_lang")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+
+    def read_parquet(spark, path, schema):
+        return spark.read.schema(schema).parquet(path)
+
+    back = read_parquet(spark, out, DOC_SCHEMA)
+    entries = shard_manifest(back, out)
+    # every physical file keyed by its partition-relative path
+    assert all("/" in e["shard"] and e["shard"].startswith("lang=") for e in entries)
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    assert len(entries) >= len(langs)
+    assert sum(e["rows"] for e in entries) == docs.count()
+
+    write_manifest(back, out)
+    assert verify_manifest(spark, out, DOC_SCHEMA, reader=read_parquet) == []
+
+    # delete one subdirectory file -> reported missing by relative path
+    victim = sorted(glob.glob(f"{out}/lang=*/part-*.parquet"))[0]
+    os.remove(victim)
+    rel = os.path.relpath(victim, out)
+    problems = {p["shard"]: p["problem"] for p in
+                verify_manifest(spark, out, DOC_SCHEMA, reader=read_parquet)}
+    assert problems == {rel: "missing"}
