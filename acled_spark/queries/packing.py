@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from acled_spark.queries.filters_q import hex_to_int_sql
 from acled_spark.registry import query
 from acled_spark.tables import load
 
@@ -246,4 +247,92 @@ def pack_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(seq).alias("seq_md5"),
         )
         .orderBy("lang", "bin")
+    )
+
+
+# --- deterministic global training shuffle -----------------------------------
+# Before sharding a corpus for training, its order must be randomized —
+# adjacent crawl/source locality in the input order becomes adjacent
+# batches and visibly hurts convergence.  A seeded md5 sort key gives a
+# uniform, reproducible permutation (same seed -> byte-identical shard
+# contents across re-runs and cluster sizes, like the p7/p8/p9 samplers);
+# bumping the seed re-shuffles between epochs without touching the data.
+SHUFFLE_SEED = "42"
+N_SHUFFLE_SHARDS = 16
+
+
+def shuffle_assignment(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = SHUFFLE_SEED,
+    n_shards: int = N_SHUFFLE_SHARDS,
+) -> DataFrame:
+    """Append ``(shard, pos)`` — a deterministic global shuffle order.
+
+    ``shard`` comes from a hash-prefix bucket (NOT range boundaries,
+    which Spark derives by sampling and are run-dependent), ``pos`` from
+    a row_number window PARTITIONED BY shard — so no stage ever sorts
+    the whole corpus on one partition: the only exchange is the
+    hash-bucket shuffle, and each shard sorts locally.  Writing
+    ``.repartition("shard")`` + ``sortWithinPartitions("pos")`` then
+    yields byte-stable shuffled shards (the export layer's
+    ``write_jsonl`` determinism contract, extended to shuffled order).
+    """
+    hk = F.md5(F.concat(F.lit(seed + "|"), F.col(id_col).cast("string")))
+    s = df.withColumn("__hk", hk).withColumn(
+        "shard",
+        (F.conv(F.substring("__hk", 1, 4), 16, 10).cast("long") % n_shards).cast(
+            "int"
+        ),
+    )
+    w = Window.partitionBy("shard").orderBy("__hk", id_col)
+    return s.withColumn("pos", F.row_number().over(w)).drop("__hk")
+
+
+@query(
+    "train_shuffle",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             md5('{SHUFFLE_SEED}|' || CAST(doc_id AS VARCHAR)) AS hk
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, hk,
+             ({hex_to_int_sql("hk", 4)}) % {N_SHUFFLE_SHARDS} AS shard
+      FROM h
+    ),
+    p AS (
+      SELECT shard, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hk, doc_id) AS pos
+      FROM s
+    )
+    SELECT shard, COUNT(*) AS n_docs,
+           CAST(SUM(pos * doc_id) AS BIGINT) AS order_checksum
+    FROM p GROUP BY shard ORDER BY shard
+    """,
+    tags=("sampling", "training", "extended"),
+)
+def train_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Census of the seeded global shuffle: docs per shard + an
+    order-sensitive checksum (Σ pos·doc_id) that pins the EXACT
+    permutation cross-engine, not just shard sizes.
+
+    Scale: one hash-bucket exchange + per-shard local sort (see
+    :func:`shuffle_assignment`) — the window is partitioned by shard,
+    so no global single-partition sort exists in the plan.  Shard
+    count scales with corpus size; at 100 TB you'd raise it so each
+    shard stays executor-sized, which only widens the exchange.
+    """
+    docs = load(spark, sf_dir, "documents")
+    assigned = shuffle_assignment(docs.select("doc_id"))
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("pos") * F.col("doc_id")).cast("long").alias(
+                "order_checksum"
+            ),
+        )
+        .orderBy("shard")
     )

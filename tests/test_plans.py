@@ -215,3 +215,17 @@ def test_drift_psi_single_scan(spark):
     plan = _plan(spark, "drift_psi")
     assert _scan_count(plan) == 0, plan[:2000]
     assert "ExistingRDD" in plan
+
+
+def test_train_shuffle_window_is_shard_partitioned(spark):
+    """The global shuffle must never sort the corpus on one partition:
+    the row_number window is PARTITIONED BY shard (hash-bucket
+    exchange + per-shard local sort), and partial aggregation runs
+    map-side before the final 16-row exchange."""
+    plan = _plan(spark, "train_shuffle")
+    assert "windowspecdefinition(shard" in plan
+    assert "partial_count" in plan
+    # the only SinglePartition/global exchange allowed is the final
+    # |shards|-row presentation sort, never under the Window
+    window_part = plan.split("windowspecdefinition")[0]
+    assert "SinglePartition" not in window_part

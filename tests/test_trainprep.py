@@ -116,3 +116,37 @@ def test_chunk_stream_empty_doc_yields_no_chunks(spark):
         [(0, "   ", "en"), (1, "", "en")], "doc_id long, text string, lang string"
     )
     assert chunk_stream(docs).count() == 0
+
+
+def test_shuffle_assignment_is_deterministic_permutation(spark):
+    """Seeded global shuffle: a valid permutation (every doc exactly one
+    (shard, pos); positions contiguous per shard), byte-stable across
+    re-runs, actually order-randomizing, and seed-sensitive."""
+    from acled_spark.queries.packing import N_SHUFFLE_SHARDS, shuffle_assignment
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id")
+    a1 = sorted(shuffle_assignment(docs).collect())
+    a2 = sorted(shuffle_assignment(docs).collect())
+    assert a1 == a2  # same seed -> identical permutation
+
+    n = docs.count()
+    assert len(a1) == n
+    by_shard = {}
+    for r in a1:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(N_SHUFFLE_SHARDS))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # no shard degenerates (hash-prefix bucketing is near-uniform)
+    sizes = [len(v) for v in by_shard.values()]
+    assert min(sizes) * 4 > max(sizes)
+
+    # the shuffle breaks input order: within a shard, doc_ids in pos
+    # order must not be sorted (probability ~1/k! otherwise)
+    shard0 = [r["doc_id"] for r in sorted(a1, key=lambda r: (r["shard"], r["pos"]))
+              if r["shard"] == a1[0]["shard"]]
+    assert shard0 != sorted(shard0)
+
+    # a different seed yields a different permutation
+    b = sorted(shuffle_assignment(docs, seed="43").collect())
+    assert b != a1
