@@ -36,14 +36,38 @@ def write_jsonl(
     shards: int | None = None,
     sort_col: str | None = None,
     compression: str = "gzip",
+    shuffle_seed: str | None = None,
 ) -> None:
     """Write a DataFrame as compressed JSONL shards.
 
     With ``shards`` + ``sort_col``, output is range-partitioned and
     per-shard sorted on the key — byte-stable across re-runs on the
     same input, which makes corpus diffs and resumable training real.
+
+    With ``shuffle_seed`` + ``sort_col``, rows are instead GLOBALLY
+    SHUFFLED by the seeded permutation of ``sort_col`` (see
+    :func:`acled_spark.queries.packing.shuffle_assignment`) — still
+    byte-stable per (seed, input), which is how training exports get
+    randomized order without losing reproducibility; bump the seed to
+    re-shuffle between epochs.  ``shards`` then fixes the bucket count.
     """
-    if shards is not None and sort_col is not None:
+    if shuffle_seed is not None:
+        if sort_col is None:
+            raise ValueError("shuffle_seed requires sort_col (the row id key)")
+        from acled_spark.queries.packing import N_SHUFFLE_SHARDS, shuffle_assignment
+
+        n_shards = shards if shards is not None else N_SHUFFLE_SHARDS
+        assigned = shuffle_assignment(
+            df, id_col=sort_col, seed=shuffle_seed, n_shards=n_shards
+        )
+        df = (
+            # explicit partition count: hash-of-shard assignment is
+            # deterministic, so shard contents stay byte-stable
+            assigned.repartition(n_shards, F.col("shard"))
+            .sortWithinPartitions("shard", "pos")
+            .drop("shard", "pos")
+        )
+    elif shards is not None and sort_col is not None:
         df = df.repartitionByRange(shards, F.col(sort_col)).sortWithinPartitions(
             sort_col
         )

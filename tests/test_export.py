@@ -218,3 +218,32 @@ def test_partitioned_export_manifest(spark, tmp_path):
     problems = {p["shard"]: p["problem"] for p in
                 verify_manifest(spark, out, DOC_SCHEMA, reader=read_parquet)}
     assert problems == {rel: "missing"}
+
+
+def test_shuffled_export_is_stable_and_randomized(spark, tmp_path):
+    """A seed-shuffled export reproduces byte-identical shards across
+    re-runs, holds exactly the input rows, breaks the input order, and
+    re-orders under a different seed."""
+    docs = load(spark, SF_DIR, "documents")
+
+    def shard_texts(path):
+        out = {}
+        for f in sorted(glob.glob(os.path.join(path, "part-*.gz"))):
+            with gzip.open(f, "rt") as fh:
+                lines = fh.read().splitlines()
+            if lines:
+                out[json.loads(lines[0])["doc_id"]] = lines
+        return out
+
+    p1, p2, p3 = (str(tmp_path / n) for n in ("s1", "s2", "s3"))
+    write_jsonl(docs, p1, shards=4, sort_col="doc_id", shuffle_seed="7")
+    write_jsonl(docs, p2, shards=4, sort_col="doc_id", shuffle_seed="7")
+    write_jsonl(docs, p3, shards=4, sort_col="doc_id", shuffle_seed="8")
+    assert shard_texts(p1) == shard_texts(p2)  # same seed -> same bytes
+    assert shard_texts(p1) != shard_texts(p3)  # new seed -> new order
+
+    back = read_jsonl(spark, p1, DOC_SCHEMA)
+    assert _doc_set(back) == _doc_set(docs)  # a permutation, not a sample
+    # within a shard, doc_ids are not in input order
+    ids = [json.loads(l)["doc_id"] for l in next(iter(shard_texts(p1).values()))]
+    assert len(ids) > 2 and ids != sorted(ids)
