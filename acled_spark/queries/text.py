@@ -1230,3 +1230,112 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- intra-corpus duplicated-span census -------------------------------------
+# Exact-substring duplication signal (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better", arXiv:2107.06499): a doc
+# whose word n-gram spans largely recur elsewhere in the corpus is
+# boilerplate/mirror content that document-level dedup (exact digests,
+# MinHash) misses — the spans duplicate even when the documents don't.
+# Production granularity is ~50 tokens; N_SPAN=8 keeps the synthetic
+# short-doc corpus signal-bearing (the knob is the only difference).
+N_SPAN = 8
+HEAVY_DUP_SHARE = 0.5  # docs above this span-dup fraction get dropped
+
+
+@query(
+    "text_dup_spans",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, {_ngrams_sql(N_SPAN)} AS grams FROM documents
+    ),
+    e AS (
+      SELECT doc_id, lang, md5(unnest(grams)) AS h FROM d
+    ),
+    w AS (
+      SELECT doc_id, lang,
+             COUNT(*) OVER (PARTITION BY h) > 1 AS is_dup
+      FROM e
+    ),
+    per_doc AS (
+      SELECT doc_id, lang,
+             COUNT(*) AS n_grams,
+             COUNT(CASE WHEN is_dup THEN 1 END) AS n_dup
+      FROM w GROUP BY doc_id, lang
+    ),
+    all_docs AS (
+      SELECT d.lang,
+             COALESCE(p.n_grams, 0) AS n_grams,
+             COALESCE(p.n_dup, 0) AS n_dup
+      FROM d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    )
+    SELECT lang,
+           COUNT(*) AS docs,
+           COUNT(CASE WHEN n_dup > 0 THEN 1 END) AS docs_with_dup,
+           COUNT(CASE WHEN n_grams > 0
+                       AND CAST(n_dup AS DOUBLE) / n_grams >= {HEAVY_DUP_SHARE}
+                 THEN 1 END) AS heavy_dup_docs,
+           CAST(SUM(n_dup) AS BIGINT) AS dup_spans,
+           ROUND(AVG(CASE WHEN n_grams > 0
+                          THEN CAST(n_dup AS DOUBLE) / n_grams
+                          ELSE 0.0 END), 4) AS avg_dup_share
+    FROM all_docs GROUP BY lang ORDER BY lang
+    """,
+    tags=("text", "dedup", "extended"),
+)
+def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language census of duplicated word-n-gram spans: how much of
+    each doc recurs verbatim elsewhere in the corpus, and how many docs
+    cross the drop threshold.
+
+    Scale: ONE corpus scan; grams are md5'd BEFORE the exchange, so the
+    span-frequency shuffle carries 32-byte digests, never text (the
+    dedup.py discipline).  Span doc-frequency comes from a count window
+    over the digest — per-doc grams are distinct, so the window count IS
+    the doc frequency — and the per-doc fold is a second small exchange
+    on doc_id.  explode_outer keeps gram-less docs in the same stream
+    (their window key salts to a per-doc value, so no empty-doc skew
+    partition forms).  At 100 TB, cap runaway boilerplate digests with
+    the same max-doc-freq filter the LSH builders expose (a gram shared
+    by >X docs is certainly boilerplate; counting it further only skews
+    the shuffle).
+    """
+    docs = load(spark, sf_dir, "documents")
+    e = docs.select(
+        "doc_id",
+        "lang",
+        F.explode_outer(word_ngrams_spark(F.col("text"), N_SPAN)).alias("g"),
+    ).withColumn(
+        "h",
+        F.when(F.col("g").isNotNull(), F.md5("g")).otherwise(
+            F.concat(F.lit("empty:"), F.col("doc_id").cast("string"))
+        ),
+    )
+    w = e.withColumn(
+        "is_dup",
+        F.col("g").isNotNull() & (F.count("*").over(Window.partitionBy("h")) > 1),
+    )
+    per_doc = w.groupBy("doc_id", "lang").agg(
+        F.count(F.col("g")).alias("n_grams"),
+        F.count(F.when(F.col("is_dup"), 1)).alias("n_dup"),
+    )
+    share = F.col("n_dup").cast("double") / F.col("n_grams")
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.count(F.when(F.col("n_dup") > 0, 1)).alias("docs_with_dup"),
+            F.count(
+                F.when((F.col("n_grams") > 0) & (share >= HEAVY_DUP_SHARE), 1)
+            ).alias("heavy_dup_docs"),
+            F.sum("n_dup").cast("long").alias("dup_spans"),
+            F.round(
+                F.avg(
+                    F.when(F.col("n_grams") > 0, share).otherwise(F.lit(0.0))
+                ),
+                4,
+            ).alias("avg_dup_share"),
+        )
+        .orderBy("lang")
+    )

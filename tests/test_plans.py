@@ -229,3 +229,12 @@ def test_train_shuffle_window_is_shard_partitioned(spark):
     # |shards|-row presentation sort, never under the Window
     window_part = plan.split("windowspecdefinition")[0]
     assert "SinglePartition" not in window_part
+
+
+def test_dup_spans_single_scan_hashed_exchange(spark):
+    """text_dup_spans: exactly one corpus scan (explode_outer keeps
+    gram-less docs in-stream, no join-back), and the span-frequency
+    window exchanges the md5 digest, never gram text."""
+    plan = _plan(spark, "text_dup_spans")
+    assert plan.count("Scan parquet  (") == 1
+    assert "windowspecdefinition(h#" in plan
