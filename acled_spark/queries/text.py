@@ -1251,7 +1251,7 @@ HEAVY_DUP_SHARE = 0.5  # docs above this span-dup fraction get dropped
       SELECT doc_id, lang, {_ngrams_sql(N_SPAN)} AS grams FROM documents
     ),
     e AS (
-      SELECT doc_id, lang, md5(unnest(grams)) AS h FROM d
+      SELECT doc_id, lang, substr(md5(unnest(grams)), 1, 16) AS h FROM d
     ),
     w AS (
       SELECT doc_id, lang,
@@ -1306,18 +1306,25 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.explode_outer(word_ngrams_spark(F.col("text"), N_SPAN)).alias("g"),
-    ).withColumn(
-        "h",
-        F.when(F.col("g").isNotNull(), F.md5("g")).otherwise(
-            F.concat(F.lit("empty:"), F.col("doc_id").cast("string"))
-        ),
+    ).select(
+        "doc_id",
+        "lang",
+        # gram text is DROPPED before the exchange: the window carries
+        # only (doc_id, lang, flag, 16-hex digest) — 64 digest bits is
+        # far past birthday range for any real corpus, and the oracle
+        # truncates identically so a collision (which would merely
+        # overcount one span) stays cross-engine exact
+        F.col("g").isNotNull().alias("has_g"),
+        F.when(
+            F.col("g").isNotNull(), F.substring(F.md5("g"), 1, 16)
+        ).otherwise(F.concat(F.lit("e:"), F.col("doc_id").cast("string"))).alias("h"),
     )
     w = e.withColumn(
         "is_dup",
-        F.col("g").isNotNull() & (F.count("*").over(Window.partitionBy("h")) > 1),
+        F.col("has_g") & (F.count("*").over(Window.partitionBy("h")) > 1),
     )
     per_doc = w.groupBy("doc_id", "lang").agg(
-        F.count(F.col("g")).alias("n_grams"),
+        F.count(F.when(F.col("has_g"), 1)).alias("n_grams"),
         F.count(F.when(F.col("is_dup"), 1)).alias("n_dup"),
     )
     share = F.col("n_dup").cast("double") / F.col("n_grams")
