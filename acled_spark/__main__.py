@@ -119,7 +119,8 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name=f"acled-spark-{args.cmd}")
     df = spec.builder(spark, args.sf_dir)
-    _render(df, explain=args.cmd == "explain", rows=args.rows)
+    # the explain subparser defines no --rows; _render ignores it there
+    _render(df, explain=args.cmd == "explain", rows=getattr(args, "rows", 20))
     return 0
 
 

@@ -54,18 +54,26 @@ def write_jsonl(
     if shuffle_seed is not None:
         if sort_col is None:
             raise ValueError("shuffle_seed requires sort_col (the row id key)")
-        from acled_spark.queries.packing import N_SHUFFLE_SHARDS, shuffle_assignment
+        from acled_spark.queries.packing import N_SHUFFLE_SHARDS, shuffle_key_cols
 
         n_shards = shards if shards is not None else N_SHUFFLE_SHARDS
-        assigned = shuffle_assignment(
-            df, id_col=sort_col, seed=shuffle_seed, n_shards=n_shards
-        )
+        # __-prefixed temp names so a user column can't be silently
+        # clobbered-and-dropped; sorting directly on (shard, hash key)
+        # equals sorting on shuffle_assignment's (shard, pos) — same
+        # bytes with ONE exchange and no row_number window
+        hk_col, shard_col = "__shuffle_hk", "__shuffle_shard"
+        clash = {hk_col, shard_col} & set(df.columns)
+        if clash:
+            raise ValueError(f"input columns collide with shuffle temps: {clash}")
+        hk, shard = shuffle_key_cols(sort_col, shuffle_seed, n_shards)
         df = (
+            df.withColumn(hk_col, hk)
+            .withColumn(shard_col, shard)
             # explicit partition count: hash-of-shard assignment is
             # deterministic, so shard contents stay byte-stable
-            assigned.repartition(n_shards, F.col("shard"))
-            .sortWithinPartitions("shard", "pos")
-            .drop("shard", "pos")
+            .repartition(n_shards, F.col(shard_col))
+            .sortWithinPartitions(shard_col, hk_col, sort_col)
+            .drop(shard_col, hk_col)
         )
     elif shards is not None and sort_col is not None:
         df = df.repartitionByRange(shards, F.col(sort_col)).sortWithinPartitions(
@@ -269,8 +277,10 @@ def verify_manifest(
     one-job bulk pass, so the gate falls back to reading each on-disk
     shard in isolation and reports the undecodable ones as
     ``problem="unreadable"`` instead of raising.  (The fallback reads
-    files individually, so for partition-directory layouts its digests
-    omit the directory-derived columns — counts still reconcile.)
+    files individually, so partition-directory shards lose their
+    directory-derived columns; their comparison drops to row counts —
+    digests would differ on every intact shard and bury the real
+    corruption in false positives.)
     """
     import json
 
@@ -283,6 +293,7 @@ def verify_manifest(
         for e in json.loads(fs_read_text(spark, posixpath.join(path, MANIFEST_NAME)))
     }
     unreadable: set[str] = set()
+    rows_only: set[str] = set()
     try:
         actual = {e["shard"]: e for e in shard_manifest(df, path)}
     except Exception:
@@ -296,6 +307,11 @@ def verify_manifest(
                     "rows": stat["rows"],
                     "digest": stat["digest"],
                 }
+                if "/" in name:
+                    # per-file reads see no partition-directory columns,
+                    # so digests can't match the bulk-read manifest —
+                    # compare row counts only for subdirectory shards
+                    rows_only.add(name)
             except Exception:
                 unreadable.add(name)
                 actual[name] = {"shard": name, "rows": -1, "digest": ""}
@@ -313,9 +329,11 @@ def verify_manifest(
             )
         elif shard not in recorded:
             problems.append({"shard": shard, "problem": "unexpected"})
-        elif (recorded[shard]["rows"], recorded[shard]["digest"]) != (
-            actual[shard]["rows"],
-            actual[shard]["digest"],
+        elif (
+            recorded[shard]["rows"] != actual[shard]["rows"]
+            if shard in rows_only
+            else (recorded[shard]["rows"], recorded[shard]["digest"])
+            != (actual[shard]["rows"], actual[shard]["digest"])
         ):
             problems.append(
                 {

@@ -261,6 +261,20 @@ SHUFFLE_SEED = "42"
 N_SHUFFLE_SHARDS = 16
 
 
+def shuffle_key_cols(
+    id_col: str, seed: str = SHUFFLE_SEED, n_shards: int = N_SHUFFLE_SHARDS
+):
+    """The seeded permutation's ``(sort key, shard)`` column pair —
+    shared by :func:`shuffle_assignment` and the export layer's
+    shuffled-shard writer (which sorts on the key directly and never
+    materializes a rank)."""
+    hk = F.md5(F.concat(F.lit(seed + "|"), F.col(id_col).cast("string")))
+    shard = (F.conv(F.substring(hk, 1, 4), 16, 10).cast("long") % n_shards).cast(
+        "int"
+    )
+    return hk, shard
+
+
 def shuffle_assignment(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -273,18 +287,17 @@ def shuffle_assignment(
     which Spark derives by sampling and are run-dependent), ``pos`` from
     a row_number window PARTITIONED BY shard — so no stage ever sorts
     the whole corpus on one partition: the only exchange is the
-    hash-bucket shuffle, and each shard sorts locally.  Writing
-    ``.repartition("shard")`` + ``sortWithinPartitions("pos")`` then
-    yields byte-stable shuffled shards (the export layer's
-    ``write_jsonl`` determinism contract, extended to shuffled order).
+    hash-bucket shuffle, and each shard sorts locally.  When only a
+    shuffled ORDER is needed (not the explicit rank), sort on
+    :func:`shuffle_key_cols` directly and skip the window — that is how
+    ``write_jsonl(shuffle_seed=...)`` emits byte-stable shuffled shards
+    with a single exchange.
     """
-    hk = F.md5(F.concat(F.lit(seed + "|"), F.col(id_col).cast("string")))
-    s = df.withColumn("__hk", hk).withColumn(
-        "shard",
-        (F.conv(F.substring("__hk", 1, 4), 16, 10).cast("long") % n_shards).cast(
-            "int"
-        ),
-    )
+    clash = {"shard", "pos", "__hk"} & set(df.columns)
+    if clash:
+        raise ValueError(f"input columns collide with shuffle outputs: {clash}")
+    hk, shard = shuffle_key_cols(id_col, seed, n_shards)
+    s = df.withColumn("__hk", hk).withColumn("shard", shard)
     w = Window.partitionBy("shard").orderBy("__hk", id_col)
     return s.withColumn("pos", F.row_number().over(w)).drop("__hk")
 

@@ -8,6 +8,8 @@ import gzip
 import json
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from acled_spark.export import (
@@ -247,3 +249,39 @@ def test_shuffled_export_is_stable_and_randomized(spark, tmp_path):
     # within a shard, doc_ids are not in input order
     ids = [json.loads(l)["doc_id"] for l in next(iter(shard_texts(p1).values()))]
     assert len(ids) > 2 and ids != sorted(ids)
+
+
+def test_partitioned_fallback_isolates_corrupt_file(spark, tmp_path):
+    """When the bulk verify pass crashes on a corrupt file in a
+    partitioned layout, the per-file fallback must flag ONLY that file
+    (rows-only comparison for subdirectory shards — per-file reads lose
+    partition columns, so digest comparison would false-positive on
+    every intact shard)."""
+    from acled_spark.export import verify_manifest, write_manifest
+
+    docs = load(spark, SF_DIR, "documents")
+    out = str(tmp_path / "by_lang2")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+
+    def read_parquet(spark, path, schema):
+        return spark.read.schema(schema).parquet(path)
+
+    write_manifest(read_parquet(spark, out, DOC_SCHEMA), out)
+    victim = sorted(glob.glob(f"{out}/lang=*/part-*.parquet"))[0]
+    blob = open(victim, "rb").read()
+    with open(victim, "wb") as fh:
+        fh.write(blob[: len(blob) // 2])  # destroy the parquet footer
+    crc = os.path.join(os.path.dirname(victim), f".{os.path.basename(victim)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    problems = {p["shard"]: p["problem"] for p in
+                verify_manifest(spark, out, DOC_SCHEMA, reader=read_parquet)}
+    assert problems == {os.path.relpath(victim, out): "unreadable"}
+
+
+def test_shuffle_rejects_colliding_columns(spark):
+    from acled_spark.queries.packing import shuffle_assignment
+
+    docs = load(spark, SF_DIR, "documents").withColumn("pos", F.lit(1))
+    with pytest.raises(ValueError, match="collide"):
+        shuffle_assignment(docs)
