@@ -136,3 +136,44 @@ def test_staging_recovery_after_crash(spark, tmp_path):
         spark.read.parquet(root).agg(F.sum("n")).collect()[0][0]
         == total + batch.count()
     )
+
+
+def test_drift_monitor_over_real_stream(spark, tmp_path):
+    """Production wiring e2e: readStream file source -> foreachBatch
+    (DriftMonitor) with availableNow — scores fire, the moving baseline
+    folds the streamed counts, and a checkpointed replay with no new
+    files scores nothing."""
+    import os
+
+    ref, batch = _halves(spark)
+    root = str(tmp_path / "ref")
+    init_reference(ref, root)
+    src = os.path.join(str(tmp_path), "src")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    batch.write.mode("append").parquet(src)
+
+    fired = []
+    mon = DriftMonitor(root, on_scores=lambda s: fired.append(s.collect()),
+                       update_reference=True)
+
+    def run():
+        q = (
+            spark.readStream.schema(batch.schema).parquet(src)
+            .writeStream.foreachBatch(mon)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert len(fired) == 1
+    assert {r["group"] for r in fired[0]} == {
+        "click", "error", "purchase", "signup", "view"
+    }
+    folded = spark.read.parquet(root)
+    assert folded.agg(F.sum("n")).collect()[0][0] == ref.count() + batch.count()
+
+    # replay with no new files: the checkpoint yields no batch to score
+    run()
+    assert len(fired) == 1
