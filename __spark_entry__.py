@@ -27,10 +27,11 @@ from acled_spark.registry import oracle_map, spark_queries
 # stale and lead round 4, followed by the r02 half (whose source files
 # round 3 edited: silver/similarity/packing/pipeline/olap).
 #
-# Round 4 bookkeeping for the NEXT rotation update: six queries added
+# Round 4 bookkeeping for the NEXT rotation update: seven queries added
 # this round (text_pii_scrub, dedup_incremental_check,
-# text_quality_classifier, cdc_snapshot_diff, drift_psi, train_shuffle)
-# are in no tier below, so they auto-lead as never-verified; round 4 also edited
+# text_quality_classifier, cdc_snapshot_diff, drift_psi, train_shuffle,
+# text_dup_spans) are in no tier below, so they auto-lead as
+# never-verified; round 4 also edited
 # queries/olap.py (a26 bound logic), queries/text.py (pii append +
 # docs_redacted), queries/dedup.py (incremental_classify append,
 # collision-join distinct drop), ann.py, source.py — after

@@ -1296,12 +1296,31 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the doc frequency — and the per-doc fold is a second small exchange
     on doc_id.  explode_outer keeps gram-less docs in the same stream
     (their window key salts to a per-doc value, so no empty-doc skew
-    partition forms).  At 100 TB, cap runaway boilerplate digests with
-    the same max-doc-freq filter the LSH builders expose (a gram shared
-    by >X docs is certainly boilerplate; counting it further only skews
-    the shuffle).
+    partition forms).  For adversarially-hot boilerplate digests use
+    :func:`dup_span_census` with ``skew_safe=True`` — same result via
+    partial-aggregated frequencies + AQE-splittable join instead of the
+    per-digest window partition.
     """
-    docs = load(spark, sf_dir, "documents")
+    return dup_span_census(load(spark, sf_dir, "documents"))
+
+
+def dup_span_census(docs: DataFrame, skew_safe: bool = False) -> DataFrame:
+    """The ``text_dup_spans`` plan over any documents frame.
+
+    Two equivalent formulations (equivalence pytest-pinned):
+
+    - default: doc-frequency via ``count() over (partition by digest)``
+      — one exchange + local sort, ~2× faster at the benched tiers
+      (2.6 vs 5.1 s at sf1.0), but a digest shared by X docs places X
+      rows on ONE window partition, so a corpus-scale boilerplate span
+      (site chrome in 1% of 100B docs) makes a straggler;
+    - ``skew_safe=True``: frequency via ``groupBy(digest).count()``
+      (partial aggregation collapses hot digests map-side) joined back
+      to the gram stream — a one-row-per-key build side AQE splits
+      under skew.  One more exchange, no partition ever exceeds the
+      planner's split size.  Flip it when span duplication is heavy or
+      unknown.
+    """
     e = docs.select(
         "doc_id",
         "lang",
@@ -1319,10 +1338,16 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("g").isNotNull(), F.substring(F.md5("g"), 1, 16)
         ).otherwise(F.concat(F.lit("e:"), F.col("doc_id").cast("string"))).alias("h"),
     )
-    w = e.withColumn(
-        "is_dup",
-        F.col("has_g") & (F.count("*").over(Window.partitionBy("h")) > 1),
-    )
+    if skew_safe:
+        freq = e.groupBy("h").agg(F.count("*").alias("df"))
+        w = e.join(freq, "h").withColumn(
+            "is_dup", F.col("has_g") & (F.col("df") > 1)
+        )
+    else:
+        w = e.withColumn(
+            "is_dup",
+            F.col("has_g") & (F.count("*").over(Window.partitionBy("h")) > 1),
+        )
     per_doc = w.groupBy("doc_id", "lang").agg(
         F.count(F.when(F.col("has_g"), 1)).alias("n_grams"),
         F.count(F.when(F.col("is_dup"), 1)).alias("n_dup"),

@@ -150,3 +150,30 @@ def test_shuffle_assignment_is_deterministic_permutation(spark):
     # a different seed yields a different permutation
     b = sorted(shuffle_assignment(docs, seed="43").collect())
     assert b != a1
+
+
+def test_dup_span_census_skew_safe_equivalence(spark):
+    """The skew_safe (groupBy+AQE-join) formulation must produce
+    exactly the window formulation's census — including on a corpus
+    with a planted hot span (1000 docs sharing one boilerplate gram)."""
+    from acled_spark.queries.text import dup_span_census
+
+    docs = load(spark, SF_DIR, "documents")
+    base = [tuple(r) for r in dup_span_census(docs).collect()]
+    safe = [tuple(r) for r in dup_span_census(docs, skew_safe=True).collect()]
+    assert sorted(base) == sorted(safe)
+
+    hot = spark.range(1000).select(
+        (F.col("id") + 10_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("the same boilerplate footer appears on every single page "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+        F.lit("xx").alias("lang"),
+    )
+    planted = docs.select("doc_id", "text", "lang").unionByName(hot)
+    b2 = sorted(tuple(r) for r in dup_span_census(planted).collect())
+    s2 = sorted(tuple(r) for r in dup_span_census(planted, skew_safe=True).collect())
+    assert b2 == s2
+    xx = dict((r[0], r) for r in b2)["xx"]
+    assert xx[2] == 1000  # every planted doc carries the duplicated span
