@@ -1304,7 +1304,9 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_span_census(load(spark, sf_dir, "documents"))
 
 
-def dup_span_census(docs: DataFrame, skew_safe: bool = False) -> DataFrame:
+def dup_span_census(
+    docs: DataFrame, skew_safe: bool = False, materialize: bool = False
+) -> DataFrame:
     """The ``text_dup_spans`` plan over any documents frame.
 
     Two equivalent formulations (equivalence pytest-pinned):
@@ -1317,9 +1319,14 @@ def dup_span_census(docs: DataFrame, skew_safe: bool = False) -> DataFrame:
     - ``skew_safe=True``: frequency via ``groupBy(digest).count()``
       (partial aggregation collapses hot digests map-side) joined back
       to the gram stream — a one-row-per-key build side AQE splits
-      under skew.  One more exchange, no partition ever exceeds the
-      planner's split size.  Flip it when span duplication is heavy or
-      unknown.
+      under skew; no partition ever exceeds the planner's split size.
+      Flip it when span duplication is heavy or unknown.  The digest
+      stream feeds two consumers and Catalyst does NOT reuse the
+      exchange, so the plan either rebuilds the grams per consumer
+      (default — measured cheaper where the build is CPU-bound: 5.1 vs
+      9.3 s at sf1.0) or, with ``materialize=True``, localCheckpoints
+      the ~40 B/gram digest stream once — the right trade when the
+      RAW-TEXT scan dominates, i.e. exactly the 100 TB case.
     """
     e = docs.select(
         "doc_id",
@@ -1339,6 +1346,11 @@ def dup_span_census(docs: DataFrame, skew_safe: bool = False) -> DataFrame:
         ).otherwise(F.concat(F.lit("e:"), F.col("doc_id").cast("string"))).alias("h"),
     )
     if skew_safe:
+        if materialize:
+            # one gram build feeding both consumers, at the price of
+            # writing/reading the ~40 B/gram digest stream (same
+            # lineage-cut pattern as dedup_cluster_census)
+            e = e.localCheckpoint()
         freq = e.groupBy("h").agg(F.count("*").alias("df"))
         w = e.join(freq, "h").withColumn(
             "is_dup", F.col("has_g") & (F.col("df") > 1)

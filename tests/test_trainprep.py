@@ -162,6 +162,9 @@ def test_dup_span_census_skew_safe_equivalence(spark):
     base = [tuple(r) for r in dup_span_census(docs).collect()]
     safe = [tuple(r) for r in dup_span_census(docs, skew_safe=True).collect()]
     assert sorted(base) == sorted(safe)
+    mat = [tuple(r) for r in
+           dup_span_census(docs, skew_safe=True, materialize=True).collect()]
+    assert sorted(base) == sorted(mat)
 
     hot = spark.range(1000).select(
         (F.col("id") + 10_000_000).alias("doc_id"),
