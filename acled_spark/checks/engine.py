@@ -168,7 +168,12 @@ def value_range(
             "a boundless range check would pass vacuously"
         )
     c = F.col(column)
-    bad = F.lit(False)
+    # NaN is out-of-range for ANY bounds: `NaN < lo` is false, so a
+    # lower-bound-only check would otherwise pass a column of 0/0
+    # garbage (NaN > hi happens to be true, masking the gap when an
+    # upper bound is set).  The double cast makes the probe total:
+    # non-float numerics can't be NaN and cast cleanly.
+    bad = F.isnan(c.cast("double"))
     if lo is not None:
         bad = bad | (c < lo)
     if hi is not None:
@@ -190,21 +195,33 @@ def value_range(
 
 
 def domain_membership(
-    column: str, valid: Sequence[str], blocking: bool = False
+    column: str,
+    valid: Sequence[str],
+    blocking: bool = False,
+    allow_null: bool = False,
 ) -> Check:
     """All values in a fixed domain; reports unknown + missing categories
     via anti-membership set logic (ref acled_checks.py:402-472, J3).
     ``collect_set`` is safe here by the check's own contract: the column
-    is categorical (set size = |domain|-ish, not |rows|)."""
-    aggs = {"actual": F.collect_set(F.col(column))}
+    is categorical (set size = |domain|-ish, not |rows|).
+
+    NULL is not in any declared domain, and ``collect_set`` silently
+    drops it — counted separately so a NULL-flooded column can't sail
+    through as "all values valid" (``allow_null=True`` restores the
+    lenient reading for optional columns)."""
+    aggs = {
+        "actual": F.collect_set(F.col(column)),
+        "nulls": F.count(F.when(F.col(column).isNull(), 1)),
+    }
 
     def finalize(m: dict) -> CheckResult:
         actual = set(m["actual"] or [])
         unknown = sorted(actual - set(valid))
         missing = sorted(set(valid) - actual)
+        null_ok = allow_null or m["nulls"] == 0
         return CheckResult(
-            f"domain[{column}]", not unknown, blocking,
-            {"unknown": unknown, "missing": missing},
+            f"domain[{column}]", not unknown and null_ok, blocking,
+            {"unknown": unknown, "missing": missing, "nulls": m["nulls"]},
             f"{column} values within the declared domain",
         )
 

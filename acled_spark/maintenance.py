@@ -39,6 +39,42 @@ def partition_file_counts(path: str, partition_col: str) -> dict[str, int]:
     return out
 
 
+def _rewrite_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    partitions: Sequence[str] | None,
+    files_per_partition: int,
+    shaper,
+) -> dict[str, int]:
+    """Shared compaction scaffold: select fragmented partitions (unless
+    named explicitly), read only them, apply ``shaper(df, partitions)``
+    to fix the output file shape, dynamic-overwrite ONLY the touched
+    directories, and report their pre-compaction file counts.  Both
+    public compactors are this scaffold plus a shaping strategy."""
+    counts = partition_file_counts(path, partition_col)
+    if partitions is None:
+        # only fragmented partitions rewrite — an implicit full-table
+        # rewrite is never the default at scale (pass
+        # partitions=list(counts) explicitly to re-cluster everything)
+        partitions = [p for p, n in counts.items() if n > files_per_partition]
+    if not partitions:
+        return {}
+    df = spark.read.parquet(path).filter(
+        F.col(partition_col).isin(list(partitions))
+    )
+    shaped = shaper(df, list(partitions))
+    from acled_spark.silver import _dynamic_overwrite
+
+    with _dynamic_overwrite(spark):
+        (
+            shaped.write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+    return {p: counts.get(p, 0) for p in partitions}
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,
@@ -60,44 +96,37 @@ def compact_partitions(
     linear-order half of Z-ordering, which is the right trade for
     single-column hot predicates like a key or a timestamp).
     """
-    counts = partition_file_counts(path, partition_col)
-    if partitions is None:
-        partitions = [p for p, n in counts.items() if n > files_per_partition]
-    if not partitions:
-        return {}
-    df = spark.read.parquet(path).filter(
-        F.col(partition_col).isin(list(partitions))
-    )
-    if files_per_partition == 1:
-        # hash by the partition column: every partition value lands in
-        # exactly one task -> exactly one output file per partition dir
-        shaped = df.repartition(len(partitions), partition_col)
-    else:
-        # salt within partition value to spread across N files
-        shaped = (
-            df.withColumn(
-                "__salt",
-                F.pmod(F.monotonically_increasing_id(), files_per_partition),
-            )
-            .repartition(
-                files_per_partition * len(partitions), partition_col, "__salt"
-            )
-            .drop("__salt")
-        )
-    if sort_cols:
-        # partition_col leads the sort: the partitioned writer requires
-        # rows ordered by the partition columns and would otherwise
-        # inject its own (unstable) sort, clobbering the clustering
-        shaped = shaped.sortWithinPartitions(partition_col, *sort_cols)
-    from acled_spark.silver import _dynamic_overwrite
 
-    with _dynamic_overwrite(spark):
-        (
-            shaped.write.mode("overwrite")
-            .partitionBy(partition_col)
-            .parquet(path)
-        )
-    return {p: counts[p] for p in partitions if p in counts}
+    def shaper(df, parts):
+        if files_per_partition == 1:
+            # hash by the partition column: every partition value lands
+            # in exactly one task -> exactly one output file per dir
+            shaped = df.repartition(len(parts), partition_col)
+        else:
+            # salt within partition value to spread across N files
+            shaped = (
+                df.withColumn(
+                    "__salt",
+                    F.pmod(
+                        F.monotonically_increasing_id(), files_per_partition
+                    ),
+                )
+                .repartition(
+                    files_per_partition * len(parts), partition_col, "__salt"
+                )
+                .drop("__salt")
+            )
+        if sort_cols:
+            # partition_col leads the sort: the partitioned writer
+            # requires rows ordered by the partition columns and would
+            # otherwise inject its own (unstable) sort, clobbering the
+            # clustering
+            shaped = shaped.sortWithinPartitions(partition_col, *sort_cols)
+        return shaped
+
+    return _rewrite_partitions(
+        spark, path, partition_col, partitions, files_per_partition, shaper
+    )
 
 
 def zorder_key(
@@ -170,33 +199,43 @@ def compact_partitions_zorder(
     of those columns skip row groups.  Same rewrite contract (dynamic
     overwrite, touched partitions only, idempotent).
 
-    ``repartitionByRange`` (not hash) on the key keeps each z-range in
-    one task/file — hash partitioning would scatter contiguous z-ranges
-    across every file and destroy the min/max tightening.
+    File shape: each partition's rows are cut into
+    ``files_per_partition`` CONTIGUOUS z-ranges via ``ntile`` over a
+    per-partition z-rank window, then hashed on (partition, bucket) so
+    every bucket lands in one task/file.  (A ``repartitionByRange`` on
+    the key looks simpler but samples global boundaries that split
+    partition values unevenly — partitions came out over-target and the
+    "idempotent" contract broke: the next default run re-rewrote them.)
+    The bucketing window sorts each partition in a single task — same
+    per-task volume the one-file-per-partition rewrite already implies.
     """
-    counts = partition_file_counts(path, partition_col)
-    if partitions is None:
-        # same default as compact_partitions: only fragmented partitions
-        # rewrite — an implicit full-table rewrite is never the default
-        # at scale (pass partitions=list(counts) explicitly to re-cluster
-        # everything, e.g. after changing zorder_cols)
-        partitions = [p for p, nf in counts.items() if nf > files_per_partition]
-    if not partitions:
-        return {}
-    df = spark.read.parquet(path).filter(
-        F.col(partition_col).isin(list(partitions))
-    )
-    bounds = zorder_bounds(df, zorder_cols, bits)
-    shaped = (
-        df.withColumn("__zkey", zorder_key(zorder_cols, bounds, bits))
-        .repartitionByRange(
-            max(files_per_partition * len(partitions), 1), partition_col, "__zkey"
-        )
-        .sortWithinPartitions(partition_col, "__zkey")
-        .drop("__zkey")
-    )
-    from acled_spark.silver import _dynamic_overwrite
 
-    with _dynamic_overwrite(spark):
-        shaped.write.mode("overwrite").partitionBy(partition_col).parquet(path)
-    return {p: counts.get(p, 0) for p in partitions}
+    def shaper(df, parts):
+        bounds = zorder_bounds(df, zorder_cols, bits)
+        shaped = df.withColumn(
+            "__zkey", zorder_key(zorder_cols, bounds, bits)
+        )
+        if files_per_partition == 1:
+            shaped = shaped.repartition(len(parts), partition_col)
+        else:
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy(partition_col).orderBy("__zkey")
+            shaped = shaped.withColumn(
+                "__zbucket", F.ntile(files_per_partition).over(w)
+            ).repartitionByRange(
+                # range (not hash) on the bucket pair: equal pairs always
+                # share one task, and a sampling merge can only join
+                # ADJACENT buckets of one partition — still a contiguous
+                # z-range per file (hash collisions could glue together
+                # far-apart z-ranges and undo the clustering)
+                files_per_partition * len(parts), partition_col, "__zbucket"
+            )
+        return (
+            shaped.sortWithinPartitions(partition_col, "__zkey")
+            .drop("__zkey", "__zbucket")
+        )
+
+    return _rewrite_partitions(
+        spark, path, partition_col, partitions, files_per_partition, shaper
+    )

@@ -56,12 +56,21 @@ def run_day(
     5. keyed silver upsert (the ON CONFLICT contract)
     6. silver validation suite on the day's slice
     """
+    from acled_spark.checks.engine import partition_date_match
+
     suites = load_suites()
     raw = ingest_day(spark, fetcher, day, limit=page_limit)
     typed = typed_cast(raw)
 
+    # the blocking per-day check can't live in the static YAML suite
+    # (it parameterizes on THIS run's day): without it a stray
+    # wrong-day row would ride dynamic partition overwrite and REPLACE
+    # that other day's entire directory (ref acled_checks.py:189-246)
+    bronze_suite = list(suites["acled_bronze"]) + [
+        partition_date_match(PARTITION_COL, day)
+    ]
     bronze_results = run_checks(
-        typed, suites["acled_bronze"], raise_on_blocking=raise_on_blocking
+        typed, bronze_suite, raise_on_blocking=raise_on_blocking
     )
     write_bronze(typed, bronze_path, mode="overwrite")
     upsert_partitioned(

@@ -221,16 +221,21 @@ def _missing_sql(col: str) -> str:
       FROM events
       UNION ALL
       SELECT 'value_range[value]',
-             CAST(COUNT(CASE WHEN value < 0 OR value IS NULL THEN 1 END) = 0
-                  AS BIGINT),
-             COUNT(CASE WHEN value < 0 OR value IS NULL THEN 1 END)
+             CAST(COUNT(CASE WHEN value < 0 OR isnan(value) OR value IS NULL
+                        THEN 1 END) = 0 AS BIGINT),
+             COUNT(CASE WHEN value < 0 OR isnan(value) OR value IS NULL
+                   THEN 1 END)
       FROM events
       UNION ALL
       SELECT 'domain[event_type]',
-             CAST(COUNT(DISTINCT CASE WHEN event_type NOT IN
-                   {_EVENT_DOMAIN} THEN event_type END) = 0 AS BIGINT),
+             CAST((COUNT(DISTINCT CASE WHEN event_type NOT IN
+                    {_EVENT_DOMAIN} THEN event_type END)
+                   + COUNT(CASE WHEN event_type IS NULL THEN 1 END)) = 0
+                  AS BIGINT),
              COUNT(DISTINCT CASE WHEN event_type NOT IN {_EVENT_DOMAIN}
                    THEN event_type END)
+             + CASE WHEN COUNT(CASE WHEN event_type IS NULL THEN 1 END) > 0
+                    THEN 1 ELSE 0 END
       FROM events
       UNION ALL
       SELECT 'pk_unique',
@@ -290,7 +295,8 @@ def chk_validation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         if r.name.startswith("value_range"):
             return m["out_of_range"] + m["nulls"]
         if r.name.startswith("domain"):
-            return len(m["unknown"])
+            # NULL counts as one unknown "category", like the engine
+            return len(m["unknown"]) + (1 if m["nulls"] else 0)
         if r.name == "pk_unique":
             # dup rows + null-keyed rows == COUNT(*) - COUNT(DISTINCT key)
             return m["duplicates"] + m["null_keys"]

@@ -61,6 +61,40 @@ class ReportKpis:
     most_active_region: str = "N/A"
 
 
+#: completeness-audited fields shared by BOTH reports' quality score
+_AUDITED_FIELDS = ("text_nulls", "text_empty", "lang_nulls", "source_nulls")
+
+
+def _quality_score(audit) -> float:
+    """((kN - missing) / kN) * 100 over the audited fields
+    (ref report.py:122-132) — one definition for both report KPI blocks."""
+    n = audit["n_rows"]
+    missing = sum(audit[k] for k in _AUDITED_FIELDS)
+    k = len(_AUDITED_FIELDS)
+    return round(100.0 * (k * n - missing) / (k * n), 2) if n else 100.0
+
+
+def _rows(frame_rows, date_cols=()):
+    """Collected Rows -> JSON-ready dicts (dates to isoformat)."""
+    out = []
+    for r in frame_rows:
+        d = r.asDict()
+        for c in date_cols:
+            if d.get(c) is not None:
+                d[c] = d[c].isoformat()
+        out.append(d)
+    return out
+
+
+def _top_region_share(kpis) -> float:
+    """Most-active region's share of total regional events (the page-2
+    card previously displayed the quality score by mistake)."""
+    total = sum(r["order_count"] for r in kpis.region_rollup)
+    if not total:
+        return 0.0
+    return round(100.0 * kpis.region_rollup[0]["order_count"] / total, 1)
+
+
 def compute_kpis(spark: SparkSession, sf_dir: str) -> ReportKpis:
     """Assemble the report KPI block from the query library.
 
@@ -76,18 +110,14 @@ def compute_kpis(spark: SparkSession, sf_dir: str) -> ReportKpis:
     total_events = sum(r["event_count"] for r in daily)
     total_value = round(sum(r["total_value"] for r in daily), 2)
     avg_daily = round(total_events / len(daily), 2) if daily else 0.0
-    # quality score: completeness over the audited fields
-    # (ref report.py:122-132 — ((kN - missing) / kN) * 100)
     n = audit["n_rows"]
-    audited = ["text_nulls", "text_empty", "lang_nulls", "source_nulls"]
-    missing = sum(audit[k] for k in audited)
-    quality = round(100.0 * (len(audited) * n - missing) / (len(audited) * n), 2) if n else 100.0
+    quality = _quality_score(audit)
     completeness = [
         {
             "field": k.replace("_nulls", "").replace("_empty", " (non-empty)"),
             "pct": round(100.0 * (n - audit[k]) / n, 2) if n else 100.0,
         }
-        for k in audited
+        for k in _AUDITED_FIELDS
     ]
 
     regions = a6_dim_rollup(spark, sf_dir).collect()
@@ -99,10 +129,7 @@ def compute_kpis(spark: SparkSession, sf_dir: str) -> ReportKpis:
         data_quality_score=quality,
         top_groups=[r.asDict() for r in top],
         category_shares=[r.asDict() for r in shares],
-        daily_trend=[
-            {"day": r["day"].isoformat(), "cnt": r["cnt"], "ma7": r["ma7"]}
-            for r in trend
-        ],
+        daily_trend=_rows(trend, date_cols=("day",)),
         field_completeness=completeness,
         region_rollup=[r.asDict() for r in regions],
         active_regions=len(regions),
@@ -166,24 +193,8 @@ def compute_ml_report_kpis(
 
     total_events = sum(r["event_count"] for r in daily)
     avg_daily = round(total_events / len(daily), 2) if daily else 0.0
-    n = audit["n_rows"]
-    audited = ["text_nulls", "text_empty", "lang_nulls", "source_nulls"]
-    missing = sum(audit[k] for k in audited)
-    quality = (
-        round(100.0 * (len(audited) * n - missing) / (len(audited) * n), 2)
-        if n
-        else 100.0
-    )
-
-    def rows(frame_rows, date_cols=()):
-        out = []
-        for r in frame_rows:
-            d = r.asDict()
-            for c in date_cols:
-                if d.get(c) is not None:
-                    d[c] = d[c].isoformat()
-            out.append(d)
-        return out
+    quality = _quality_score(audit)
+    rows = _rows
 
     return MlReportKpis(
         total_events=total_events,
@@ -408,7 +419,7 @@ def render_pdf(kpis: ReportKpis, path: str) -> str:
                 ("active regions", kpis.active_regions),
                 ("most active", kpis.most_active_region),
                 ("share of total",
-                 f"{kpis.data_quality_score}%"),
+                 f"{_top_region_share(kpis)}%"),
             ],
         )
         if kpis.region_rollup:

@@ -70,13 +70,31 @@ def run_backfill(
     Each day is one ingest->cast->partition-overwrite cycle; re-running
     is safe (dynamic overwrite replaces only that day's directory).
     Returns the days actually materialized.
+
+    Zero-row days are SKIPPED, not fatal: an empty day can never
+    produce a partition directory, so treating it as an error would
+    abort the remaining days AND wedge every re-run at the same spot
+    (``missing_partitions`` re-selects it forever).  ``ingest_day``'s
+    empty→error contract stays for the single-day job, where a day
+    expected to carry data deserves a loud failure.
     """
+    from acled_spark.checks.engine import partition_date_match, run_checks
+    from acled_spark.source import EmptyPartitionError
+
     todo = missing_partitions(bronze_path, candidates)
+    done = []
     for day in todo:
-        raw = ingest_day(spark, fetcher, day, limit=limit)
+        try:
+            raw = ingest_day(spark, fetcher, day, limit=limit)
+        except EmptyPartitionError:
+            continue
         typed = typed_cast(raw)
+        # blocking: a stray wrong-day row would ride dynamic overwrite
+        # and replace ANOTHER day's directory (ref acled_checks.py:189)
+        run_checks(typed, [partition_date_match(PARTITION_COL, day)])
         write_bronze(typed, bronze_path, mode="overwrite")
-    return todo
+        done.append(day)
+    return done
 
 
 def sensor_tick(

@@ -31,6 +31,14 @@ from acled_spark.schema import ACLED_RAW_SCHEMA
 # string-valued records.  Production: OAuth HTTP GET; tests: synthetic.
 PageFetcher = Callable[[date, int, int, dict], list[dict]]
 
+
+class EmptyPartitionError(ValueError):
+    """A day's fetch returned zero rows (ref base_assets.py:61-63).
+
+    Distinct from the plain ``ValueError`` config errors so batch
+    drivers (``scheduler.run_backfill``) can skip genuinely-empty days
+    without masking misconfiguration."""
+
 DEFAULT_PAGE_LIMIT = 5000  # ref acled_request_config.py:302-305
 MAX_PAGES = 5000           # same constant doubles as the page cap (base_assets.py:49-57)
 
@@ -110,7 +118,9 @@ def ingest_day(
         allow_partial_pushdown=allow_partial_pushdown,
     )
     if not rows:
-        raise ValueError(f"no data returned for partition {day.isoformat()}")
+        raise EmptyPartitionError(
+            f"no data returned for partition {day.isoformat()}"
+        )
     normalized = [
         tuple(str(r[name]) if r.get(name) is not None else None
               for name in ACLED_RAW_SCHEMA.fieldNames())

@@ -165,3 +165,32 @@ def _tight_bounds_suite():
     from acled_spark.checks import row_count_bounds
 
     return [row_count_bounds(lo=1, hi=10)]
+
+
+def test_run_day_blocks_wrong_day_rows(spark, tmp_path):
+    """A stray row dated another day must halt run_day BEFORE the
+    bronze write — dynamic partition overwrite would otherwise replace
+    that other day's entire directory with the stray row."""
+    import pytest
+
+    from acled_spark.checks.engine import ValidationError
+    from acled_spark.pipeline import run_day
+
+    day, other = date(2025, 1, 6), date(2025, 1, 5)
+    base = make_fetcher(rows_per_day=20)
+
+    def poisoned(d, page, limit, params):
+        rows = base(d, page, limit, params)
+        if rows and d == day:
+            rows[0] = dict(rows[0], event_date=other.isoformat())
+        return rows
+
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+    # seed the victim day, then ingest the poisoned day
+    run_day(spark, base, other, bronze, silver, page_limit=50)
+    victim_rows = spark.read.parquet(bronze).count()
+    with pytest.raises(ValidationError, match="partition_date_match"):
+        run_day(spark, poisoned, day, bronze, silver, page_limit=50)
+    # the victim partition survived untouched
+    assert spark.read.parquet(bronze).count() == victim_rows

@@ -304,3 +304,32 @@ def test_run_checks_accepts_a_generator(spark):
     empty = spark.createDataFrame([], "event_id long")
     with pytest.raises(ValidationError):
         run_checks(empty, (c for c in [non_empty(blocking=True)]))
+
+
+def test_value_range_catches_nan(spark):
+    """`NaN < lo` is false, so a lower-bound-only range check must
+    probe NaN explicitly or 0/0 garbage passes."""
+    df = spark.createDataFrame(
+        [(1, 0.5), (2, float("nan")), (3, 2.0)], "k long, v double"
+    )
+    r = run_checks(df, [value_range("v", lo=0.0)], raise_on_blocking=False)[0]
+    assert not r.passed
+    assert r.metrics["out_of_range"] == 1
+
+
+def test_domain_membership_counts_nulls(spark):
+    """collect_set drops NULLs, so a NULL-flooded categorical column
+    must fail via the explicit null counter (allow_null opts out)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "click")], "k long, v string"
+    )
+    strict = run_checks(
+        df, [domain_membership("v", ["click", "view"])], raise_on_blocking=False
+    )[0]
+    assert not strict.passed and strict.metrics["nulls"] == 2
+    lenient = run_checks(
+        df,
+        [domain_membership("v", ["click", "view"], allow_null=True)],
+        raise_on_blocking=False,
+    )[0]
+    assert lenient.passed

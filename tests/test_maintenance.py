@@ -7,7 +7,11 @@ import os
 
 from pyspark.sql import functions as F
 
-from acled_spark.maintenance import compact_partitions, partition_file_counts
+from acled_spark.maintenance import (
+    compact_partitions,
+    compact_partitions_zorder,
+    partition_file_counts,
+)
 from acled_spark.tables import load
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -65,7 +69,11 @@ def test_compaction_with_sort_cols_clusters_rows(spark, tmp_path):
 
     from pyspark.sql import functions as F
 
-    from acled_spark.maintenance import compact_partitions, partition_file_counts
+    from acled_spark.maintenance import (
+    compact_partitions,
+    compact_partitions_zorder,
+    partition_file_counts,
+)
     from acled_spark.tables import load
 
     path = os.path.join(str(tmp_path), "t")
@@ -183,3 +191,34 @@ def test_zorder_default_skips_unfragmented_partitions(spark, tmp_path):
         partitions=["2024-01-05", "2024-01-06"], files_per_partition=2,
     )
     assert set(touched_all) == {"2024-01-05", "2024-01-06"}
+
+
+def test_zorder_compaction_is_idempotent(spark, tmp_path):
+    """After one z-order compaction, no partition may exceed the file
+    target — the next default-selection run must be a no-op.  (The old
+    repartitionByRange-on-zkey shaping split partition values across
+    sampled range boundaries, leaving over-target partitions that every
+    subsequent run re-rewrote.)"""
+    import os
+
+    from acled_spark.maintenance import partition_file_counts
+
+    path = os.path.join(str(tmp_path), "t")
+    ev = (
+        load(spark, "/root/testdata/sf0.001", "events")
+        .withColumn("day", F.to_date("ts"))
+        .filter(F.col("day").isin("2024-01-05", "2024-01-06", "2024-01-07"))
+        .select("event_id", "user_id", "value", "day")
+        .repartition(6)
+    )
+    ev.write.partitionBy("day").parquet(path)
+    compact_partitions_zorder(
+        spark, path, "day", zorder_cols=["user_id", "value"],
+        files_per_partition=1,
+    )
+    counts = partition_file_counts(path, "day")
+    assert all(n <= 1 for n in counts.values()), counts
+    assert compact_partitions_zorder(
+        spark, path, "day", zorder_cols=["user_id", "value"],
+        files_per_partition=1,
+    ) == {}

@@ -147,3 +147,15 @@ def test_model_package_sidecar_roundtrip(spark, tmp_path):
         loaded.model.transform(ev).agg(F.round(F.sum("prediction"), 4)).collect()[0][0]
     )
     assert before == after
+
+
+def test_backfill_skips_empty_days_and_continues(spark, tmp_path):
+    """A zero-row day must not abort the backfill or wedge re-runs: the
+    loop skips it and materializes every later day."""
+    d1, d2, d3 = date(2025, 1, 5), date(2025, 1, 6), date(2025, 1, 7)
+    fetcher = _gapped_fetcher({d2})
+    bronze = str(tmp_path / "bronze")
+    done = run_backfill(spark, fetcher, bronze, [d1, d2, d3], limit=50)
+    assert done == [d1, d3]
+    # re-run: d2 still empty, still skipped, nothing re-ingested, no crash
+    assert run_backfill(spark, fetcher, bronze, [d1, d2, d3], limit=50) == []
