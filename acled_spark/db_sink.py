@@ -46,6 +46,13 @@ def _quote(ident: str) -> str:
     return '"' + ident.replace('"', '""') + '"'
 
 
+def _quote_table(table: str) -> str:
+    """Quote a possibly schema-qualified table name part by part, so
+    reserved words and mixed case work ("analytics"."user") — same
+    quoting discipline the column identifiers already get."""
+    return ".".join(_quote(part) for part in table.split("."))
+
+
 def build_upsert_sql(
     table: str,
     columns: list[str],
@@ -83,7 +90,8 @@ def build_upsert_sql(
                 f"DO UPDATE SET {sets}"
             )
     return (
-        f"INSERT INTO {table} ({', '.join(_quote(c) for c in columns)}) "
+        f"INSERT INTO {_quote_table(table)} "
+        f"({', '.join(_quote(c) for c in columns)}) "
         f"VALUES ({ph}) {conflict_clause}"
     )
 

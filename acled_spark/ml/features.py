@@ -52,6 +52,11 @@ class TargetEncoder:
             df.groupBy(self.cat_col)
             .agg(F.count("*").alias("cnt"), F.avg(self.target_col).alias("mean_t"))
             .select(self.cat_col, smoothed.alias(self.out_col))
+            # materialize NOW: a lazy plan would re-aggregate the SOURCE
+            # at every transform, mixing post-fit table contents with the
+            # fit-time global_mean — the frozen-at-fit contract the
+            # serving mode promises (stats are category-sized, tiny)
+            .localCheckpoint()
         )
         return self
 
@@ -80,29 +85,48 @@ def out_of_fold_target_encode(
     checked variant lives in queries/mlq.py (ml_target_encode_cv).
     """
     out_col = f"{cat_col}_target_encoded"
-    fold_stats = df.groupBy(cat_col, fold_col).agg(
-        F.count("*").alias("cnt"), F.sum(target_col).alias("s")
-    )
-    totals = fold_stats.groupBy(cat_col).agg(
-        F.sum("cnt").alias("tot_cnt"), F.sum("s").alias("tot_s")
+    # internal stat columns carry a __oof_ prefix so an input frame
+    # that happens to contain "cnt"/"s"/... can't collide (ambiguous
+    # reference) or be silently dropped below
+    fold_stats = df.groupBy(
+        F.col(cat_col).alias("__oof_cat"), F.col(fold_col).alias("__oof_fold")
+    ).agg(F.count("*").alias("__oof_cnt"), F.sum(target_col).alias("__oof_s"))
+    totals = fold_stats.groupBy("__oof_cat").agg(
+        F.sum("__oof_cnt").alias("__oof_tot_cnt"),
+        F.sum("__oof_s").alias("__oof_tot_s"),
     )
     g = df.agg(
-        F.count("*").alias("g_cnt"), F.sum(target_col).alias("g_s")
+        F.count("*").alias("__oof_g_cnt"), F.sum(target_col).alias("__oof_g_s")
     )
     joined = (
-        df.join(F.broadcast(totals), cat_col)
-        .join(F.broadcast(fold_stats), [cat_col, fold_col], "left")
+        # null-safe on the category: a NULL category is a real category
+        # here (groupBy keeps it), and a plain equi-join would silently
+        # DROP every NULL-category row from the returned frame
+        df.join(
+            F.broadcast(totals),
+            F.col(cat_col).eqNullSafe(totals["__oof_cat"]),
+        )
+        .drop(totals["__oof_cat"])
+        .join(
+            F.broadcast(fold_stats),
+            F.col(cat_col).eqNullSafe(fold_stats["__oof_cat"])
+            & (F.col(fold_col) == fold_stats["__oof_fold"]),
+            "left",
+        )
         .crossJoin(F.broadcast(g))
     )
-    oof_cnt = F.col("tot_cnt") - F.coalesce(F.col("cnt"), F.lit(0))
-    oof_s = F.col("tot_s") - F.coalesce(F.col("s"), F.lit(0.0))
-    oof_gmean = (F.col("g_s") - F.coalesce(F.col("s"), F.lit(0.0))) / (
-        F.col("g_cnt") - F.coalesce(F.col("cnt"), F.lit(0))
-    )
+    oof_cnt = F.col("__oof_tot_cnt") - F.coalesce(F.col("__oof_cnt"), F.lit(0))
+    oof_s = F.col("__oof_tot_s") - F.coalesce(F.col("__oof_s"), F.lit(0.0))
+    oof_gmean = (
+        F.col("__oof_g_s") - F.coalesce(F.col("__oof_s"), F.lit(0.0))
+    ) / (F.col("__oof_g_cnt") - F.coalesce(F.col("__oof_cnt"), F.lit(0)))
     smoothed = (oof_s + smoothing * oof_gmean) / (oof_cnt + smoothing)
     return joined.withColumn(
         out_col, F.when(oof_cnt > 0, smoothed).otherwise(oof_gmean)
-    ).drop("cnt", "s", "tot_cnt", "tot_s", "g_cnt", "g_s")
+    ).drop(
+        "__oof_cat", "__oof_fold", "__oof_cnt", "__oof_s",
+        "__oof_tot_cnt", "__oof_tot_s", "__oof_g_cnt", "__oof_g_s",
+    )
 
 
 def label_encode_fit(df: DataFrame, col: str) -> dict[str, int]:

@@ -13,9 +13,15 @@ from pyspark.sql import functions as F
 
 
 def risk_level(col: Column) -> Column:
-    """Threshold categorization (ref ml.py:687-694) — native when/otherwise."""
+    """Threshold categorization (ref ml.py:687-694) — native when/otherwise.
+
+    NULL in -> NULL out: every threshold comparison is NULL for a NULL
+    input, so a bare ``otherwise`` would classify unlabeled rows as
+    "Minimal" and feed ground-truth-less rows into risk accuracy (the
+    error aggregates already skip them via NULL propagation)."""
     return (
-        F.when(col >= 20, "Critical")
+        F.when(col.isNull(), F.lit(None).cast("string"))
+        .when(col >= 20, "Critical")
         .when(col >= 10, "High")
         .when(col >= 5, "Medium")
         .when(col >= 1, "Low")
@@ -60,7 +66,7 @@ def error_analysis(scored: DataFrame, group_col: str | None = None) -> dict:
             (F.col("predicted_risk") == F.col("actual_risk")).cast("double")
         ).alias("risk_accuracy"),
     ).collect()[0]
-    out = {k: row[k] for k in row.asDict()}
+    out = row.asDict()
     if group_col is not None:
         out["by_group"] = [
             r.asDict()

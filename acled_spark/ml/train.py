@@ -166,13 +166,21 @@ def train_regressor(
     best = cv_model.bestModel
 
     def _eval(df: DataFrame) -> dict:
-        pred = best.transform(df)
-        out = {}
-        for metric in ("rmse", "mae", "r2"):
-            out[metric] = RegressionEvaluator(
-                labelCol=label_col, predictionCol="prediction", metricName=metric
-            ).evaluate(pred)
-        return out
+        # cache the scored frame: each evaluate() is its own Spark
+        # action, so an uncached pred would re-run the whole feature
+        # pipeline + model once per metric (3x per split)
+        pred = best.transform(df).cache()
+        try:
+            return {
+                metric: RegressionEvaluator(
+                    labelCol=label_col,
+                    predictionCol="prediction",
+                    metricName=metric,
+                ).evaluate(pred)
+                for metric in ("rmse", "mae", "r2")
+            }
+        finally:
+            pred.unpersist()
 
     train_m, test_m = _eval(train), _eval(test)
     metrics = {

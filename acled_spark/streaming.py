@@ -57,6 +57,7 @@ def start_upsert_stream(
     partition_col: str,
     checkpoint_dir: str,
     order_col: str | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Bronze->silver incremental upsert, ``Trigger.AvailableNow`` (T2+T4+T5).
 
@@ -65,8 +66,15 @@ def start_upsert_stream(
     the reference's sensor-triggered partition runs.  Crash-safety:
     re-delivered batches hit the same PK merge, so duplicates cannot
     land (exactly-once effect from at-least-once delivery).
+
+    ``max_files_per_trigger`` bounds each micro-batch (AvailableNow
+    still drains everything, in bounded chunks with checkpoint progress
+    between them) — without it, the FIRST drain over a months-deep
+    backlog is one giant unresumable merge.
     """
-    stream = read_file_stream(spark, source_dir, schema)
+    stream = read_file_stream(
+        spark, source_dir, schema, max_files_per_trigger=max_files_per_trigger
+    )
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -127,6 +135,16 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def _with_event_time(events: DataFrame, ts_col: str, watermark: str) -> DataFrame:
+    """Streaming event-time preamble shared by the windowed operators:
+    watermarks require TIMESTAMP (tz), so NTZ inputs are cast under the
+    UTC-pinned session (wall-clock semantics unchanged) before the
+    watermark attaches."""
+    return events.withColumn(
+        ts_col, F.col(ts_col).cast("timestamp")
+    ).withWatermark(ts_col, watermark)
+
+
 def windowed_counts(
     events: DataFrame,
     ts_col: str = "ts",
@@ -142,11 +160,7 @@ def windowed_counts(
     batch plan (see t3_tumbling_window in the query registry).
     """
     if watermark is not None and events.isStreaming:
-        # Watermarks require TIMESTAMP (tz) event time; NTZ inputs are cast
-        # under the UTC-pinned session so wall-clock semantics are unchanged.
-        events = events.withColumn(
-            ts_col, F.col(ts_col).cast("timestamp")
-        ).withWatermark(ts_col, watermark)
+        events = _with_event_time(events, ts_col, watermark)
     return (
         events.groupBy(F.window(ts_col, window_len).alias("w"))
         .agg(
@@ -169,17 +183,28 @@ def dedup_stream(
     state store only retains keys younger than the watermark, so state
     is bounded by (keys/interval x watermark) instead of growing with
     the full history — the property that makes streaming ingest dedup
-    viable at 100 TB/day.  Batch mode is plain dropDuplicates, so replay
-    jobs and the stream share one code path.  First-seen row wins in
-    both modes.
+    viable at 100 TB/day.  Batch (replay) mode picks the earliest-
+    event-time row per key with a content-hash tiebreak — DETERMINISTIC,
+    unlike dropDuplicates, so a replay reproduces the stream's
+    first-seen survivor instead of a partition-order accident.
     """
     if events.isStreaming:
-        # Watermarks need TIMESTAMP (tz); NTZ is cast under the UTC session.
-        events = events.withColumn(
-            ts_col, F.col(ts_col).cast("timestamp")
-        ).withWatermark(ts_col, watermark)
+        events = _with_event_time(events, ts_col, watermark)
         return events.dropDuplicatesWithinWatermark(list(key_cols))
-    return events.dropDuplicates(list(key_cols))
+    # plain dropDuplicates keeps a partition-order-NONdeterministic
+    # survivor; replays must reproduce the stream's first-seen choice,
+    # so pick the earliest event time with a content-hash tiebreak
+    # (the same determinism discipline as silver.merge_updates)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).asc_nulls_last(), F.xxhash64(*events.columns)
+    )
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
 def session_counts(
@@ -203,10 +228,7 @@ def session_counts(
     sessionization viable on an unbounded feed.
     """
     if events.isStreaming:
-        # Watermarks need TIMESTAMP (tz); NTZ is cast under the UTC session.
-        events = events.withColumn(
-            ts_col, F.col(ts_col).cast("timestamp")
-        ).withWatermark(ts_col, watermark)
+        events = _with_event_time(events, ts_col, watermark)
     return (
         events.groupBy(F.col(key_col), F.session_window(ts_col, gap).alias("w"))
         .agg(

@@ -120,7 +120,7 @@ def test_bad_args_raise(spark, tmp_path):
 def test_build_upsert_sql_dialects():
     sql = build_upsert_sql("t", ["k", "a", "b"], ["k"])
     assert sql == (
-        'INSERT INTO t ("k", "a", "b") VALUES (?, ?, ?) '
+        'INSERT INTO "t" ("k", "a", "b") VALUES (?, ?, ?) '
         'ON CONFLICT ("k") DO UPDATE SET "a"=EXCLUDED."a", "b"=EXCLUDED."b"'
     )
     # psycopg2-style placeholders

@@ -174,3 +174,42 @@ def test_xgboost_path_gated_with_gbt_fallback(spark):
 
     with _pytest.raises(ValueError, match="unknown estimator"):
         make_estimator("catboost", "label")
+
+
+def test_oof_encode_keeps_null_category_rows(spark):
+    """NULL categories are real categories: the stats joins are
+    null-safe, so no input row may vanish from the encoded frame."""
+    from acled_spark.ml.features import out_of_fold_target_encode
+
+    df = spark.createDataFrame(
+        [(1, None, 5.0, 0), (2, None, 7.0, 1), (3, "a", 1.0, 0),
+         (4, "a", 3.0, 1), (5, "b", 9.0, 0)],
+        "id long, cat string, y double, fold int",
+    )
+    out = out_of_fold_target_encode(df, "cat", "y", "fold", n_folds=2)
+    assert out.count() == 5
+    enc = {r["id"]: r["cat_target_encoded"] for r in out.collect()}
+    assert all(v is not None for v in enc.values())
+
+
+def test_risk_level_null_labels_excluded_from_accuracy(spark):
+    """Unlabeled rows must not be scored as 'Minimal' ground truth —
+    risk accuracy's denominator is labeled rows only."""
+    from acled_spark.ml.score import error_analysis, risk_level
+
+    scored = spark.createDataFrame(
+        [(7.0, 6.0), (2.0, 1.0), (9.0, None)],
+        "prediction double, label double",
+    ).selectExpr(
+        "prediction",
+        "label",
+        "prediction - label AS prediction_error",
+        "abs(prediction - label) AS absolute_error",
+    ).withColumn("predicted_risk", risk_level(F.col("prediction"))).withColumn(
+        "actual_risk", risk_level(F.col("label"))
+    )
+    assert scored.filter("label IS NULL").collect()[0]["actual_risk"] is None
+    out = error_analysis(scored)
+    # both labeled rows risk-match (Medium/Medium, Low/Low); the
+    # unlabeled row is excluded rather than counted as a mismatch
+    assert out["risk_accuracy"] == 1.0

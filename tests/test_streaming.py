@@ -251,3 +251,20 @@ def test_exactly_once_across_simulated_crash_file_uri(spark, tmp_path):
         .agg(F.sum(F.xxhash64(*cols).cast("decimal(38,0)")))
         .collect()[0][0],
     )
+
+
+def test_batch_dedup_survivor_is_deterministic(spark):
+    """Replay dedup must reproduce the same survivor regardless of
+    partition layout (earliest ts, content-hash tiebreak)."""
+    from acled_spark.streaming import dedup_stream
+
+    rows = [(1, "2024-01-05 10:00:00", "late"), (1, "2024-01-05 09:00:00", "early"),
+            (2, "2024-01-05 08:00:00", "x"), (2, "2024-01-05 08:00:00", "y")]
+    df = spark.createDataFrame(rows, "event_id long, ts string, payload string")
+    df = df.withColumn("ts", F.to_timestamp("ts"))
+    a = {r["event_id"]: r["payload"]
+         for r in dedup_stream(df.repartition(8), ("event_id",)).collect()}
+    b = {r["event_id"]: r["payload"]
+         for r in dedup_stream(df.coalesce(1), ("event_id",)).collect()}
+    assert a == b
+    assert a[1] == "early"  # first-seen (earliest event time) wins
