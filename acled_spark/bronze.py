@@ -30,13 +30,12 @@ def typed_cast(raw: DataFrame) -> DataFrame:
     for field in ACLED_SCHEMA.fields:
         name, dtype = field.name, field.dataType.simpleString()
         if name == "event_timestamp":
+            # try_cast and timestamp_seconds both propagate NULL, so no
+            # explicit when/otherwise guard is needed
             cols.append(
-                F.when(
-                    F.col("timestamp").isNotNull(),
-                    F.timestamp_seconds(F.expr("try_cast(timestamp AS bigint)")),
-                )
-                .otherwise(F.lit(None).cast("timestamp"))
-                .alias(name)
+                F.timestamp_seconds(
+                    F.expr("try_cast(timestamp AS bigint)")
+                ).alias(name)
             )
         elif name == "event_date":
             cols.append(F.expr("try_cast(event_date AS date)").alias(name))
@@ -54,9 +53,9 @@ def write_bronze(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     that day's directory (the reference's per-partition S3 object
     semantics).
     """
-    from acled_spark.silver import _dynamic_overwrite
+    from acled_spark.silver import dynamic_overwrite
 
-    with _dynamic_overwrite(df.sparkSession):
+    with dynamic_overwrite(df.sparkSession):
         df.write.mode(mode).partitionBy(PARTITION_COL).parquet(path)
 
 

@@ -64,9 +64,9 @@ def _rewrite_partitions(
         F.col(partition_col).isin(list(partitions))
     )
     shaped = shaper(df, list(partitions))
-    from acled_spark.silver import _dynamic_overwrite
+    from acled_spark.silver import dynamic_overwrite
 
-    with _dynamic_overwrite(spark):
+    with dynamic_overwrite(spark):
         (
             shaped.write.mode("overwrite")
             .partitionBy(partition_col)

@@ -47,7 +47,15 @@ def query(
     """Decorator: register ``fn`` as the Spark builder for ``name``."""
 
     def deco(fn: Builder) -> Builder:
-        if name in REGISTRY:
+        prior = REGISTRY.get(name)
+        if prior is not None and (
+            prior.builder.__module__, prior.builder.__qualname__
+        ) != (fn.__module__, fn.__qualname__):
+            # same-function re-registration is allowed: after a FAILED
+            # partial import of the queries package, Python re-executes
+            # the modules on the next _ensure_loaded() — refusing the
+            # identical decorator would mask the original error with a
+            # spurious "duplicate" here
             raise ValueError(f"duplicate query name: {name}")
         REGISTRY[name] = QuerySpec(
             name=name, builder=fn, oracle=oracle, tags=tags, doc=fn.__doc__ or ""

@@ -24,9 +24,16 @@ from pyspark.sql import SparkSession
 # Runtime (non-static) confs that parity-critical code depends on.  These are
 # also (re)applied by tables.configure() so queries behave identically when the
 # harness hands us a session we didn't build.
-RUNTIME_CONF = {
+#: confs CORRECTNESS depends on (UTC-pinned timestamps, nanos parquet
+#: reads) — consumed by both get_spark and tables.configure so a
+#: harness-supplied session and our own builder can never drift
+PARITY_CONF = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+RUNTIME_CONF = {
+    **PARITY_CONF,
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -34,7 +34,7 @@ _OVERWRITE_MODE = "spark.sql.sources.partitionOverwriteMode"
 
 
 @contextmanager
-def _dynamic_overwrite(spark: SparkSession):
+def dynamic_overwrite(spark: SparkSession):
     """Scope the dynamic-partition-overwrite conf to one write.
 
     The setting is session-global; leaving it flipped would leak into
@@ -231,7 +231,7 @@ def upsert_partitioned(
         merged = merge_updates(
             updates.limit(0), updates, key, order_col
         )
-    with _dynamic_overwrite(spark):
+    with dynamic_overwrite(spark):
         (
             merged.write.mode("overwrite")
             .partitionBy(partition_col)
@@ -289,7 +289,7 @@ def delete_keys(
                 .join(kept.select(partition_col).distinct(), partition_col, "left_anti")
             ).collect()
         ]
-        with _dynamic_overwrite(spark):
+        with dynamic_overwrite(spark):
             kept.write.mode("overwrite").partitionBy(partition_col).parquet(
                 target_path
             )

@@ -40,23 +40,23 @@ TABLE_NAMES = (
 # or are fixed-size dimension tables in the TPC-H-ish generator).
 BROADCASTABLE = {"region", "nation"}
 
-_PARITY_CONF = {
-    "spark.sql.session.timeZone": "UTC",
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
-}
-
-
 def configure(spark: SparkSession) -> None:
     """Apply runtime confs parity depends on (idempotent, cheap).
 
     The correctness harness hands us ITS session; we cannot assume it was
-    built by :func:`acled_spark.session.get_spark`.
+    built by :func:`acled_spark.session.get_spark`.  A set that fails is
+    tolerated ONLY if the conf already holds the required value (static
+    conf pre-set by the builder) — silently proceeding on a wrong
+    timezone would shift every events.ts with no error.
     """
-    for k, v in _PARITY_CONF.items():
+    from acled_spark.session import PARITY_CONF
+
+    for k, v in PARITY_CONF.items():
         try:
             spark.conf.set(k, v)
         except Exception:
-            pass  # static conf on some builds — then the builder set it
+            if str(spark.conf.get(k, None)).lower() != v.lower():
+                raise
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
