@@ -94,7 +94,7 @@ def extract_features(
 
     import pandas as pd
 
-    clash = set(passthrough) & {"doc_id", "n_bytes", "digest", "width", "height"}
+    clash = set(passthrough) & {"payload", "doc_id", "n_bytes", "digest", "width", "height"}
     if clash:
         raise ValueError(
             f"passthrough columns collide with feature outputs: {sorted(clash)}"

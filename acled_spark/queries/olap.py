@@ -271,6 +271,11 @@ def a22_time_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- A26: approximate quantiles (the percentile scale path) -----------------
+#: GK sketch accuracy: rank error guarantee is 1/_GK_ACCURACY — the
+#: certification bound below MUST use the same constant
+_GK_ACCURACY = 10000
+
+
 @query(
     "a26_approx_quantiles",
     oracle=None,  # sketch internals are engine-specific (Spark: Greenwald-
@@ -310,9 +315,9 @@ def a26_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumers below (the rank join and the final output join)
     sketch = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.percentile_approx("value", 0.5, 10000).alias("p50"),
-        F.percentile_approx("value", 0.9, 10000).alias("p90"),
-        F.percentile_approx("value", 0.99, 10000).alias("p99"),
+        F.percentile_approx("value", 0.5, _GK_ACCURACY).alias("p50"),
+        F.percentile_approx("value", 0.9, _GK_ACCURACY).alias("p90"),
+        F.percentile_approx("value", 0.99, _GK_ACCURACY).alias("p99"),
     ).localCheckpoint()
     # realized rank of each sketch quantile: one more scan of events
     # with the tiny per-group quantile frame broadcast onto it
@@ -346,7 +351,7 @@ def a26_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("max_rank_err", F.round(max_err, 6))
         .withColumn(
             "within_bound",
-            F.col("max_rank_err") <= (1.0 / 10000 + 1.0 / F.col("n")),
+            F.col("max_rank_err") <= (1.0 / _GK_ACCURACY + 1.0 / F.col("n")),
         )
         .select(
             "event_type", "n", "p50", "p90", "p99", "max_rank_err", "within_bound"

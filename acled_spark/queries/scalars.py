@@ -270,7 +270,8 @@ def f16_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f9b_vector_norm",
     oracle="""
     SELECT vec_id, label,
-           ROUND(SQRT(list_dot_product(embedding, embedding)), 4) AS l2_norm
+           ROUND(SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[]))), 4) AS l2_norm
     FROM embeddings ORDER BY vec_id LIMIT 100
     """,
     tags=("scalar", "vector", "extended"),

@@ -41,8 +41,7 @@ SESSION_GAP_MIN = 30
       FROM flagged
     ),
     per_session AS (
-      SELECT user_id, session_id, COUNT(*) AS n_events,
-             ROUND(SUM(value), 2) AS session_value
+      SELECT user_id, session_id, COUNT(*) AS n_events
       FROM sessions GROUP BY user_id, session_id
     )
     SELECT user_id,
@@ -73,11 +72,10 @@ def sess_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     sessions = ev.select(
-        "user_id", "event_id", "ts", "value", new_session.alias("new_session")
+        "user_id", "event_id", "ts", new_session.alias("new_session")
     ).withColumn("session_id", F.sum("new_session").over(run))
     per_session = sessions.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("session_value"),
     )
     return (
         per_session.groupBy("user_id")

@@ -117,3 +117,7 @@ def test_extract_features_rejects_colliding_passthrough(spark):
     media = attach_payloads(load(spark, SF_DIR, "documents"))
     with pytest.raises(ValueError, match="collide"):
         extract_features(media, passthrough=("n_bytes",))
+    with pytest.raises(ValueError, match="collide"):
+        # 'payload' crosses the Arrow boundary itself: selecting it twice
+        # would crash in the worker, so the guard must catch it driver-side
+        extract_features(media, passthrough=("payload",))
