@@ -27,44 +27,23 @@ from acled_spark.registry import oracle_map, spark_queries
 # stale and lead round 4, followed by the r02 half (whose source files
 # round 3 edited: silver/similarity/packing/pipeline/olap).
 #
-# Round 4 bookkeeping for the NEXT rotation update: seven queries added
-# this round (text_pii_scrub, dedup_incremental_check,
-# text_quality_classifier, cdc_snapshot_diff, drift_psi, train_shuffle,
-# text_dup_spans) are in no tier below, so they auto-lead as
-# never-verified; round 4 also edited
-# queries/olap.py (a26 bound logic), queries/text.py (pii append +
-# docs_redacted), queries/dedup.py (incremental_classify append,
-# collision-join distinct drop), ann.py, source.py — after
-# CORRECTNESS_r04 lands, fold its verified names into a new
-# _R4_DRIVER_VERIFIED tier and retire the empties.
-_R1_DRIVER_VERIFIED: frozenset[str] = frozenset(
-    {
-        "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-        "dedup_embedding_cosine", "dedup_cluster_census",
-    }
-)
-
+# Round-5 rotation state (folded from CORRECTNESS_r04.json): the r01
+# tier's five dedup queries and most of the r02 tier were re-verified
+# in round 4, so r01 is retired and r02 shrinks to the 12 rows the
+# 50-query cap couldn't reach — they are now TWO rounds stale while
+# their source files (ml/features.py, multimodal.py, sessions.py,
+# streaming.py) changed in round 4, so they lead round 5's emission
+# (VERDICT r4 #1).  After CORRECTNESS_r05 lands, fold its names into a
+# _R5_DRIVER_VERIFIED tier and retire the empties.
+#
 # Queries whose freshest driver rows were written by the round-2 check
-# (CORRECTNESS_r02.json).
+# (CORRECTNESS_r02.json) — the stale block, emitted first.
 _R2_DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
-        "a17_rollup", "a18_cube", "a19_approx_distinct",
-        "a20_ranking_suite", "a21_unpivot", "a22_time_grouping_sets",
-        "cohort_retention", "f13_correlation", "f14_levenshtein",
-        "f15_bool_aggs", "f16_regexp_extract", "f1_try_cast_json",
-        "f2_time_extract", "f4_date_arithmetic", "f6_string_cleanup",
-        "f9_math_suite", "f9b_vector_norm", "funnel_user_journey",
-        "j4_semi_join", "j5_multiway_revenue", "j6_snowflake_dims",
-        "j7_asof_join", "j8_interval_join", "mix_weights",
-        "ml_distance_from_center", "ml_label_encode", "ml_onehot_pivot",
-        "ml_target_encode_cv", "mm_feature_extract", "mm_payload_metadata",
-        "pack_sequences", "prep_corpus_stats", "q1_pricing_summary",
-        "s8_upsert_merge", "sess_transitions", "sess_user_sessions",
-        "sim_ann_lsh", "sim_label_centroids", "sim_norm_outliers",
-        "sim_quantize_error", "sim_topk_bruteforce", "so1_set_ops",
-        "sql1_region_revenue", "t3_tumbling_window", "w1_moving_avg_7d",
-        "w2_global_share", "w3_rank_rows", "w4_lag_delta", "w5_range_frame",
-        "w6_cumulative_distinct",
+        "cohort_retention", "j8_interval_join", "ml_distance_from_center",
+        "ml_label_encode", "ml_onehot_pivot", "ml_target_encode_cv",
+        "mm_feature_extract", "mm_payload_metadata", "sess_transitions",
+        "sess_user_sessions", "so1_set_ops", "t3_tumbling_window",
     }
 )
 
@@ -91,19 +70,44 @@ _R3_DRIVER_VERIFIED: frozenset[str] = frozenset(
         "text_winnow_pairs", "text_zipf_slope",
     }
 )
-_ALL_KNOWN = _R1_DRIVER_VERIFIED | _R2_DRIVER_VERIFIED | _R3_DRIVER_VERIFIED
 
-# Within the r02-stale block, queries whose source files round 3
-# edited (silver.py, queries/similarity.py, queries/packing.py,
-# queries/pipeline.py, queries/olap.py) carry the most re-verification
-# value — they lead the block so the ~50-query cap can't drop them.
-_R3_EDITED_FILES: frozenset[str] = frozenset(
+# Queries verified by the round-4 check (CORRECTNESS_r04.json) — the
+# FRESH block, emitted last.  a19_approx_distinct's r04 row is the
+# by-design rows-only check (no_oracle).
+_R4_DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
-        "s8_upsert_merge", "sim_topk_bruteforce", "sim_ann_lsh",
-        "sim_quantize_error", "sim_label_centroids", "sim_norm_outliers",
-        "pack_sequences", "mix_weights", "prep_corpus_stats",
-        "a17_rollup", "a18_cube", "a19_approx_distinct", "a21_unpivot",
-        "a22_time_grouping_sets", "q1_pricing_summary",
+        "a17_rollup", "a18_cube", "a19_approx_distinct",
+        "a20_ranking_suite", "a21_unpivot", "a22_time_grouping_sets",
+        "cdc_snapshot_diff", "dedup_cluster_census",
+        "dedup_embedding_cosine", "dedup_incremental_check",
+        "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+        "drift_psi", "f13_correlation", "f14_levenshtein", "f15_bool_aggs",
+        "f16_regexp_extract", "f1_try_cast_json", "f2_time_extract",
+        "f4_date_arithmetic", "f6_string_cleanup", "f9_math_suite",
+        "f9b_vector_norm", "funnel_user_journey", "j4_semi_join",
+        "j5_multiway_revenue", "j6_snowflake_dims", "j7_asof_join",
+        "mix_weights", "pack_sequences", "prep_corpus_stats",
+        "q1_pricing_summary", "s8_upsert_merge", "sim_ann_lsh",
+        "sim_label_centroids", "sim_norm_outliers", "sim_quantize_error",
+        "sim_topk_bruteforce", "sql1_region_revenue", "text_dup_spans",
+        "text_pii_scrub", "text_quality_classifier", "train_shuffle",
+        "w1_moving_avg_7d", "w2_global_share", "w3_rank_rows",
+        "w4_lag_delta", "w5_range_frame", "w6_cumulative_distinct",
+    }
+)
+_ALL_KNOWN = _R2_DRIVER_VERIFIED | _R3_DRIVER_VERIFIED | _R4_DRIVER_VERIFIED
+
+# Queries whose round-4 source edits POSTDATE their freshest driver row
+# (VERDICT r4 "what's wrong" #1): the reworked self-certifiers
+# (a26/sim_ann_ivf now emit recall/rank-error columns the driver has
+# never seen) plus any query whose oracle or engine semantics round 5
+# itself changes (cdc_snapshot_diff's oracle now keys presence on join
+# flags; t3 emits a stream_matches_batch flag).  These lead their
+# blocks so the ~50-query cap can't drop them.
+_RECERT_PRIORITY: frozenset[str] = frozenset(
+    {
+        "a26_approx_quantiles", "sim_ann_ivf", "mm_feature_extract",
+        "t3_tumbling_window", "cdc_snapshot_diff",
     }
 )
 
@@ -121,16 +125,18 @@ def _family_rank(name: str) -> int:
 
 
 def _ordered(names: list[str]) -> list[str]:
-    # Never-verified queries lead, then oldest-round blocks first.
+    # Never-verified queries lead, then the recert-priority set (rows
+    # that postdate their own source/oracle edits), then oldest-round
+    # blocks first.
     never = [n for n in names if n not in _ALL_KNOWN]
-    blocks = [never] + [
-        [n for n in names if n in tier]
-        for tier in (_R1_DRIVER_VERIFIED, _R2_DRIVER_VERIFIED, _R3_DRIVER_VERIFIED)
+    priority = [n for n in names if n in _RECERT_PRIORITY and n not in never]
+    taken = set(never) | set(priority)
+    blocks = [never, priority] + [
+        [n for n in names if n in tier and n not in taken]
+        for tier in (_R2_DRIVER_VERIFIED, _R3_DRIVER_VERIFIED, _R4_DRIVER_VERIFIED)
     ]
     for block in blocks:
-        block.sort(
-            key=lambda n: (n not in _R3_EDITED_FILES, _family_rank(n), names.index(n))
-        )
+        block.sort(key=lambda n: (_family_rank(n), names.index(n)))
     return [n for block in blocks for n in block]
 
 

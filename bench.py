@@ -131,21 +131,38 @@ def check(timings: dict[str, float], base: dict) -> int:
 
 
 def main() -> None:
-    argv = sys.argv[1:]
-    check_mode = "--check" in argv
-    if check_mode:
-        argv.remove("--check")
-    only = None
-    if "--only" in argv:
-        # subset run (e.g. the heavy tier at a custom SPARK_GRAFT_SF_DIR);
-        # BENCH_FULL.json is NOT rewritten — it stays the all-query
-        # baseline the driver and --check compare against
-        i = argv.index("--only")
-        if i + 1 >= len(argv):
-            raise SystemExit("bench: --only requires a comma-separated query list")
-        only = set(argv[i + 1].split(","))
-        del argv[i : i + 2]
-    baseline_path = argv[0] if argv else FULL_PATH
+    # Real argument parser (VERDICT r4 #5): unknown args exit non-zero
+    # BEFORE any Spark work, so a typo can't silently run the full bench
+    # and rewrite BENCH_FULL.json.
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        prog="bench.py",
+        description=(
+            "Run every registered query at $SPARK_GRAFT_SF_DIR "
+            "(default /root/testdata/sf0.1) and print one JSON summary "
+            "line; full per-query timings go to BENCH_FULL.json."
+        ),
+    )
+    parser.add_argument(
+        "baseline", nargs="?", default=FULL_PATH,
+        help="baseline JSON for --check (default: committed BENCH_FULL.json)",
+    )
+    parser.add_argument(
+        "--check", action="store_true",
+        help="exit 1 if any query is >1.5x AND >0.5s slower than baseline",
+    )
+    parser.add_argument(
+        "--only", metavar="Q1,Q2,...", default=None,
+        help=(
+            "comma-separated query subset (e.g. the heavy tier at a custom "
+            "SPARK_GRAFT_SF_DIR); BENCH_FULL.json is NOT rewritten"
+        ),
+    )
+    args = parser.parse_args()
+    check_mode = args.check
+    only = set(args.only.split(",")) if args.only else None
+    baseline_path = args.baseline
     base = None
     if check_mode:
         # Read the baseline up front: the run below rewrites FULL_PATH.
