@@ -214,13 +214,22 @@ def compact_partitions_zorder(
         bounds = zorder_bounds(df, zorder_cols, bits)
         shaped = df.withColumn(
             "__zkey", zorder_key(zorder_cols, bounds, bits)
+        ).withColumn(
+            # Deterministic tiebreak (ADVICE r4 #2): equal z-keys would
+            # otherwise order nondeterministically, so ntile bucket
+            # boundaries — and per-file contents — could differ between
+            # re-runs when ties span a bucket edge.  A content hash of
+            # every source column makes the order a pure function of row
+            # content (remaining ties are fully identical rows, which
+            # are interchangeable byte-wise).
+            "__ztie", F.xxhash64(*df.columns)
         )
         if files_per_partition == 1:
             shaped = shaped.repartition(len(parts), partition_col)
         else:
             from pyspark.sql.window import Window
 
-            w = Window.partitionBy(partition_col).orderBy("__zkey")
+            w = Window.partitionBy(partition_col).orderBy("__zkey", "__ztie")
             shaped = shaped.withColumn(
                 "__zbucket", F.ntile(files_per_partition).over(w)
             ).repartitionByRange(
@@ -232,8 +241,8 @@ def compact_partitions_zorder(
                 files_per_partition * len(parts), partition_col, "__zbucket"
             )
         return (
-            shaped.sortWithinPartitions(partition_col, "__zkey")
-            .drop("__zkey", "__zbucket")
+            shaped.sortWithinPartitions(partition_col, "__zkey", "__ztie")
+            .drop("__zkey", "__zbucket", "__ztie")
         )
 
     return _rewrite_partitions(

@@ -82,18 +82,22 @@ _NEW_FP_SQL = FINGERPRINT_SQL.replace("(text,", f"(({_NEW_TEXT_SQL}),")
     "cdc_snapshot_diff",
     oracle=f"""
     WITH old AS (
-      SELECT doc_id, source, {FINGERPRINT_SQL} AS old_fp
+      SELECT doc_id, source, {FINGERPRINT_SQL} AS old_fp, TRUE AS in_old
       FROM documents WHERE doc_id % 11 <> 3
     ),
     new AS (
-      SELECT doc_id, source, {_NEW_FP_SQL} AS new_fp
+      SELECT doc_id, source, {_NEW_FP_SQL} AS new_fp, TRUE AS in_new
       FROM documents WHERE doc_id % 13 <> 5
     ),
     diff AS (
+      -- presence keyed on explicit join-side flags, mirroring the
+      -- builder (ADVICE r4 #1): a NULL text fingerprints to NULL, so
+      -- fp-NULL-ness would misreport a NULL-text doc as 'added';
+      -- old_fp IS NOT DISTINCT FROM new_fp matches eqNullSafe
       SELECT COALESCE(new.source, old.source) AS source,
-             CASE WHEN old.old_fp IS NULL THEN 'added'
-                  WHEN new.new_fp IS NULL THEN 'removed'
-                  WHEN old.old_fp = new.new_fp THEN 'unchanged'
+             CASE WHEN in_old IS NULL THEN 'added'
+                  WHEN in_new IS NULL THEN 'removed'
+                  WHEN old_fp IS NOT DISTINCT FROM new_fp THEN 'unchanged'
                   ELSE 'changed' END AS status
       FROM old FULL JOIN new USING (doc_id)
     )

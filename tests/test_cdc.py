@@ -65,6 +65,56 @@ def test_snapshot_diff_never_shuffles_text(spark):
             assert "text" not in line, line
 
 
+def test_registered_oracle_parity_with_null_text(spark, tmp_path):
+    """Engine-vs-oracle parity on a corpus WITH NULL texts (VERDICT r4 #2).
+
+    The oracle keys presence on explicit join-side flags (not
+    fingerprint NULL-ness), so a NULL-text doc present in both
+    snapshots must classify 'unchanged' on BOTH sides.  doc_id=77
+    survives both modulus filters (77%11=0, 77%13=12, 77%7=0 makes it
+    'changed' — so use 76: 76%11=10, 76%13=11, 76%7=6 -> NULL text in
+    old and new, untouched by the rev2 edit -> 'unchanged').
+    """
+    import duckdb
+
+    from acled_spark.registry import all_specs
+    from tests.conftest import assert_parity
+
+    rows = [
+        (76, None, "en", "s_null", 0),      # NULL text, both snapshots
+        (154, None, "en", "s_null", 0),     # NULL text, 154%7=0 -> edit path
+        (3, "plain doc", "en", "s0", 9),    # old-missing (3%11=3) -> added
+        (18, None, "en", "s_null", 0),      # NULL text, new-missing (18%13=5)
+        (1, "stable doc", "en", "s0", 10),
+        (14, "edited doc", "en", "s0", 10), # 14%7=0 -> 'changed'
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    spec = all_specs()["cdc_snapshot_diff"]
+    assert_parity(spark, con, spec, sf_dir=sf_dir)
+
+    # and the engine-side classification itself: NULL-text in both ->
+    # unchanged, never 'added'.  doc 154 hits the %7 edit path but
+    # concat(NULL, ' rev2') stays NULL in both engines, so it is
+    # unchanged too; doc 18 (NULL text, missing from new) is removed.
+    got = {
+        (r["status"], r["source"]): r["n_docs"]
+        for r in spec.builder(spark, sf_dir).collect()
+    }
+    assert got[("unchanged", "s_null")] == 2  # docs 76, 154
+    assert got[("removed", "s_null")] == 1    # doc 18
+    assert ("added", "s_null") not in got
+    con.close()
+
+
 # --- property: snapshot_diff vs a pure-Python reference ----------------------
 import re
 

@@ -222,3 +222,42 @@ def test_zorder_compaction_is_idempotent(spark, tmp_path):
         spark, path, "day", zorder_cols=["user_id", "value"],
         files_per_partition=1,
     ) == {}
+
+
+def test_zorder_bucket_assignment_reproducible_under_zkey_ties(spark, tmp_path):
+    """Re-running the z-order rewrite on identical input must produce
+    identical per-file contents even when many rows TIE on the z-key
+    and the ties span an ntile bucket edge (ADVICE r4 #2: the bucketing
+    window now tiebreaks on a content hash, so bucket assignment is a
+    pure function of row content)."""
+    import glob
+
+    # 40 rows collapsing onto only 4 distinct (user_id, value) pairs ->
+    # each z-key value repeats 10x, guaranteed to straddle the 2-bucket
+    # ntile edge; extra 'payload' differs so rows are NOT interchangeable.
+    rows = [
+        (i, i % 4, float(i % 4), f"payload-{i}", "2024-01-05")
+        for i in range(40)
+    ]
+    schema = "event_id long, user_id long, value double, payload string, day string"
+
+    def rewrite(tag: str) -> dict[str, list]:
+        path = os.path.join(str(tmp_path), tag)
+        spark.createDataFrame(rows, schema).repartition(5).write.partitionBy(
+            "day"
+        ).parquet(path)
+        compact_partitions_zorder(
+            spark, path, "day", zorder_cols=["user_id", "value"],
+            files_per_partition=2, partitions=["2024-01-05"],
+        )
+        out = {}
+        for f in sorted(glob.glob(os.path.join(path, "day=*", "*.parquet"))):
+            out[os.path.basename(f).split("-")[1]] = sorted(
+                tuple(r) for r in spark.read.parquet(f).collect()
+            )
+        return out
+
+    a, b = rewrite("a"), rewrite("b")
+    assert list(a) == list(b)
+    # same rows in the same file across independent runs
+    assert sorted(map(tuple, a.values())) == sorted(map(tuple, b.values()))
