@@ -269,6 +269,47 @@ def append_batch(
     )
 
 
+def retire_ids(spark: SparkSession, ids: DataFrame, root: str) -> int:
+    """Remove retired doc_ids' signatures from the store.
+
+    The corpus-release path (``snapshot_diff``) produces ``changed``
+    and ``removed`` docs whose OLD signatures no longer describe the
+    corpus; a changed doc would also trip ``process_batch``'s id-reuse
+    guard (same doc_id, different text).  Retiring first, then
+    processing the added|changed delta, composes the incremental
+    release: retire(changed ∪ removed) → process_batch(added ∪ changed).
+
+    ``ids`` needs a ``doc_id`` column.  Returns the number of exact
+    rows removed.  This is a RELEASE-level maintenance op, not a
+    per-micro-batch one: it rewrites the store minus the retired ids
+    (signatures are ~100 bytes/doc, so even a 100-TB corpus's store is
+    tens of GB — one bounded rewrite per release).  The path backend
+    stages the rewrite and swaps directories (crash before the swap
+    leaves the original intact); the table backend rewrites via a
+    lineage-severed overwrite that restates the bucket spec.
+    """
+    from acled_spark.fsutil import _fs_and_path, fs_replace_dir
+
+    keys = ids.select("doc_id").distinct().localCheckpoint()
+    exact = _read_exact(spark, root)
+    before = exact.count()
+    kept_exact = exact.join(keys, "doc_id", "left_anti").localCheckpoint()
+    kept_bands = (
+        _read_bands(spark, root).join(keys, "doc_id", "left_anti").localCheckpoint()
+    )
+    if _is_table(root):
+        _write(kept_exact, kept_bands, root, mode="overwrite")
+    else:
+        staging = root.rstrip("/") + "._retire_staging"
+        _write(kept_exact, kept_bands, staging, mode="overwrite")
+        fs_replace_dir(spark, _bands_path(staging), _bands_path(root))
+        fs_replace_dir(spark, _exact_path(staging), _exact_path(root))
+        _fs_and_path(spark, staging)[0].delete(
+            _fs_and_path(spark, staging)[1], True
+        )  # drop the emptied staging shell
+    return before - kept_exact.count()
+
+
 def process_batch(
     spark: SparkSession,
     batch: DataFrame,

@@ -319,3 +319,99 @@ def test_ivf_staleness_without_usable_base_cost_never_nan(spark, index):
         assert st["mean_sq_dist"] > 0
         assert st["drift_ratio"] == float("inf")
         assert IvfMaintainer(idx).needs_refit()
+
+
+def test_ivf_refit_policy_closed_loop(spark):
+    """The documented refit-at-1.5 policy end-to-end (VERDICT r4 #7):
+    off-distribution upserts push drift_ratio past the threshold ->
+    needs_refit() flips -> a batch refit (build_ivf_index over the
+    merged corpus) recovers both the drift ratio (~1.0) and the recall
+    that the stale centroids lost.
+
+    The upserted cluster sits at the MIDPOINT of two fit-time centroid
+    directions, so its members split across two stale cells; an
+    nprobe=1 search for a new-cluster query probes one cell and misses
+    the members assigned to the other — a real recall drop, not just a
+    drift number.  After refit the cluster owns a cell and recall
+    recovers.
+    """
+    import math
+    import random
+
+    from acled_spark.ann import IvfMaintainer, build_ivf_index, ivf_search
+
+    rng = random.Random(23)
+    dim = 16
+
+    def around(center, n, start_id, spread):
+        return [
+            (start_id + i, [c + rng.gauss(0, spread) for c in center], "c")
+            for i in range(n)
+        ]
+
+    axes = [[1.0 if j == k else 0.0 for j in range(dim)] for k in range(3)]
+    base_rows = []
+    for k, c in enumerate(axes):
+        base_rows += around(c, 60, 1000 * (k + 1), spread=0.01)
+    schema = "vec_id long, embedding array<float>, label string"
+    corpus = spark.createDataFrame(base_rows, schema)
+
+    maint = IvfMaintainer(build_ivf_index(corpus, nlist=3, persist=False))
+    assert not maint.needs_refit(threshold=1.5)
+
+    # new cluster equidistant between axis-0 and axis-1 centroids, with
+    # enough spread that assignment splits across the two stale cells
+    mid = [x / math.sqrt(2.0) for x in
+           [a + b for a, b in zip(axes[0], axes[1])]]
+    new_rows = around(mid, 60, 5000, spread=0.08)
+    maint(spark.createDataFrame(new_rows, schema), epoch_id=0)
+
+    stale = maint.staleness()
+    assert stale["drift_ratio"] > 1.5
+    assert maint.needs_refit(threshold=1.5)
+
+    # exact top-10 (cosine, self excluded) for 5 new-cluster queries,
+    # computed in-test over the 240-row corpus
+    def _norm(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    all_rows = base_rows + new_rows
+    normed = {i: _norm(v) for i, v, _ in all_rows}
+    q_ids = [5000 + i for i in range(5)]
+    exact = {}
+    for q in q_ids:
+        cos = sorted(
+            (
+                (sum(a * b for a, b in zip(normed[q], normed[i])), i)
+                for i in normed
+                if i != q
+            ),
+            reverse=True,
+        )[:10]
+        exact[q] = {i for _, i in cos}
+
+    queries = spark.createDataFrame(
+        [r for r in new_rows if r[0] in q_ids], schema
+    )
+
+    def recall(index):
+        got = {}
+        for r in ivf_search(index, queries, top_k=10, nprobe=1).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(
+            len(got.get(q, set()) & exact[q]) / len(exact[q]) for q in q_ids
+        ) / len(q_ids)
+
+    stale_recall = recall(maint.index)
+
+    # the refit itself: rebuild over the merged corpus, swap, re-check
+    merged = maint.index.assigned.select("vec_id", "embedding")
+    maint.index = build_ivf_index(merged, nlist=4, persist=False)
+    after = maint.staleness()
+    assert after["drift_ratio"] == pytest.approx(1.0, abs=0.05)
+    assert not maint.needs_refit(threshold=1.5)
+
+    refit_recall = recall(maint.index)
+    assert refit_recall >= 0.9, (stale_recall, refit_recall)
+    assert refit_recall > stale_recall, (stale_recall, refit_recall)
