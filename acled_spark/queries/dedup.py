@@ -157,6 +157,16 @@ def ngram_jaccard_pairs(
     intersection for pairs whose overlap was mostly boilerplate — which
     is exactly the overlap a near-dup detector should ignore.  Default
     ``None`` keeps the exact semantics (the oracle contract).
+
+    Measured at the sf1.0 heavy tier (SCALE.md): uncapped 12.9 s /
+    28.4 M candidate pairs; ``max_doc_freq=50`` 4.2 s but 0/20 top-pair
+    overlap with exact (the tier's ~10× duplicate groups put df > 50 on
+    true-duplicate shingles — the cap deleted the signal);
+    ``max_doc_freq=100`` keeps the top-20 bit-identical.  Set the cap
+    ≳ 10× the expected duplicate-group size, and engage it only when a
+    df profile (one cheap aggregate over the exploded shingles) shows a
+    boilerplate tail — on a bounded-df corpus the cap is a no-op that
+    still pays its df-window shuffle (+25 % here at cap=200).
     """
     sh = docs.select(
         "doc_id",
