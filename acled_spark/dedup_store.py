@@ -77,12 +77,14 @@ def _bands_path(root: str) -> str:
 def _read_exact(spark: SparkSession, root: str) -> DataFrame:
     if _is_table(root):
         return spark.table(_table_names(root)[0])
+    recover_store(spark, root)  # heal a crashed retire swap, if any
     return spark.read.parquet(_exact_path(root))
 
 
 def _read_bands(spark: SparkSession, root: str) -> DataFrame:
     if _is_table(root):
         return spark.table(_table_names(root)[1])
+    recover_store(spark, root)
     return spark.read.parquet(_bands_path(root))
 
 
@@ -269,7 +271,56 @@ def append_batch(
     )
 
 
-def retire_ids(spark: SparkSession, ids: DataFrame, root: str) -> int:
+def _retire_staging(root: str) -> str:
+    return root.rstrip("/") + "._retire_staging"
+
+
+_COMMIT_MARKER = "_COMMIT"
+
+
+def recover_store(spark: SparkSession, root: str) -> bool:
+    """Repair a path-backend store after a crash mid-:func:`retire_ids`.
+
+    The retire swap is staged: the full replacement store is written to
+    a staging dir, a ``_COMMIT`` marker is written, then each table is
+    delete+renamed into place (Hadoop FS has no directory swap).  A
+    crash anywhere in the swap window leaves the staging dir behind;
+    this promotes any still-staged tables (completing the interrupted
+    swap — committed staging is the authoritative post-retire state)
+    and removes the shell.  Staging WITHOUT the marker is an
+    incomplete write: it is discarded and the original store stands.
+
+    Called automatically by :func:`retire_ids` and by the store read
+    path whenever a staging dir exists, so a crashed retire heals on
+    the next store operation.  Returns True when a promotion happened.
+    No-op for ``table:`` backends (their overwrite is metastore-txn'd).
+    """
+    from acled_spark.fsutil import fs_exists, fs_replace_dir
+
+    if _is_table(root):
+        return False
+    staging = _retire_staging(root)
+    if not fs_exists(spark, staging):
+        return False
+    from acled_spark.fsutil import _fs_and_path
+
+    fs, jstaging, _ = _fs_and_path(spark, staging)
+    promoted = False
+    if fs_exists(spark, posixpath.join(staging, _COMMIT_MARKER)):
+        for sub in (_bands_path, _exact_path):
+            if fs_exists(spark, sub(staging)):
+                fs_replace_dir(spark, sub(staging), sub(root))
+                promoted = True
+    fs.delete(jstaging, True)
+    return promoted
+
+
+def retire_ids(
+    spark: SparkSession,
+    ids: DataFrame,
+    root: str,
+    corpus: DataFrame | None = None,
+) -> int:
     """Remove retired doc_ids' signatures from the store.
 
     The corpus-release path (``snapshot_diff``) produces ``changed``
@@ -277,19 +328,35 @@ def retire_ids(spark: SparkSession, ids: DataFrame, root: str) -> int:
     corpus; a changed doc would also trip ``process_batch``'s id-reuse
     guard (same doc_id, different text).  Retiring first, then
     processing the added|changed delta, composes the incremental
-    release: retire(changed ∪ removed) → process_batch(added ∪ changed).
+    release: retire(changed ∪ removed, corpus=new) →
+    process_batch(added ∪ changed).
 
-    ``ids`` needs a ``doc_id`` column.  Returns the number of exact
-    rows removed.  This is a RELEASE-level maintenance op, not a
-    per-micro-batch one: it rewrites the store minus the retired ids
-    (signatures are ~100 bytes/doc, so even a 100-TB corpus's store is
-    tens of GB — one bounded rewrite per release).  The path backend
-    stages the rewrite and swaps directories (crash before the swap
-    leaves the original intact); the table backend rewrites via a
+    The store holds one CANONICAL signature per distinct text (min
+    doc_id), so a retired id may be the only holder of a fingerprint
+    whose text is still live under OTHER (unchanged) ids — dropping it
+    outright would leave that text invisible to future dedup.  Pass
+    ``corpus`` (the post-release document frame: doc_id, text) and the
+    retirement RE-KEYS each such fingerprint to its smallest surviving
+    holder: one fingerprint scan of the corpus (digest-only exchange,
+    same cost class as ``snapshot_diff``'s scan of the same frame),
+    then full signatures for just the successor docs.  Without
+    ``corpus`` the orphan re-key is skipped — correct only when no
+    retired id can share text with a surviving doc.
+
+    ``ids`` needs a ``doc_id`` column.  Returns the net change in
+    exact-store rows (retired minus re-keyed successors).  This is a
+    RELEASE-level maintenance op, not a per-micro-batch one: it
+    rewrites the store minus the retired ids (signatures are ~100
+    bytes/doc, so even a 100-TB corpus's store is tens of GB — one
+    bounded rewrite per release).  The path backend stages the rewrite,
+    marks it committed, then swaps directories; a crash in the swap
+    window is healed by :func:`recover_store` (run automatically on
+    the next store op).  The table backend rewrites via a
     lineage-severed overwrite that restates the bucket spec.
     """
-    from acled_spark.fsutil import _fs_and_path, fs_replace_dir
+    from acled_spark.fsutil import _fs_and_path, fs_replace_dir, fs_write_text
 
+    recover_store(spark, root)
     keys = ids.select("doc_id").distinct().localCheckpoint()
     exact = _read_exact(spark, root)
     before = exact.count()
@@ -297,11 +364,42 @@ def retire_ids(spark: SparkSession, ids: DataFrame, root: str) -> int:
     kept_bands = (
         _read_bands(spark, root).join(keys, "doc_id", "left_anti").localCheckpoint()
     )
+    if corpus is not None:
+        # Orphan re-key: fingerprints whose ONLY store row was retired
+        # but whose text survives in the corpus under another id get a
+        # successor row (min surviving doc_id) — the canonical-survivor
+        # invariant holds across releases, not just within one store.
+        retired_fps = (
+            exact.join(keys, "doc_id", "left_semi")
+            .select("fingerprint").distinct()
+        )
+        orphan_fps = retired_fps.join(
+            kept_exact.select("fingerprint"), "fingerprint", "left_anti"
+        )
+        survivors = corpus.join(keys, "doc_id", "left_anti")
+        surv_fp = survivors.select(
+            "doc_id", fingerprint_spark(F.col("text")).alias("fingerprint")
+        )
+        successor_ids = (
+            surv_fp.join(F.broadcast(orphan_fps), "fingerprint")
+            .groupBy("fingerprint")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+            .localCheckpoint()
+        )
+        if successor_ids.count():
+            succ_docs = corpus.join(successor_ids, "doc_id", "left_semi")
+            succ_exact, succ_bands = signatures(succ_docs)
+            kept_exact = kept_exact.unionByName(succ_exact).localCheckpoint()
+            kept_bands = kept_bands.unionByName(succ_bands).localCheckpoint()
     if _is_table(root):
         _write(kept_exact, kept_bands, root, mode="overwrite")
     else:
-        staging = root.rstrip("/") + "._retire_staging"
+        staging = _retire_staging(root)
         _write(kept_exact, kept_bands, staging, mode="overwrite")
+        fs_write_text(
+            spark, posixpath.join(staging, _COMMIT_MARKER), "committed"
+        )
         fs_replace_dir(spark, _bands_path(staging), _bands_path(root))
         fs_replace_dir(spark, _exact_path(staging), _exact_path(root))
         _fs_and_path(spark, staging)[0].delete(

@@ -124,7 +124,14 @@ def t3_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # a timeout must read as "certification did not run", never
+            # as a parity failure — and the query must be stopped BEFORE
+            # the finally block deletes its source directory
+            q.stop()
+            raise TimeoutError(
+                "t3 stream-batch certification micro-batch exceeded 300s"
+            )
         stream_rows = {
             (str(r["window_start"]), r["event_count"], r["total_value"])
             for r in spark.table(sink).collect()

@@ -86,7 +86,9 @@ def test_registered_oracle_parity_with_null_text(spark, tmp_path):
         (3, "plain doc", "en", "s0", 9),    # old-missing (3%11=3) -> added
         (18, None, "en", "s_null", 0),      # NULL text, new-missing (18%13=5)
         (1, "stable doc", "en", "s0", 10),
-        (14, "edited doc", "en", "s0", 10), # 14%7=0 -> 'changed'
+        # 7%11=7 and 7%13=7 (in both snapshots), 7%7=0 -> 'changed';
+        # NOT 14, whose 14%11=3 drops it from old and makes it 'added'
+        (7, "edited doc", "en", "s0", 10),
     ]
     sf_dir = str(tmp_path)
     spark.createDataFrame(
@@ -112,6 +114,8 @@ def test_registered_oracle_parity_with_null_text(spark, tmp_path):
     assert got[("unchanged", "s_null")] == 2  # docs 76, 154
     assert got[("removed", "s_null")] == 1    # doc 18
     assert ("added", "s_null") not in got
+    assert got[("changed", "s0")] == 1        # doc 7: the non-NULL
+    # IS-NOT-DISTINCT-FROM branch is exercised on a real fp change too
     con.close()
 
 

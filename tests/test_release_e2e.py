@@ -4,7 +4,7 @@ Each piece is unit-tested alone; this drives the actual 100-TB
 operating story as ONE flow over a single corpus release:
 
     snapshot_diff(old, new)
-      -> retire_ids(changed ∪ removed)          # store maintenance
+      -> retire_ids(changed ∪ removed, corpus=new)  # store maintenance
       -> process_batch(added ∪ changed)         # incremental dedup
       -> DriftMonitor(batch)                    # distribution gate
       -> write_jsonl(shuffle_seed=...) + verify_manifest  # export
@@ -70,12 +70,22 @@ def test_incremental_release_end_to_end(spark, tmp_path):
     # --- stage 2: store maintenance + incremental dedup on the delta
     store = str(tmp_path / "sigstore")
     init_store(old, store)
-    retired = retire_ids(
-        spark,
-        diff.filter(F.col("status").isin("changed", "removed")),
-        store,
+    from acled_spark.dedup_store import _read_exact
+
+    retire_set = diff.filter(F.col("status").isin("changed", "removed"))
+    # only CANONICAL rows (min-id per fingerprint) exist in the store,
+    # so the expected removal count is the store rows the retire set
+    # actually holds — not |changed|+|removed| (a retired id that was a
+    # non-canonical duplicate in `old` has no row to remove)
+    expected_removed = (
+        _read_exact(spark, store)
+        .join(retire_set.select("doc_id"), "doc_id", "left_semi")
+        .count()
     )
-    assert retired == by_status["changed"] + by_status["removed"]
+    retired = retire_ids(spark, retire_set, store, corpus=new)
+    # net change = removals minus orphan re-keys; bounded by both
+    assert 0 < retired <= expected_removed
+    assert expected_removed <= by_status["changed"] + by_status["removed"]
 
     # changed docs re-key under their existing ids without tripping the
     # id-reuse guard (the seam this composition exposed)
@@ -146,8 +156,13 @@ def test_retire_ids_store_roundtrip(spark, tmp_path):
     n0 = _read_exact(spark, store).count()
 
     ids = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    # expected = store rows actually held by the retire set (a retired
+    # id that was a non-canonical duplicate has no row to remove)
+    expected = (
+        _read_exact(spark, store).join(ids, "doc_id", "left_semi").count()
+    )
     n_retired = retire_ids(spark, ids, store)
-    assert n_retired == ids.count()
+    assert n_retired == expected > 0
     assert _read_exact(spark, store).count() == n0 - n_retired
     left = _read_bands(spark, store).join(ids, "doc_id", "left_semi")
     assert left.count() == 0
@@ -172,8 +187,11 @@ def test_retire_ids_table_backend(spark):
         n0 = _read_exact(spark, troot).count()
 
         ids = docs.filter(F.col("doc_id") % 4 == 0).select("doc_id")
+        expected = (
+            _read_exact(spark, troot).join(ids, "doc_id", "left_semi").count()
+        )
         n_retired = retire_ids(spark, ids, troot)
-        assert n_retired == ids.count()
+        assert n_retired == expected > 0
         assert _read_exact(spark, troot).count() == n0 - n_retired
 
         # bucket spec survives the rewrite
@@ -196,3 +214,83 @@ def test_retire_ids_table_backend(spark):
     finally:
         for t in ("retire_t_exact", "retire_t_bands"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_retire_ids_rekeys_orphaned_fingerprints(spark, tmp_path):
+    """Retiring the CANONICAL holder of a fingerprint whose text still
+    lives under another id must re-key the signature to the smallest
+    survivor (review finding r5: dropping it outright left live text
+    invisible to all future dedup)."""
+    from acled_spark.dedup_store import _read_exact, check_batch
+
+    rows = [
+        (1, "shared text alpha beta gamma delta epsilon", "en", "s", 40),
+        (2, "shared text alpha beta gamma delta epsilon", "en", "s", 40),
+        (3, "unique text zeta eta theta iota kappa", "en", "s", 36),
+    ]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    store = str(tmp_path / "s")
+    init_store(docs, store)  # canonical rows: fp(shared)@1, fp(unique)@3
+    assert _read_exact(spark, store).count() == 2
+
+    after = docs.filter(F.col("doc_id") != 1)  # release removes doc 1
+    ids = spark.createDataFrame([(1,)], "doc_id long")
+    net = retire_ids(spark, ids, store, corpus=after)
+    assert net == 0  # one removal, one successor re-key
+
+    store_rows = {
+        r["doc_id"] for r in _read_exact(spark, store).collect()
+    }
+    assert store_rows == {2, 3}  # fp(shared) now keyed to survivor 2
+
+    probe = spark.createDataFrame(
+        [(9, "shared text alpha beta gamma delta epsilon", "en", "s", 40)],
+        DOC_SCHEMA,
+    )
+    v = check_batch(spark, probe, store).collect()[0]
+    assert v["is_exact_dup"] and v["dup_of"] == 2
+
+    # and WITHOUT corpus the re-key is skipped (documented hole): a
+    # second store built the same way loses the fingerprint
+    store2 = str(tmp_path / "s2")
+    init_store(docs, store2)
+    retire_ids(spark, ids, store2)
+    v2 = check_batch(spark, probe, store2).collect()[0]
+    assert not v2["is_exact_dup"]
+
+
+def test_recover_store_promotes_committed_staging_only(spark, tmp_path):
+    """Crash-window healing: a COMMITTED staging dir is promoted by the
+    next store read (completing the interrupted swap); an uncommitted
+    one is discarded and the original store stands."""
+    import shutil
+
+    from acled_spark.dedup_store import (
+        _COMMIT_MARKER,
+        _read_exact,
+        _retire_staging,
+        recover_store,
+    )
+
+    docs = load(spark, SF_DIR, "documents").select(*DOC_COLS).limit(30)
+    store = str(tmp_path / "s")
+    init_store(docs, store)
+    n0 = _read_exact(spark, store).count()
+
+    # simulate a crash AFTER the staging write + commit marker but
+    # BEFORE any swap: staging holds the post-retire store (10 fewer)
+    smaller = docs.filter(F.col("doc_id") >= 10)
+    staging = _retire_staging(store)
+    init_store(smaller, staging)
+    open(os.path.join(staging, _COMMIT_MARKER), "w").write("committed")
+    n_staged = spark.read.parquet(os.path.join(staging, "exact")).count()
+
+    # the next plain read heals the store to the staged state
+    assert _read_exact(spark, store).count() == n_staged < n0
+    assert not os.path.exists(staging)
+
+    # an UNCOMMITTED staging dir (crash mid-write) is discarded
+    init_store(docs.limit(5), staging)  # no marker
+    assert recover_store(spark, store) is False
+    assert not os.path.exists(staging)
+    assert _read_exact(spark, store).count() == n_staged  # unchanged
