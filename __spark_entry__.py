@@ -108,6 +108,11 @@ _RECERT_PRIORITY: frozenset[str] = frozenset(
     {
         "a26_approx_quantiles", "sim_ann_ivf", "mm_feature_extract",
         "t3_tumbling_window", "cdc_snapshot_diff",
+        # round-5 review edits: a23 moved to a calendar RANGE baseline
+        # with a sigma=0 guard, a13 drops NULLs pre-binning, a14/j1
+        # re-planned (broadcast global mean / single rollup pass)
+        "a23_daily_anomaly", "a13_histogram", "a14_group_deviation",
+        "j1_target_stat_lookup",
     }
 )
 

@@ -376,13 +376,19 @@ def _bucket_case_sql() -> str:
     "a13_histogram",
     oracle=f"""
     SELECT {_bucket_case_sql()} AS bucket, COUNT(*) AS cnt
-    FROM events GROUP BY bucket ORDER BY bucket
+    FROM events WHERE value IS NOT NULL GROUP BY bucket ORDER BY bucket
     """,
     tags=("agg", "stats"),
 )
 def a13_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Right-closed numeric binning, pd.cut semantics (ref ml.py:235-237)."""
-    ev = load(spark, sf_dir, "events")
+    """Right-closed numeric binning, pd.cut semantics (ref ml.py:235-237).
+
+    NULL values are dropped BEFORE binning on both engines — pd.cut
+    excludes NaN from binned counts, and without the filter a NULL
+    would fall through every ``value <= x`` WHEN into the top
+    ``(200,inf)`` bucket (a null measurement reported as an extreme).
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     bucket = F.when(F.col("value") <= _BUCKETS[0], _LABELS[0])
     for hi, lab in zip(_BUCKETS[1:], _LABELS[1:-1]):
         bucket = bucket.when(F.col("value") <= hi, lab)
@@ -411,13 +417,16 @@ def a13_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a14_group_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group mean/|dev from global mean| (ref ml.py:673-685).
 
-    The global mean comes from an empty-frame window aggregate — Catalyst
-    plans a single-partition exchange of partial aggregates, not a full
-    data collapse.
+    The global mean is a 1-row aggregate broadcast-crossJoined onto the
+    fact scan — NOT an empty-frame window: ``avg().over(Window
+    .partitionBy())`` plans WindowExec under a SinglePartition exchange
+    (window functions have no partial aggregation), which funnels the
+    whole table through one task at scale.  Two narrow scans beat one
+    collapsed one.
     """
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy()
-    with_gmean = ev.withColumn("gmean", F.avg("value").over(w))
+    g = ev.agg(F.avg("value").alias("gmean"))
+    with_gmean = ev.crossJoin(F.broadcast(g))
     return (
         with_gmean.groupBy("event_type")
         .agg(
@@ -492,8 +501,10 @@ def a16_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a23_daily_anomaly",
     oracle="""
     WITH d AS (
-      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
-      FROM events GROUP BY day
+      SELECT CAST(ts AS DATE) AS day,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
     ),
     s AS (
       SELECT day, n,
@@ -501,32 +512,43 @@ def a16_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
              STDDEV_SAMP(n) OVER w AS sigma,
              COUNT(*) OVER w AS n_obs
       FROM d
-      WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+      WINDOW w AS (ORDER BY day_num RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
     )
     SELECT day, CAST(n AS BIGINT) AS n,
            ROUND(mu, 4) AS trailing_mean,
-           ROUND((n - mu) / sigma, 4) AS z_score,
-           abs((n - mu) / sigma) > 2.0 AS is_anomaly
+           CASE WHEN sigma > 0 THEN ROUND((n - mu) / sigma, 4) END AS z_score,
+           CASE WHEN sigma > 0 THEN abs((n - mu) / sigma) > 2.0
+                ELSE n <> mu END AS is_anomaly
     FROM s WHERE n_obs >= 3 ORDER BY day
     """,
     tags=("agg", "anomaly", "extended"),
 )
 def a23_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily event-count anomalies vs a trailing 7-day window (z > 2).
+    """Daily event-count anomalies vs the trailing 7 CALENDAR days (z > 2).
 
     The ops-monitoring query every ingest pipeline runs: each day is
-    scored against the mean/stddev of the PRECEDING 7 days only (no
-    leakage from the scored day), and the first 3 days are warm-up.
-    Both engines compute the identical ROWS frame; the z quotient
-    rounds once at the end.  Scale: the heavy part is the per-day
-    count (partial+final agg on a date key); the window then runs over
-    |days| rows — nothing.
+    scored against the mean/stddev of the preceding 7 calendar days
+    (a RANGE frame over the epoch day number, not 7 preceding observed
+    ROWS — a gap in the data must not silently widen the baseline to
+    stale weeks), with ≥3 observed baseline days as warm-up.  A flat
+    baseline (sigma = 0) flags any deviation from the constant as an
+    anomaly instead of emitting NULL — the constant-week-then-spike
+    case is exactly what the detector exists for; the explicit
+    ``sigma > 0`` guard also keeps parity across DuckDB ≥ 1.1, whose
+    IEEE mode turns x/0 into inf rather than NULL.  Known limit,
+    shared with the oracle: a ZERO-event day produces no row at all,
+    so total-outage days are caught by freshness checks (P7-style),
+    not this z-score.  Scale: the heavy part is the per-day count; the
+    window runs over |days| rows — nothing.
     """
     ev = load(spark, sf_dir, "events")
-    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
-        F.count("*").alias("n")
-    )
-    w = Window.orderBy("day").rowsBetween(-7, -1)
+    d = ev.groupBy(
+        F.col("ts").cast("date").alias("day"),
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")).alias(
+            "day_num"
+        ),
+    ).agg(F.count("*").alias("n"))
+    w = Window.orderBy("day_num").rangeBetween(-7, -1)
     s = d.select(
         "day",
         "n",
@@ -535,14 +557,17 @@ def a23_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_obs"),
     )
     z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    sigma_pos = F.col("sigma") > 0
     return (
         s.filter(F.col("n_obs") >= 3)
         .select(
             "day",
             F.col("n").cast("long").alias("n"),
             F.round("mu", 4).alias("trailing_mean"),
-            F.round(z, 4).alias("z_score"),
-            (F.abs(z) > 2.0).alias("is_anomaly"),
+            F.when(sigma_pos, F.round(z, 4)).alias("z_score"),
+            F.when(sigma_pos, F.abs(z) > 2.0)
+            .otherwise(F.col("n") != F.col("mu"))
+            .alias("is_anomaly"),
         )
         .orderBy("day")
     )
@@ -581,8 +606,12 @@ def a24_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional MINs in ONE user aggregation (a purchase qualifies only
     at/after the user's signup — enforced with a per-user signup window
     before aggregating), so there is no events-to-events join at all.
-    date_diff counts CALENDAR-day boundaries on both engines (DuckDB
-    date_diff('day', d1, d2) on DATE-cast timestamps == Spark datediff).
+    Parity note: the oracle's date_diff('day', ...) runs on RAW
+    timestamps and counts midnight crossings (verified: 23:59:59 ->
+    00:00:01 next day = 1), which equals Spark's datediff on
+    DATE-cast values — the invariant is DuckDB's boundary-crossing
+    'day' semantics, NOT a shared cast; an oracle engine with
+    elapsed-24h day arithmetic would diverge.
     Scale: one user_id shuffle; the histogram rollup is |days| keys.
     """
     ev = load(spark, sf_dir, "events")

@@ -57,8 +57,14 @@ _SMOOTHING = 10
 def j1_target_stat_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Smoothed target-stat broadcast join, null -> global mean (ref ml.py:63-68).
 
-    stats has one row per category → always broadcastable; the global mean
-    is a 1-row cross join (also broadcast).  The fact side never shuffles.
+    The per-segment stats AND the global mean come out of ONE
+    ``rollup`` pass over the fact join (separate ``agg`` + ``groupBy``
+    subtrees would execute the orders⋈customer join twice); the
+    |segments|+1 rollup rows are a bounded dim collect, re-broadcast as
+    a literal frame, so the fact side is scanned once and the customer
+    probe never shuffles.  ``grouping()`` — not NULL-ness — splits the
+    grand-total row, so a NULL segment value could never be mistaken
+    for the total.
     """
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
@@ -66,21 +72,36 @@ def j1_target_stat_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.select("c_custkey", "c_mktsegment"),
         orders.o_custkey == cust.c_custkey,
     )
-    g = joined.agg(F.avg("o_totalprice").alias("gmean"))
-    stats = joined.groupBy("c_mktsegment").agg(
-        F.count("*").alias("cnt"), F.avg("o_totalprice").alias("mean_price")
+    rolled = (
+        joined.rollup("c_mktsegment")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.avg("o_totalprice").alias("mean_price"),
+            F.grouping("c_mktsegment").alias("_is_total"),
+        )
+        .collect()
     )
-    smoothed = (F.col("cnt") * F.col("mean_price") + _SMOOTHING * F.col("gmean")) / (
+    gmean = next(r["mean_price"] for r in rolled if r["_is_total"] == 1)
+    stats = spark.createDataFrame(
+        [
+            (r["c_mktsegment"], r["cnt"], r["mean_price"])
+            for r in rolled
+            if r["_is_total"] == 0
+        ],
+        "c_mktsegment string, cnt bigint, mean_price double",
+    )
+    smoothed = (F.col("cnt") * F.col("mean_price") + _SMOOTHING * F.lit(gmean)) / (
         F.col("cnt") + _SMOOTHING
     )
     return (
         cust.select("c_custkey", "c_mktsegment")
         .join(F.broadcast(stats), "c_mktsegment", "left")
-        .crossJoin(F.broadcast(g))
         .select(
             "c_custkey",
             "c_mktsegment",
-            F.round(F.coalesce(smoothed, F.col("gmean")), 4).alias("segment_encoded"),
+            F.round(F.coalesce(smoothed, F.lit(gmean)), 4).alias(
+                "segment_encoded"
+            ),
         )
         .orderBy("c_custkey")
     )
@@ -407,7 +428,7 @@ def so1_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(value), 2) AS attributed_value
     FROM pairs GROUP BY user_id ORDER BY user_id
     """,
-    tags=("joins", "interval", "extended"),
+    tags=("join", "interval", "extended"),
 )
 def j8_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """View->purchase attribution within a 10-minute window, per user.
