@@ -113,6 +113,12 @@ _RECERT_PRIORITY: frozenset[str] = frozenset(
         # re-planned (broadcast global mean / single rollup pass)
         "a23_daily_anomaly", "a13_histogram", "a14_group_deviation",
         "j1_target_stat_lookup",
+        # round-5 null-safety/parity hardening (try_cast, concat_ws,
+        # zero-weight/zero-denominator guards, NULL-ts exclusion,
+        # NULL-text chunk guard, empty-gram salting)
+        "f1_try_cast_json", "f6_string_cleanup", "f16_regexp_extract",
+        "p9_weighted_sample", "w6_cumulative_distinct", "text_chunking",
+        "text_bpe_token_stats", "text_contamination",
     }
 )
 

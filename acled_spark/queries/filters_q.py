@@ -296,7 +296,7 @@ def _hex8_to_int_sql(expr: str) -> str:
              ROUND(ln(({_hex8_to_int_sql("md5(CAST(o_orderkey AS VARCHAR))")} + 0.5)
                       / 4294967296.0)
                    / o_totalprice, 6) + 0.0 AS sample_key
-      FROM orders
+      FROM orders WHERE o_totalprice > 0
     )
     SELECT o_orderkey, o_totalprice, sample_key
     FROM keyed
@@ -323,7 +323,11 @@ def p9_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the driver's value hash is byte-level and distinguishes the two).
     key = F.round(F.log(u) / F.col("o_totalprice"), 6) + F.lit(0.0)
     return (
-        orders.select("o_orderkey", "o_totalprice", key.alias("sample_key"))
+        # Efraimidis-Spirakis requires strictly positive weights; a
+        # zero-price row would be ANSI DIVIDE_BY_ZERO in Spark but NULL
+        # in DuckDB — excluded identically on both sides instead.
+        orders.filter(F.col("o_totalprice") > 0)
+        .select("o_orderkey", "o_totalprice", key.alias("sample_key"))
         .orderBy(F.desc("sample_key"), "o_orderkey")
         .limit(P9_SAMPLE_K)
     )

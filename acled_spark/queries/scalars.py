@@ -23,8 +23,8 @@ from acled_spark.tables import load
     oracle="""
     SELECT
       COUNT(*) AS n_rows,
-      CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
-      ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS k_avg,
+      CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
+      ROUND(AVG(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS k_avg,
       COUNT(CASE WHEN TRY_CAST(event_type AS INTEGER) IS NULL THEN 1 END) AS non_numeric_types
     FROM events
     """,
@@ -38,7 +38,7 @@ def f1_try_cast_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sum and avg runs the JsonPath evaluator twice per row (measured
     # 2.5s -> 0.5s at sf0.1).
     projected = ev.select(
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.expr("try_cast(get_json_object(props, '$.k') AS int)").alias("k"),
         F.expr("try_cast(event_type AS int)").alias("et_num"),
     )
     return projected.agg(
@@ -80,7 +80,7 @@ def f2_time_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_partkey,
            regexp_replace(upper(p_type), ' ', '_', 'g') AS type_code,
            substr(p_name, 1, 12) || '...' AS short_name,
-           concat(p_brand, '/', p_type) AS brand_type
+           concat_ws('/', p_brand, p_type) AS brand_type
     FROM part ORDER BY p_partkey LIMIT 50
     """,
     tags=("scalar", "string"),
@@ -239,7 +239,7 @@ def f15_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "f16_regexp_extract",
     oracle="""
-    SELECT CAST(regexp_extract(o_orderpriority, '^([0-9]+)-', 1) AS INTEGER) AS priority_num,
+    SELECT TRY_CAST(nullif(regexp_extract(o_orderpriority, '^([0-9]+)-', 1), '') AS INTEGER) AS priority_num,
            COUNT(*) AS cnt,
            ROUND(AVG(o_totalprice), 4) AS avg_price
     FROM orders GROUP BY priority_num ORDER BY priority_num
@@ -251,9 +251,10 @@ def f16_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     return (
         o.groupBy(
-            F.regexp_extract("o_orderpriority", r"^([0-9]+)-", 1)
-            .cast("int")
-            .alias("priority_num")
+            F.expr(
+                "try_cast(nullif(regexp_extract(o_orderpriority,"
+                " '^([0-9]+)-', 1), '') AS int)"
+            ).alias("priority_num")
         )
         .agg(
             F.count("*").alias("cnt"),

@@ -31,7 +31,7 @@ SESSION_GAP_MIN = 30
              CASE WHEN LAG(ts) OVER w IS NULL
                        OR ts - LAG(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
                   THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sessions AS (
@@ -55,8 +55,14 @@ SESSION_GAP_MIN = 30
     tags=("sessions", "window", "extended"),
 )
 def sess_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user session stats from 30-min-gap sessionization."""
-    ev = load(spark, sf_dir, "events")
+    """Per-user session stats from 30-min-gap sessionization.
+
+    NULL-timestamp events are excluded on both engines: they cannot be
+    sessionized, and the engines disagree on where NULLs sort in an
+    ascending window (Spark first, DuckDB last), so keeping them would
+    pair lag/lead chains differently per engine.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     new_session = F.when(
         F.lag("ts").over(w).isNull()
@@ -213,7 +219,8 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "w6_cumulative_distinct",
     oracle="""
-    WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+               WHERE ts IS NOT NULL),
     f AS (
       SELECT user_id, day,
              day = MIN(day) OVER (PARTITION BY user_id) AS is_first
@@ -243,7 +250,9 @@ def w6_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     one (user, day) distinct shuffle + user-keyed window; the ordered
     running sum touches only |days| rows.
     """
-    ev = load(spark, sf_dir, "events")
+    # NULL ts would be a NULL day ordering first (Spark) vs last
+    # (DuckDB) in the running window — excluded identically instead
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     d = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
     f = d.withColumn(
         "is_first", F.col("day") == F.min("day").over(Window.partitionBy("user_id"))
@@ -271,7 +280,7 @@ def w6_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type AS from_type,
              LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                AS to_type
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     pairs AS (
       SELECT from_type, to_type, COUNT(*) AS cnt
@@ -295,7 +304,8 @@ def sess_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream, then a |types|^2 aggregate — the window partitioning is
     reused straight from the sessionization family.
     """
-    ev = load(spark, sf_dir, "events")
+    # NULL-ts events excluded on both engines (sort-position divergence)
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
     nxt = ev.select(
         F.col("event_type").alias("from_type"),

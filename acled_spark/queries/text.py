@@ -497,8 +497,19 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_train"
         ),
         F.explode_outer(word_ngrams_spark(F.col("text"), N_CONTAM)).alias("g"),
-    ).withColumn("g", F.coalesce("g", F.lit("")))
-    real = F.col("g") != ""
+    ).withColumn(
+        # zero-gram docs salt to a PER-DOC window key ('e:' + doc_id —
+        # a real 8-word gram always contains spaces, so no collision)
+        # instead of all coalescing onto one '' key: millions of short
+        # docs on a single window partition is the same straggler
+        # dup_span_census salts away.  Salted rows are excluded from
+        # both counts via has_g, exactly as '' was.
+        "has_g", F.col("g").isNotNull()
+    ).withColumn(
+        "g",
+        F.coalesce("g", F.concat(F.lit("e:"), F.col("doc_id").cast("string"))),
+    )
+    real = F.col("has_g")
     ev = (
         ex.withColumn("in_train", F.max("is_train").over(Window.partitionBy("g")))
         .filter(~F.col("is_train"))
@@ -585,8 +596,12 @@ def chunk_stream(docs: DataFrame) -> DataFrame:
       FROM documents
     ),
     n AS (
+      -- NULL text -> words NULL -> coalesce to 0 chunks, mirroring the
+      -- builder's size(words) > 0 guard (DuckDB greatest() IGNORES
+      -- NULL, so without the coalesce a NULL-text doc would emit one
+      -- phantom chunk row the Spark side never produces)
       SELECT doc_id, lang, words,
-             CASE WHEN len(words) = 0 THEN 0
+             CASE WHEN coalesce(len(words), 0) = 0 THEN 0
                   ELSE 1 + (greatest(len(words) - {CHUNK_TOKENS}, 0)
                             + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE} END AS n_chunks
       FROM t
@@ -885,7 +900,9 @@ BPE_REGEX = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
            CAST(SUM(n_ws) AS BIGINT) AS ws_tokens,
            CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
            ROUND(AVG(n_bpe), 4) AS avg_bpe_tokens,
-           ROUND(CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws), 4) AS bpe_per_word
+           ROUND(CASE WHEN SUM(n_ws) > 0
+                      THEN CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws) END, 4)
+             AS bpe_per_word
     FROM t GROUP BY source ORDER BY source
     """,
     tags=("text", "extended"),
@@ -913,8 +930,10 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_ws").cast("long").alias("ws_tokens"),
             F.sum("n_bpe").cast("long").alias("bpe_tokens"),
             F.round(F.avg("n_bpe"), 4).alias("avg_bpe_tokens"),
+            # try_divide: an all-blank source has sum(n_ws)=0 — NULL,
+            # not an ANSI DIVIDE_BY_ZERO crash, matching the oracle
             F.round(
-                F.sum("n_bpe").cast("double") / F.sum("n_ws"), 4
+                F.try_divide(F.sum("n_bpe").cast("double"), F.sum("n_ws")), 4
             ).alias("bpe_per_word"),
         )
         .orderBy("source")
@@ -1345,6 +1364,15 @@ def dup_span_census(
             F.col("g").isNotNull(), F.substring(F.md5("g"), 1, 16)
         ).otherwise(F.concat(F.lit("e:"), F.col("doc_id").cast("string"))).alias("h"),
     )
+    if materialize and not skew_safe:
+        # the default formulation has a single gram consumer (the
+        # window) — there is no double build to save, and silently
+        # ignoring the flag would let a caller believe the digest
+        # stream was materialized when it wasn't
+        raise ValueError(
+            "materialize=True only applies to the skew_safe formulation "
+            "(the default single-window plan builds the grams once)"
+        )
     if skew_safe:
         if materialize:
             # one gram build feeding both consumers, at the price of

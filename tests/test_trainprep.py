@@ -180,3 +180,16 @@ def test_dup_span_census_skew_safe_equivalence(spark):
     assert b2 == s2
     xx = dict((r[0], r) for r in b2)["xx"]
     assert xx[2] == 1000  # every planted doc carries the duplicated span
+
+
+def test_dup_span_census_rejects_materialize_without_skew_safe(spark):
+    """materialize=True is meaningless in the default single-window
+    formulation — silently ignoring it (pre-r5 behavior) let callers
+    believe the digest stream was checkpointed when it wasn't."""
+    import pytest as _pytest
+
+    from acled_spark.queries.text import dup_span_census
+
+    docs = load(spark, SF_DIR, "documents").limit(5)
+    with _pytest.raises(ValueError, match="skew_safe"):
+        dup_span_census(docs, skew_safe=False, materialize=True)
