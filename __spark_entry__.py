@@ -119,6 +119,8 @@ _RECERT_PRIORITY: frozenset[str] = frozenset(
         "f1_try_cast_json", "f6_string_cleanup", "f16_regexp_extract",
         "p9_weighted_sample", "w6_cumulative_distinct", "text_chunking",
         "text_bpe_token_stats", "text_contamination",
+        # r5: pk_unique check names now embed the key columns
+        "chk_validation_summary",
     }
 )
 

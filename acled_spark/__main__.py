@@ -20,6 +20,8 @@ from __future__ import annotations
 import argparse
 import sys
 
+from acled_spark.tables import DEFAULT_SF_DIR
+
 
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="acled_spark")
@@ -32,7 +34,7 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("query")
         if name in ("run", "explain"):
             p.add_argument(
-                "--sf-dir", default="/root/testdata/sf0.01", dest="sf_dir"
+                "--sf-dir", default=DEFAULT_SF_DIR, dest="sf_dir"
             )
         if name == "run":
             p.add_argument("-n", "--rows", type=int, default=20)
@@ -61,7 +63,7 @@ def main(argv: list[str] | None = None) -> int:
         "as views (the reference's raw-SQL reporting workflow)",
     )
     ps.add_argument("statement", help="a single SQL statement")
-    ps.add_argument("--sf-dir", default="/root/testdata/sf0.01", dest="sf_dir")
+    ps.add_argument("--sf-dir", default=DEFAULT_SF_DIR, dest="sf_dir")
     ps.add_argument("-n", "--rows", type=int, default=20)
     ps.add_argument(
         "--explain", action="store_true", help="show the physical plan instead"
@@ -70,7 +72,7 @@ def main(argv: list[str] | None = None) -> int:
     pr = sub.add_parser(
         "report", help="assemble KPIs and write text/JSON (+gated PDF/PNG) artifacts"
     )
-    pr.add_argument("--sf-dir", default="/root/testdata/sf0.01", dest="sf_dir")
+    pr.add_argument("--sf-dir", default=DEFAULT_SF_DIR, dest="sf_dir")
     pr.add_argument("--out-dir", required=True)
     pr.add_argument(
         "--pdf", action="store_true",

@@ -250,13 +250,17 @@ def pk_unique(columns: Sequence[str], blocking: bool = False) -> Check:
         total, distinct, nulls = m["rows"], m["distinct_keys"], m["null_keys"]
         duplicates = total - distinct - nulls
         return CheckResult(
-            "pk_unique", duplicates == 0 and nulls == 0, blocking,
+            # key embedded in the name, like value_range[...]/domain[...]:
+            # two pk_unique checks in one suite must stay distinguishable
+            # in results and failure reports
+            f"pk_unique[{', '.join(columns)}]",
+            duplicates == 0 and nulls == 0, blocking,
             {"rows": total, "distinct_keys": distinct,
              "duplicates": duplicates, "null_keys": nulls},
             f"({', '.join(columns)}) unique and non-null",
         )
 
-    return _fused("pk_unique", blocking, aggs, finalize)
+    return _fused(f"pk_unique[{', '.join(columns)}]", blocking, aggs, finalize)
 
 
 def row_count_bounds(
@@ -291,6 +295,10 @@ def completeness(
     also stringifies to ``''`` and counts as missing (deliberate: an
     empty payload is as absent as an empty string).
     """
+    if not columns:
+        # fail the CONFIG at build time: an empty list would divide by
+        # zero in finalize only after the Spark job already ran
+        raise ValueError("completeness() requires at least one column")
     aggs: dict[str, Column] = {}
     for c in columns:
         col = F.col(c)

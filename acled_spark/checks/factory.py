@@ -52,15 +52,37 @@ _BUILDERS = {
 }
 
 
+# "$NAME" values in a config resolve to the schema module's constants,
+# so the YAML and acled_spark/schema.py cannot drift apart (they used to
+# be two hand-maintained copies of the same lists).
+def _schema_refs() -> dict[str, list]:
+    from acled_spark import schema
+
+    return {
+        "$VALID_EVENT_TYPES": list(schema.VALID_EVENT_TYPES),
+        "$CRITICAL_COLUMNS": list(schema.CRITICAL_COLUMNS),
+    }
+
+
 def build_suite(config: Sequence[dict]) -> list[engine.Check]:
+    refs = _schema_refs()
     checks = []
-    for entry in config:
+    for i, entry in enumerate(config):
         entry = dict(entry)
-        ctype = entry.pop("type")
+        ctype = entry.pop("type", None)
+        if ctype is None:
+            raise ValueError(
+                f"suite entry #{i} has no 'type' key: {entry!r} "
+                f"(valid types: {sorted(_BUILDERS)})"
+            )
         if ctype not in _BUILDERS:
             raise ValueError(
                 f"unknown check type {ctype!r} (valid: {sorted(_BUILDERS)})"
             )
+        entry = {
+            k: refs[v] if isinstance(v, str) and v in refs else v
+            for k, v in entry.items()
+        }
         checks.append(_BUILDERS[ctype](**entry))
     return checks
 

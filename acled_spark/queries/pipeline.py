@@ -278,7 +278,7 @@ def _missing_sql(col: str) -> str:
                     THEN 1 ELSE 0 END
       FROM events
       UNION ALL
-      SELECT 'pk_unique',
+      SELECT 'pk_unique[event_id]',
              CAST(COUNT(*) = COUNT(DISTINCT event_id) AS BIGINT),
              COUNT(*) - COUNT(DISTINCT event_id)
       FROM events
@@ -337,7 +337,7 @@ def chk_validation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         if r.name.startswith("domain"):
             # NULL counts as one unknown "category", like the engine
             return len(m["unknown"]) + (1 if m["nulls"] else 0)
-        if r.name == "pk_unique":
+        if r.name.startswith("pk_unique"):
             # dup rows + null-keyed rows == COUNT(*) - COUNT(DISTINCT key)
             return m["duplicates"] + m["null_keys"]
         return sum(m["missing_by_column"].values())  # completeness

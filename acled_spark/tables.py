@@ -21,7 +21,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# CLI default data dir; SPARK_GRAFT_SF_DIR overrides (same env knob the
+# bench harness honors).  __main__'s argparse defaults read THIS — a
+# literal default in the CLI had already drifted from this constant.
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 TABLE_NAMES = (
     "region",
@@ -35,10 +38,6 @@ TABLE_NAMES = (
     "documents",
     "embeddings",
 )
-
-# Tables small enough to broadcast at ANY scale factor (they grow sub-linearly
-# or are fixed-size dimension tables in the TPC-H-ish generator).
-BROADCASTABLE = {"region", "nation"}
 
 def configure(spark: SparkSession) -> None:
     """Apply runtime confs parity depends on (idempotent, cheap).

@@ -167,7 +167,7 @@ def test_chk_validation_summary_counts_planted_defects(spark, tmp_path):
         r["check_name"]: (r["passed"], r["violations"])
         for r in spec.builder(spark, sf_dir).collect()
     }
-    assert got["pk_unique"] == (0, 1)
+    assert got["pk_unique[event_id]"] == (0, 1)
     assert got["value_range[value]"] == (0, 2)  # negative + null
     assert got["domain[event_type]"] == (0, 2)  # 'teleport' + ''
     assert got["completeness"] == (1, 3)  # 3 missing cells, still >= 95%

@@ -21,7 +21,9 @@ def test_run_day_full_lifecycle(spark, tmp_path):
 
     res = run_day(spark, fetcher, date(2025, 3, 1), bronze, silver, page_limit=50)
     assert res.rows == 150 and res.passed
-    assert {c.name for c in res.bronze_checks} >= {"non_empty", "pk_unique"}
+    assert {c.name for c in res.bronze_checks} >= {
+        "non_empty", "pk_unique[event_id_cnty]"
+    }
     assert {c.name for c in res.silver_checks} >= {"row_count_bounds", "completeness"}
     assert spark.read.parquet(silver).count() == 150
 
