@@ -131,3 +131,133 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("status", "source")
     )
+
+
+@query(
+    "release_delta_audit",
+    oracle=f"""
+    WITH old AS (
+      SELECT doc_id, source, {FINGERPRINT_SQL} AS fp
+      FROM documents WHERE doc_id % 11 <> 3
+    ),
+    new AS (
+      SELECT doc_id, source, {_NEW_FP_SQL} AS fp, TRUE AS in_new
+      FROM documents WHERE doc_id % 13 <> 5
+    ),
+    diff AS (
+      SELECT doc_id,
+             CASE WHEN old.doc_id IS NULL THEN 'added'
+                  WHEN new.doc_id IS NULL THEN 'removed'
+                  WHEN old.fp IS NOT DISTINCT FROM new.fp THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM old FULL JOIN new USING (doc_id)
+    ),
+    delta AS (
+      SELECT n.doc_id, n.fp, d.status,
+             COALESCE(n.fp, 'null:' || CAST(n.doc_id AS VARCHAR)) AS k
+      FROM new n JOIN diff d USING (doc_id)
+      WHERE d.status IN ('added', 'changed')
+    ),
+    keep_fps AS (
+      SELECT DISTINCT fp FROM old
+      WHERE fp IS NOT NULL
+        AND doc_id NOT IN (SELECT doc_id FROM diff
+                           WHERE status IN ('changed', 'removed'))
+    ),
+    canon AS (SELECT k, MIN(doc_id) AS canon_id FROM delta GROUP BY k),
+    flagged AS (
+      SELECT d.status,
+             COALESCE(d.fp IN (SELECT fp FROM keep_fps), FALSE) AS dup_vs_corpus,
+             d.doc_id <> c.canon_id AS noncanon
+      FROM delta d JOIN canon c USING (k)
+    )
+    SELECT status,
+           COUNT(*) AS n_docs,
+           COUNT(CASE WHEN dup_vs_corpus THEN 1 END) AS n_dup_vs_corpus,
+           COUNT(CASE WHEN NOT dup_vs_corpus AND noncanon THEN 1 END)
+             AS n_batch_dup,
+           COUNT(CASE WHEN NOT dup_vs_corpus AND NOT noncanon THEN 1 END)
+             AS n_survivors
+    FROM flagged GROUP BY status ORDER BY status
+    """,
+    tags=("cdc", "dedup", "incremental", "extended"),
+)
+def release_delta_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-release dedup audit as ONE oracle-gated query:
+    the added|changed delta classified against the post-retirement
+    corpus fingerprint set — the batch-global twin of the store flow
+    (``retire_ids(changed ∪ removed, corpus=new)`` →
+    ``process_batch(delta)``) that tests/test_release_e2e.py drives
+    incrementally.
+
+    Per delta status: docs whose text already exists in the retained
+    corpus (``n_dup_vs_corpus``), non-canonical duplicates WITHIN the
+    delta (``n_batch_dup``, min-doc_id survivor policy; NULL-text docs
+    key per-doc so they can never collapse onto one group), and the
+    survivors the release would actually append/export.
+
+    Scale: both snapshots reduce to (doc_id, fp) at the scan; the
+    retained-fp set is distinct digests (broadcast-sized relative to
+    the corpus); every join keys on doc_id or a 32-hex digest — text
+    never shuffles, same discipline as ``snapshot_diff``.
+    """
+    docs = load(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 11 != 3)
+    new = docs.filter(F.col("doc_id") % 13 != 5).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+        ).otherwise(F.col("text")),
+    )
+    diff = snapshot_diff(old, new).select("doc_id", "status")
+    delta = (
+        new.join(
+            diff.filter(F.col("status").isin("added", "changed")),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            "status",
+            fingerprint_spark(F.col("text")).alias("fp"),
+        )
+        .withColumn(
+            "k",
+            F.coalesce(
+                "fp", F.concat(F.lit("null:"), F.col("doc_id").cast("string"))
+            ),
+        )
+    )
+    retire = diff.filter(F.col("status").isin("changed", "removed")).select(
+        "doc_id"
+    )
+    keep_fps = (
+        old.join(retire, "doc_id", "left_anti")
+        .select(fingerprint_spark(F.col("text")).alias("fp"))
+        .filter(F.col("fp").isNotNull())
+        .distinct()
+        .withColumn("_in_corpus", F.lit(True))
+    )
+    canon = delta.groupBy("k").agg(F.min("doc_id").alias("canon_id"))
+    flagged = (
+        delta.join(F.broadcast(keep_fps), "fp", "left")
+        .join(canon, "k")
+        .select(
+            "status",
+            F.coalesce("_in_corpus", F.lit(False)).alias("dup_vs_corpus"),
+            (F.col("doc_id") != F.col("canon_id")).alias("noncanon"),
+        )
+    )
+    return (
+        flagged.groupBy("status")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("dup_vs_corpus"), 1)).alias("n_dup_vs_corpus"),
+            F.count(
+                F.when(~F.col("dup_vs_corpus") & F.col("noncanon"), 1)
+            ).alias("n_batch_dup"),
+            F.count(
+                F.when(~F.col("dup_vs_corpus") & ~F.col("noncanon"), 1)
+            ).alias("n_survivors"),
+        )
+        .orderBy("status")
+    )

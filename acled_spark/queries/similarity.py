@@ -463,3 +463,63 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cosine", "rnk", "recall_at_k")
         .orderBy("query_id", "rnk")
     )
+
+
+# --- embedding dimension statistics (anisotropy / collapse audit) ------------
+TOP_VAR_DIMS = 10
+
+
+@query(
+    "sim_dim_stats",
+    oracle=f"""
+    WITH flat AS (
+      SELECT unnest(range(len(embedding))) AS dim,
+             unnest(embedding) AS x
+      FROM embeddings
+    ),
+    stats AS (
+      -- x is float32; cast before ROUND (DuckDB ROUND(FLOAT) stays
+      -- FLOAT and 6-decimal values aren't representable in it)
+      SELECT CAST(dim AS INTEGER) AS dim,
+             ROUND(AVG(CAST(x AS DOUBLE)), 6) AS mean_val,
+             ROUND(VAR_SAMP(CAST(x AS DOUBLE)), 6) AS variance,
+             ROUND(CAST(MIN(x) AS DOUBLE), 6) AS min_val,
+             ROUND(CAST(MAX(x) AS DOUBLE), 6) AS max_val
+      FROM flat GROUP BY 1
+    )
+    SELECT dim, mean_val, variance, min_val, max_val
+    FROM stats ORDER BY variance DESC, dim LIMIT {TOP_VAR_DIMS}
+    """,
+    tags=("similarity", "embedding", "extended"),
+)
+def sim_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics: the TOP_VAR_DIMS highest-
+    variance dimensions with mean/var/min/max.
+
+    The pre-ANN embedding audit: collapsed dimensions (variance ~ 0)
+    and runaway ones (variance orders above the rest) both break
+    cosine geometry — this is the first thing to look at before
+    trusting an index.  DuckDB zips parallel ``unnest`` calls, Spark
+    ``posexplode``s: identical (dim, x) streams, exact float64 agg on
+    both, ROUND at the end only.
+
+    Scale: one scan; the explode fans out ×dim but carries 12 bytes/
+    row and aggregates map-side into dim-sized partials — the shuffle
+    moves |dims| rows per partition, nothing else.  Top-k over |dims|
+    rows is TakeOrderedAndProject.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        F.posexplode(F.col("embedding")).alias("dim", "x")
+    ).select("dim", F.col("x").cast("double").alias("x"))
+    return (
+        flat.groupBy("dim")
+        .agg(
+            F.round(F.avg("x"), 6).alias("mean_val"),
+            F.round(F.var_samp("x"), 6).alias("variance"),
+            F.round(F.min("x"), 6).alias("min_val"),
+            F.round(F.max("x"), 6).alias("max_val"),
+        )
+        .orderBy(F.desc("variance"), "dim")
+        .limit(TOP_VAR_DIMS)
+    )

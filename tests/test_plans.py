@@ -238,3 +238,35 @@ def test_dup_spans_single_scan_hashed_exchange(spark):
     plan = _plan(spark, "text_dup_spans")
     assert plan.count("Scan parquet  (") == 1
     assert "windowspecdefinition(h#" in plan
+
+
+def test_dim_stats_topk_and_partial_agg(spark):
+    """sim_dim_stats: posexplode rides the scan, the per-dim aggregate
+    combines map-side (partial_*), and the top-variance selection is
+    TakeOrderedAndProject over |dims| rows — never a global sort of the
+    exploded stream."""
+    import re
+
+    plan = _plan(spark, "sim_dim_stats")
+    assert "partial_avg" in plan or "partial_var_samp" in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan
+    # one embeddings scan only (formatted mode prints each scan once in
+    # the tree and once in the detail list -> count the detail entries)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+
+
+def test_release_delta_audit_no_text_in_exchanges(spark):
+    """release_delta_audit: every exchange carries doc ids, digests, and
+    flags only — raw document text must never shuffle (the same pin as
+    snapshot_diff, held across the full dedup-audit composition)."""
+    plan = _plan(spark, "release_delta_audit")
+    exec_plan = (
+        all_specs()["release_delta_audit"]
+        .builder(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in exec_plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
