@@ -110,7 +110,10 @@ def out_of_fold_target_encode(
         .join(
             F.broadcast(fold_stats),
             F.col(cat_col).eqNullSafe(fold_stats["__oof_cat"])
-            & (F.col(fold_col) == fold_stats["__oof_fold"]),
+            # null-safe on the fold too: a NULL-fold row would otherwise
+            # miss its own fold_stats match and be encoded from FULL
+            # category totals INCLUDING its own target — silent leakage
+            & F.col(fold_col).eqNullSafe(fold_stats["__oof_fold"]),
             "left",
         )
         .crossJoin(F.broadcast(g))
@@ -141,15 +144,30 @@ def label_encode_fit(df: DataFrame, col: str) -> dict[str, int]:
 def label_encode_transform(
     df: DataFrame, col: str, mapping: dict[str, int]
 ) -> DataFrame:
-    """Serving mode: unseen classes -> -1 (ref ml.py:138-139)."""
-    if mapping:
-        map_expr = F.create_map(
-            *[F.lit(x) for kv in mapping.items() for x in kv]
+    """Serving mode: unseen classes -> -1 (ref ml.py:138-139).
+
+    The mapping ships as a BROADCAST-joined frame, not a create_map
+    literal: a literal map inlines 2·|classes| expressions into the
+    plan, which blows up analysis/codegen for high-cardinality columns
+    — the module's own broadcast-stats discipline applies to the
+    encoder itself.
+    """
+    if not mapping:
+        return df.withColumn(f"{col}_label_encoded", F.lit(-1).cast("int"))
+    spark = df.sparkSession
+    map_df = spark.createDataFrame(
+        [(k, v) for k, v in mapping.items()], ["__le_cls", "__le_code"]
+    )  # class dtype inferred — fit() may have collected non-string keys
+    return (
+        df.join(
+            F.broadcast(map_df), F.col(col) == F.col("__le_cls"), "left"
         )
-        encoded = F.coalesce(map_expr[F.col(col)], F.lit(-1))
-    else:
-        encoded = F.lit(-1)
-    return df.withColumn(f"{col}_label_encoded", encoded.cast("int"))
+        .withColumn(
+            f"{col}_label_encoded",
+            F.coalesce(F.col("__le_code"), F.lit(-1)).cast("int"),
+        )
+        .drop("__le_cls", "__le_code")
+    )
 
 
 def add_distance_from_center(

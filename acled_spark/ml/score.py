@@ -33,9 +33,14 @@ def score(model: PipelineModel, df: DataFrame, label_col: str) -> DataFrame:
     """Predict + per-row error columns (ref ml.py:653-665)."""
     pred = model.transform(df)
     err = F.col("prediction") - F.col(label_col)
-    safe_pct = F.when(
-        F.col(label_col) > 0, F.abs(err) / F.col(label_col) * 100
-    ).otherwise(0.0)  # np.where guard, ml.py:660-661
+    # np.where guard (ml.py:660-661) — but NULL labels must stay NULL,
+    # not 0.0: a ground-truth-less serving row scored as "0% error"
+    # silently deflates any downstream MAPE
+    safe_pct = (
+        F.when(F.col(label_col).isNull(), F.lit(None).cast("double"))
+        .when(F.col(label_col) > 0, F.abs(err) / F.col(label_col) * 100)
+        .otherwise(0.0)
+    )
     return (
         pred.withColumn("prediction_error", err)
         .withColumn("absolute_error", F.abs(err))

@@ -4,7 +4,7 @@ search with K-fold CV (M6-M9, ref assets/ml.py:321-545).
 The reference runs ``xgb.XGBRegressor`` under ``RandomizedSearchCV
 (n_iter=50, cv=5, scoring=neg-RMSE, seed 42)``.  MLlib-native:
 ``GBTRegressor`` + ``CrossValidator`` over a randomly-SAMPLED param grid
-(random search isn't built into MLlib; we sample the same 9-dim space
+(random search isn't built into MLlib; we sample 7 of the reference's 9 dims
 with a seeded RNG — parity contract per SURVEY §7.4.4: same space, same
 budget, seeded).  Fold fitting parallelizes across the cluster via
 ``CrossValidator(parallelism=...)`` — the Spark analog of ``n_jobs=-1``.
@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 SEED = 42  # ref ml.py:26-27
 
-# Search space mirroring the reference's 9-dim XGB grid where GBT has an
+# Search space mirroring the reference's XGB grid (7 of its 9 dims) where GBT has an
 # equivalent knob (ref ml.py:408-419).
 SEARCH_SPACE = {
     "maxIter": [20, 50, 100],             # n_estimators
@@ -116,7 +116,7 @@ def sample_param_combos(n_candidates: int, seed: int = SEED) -> list[dict]:
 def sample_param_maps(est, n_candidates: int, seed: int = SEED) -> list:
     """The same seeded draw rendered as ParamMaps for ``est`` — GBT or
     SparkXGBRegressor (names/values translated via XGB_PARAM_NAMES, so
-    both estimators search the identical 9-dim space on the same
+    both estimators search the identical 7-knob space on the same
     budget: the SURVEY §7.4.4 parity contract)."""
     grids = []
     for combo in sample_param_combos(n_candidates, seed):
@@ -189,8 +189,12 @@ def train_regressor(
         "cv_avg_rmse": min(cv_model.avgMetrics),
         # ref ml.py:499-508: overfit gap + generalization score
         "overfit_gap": abs(train_m["rmse"] - test_m["rmse"]),
+        # clamped to [0, 1]: a negative test r2 (worse than the mean
+        # predictor) must floor at 0, matching the else-branch floor
         "generalization": (
-            min(test_m["r2"] / train_m["r2"], 1.0) if train_m["r2"] > 0 else 0.0
+            max(0.0, min(test_m["r2"] / train_m["r2"], 1.0))
+            if train_m["r2"] > 0
+            else 0.0
         ),
     }
 

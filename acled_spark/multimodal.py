@@ -103,11 +103,23 @@ def extract_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = [decoder(p) for p in pdf["payload"]]
+            # NULL payloads yield a null/zero feature row instead of a
+            # TypeError deep in the Arrow worker (an unreadable file in
+            # a production binaryFile source must flag, not kill the
+            # stage)
+            dims = [
+                decoder(p) if p is not None else (None, None)
+                for p in pdf["payload"]
+            ]
             out = {
                 "doc_id": pdf["doc_id"],
-                "n_bytes": [len(p) for p in pdf["payload"]],
-                "digest": [hashlib.md5(p).hexdigest() for p in pdf["payload"]],
+                "n_bytes": [
+                    len(p) if p is not None else 0 for p in pdf["payload"]
+                ],
+                "digest": [
+                    hashlib.md5(p).hexdigest() if p is not None else None
+                    for p in pdf["payload"]
+                ],
                 "width": [d[0] for d in dims],
                 "height": [d[1] for d in dims],
             }
@@ -150,6 +162,11 @@ def resize_images(
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    # missing payload: flagged null-geometry row, not a
+                    # TypeError inside the Arrow worker
+                    rows.append((doc_id, None, None, None, None, None, None))
+                    continue
                 w, h = decoder(payload)
                 scale = min(1.0, max_side / max(w, h))
                 ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
@@ -180,10 +197,17 @@ def sample_frames(media: DataFrame, every: int = 3) -> DataFrame:
     """
     import pandas as pd
 
+    if every < 1:
+        # fail on the DRIVER: every=0 would raise range()'s step error
+        # inside a Python worker and every<0 silently yields no frames
+        raise ValueError(f"every must be >= 1, got {every}")
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # no frames from a missing payload
                 n_frames = max(1, len(payload) // FRAME_BYTES)
                 for idx in range(0, n_frames, every):
                     chunk = payload[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]

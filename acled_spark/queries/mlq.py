@@ -66,10 +66,13 @@ N_FOLDS = 5     # ref ml.py cv=5
 def ml_target_encode_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-of-fold smoothed target encoding, deterministic folds (ref ml.py:47-70).
 
-    Plan shape: one shuffle to build (category × fold) partial stats
-    (tiny), then broadcast joins back to rows — the fact table is never
-    re-shuffled.  Out-of-fold stats are derived by subtracting the row's
-    own fold from category totals (no per-fold repeat passes).
+    Plan shape: the orders⋈customer join executes ONCE, feeding the
+    (category × fold) partial stats; the global totals are a rollup of
+    fold_stats (not a second pass over the fact), and the output row
+    set comes from customer semi-joined against the pruned
+    distinct-o_custkey scan — no second fact JOIN anywhere.  Out-of-
+    fold stats are derived by subtracting the row's own fold from
+    category totals (no per-fold repeat passes).
     """
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
@@ -88,10 +91,16 @@ def ml_target_encode_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg_tot = fold_stats.groupBy("c_mktsegment").agg(
         F.sum("cnt").cast("long").alias("tot_cnt"), F.sum("s").alias("tot_s")
     )
-    g = base.agg(
-        F.count("*").cast("long").alias("g_cnt"), F.sum("o_totalprice").alias("g_s")
+    g = fold_stats.agg(
+        F.sum("cnt").cast("long").alias("g_cnt"), F.sum("s").alias("g_s")
     )
-    rows = base.select("c_custkey", "c_mktsegment", "fold").distinct()
+    rows = cust.select(
+        "c_custkey", "c_mktsegment", (F.col("c_custkey") % N_FOLDS).alias("fold")
+    ).join(
+        orders.select("o_custkey").distinct(),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_semi",
+    )
     enc = (
         rows.join(F.broadcast(seg_tot), "c_mktsegment")
         .join(F.broadcast(fold_stats), ["c_mktsegment", "fold"], "left")

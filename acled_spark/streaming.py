@@ -184,9 +184,15 @@ def dedup_stream(
     is bounded by (keys/interval x watermark) instead of growing with
     the full history — the property that makes streaming ingest dedup
     viable at 100 TB/day.  Batch (replay) mode picks the earliest-
-    event-time row per key with a content-hash tiebreak — DETERMINISTIC,
-    unlike dropDuplicates, so a replay reproduces the stream's
-    first-seen survivor instead of a partition-order accident.
+    event-time row per key with a content-hash tiebreak —
+    DETERMINISTIC, unlike dropDuplicates' partition-order accident.
+    Survivor-content caveat: the stream keeps the first-ARRIVING row,
+    so for an out-of-order feed whose duplicates differ in content the
+    two faces can keep different rows (arrival order is not
+    reconstructible from a batch replay; no batch rule can match it).
+    For identical-content duplicates — the replay/overlap case this
+    operator exists for — the faces agree exactly, and the batch
+    choice is stable across re-runs.
     """
     if events.isStreaming:
         events = _with_event_time(events, ts_col, watermark)

@@ -121,3 +121,58 @@ def test_extract_features_rejects_colliding_passthrough(spark):
         # 'payload' crosses the Arrow boundary itself: selecting it twice
         # would crash in the worker, so the guard must catch it driver-side
         extract_features(media, passthrough=("payload",))
+
+
+def test_attach_payloads_matches_documented_media_schema(spark):
+    """MEDIA_SCHEMA is the documented media-frame contract — pin it to
+    attach_payloads' actual output so the constant can't silently drift."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from acled_spark.multimodal import MEDIA_SCHEMA, attach_payloads
+
+    docs = load(spark, SF_DIR, "documents").limit(3)
+    got = attach_payloads(docs).schema
+    want = _parse_datatype_string(MEDIA_SCHEMA)
+    assert [
+        (f.name, f.dataType.simpleString()) for f in got.fields
+    ] == [(f.name, f.dataType.simpleString()) for f in want.fields]
+
+
+def test_null_payloads_flag_instead_of_crashing(spark):
+    """A NULL payload (unreadable file in a production binaryFile
+    source) must yield a flagged/empty row, not a TypeError inside the
+    Arrow worker."""
+    from acled_spark.multimodal import (
+        extract_features,
+        resize_images,
+        sample_frames,
+    )
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"some real payload bytes")), (2, None)],
+        "doc_id long, payload binary",
+    )
+    feats = {r["doc_id"]: r for r in extract_features(media).collect()}
+    assert feats[1]["digest"] is not None and feats[1]["n_bytes"] > 0
+    assert feats[2]["digest"] is None and feats[2]["n_bytes"] == 0
+    assert feats[2]["width"] is None and feats[2]["height"] is None
+
+    resized = {r["doc_id"]: r for r in resize_images(media).collect()}
+    assert resized[1]["out_width"] >= 1
+    assert resized[2]["payload"] is None and resized[2]["scale"] is None
+
+    frames = sample_frames(media, every=2).collect()
+    assert {r["doc_id"] for r in frames} == {1}  # null payload: no frames
+
+
+def test_sample_frames_rejects_nonpositive_every(spark):
+    import pytest as _pytest
+
+    from acled_spark.multimodal import sample_frames
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"x" * 100))], "doc_id long, payload binary"
+    )
+    for bad in (0, -1):
+        with _pytest.raises(ValueError, match="every"):
+            sample_frames(media, every=bad)
