@@ -121,6 +121,8 @@ _RECERT_PRIORITY: frozenset[str] = frozenset(
         "text_bpe_token_stats", "text_contamination",
         # r5: pk_unique check names now embed the key columns
         "chk_validation_summary",
+        # r5: a22 excludes NULL ts; embedding cosine zero-norm guard
+        "a22_time_grouping_sets", "dedup_embedding_cosine",
     }
 )
 

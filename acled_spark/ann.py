@@ -39,6 +39,36 @@ class IvfIndex:
         self.assigned.unpersist()
 
 
+def with_normalized(
+    df: DataFrame, vec_col: str, out_col: str = "__n"
+) -> DataFrame:
+    """``out_col`` = L2-normalized copy of ``vec_col`` (array<double>).
+
+    THE one normalization in this module — build, search, assign, and
+    staleness all call it, so "byte-identical normalization across
+    faces" is enforced by construction instead of by four manually
+    synchronized copies.  The norm is precomputed as a COLUMN before
+    the per-element transform (embedding sqrt(dot) inside the lambda
+    re-evaluates the O(d) dot product per element — O(d²)/row; HOFs
+    are interpreted).  Zero vectors stay zero (dividing would inject
+    NaNs into KMeans / distance math).
+    """
+    dot_self = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col(vec_col), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double"),
+    )
+    normed = F.when(
+        F.col("__nrm") > 0,
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("__nrm")),
+    ).otherwise(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+    return (
+        df.withColumn("__nrm", F.sqrt(dot_self))
+        .withColumn(out_col, normed)
+        .drop("__nrm")
+    )
+
+
 def build_ivf_index(
     embeddings: DataFrame,
     nlist: int = 16,
@@ -61,23 +91,10 @@ def build_ivf_index(
     the cell ASSIGNMENT cached — right when the index will serve many
     searches; pass False for one-shot use so nothing outlives the call.
     """
-    dot_self = F.aggregate(
-        F.zip_with(F.col(vec_col), F.col(vec_col), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x.cast("double"),
-    )
-    # Precompute the norm as a COLUMN before the per-element transform —
-    # embedding sqrt(dot_self) inside the lambda re-evaluates the O(d)
-    # dot product per element (O(d²)/row; HOFs are interpreted).
-    # Zero vectors stay zero (dividing would inject NaNs into KMeans).
-    with_norm = embeddings.withColumn("__nrm", F.sqrt(dot_self))
-    normed = F.when(
-        F.col("__nrm") > 0,
-        F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("__nrm")),
-    ).otherwise(F.transform(F.col(vec_col), lambda x: x.cast("double")))
     with_vec = (
-        with_norm.withColumn("__vec", array_to_vector(normed))
-        .drop("__nrm")
+        with_normalized(embeddings, vec_col)
+        .withColumn("__vec", array_to_vector(F.col("__n")))
+        .drop("__n")
         .cache()
     )
     km = KMeans(
@@ -132,29 +149,12 @@ def ivf_search(
         [(i, [float(x) for x in c]) for i, c in enumerate(index.model.clusterCenters())],
         "cell int, centroid array<double>",
     )
-    # L2-normalize each query ONCE (norm as a precomputed column — see
-    # build_ivf_index for why the norm must not live inside the lambda);
-    # centroids were fit on normalized vectors, so distances compare on
-    # the unit sphere.  Zero vectors stay zero.
-    q_dot_self = F.aggregate(
-        F.zip_with(F.col(vec_col), F.col(vec_col), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x.cast("double"),
-    )
-    q_normed = (
-        queries.select(F.col(id_col), F.col(vec_col))
-        .withColumn("__nrm", F.sqrt(q_dot_self))
-        .withColumn(
-            "__qn",
-            F.when(
-                F.col("__nrm") > 0,
-                F.transform(
-                    F.col(vec_col), lambda x: x.cast("double") / F.col("__nrm")
-                ),
-            ).otherwise(F.transform(F.col(vec_col), lambda x: x.cast("double"))),
-        )
-        .select(id_col, "__qn")
-    )
+    # L2-normalize each query ONCE via the shared helper; centroids
+    # were fit on normalized vectors, so distances compare on the unit
+    # sphere.
+    q_normed = with_normalized(
+        queries.select(F.col(id_col), F.col(vec_col)), vec_col, "__qn"
+    ).select(id_col, "__qn")
     sq_dist = F.aggregate(
         F.zip_with(F.col("__qn"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
@@ -213,11 +213,15 @@ def ivf_search(
     cosine = F.when(
         denom > 0, dot(F.col("ce"), F.col("qe")) / denom
     ).otherwise(F.lit(0.0))
+    # no dropDuplicates: a corpus row lives in exactly one (cell, salt)
+    # and probes are distinct per query, so each (query, neighbor) pair
+    # appears at most once by construction — deduping added a full
+    # extra shuffle over the largest intermediate for zero removals
     scored = cand.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
         (F.round(cosine, 4) + 0.0).alias("cosine"),
-    ).dropDuplicates(["query_id", "neighbor_id"])
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
@@ -242,17 +246,9 @@ def _assign_cells(
     byte-identical normalization + model.transform as the build path,
     so an upserted vector lands in exactly the cell a full rebuild
     would give it (given unchanged centroids)."""
-    dot_self = F.aggregate(
-        F.zip_with(F.col(vec_col), F.col(vec_col), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x.cast("double"),
+    with_vec = with_normalized(vectors, vec_col).withColumn(
+        "__vec", array_to_vector(F.col("__n"))
     )
-    with_norm = vectors.withColumn("__nrm", F.sqrt(dot_self))
-    normed = F.when(
-        F.col("__nrm") > 0,
-        F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("__nrm")),
-    ).otherwise(F.transform(F.col(vec_col), lambda x: x.cast("double")))
-    with_vec = with_norm.withColumn("__vec", array_to_vector(normed))
     return index.model.transform(with_vec).select(id_col, vec_col, "cell")
 
 
@@ -289,8 +285,14 @@ def ivf_upsert(
     )
     merged = kept.unionByName(fresh)
     if persist:
-        merged = merged.cache()
-        merged.count()
+        # localCheckpoint, not cache: a foreachBatch maintainer folds a
+        # batch per epoch, and cache() materializes data WITHOUT
+        # truncating the logical plan — after N batches every action
+        # re-analyzes an O(N)-deep union+anti-join chain and a cache
+        # eviction recomputes the entire upsert history.  The
+        # checkpoint severs lineage each fold (same discipline as
+        # dedup_store._checkpointed_signatures).
+        merged = merged.localCheckpoint()
         index.assigned.unpersist()
     return IvfIndex(model=index.model, assigned=merged, base_cost=index.base_cost)
 
@@ -317,23 +319,13 @@ def ivf_staleness(index: IvfIndex, vec_col: str = "embedding") -> dict:
         ],
         "cell int, centroid array<double>",
     )
-    dot_self = F.aggregate(
-        F.zip_with(F.col(vec_col), F.col(vec_col), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x.cast("double"),
-    )
-    normed = F.when(
-        F.col("__nrm") > 0,
-        F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("__nrm")),
-    ).otherwise(F.transform(F.col(vec_col), lambda x: x.cast("double")))
     sq_dist = F.aggregate(
         F.zip_with(F.col("__n"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     row = (
-        index.assigned.withColumn("__nrm", F.sqrt(dot_self))
-        .withColumn("__n", normed)
+        with_normalized(index.assigned, vec_col)
         .join(F.broadcast(centroids), "cell")
         .agg(
             F.avg(sq_dist).alias("mean_sq_dist"),

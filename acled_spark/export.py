@@ -76,8 +76,24 @@ def write_jsonl(
             .drop(shard_col, hk_col)
         )
     elif shards is not None and sort_col is not None:
-        df = df.repartitionByRange(shards, F.col(sort_col)).sortWithinPartitions(
-            sort_col
+        # Deterministic hash-prefix buckets of the key, NOT
+        # repartitionByRange: RangePartitioner samples its boundaries
+        # (seeded from the RDD id), so re-exports of identical input
+        # could shift rows across shard edges and flip per-shard bytes
+        # — exactly the manifest-diff contract this writer exists for.
+        # Shard membership is a pure function of (key, shard count);
+        # rows are sorted on the key within each shard.  Like the
+        # shuffle path below, bucket->partition placement goes through
+        # Spark's hash partitioner, so two buckets may share a file and
+        # the writer emits UP TO ``shards`` files — deterministically.
+        from acled_spark.queries.packing import shuffle_key_cols
+
+        _, shard = shuffle_key_cols(sort_col, "range-shard", shards)
+        df = (
+            df.withColumn("__range_shard", shard)
+            .repartition(shards, F.col("__range_shard"))
+            .sortWithinPartitions("__range_shard", sort_col)
+            .drop("__range_shard")
         )
     elif shards is not None:
         df = df.repartition(shards)
@@ -224,6 +240,16 @@ def shard_manifest(df: DataFrame, path: str | None = None) -> list[dict]:
     stats: dict[str, dict] = {}
     for r in _shard_stats(df).collect():
         name = _rel_shard_name(r["_file"], root)
+        if name in stats:
+            # two distinct physical files collapsed onto one key — the
+            # basename fallback on a partitioned layout (tasks reuse
+            # part-file names across partition dirs).  Silently merging
+            # would drop a shard from the manifest; demand the root.
+            raise ValueError(
+                f"duplicate shard key {name!r} from distinct files — "
+                "pass the export root via path= so partitioned layouts "
+                "key shards by their relative path"
+            )
         # digest serialized as a string: it exceeds 2^63 on large shards
         # and must survive a JSON round-trip exactly
         stats[name] = {"shard": name, "rows": r["rows"], "digest": str(r["digest"])}

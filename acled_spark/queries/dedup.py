@@ -211,9 +211,13 @@ def ngram_jaccard_pairs(
     )
     s1 = sizes.alias("s1")
     s2 = sizes.alias("s2")
+    # NOT F.broadcast: sizes has one row per corpus doc, so a forced
+    # broadcast is a guaranteed driver OOM at the 100 TB design point
+    # this function documents.  AQE broadcasts it at bench scale on its
+    # runtime size and falls back to a shuffle join when it grows.
     return (
-        pairs.join(F.broadcast(s1), pairs.doc1 == F.col("s1.doc_id"))
-        .join(F.broadcast(s2), pairs.doc2 == F.col("s2.doc_id"))
+        pairs.join(s1, pairs.doc1 == F.col("s1.doc_id"))
+        .join(s2, pairs.doc2 == F.col("s2.doc_id"))
         .select(
             "doc1",
             "doc2",
@@ -436,7 +440,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT a.vec_id AS vec1, b.vec_id AS vec2, a.label AS label,
-           ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) + 0.0 AS cosine
+           ROUND(CASE WHEN a.nrm * b.nrm > 0
+                      THEN list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
+                 END, 4) + 0.0 AS cosine
     FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
     ORDER BY cosine DESC, vec1, vec2 LIMIT 20
     """,
@@ -481,7 +487,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("vec1"),
             F.col("b.vec_id").alias("vec2"),
             F.col("a.label").alias("label"),
-            (F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4) + 0.0).alias("cosine"),
+            # zero-norm guard: ANSI mode aborts on /0; NULL on both
+            # engines (the oracle's DuckDB division yields NULL too)
+            (
+                F.round(
+                    F.when(
+                        F.col("a.nrm") * F.col("b.nrm") > 0,
+                        dot / (F.col("a.nrm") * F.col("b.nrm")),
+                    ),
+                    4,
+                )
+                + 0.0
+            ).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), "vec1", "vec2")
         .limit(20)

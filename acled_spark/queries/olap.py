@@ -221,7 +221,7 @@ def a19_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(date_trunc('week', ts) AS DATE) AS week,
              CAST(date_trunc('month', ts) AS DATE) AS month,
              value
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT CASE WHEN GROUPING(day) = 0 THEN 'day'
                 WHEN GROUPING(week) = 0 THEN 'week'
@@ -245,7 +245,10 @@ def a22_time_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     per input) is absorbed by map-side partial aggregation onto
     days/weeks/months-sized keys.
     """
-    ev = load(spark, sf_dir, "events")
+    # NULL ts would yield a NULL bucket per grain, which Spark orders
+    # first and DuckDB last — excluded identically (same policy as the
+    # sessionization family)
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     e = ev.select(
         F.date_trunc("day", "ts").cast("date").alias("day"),
         F.date_trunc("week", "ts").cast("date").alias("week"),
@@ -314,7 +317,13 @@ def a26_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expensive corpus aggregate) is not re-run for each of its two
     # consumers below (the rank join and the final output join)
     sketch = ev.groupBy("event_type").agg(
-        F.count("*").alias("n"),
+        # count of NON-NULL values: the sketch, the realized-rank
+        # fractions (avg skips NULL comparisons), and therefore the 1/n
+        # discretization slack all live on the non-null row set — a
+        # count(*) n would grant a TIGHTER slack than the grid the
+        # endpoints actually sit on and false-flag correct sketches on
+        # null-heavy groups
+        F.count("value").alias("n"),
         F.percentile_approx("value", 0.5, _GK_ACCURACY).alias("p50"),
         F.percentile_approx("value", 0.9, _GK_ACCURACY).alias("p90"),
         F.percentile_approx("value", 0.99, _GK_ACCURACY).alias("p99"),

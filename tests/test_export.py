@@ -108,7 +108,9 @@ def test_manifest_roundtrip_and_corruption_detection(spark, tmp_path):
 
     back = read_jsonl(spark, out, DOC_SCHEMA)
     n = write_manifest(back, out)
-    assert n == 4
+    # hash-bucketed shard placement emits UP TO the requested count
+    # (deterministically — two buckets may share a partition)
+    assert 1 <= n <= 4
     # intact export verifies clean, and the gate's own fresh read
     # (possibly different task scheduling) reproduces every digest
     assert verify_manifest(spark, out, DOC_SCHEMA) == []
@@ -121,7 +123,9 @@ def test_manifest_roundtrip_and_corruption_detection(spark, tmp_path):
     # CRC sidecar as a rewriting process would regenerate it — the
     # manifest exists exactly for corruption that arrives with
     # CONSISTENT file checksums (partial re-export, silent rewrite).
-    part = sorted(glob.glob(f"{out}/part-*.json"))[1]
+    part = sorted(
+        (f for f in glob.glob(f"{out}/part-*.json") if os.path.getsize(f) > 0)
+    )[0]
     with open(part, "a") as fh:
         fh.write(
             json.dumps(
@@ -145,9 +149,13 @@ def test_manifest_roundtrip_and_corruption_detection(spark, tmp_path):
     problems = verify_manifest(spark, out, DOC_SCHEMA)
     assert {p["problem"] for p in problems} == {"missing"}
 
-    # truncate another shard to zero bytes: the file inventory keeps it
-    # visible, so it reports as content_mismatch (rows 0), not missing
-    part2 = sorted(glob.glob(f"{out}/part-*.json"))[0]
+    # truncate another NONEMPTY shard to zero bytes: the file inventory
+    # keeps it visible, so it reports as content_mismatch (rows 0), not
+    # missing (hash-bucketed placement can leave a legitimately empty
+    # shard file — truncating that one would be a no-op)
+    part2 = sorted(
+        (f for f in glob.glob(f"{out}/part-*.json") if os.path.getsize(f) > 0)
+    )[0]
     open(part2, "w").close()
     crc2 = os.path.join(out, f".{os.path.basename(part2)}.crc")
     if os.path.exists(crc2):
