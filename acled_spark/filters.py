@@ -54,18 +54,23 @@ class Predicate:
     def to_column(self) -> Column:
         c = F.col(self.column)
         op, v = self.op, self.value
+        # every scalar comparison routes through _spark_lit, like
+        # 'between': a raw datetime literal is session-timezone
+        # TimestampType while the columns (and the generated SQL
+        # oracle's TIMESTAMP literal) are tz-naive — mixing the two
+        # shifted boundary rows by the session offset
         if op == "eq":
-            return c == v
+            return c == _spark_lit(v)
         if op == "ne":
-            return c != v
+            return c != _spark_lit(v)
         if op == "gt":
-            return c > v
+            return c > _spark_lit(v)
         if op == "ge":
-            return c >= v
+            return c >= _spark_lit(v)
         if op == "lt":
-            return c < v
+            return c < _spark_lit(v)
         if op == "le":
-            return c <= v
+            return c <= _spark_lit(v)
         if op == "like":
             return c.contains(v)
         if op == "prefix":
@@ -101,6 +106,8 @@ class Predicate:
         if op == "prefix":
             return f"{col} LIKE {_sql_lit(f'{_like_escape(v)}%')} ESCAPE '\\'"
         if op == "in":
+            if not list(v):
+                return "FALSE"  # empty IN-list: always-false, like isin([])
             vals = ", ".join(_sql_lit(x) for x in v)
             return f"{col} IN ({vals})"
         if op == "between":
@@ -194,12 +201,23 @@ class FilterSpec:
                 residual.append(p)  # one param pair per column max
                 continue
             if p.op == "eq" and clean(p.value):
+                # explicit '=' companion: without it the server applies
+                # the column's DEFAULT operator, which is LIKE-contains
+                # for text columns — a bare actor1=Military would
+                # superset-match 'Military Forces of ...' with an empty
+                # residual and no engine-side correction
                 params[p.column] = str(p.value)
+                params[f"{p.column}_where"] = "="
             elif p.op in tokens and clean(p.value):
                 params[p.column] = str(p.value)
                 params[f"{p.column}_where"] = tokens[p.op]
-            elif p.op == "in" and all(clean(x) for x in p.value):
+            elif (
+                p.op == "in"
+                and list(p.value)  # empty IN: always-false, engine-side
+                and all(clean(x) for x in p.value)
+            ):
                 params[p.column] = "|".join(str(x) for x in p.value)
+                params[f"{p.column}_where"] = "="
             elif (
                 p.op in ("like", "prefix")
                 # Engine semantics are literal substring/prefix

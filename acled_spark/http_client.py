@@ -104,7 +104,19 @@ def _http_json(
     try:
         with urllib.request.urlopen(req, timeout=timeout) as resp:
             body = resp.read()
-            return resp.status, json.loads(body) if body else {}
+            if not body:
+                return resp.status, {}
+            try:
+                return resp.status, json.loads(body)
+            except json.JSONDecodeError as exc:
+                # a 200 with a non-JSON body (proxy/LB error page) must
+                # surface through the normal error taxonomy, not as a
+                # raw decode traceback that skips every retry handler
+                raise ApiError(
+                    f"non-JSON body on HTTP {resp.status} from {url}: "
+                    f"{body[:120]!r}",
+                    status=resp.status,
+                ) from exc
     except urllib.error.HTTPError as exc:
         body = exc.read()
         try:
@@ -201,7 +213,11 @@ class OAuthTokenClient:
                 self.sleep(self.backoff * (2**attempt))
                 attempt += 1
                 continue
-            if 500 <= status < 600:
+            if status == 429 or 500 <= status < 600:
+                # 429 at the token endpoint is a rate limit, not a
+                # credential rejection — executor fan-out re-auth bursts
+                # make it likely, and an immediate AuthenticationError
+                # would fire a SECOND grant straight into the same limit
                 if attempt >= self.max_retries:
                     raise ApiError(
                         f"{kind} grant failed after {attempt + 1} attempts: "
@@ -284,6 +300,18 @@ class HttpPageFetcher:
         self, day: date, page: int, limit: int, extra: dict
     ) -> list[dict]:
         params = dict(extra)
+        reserved = {"limit", "page", "event_date", "event_date_where"}
+        clash = reserved & set(params)
+        if clash:
+            # silently overwriting a pushed event_date filter (or a
+            # caller's paging params) would fetch rows the caller
+            # excluded with no engine-side correction — the same
+            # operator-rewrite hazard fetch_day guards against
+            raise ValueError(
+                f"extra params collide with fetcher-controlled keys: "
+                f"{sorted(clash)} — the fetcher owns paging and the "
+                f"per-day date equality"
+            )
         params.update(
             {
                 "limit": limit,
@@ -329,11 +357,14 @@ class HttpPageFetcher:
                         status=status,
                     )
                 return rows
-            if status == 403:
+            if status in (401, 403):
+                # 401 is the standard OAuth invalid/expired-token status
+                # (server-side revocation can beat the client's local
+                # expiry buffer); both get exactly one invalidate+reauth
                 if reauthed:
                     raise AuthenticationError(
-                        f"authentication failed for {self.url}: HTTP 403",
-                        status=403,
+                        f"authentication failed for {self.url}: HTTP {status}",
+                        status=status,
                     )
                 self.auth.invalidate()
                 reauthed = True

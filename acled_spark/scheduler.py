@@ -21,16 +21,39 @@ from acled_spark.bronze import typed_cast, write_bronze
 from acled_spark.schema import PARTITION_COL
 from acled_spark.source import PageFetcher, ingest_day
 
-_PART_RE = re.compile(r"^event_date=(\d{4}-\d{2}-\d{2})$")
+# One source of truth with the writer: the partition dir prefix derives
+# from PARTITION_COL (write_bronze partitions by it), so the sensor can
+# never silently diverge from the layout the writer produces.
+_PART_RE = re.compile(rf"^{re.escape(PARTITION_COL)}=(\d{{4}}-\d{{2}}-\d{{2}})$")
 
 
-def materialized_partitions(bronze_path: str) -> set[date]:
+def materialized_partitions(
+    bronze_path: str, spark: SparkSession | None = None
+) -> set[date]:
     """Partition discovery from the store layout (ref sensors.py:196-224 —
-    the S3 listing parse becomes a partition-dir listing)."""
-    if not os.path.isdir(bronze_path):
-        return set()
+    the S3 listing parse becomes a partition-dir listing).
+
+    With ``spark`` the listing goes through the Hadoop FS API, so
+    remote stores (s3a://, hdfs://, abfs://) work — ``os.listdir``
+    returns nothing for those URIs, which would make every candidate
+    look missing and re-ingest the full walk-back on every tick.
+    ``run_backfill``/``sensor_tick`` always route their session in; the
+    sparkless form stays for local-path convenience only.
+    """
+    names: list[str] = []
+    if spark is not None:
+        from acled_spark.fsutil import _fs_and_path
+
+        fs, jpath, _ = _fs_and_path(spark, bronze_path)
+        if not fs.exists(jpath):
+            return set()
+        names = [st.getPath().getName() for st in fs.listStatus(jpath)]
+    else:
+        if not os.path.isdir(bronze_path):
+            return set()
+        names = os.listdir(bronze_path)
     out = set()
-    for entry in os.listdir(bronze_path):
+    for entry in names:
         m = _PART_RE.match(entry)
         if m:
             out.add(date.fromisoformat(m.group(1)))
@@ -51,10 +74,12 @@ def probe_available_days(
 
 
 def missing_partitions(
-    bronze_path: str, candidates: Sequence[date]
+    bronze_path: str,
+    candidates: Sequence[date],
+    spark: SparkSession | None = None,
 ) -> list[date]:
     """Diff candidates against materialized partitions (ref sensors.py:85-131)."""
-    done = materialized_partitions(bronze_path)
+    done = materialized_partitions(bronze_path, spark)
     return sorted(d for d in candidates if d not in done)
 
 
@@ -81,7 +106,7 @@ def run_backfill(
     from acled_spark.checks.engine import partition_date_match, run_checks
     from acled_spark.source import EmptyPartitionError
 
-    todo = missing_partitions(bronze_path, candidates)
+    todo = missing_partitions(bronze_path, candidates, spark)
     done = []
     for day in todo:
         try:

@@ -168,8 +168,12 @@ def fetch_partition_range(
                         }
                     )
 
+    schema_ddl = ", ".join(f"{n} string" for n in names)
+    if not days:
+        # natural no-op (a caller wiring missing_partitions() output in
+        # when nothing is missing) — repartition(0) would raise
+        return spark.createDataFrame([], schema_ddl)
     seed = spark.createDataFrame(
         [(d.isoformat(),) for d in days], "day string"
     ).repartition(min(len(days), 64), "day")
-    schema_ddl = ", ".join(f"{n} string" for n in names)
     return seed.mapInPandas(run_days, schema=schema_ddl)

@@ -110,9 +110,11 @@ def test_to_params_pushable_ops():
     params, residual = spec.to_params()
     assert params == {
         "event_type": "Riots",
+        "event_type_where": "=",
         "fatalities": "10",
         "fatalities_where": ">=",
         "country": "Mali|Chad",
+        "country_where": "=",
         "actor1": "%Military%",
         "actor1_where": "LIKE",
     }
@@ -131,7 +133,7 @@ def test_to_params_residual_not_silently_dropped():
         ]
     )
     params, residual = spec.to_params()
-    assert params == {"year": "2024"}
+    assert params == {"year": "2024", "year_where": "="}
     assert [p.op for p in residual] == ["isnull", "between", "like"]
 
 
@@ -214,7 +216,7 @@ def test_to_params_pipe_in_scalar_values_goes_residual():
         ]
     )
     params, residual = spec.to_params()
-    assert params == {"year": "2024"}
+    assert params == {"year": "2024", "year_where": "="}
     assert sorted(p.column for p in residual) == [
         "actor1", "country", "notes", "source"
     ]
@@ -239,6 +241,7 @@ def test_to_params_like_wildcard_chars_go_residual():
     params, residual = spec.to_params()
     assert params == {
         "event_type": "snake_case",
+        "event_type_where": "=",
         "source": "%clean value%",
         "source_where": "LIKE",
     }
