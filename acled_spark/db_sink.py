@@ -158,8 +158,12 @@ def upsert_dbapi(
 
     # One surviving row per key BEFORE rows scatter across writers:
     # two partitions upserting the same key would otherwise race and
-    # the survivor would depend on partition scheduling.
-    latest = merge_updates(df.limit(0), df, keys, order_col)
+    # the survivor would depend on partition scheduling.  The
+    # localCheckpoint is a stage barrier: coalesce(num_writers) below
+    # would otherwise propagate up the narrow chain and run the whole
+    # window dedup at num_writers-task parallelism — the dedup should
+    # use the cluster, only the WRITE should be connection-bounded.
+    latest = merge_updates(df.limit(0), df, keys, order_col).localCheckpoint()
 
     def write_partition(rows: Iterator) -> Iterator[int]:
         first = next(rows, None)

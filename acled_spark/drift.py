@@ -21,8 +21,12 @@ parquet is |groups|·bins rows.  Nothing else moves.
 
 from __future__ import annotations
 
+import posixpath
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_EPOCH_MARKER = "_LAST_FOLDED_EPOCH"
 
 DEFAULT_BINS = 10
 DEFAULT_WIDTH = 50.0
@@ -224,8 +228,8 @@ class DriftMonitor:
         scores = psi_scores(old, new, self.n_bins).localCheckpoint()
         if self.on_scores is not None:
             self.on_scores(scores)
-        if self.update_reference:
-            from acled_spark.fsutil import fs_replace_dir
+        if self.update_reference and not self._already_folded(spark, epoch_id):
+            from acled_spark.fsutil import fs_replace_dir, fs_write_text
 
             merged = (
                 old.unionByName(new)
@@ -236,7 +240,28 @@ class DriftMonitor:
             )
             # stage-then-swap: a crash mid-fold must never destroy the
             # accumulated baseline (an in-place overwrite deletes the
-            # old reference before the new one is committed)
+            # old reference before the new one is committed).  The
+            # epoch marker is written INTO the staging dir (underscore
+            # files are invisible to the parquet reader) so it swaps in
+            # atomically with the data: foreachBatch is at-least-once,
+            # and a replayed epoch folding its counts a SECOND time
+            # would permanently double-count those bins and bias every
+            # future PSI low.
             merged.write.mode("overwrite").parquet(self._staging())
+            fs_write_text(
+                spark,
+                posixpath.join(self._staging(), _EPOCH_MARKER),
+                str(epoch_id),
+            )
             fs_replace_dir(spark, self._staging(), self.root)
         self.batches_scored += 1
+
+    def _already_folded(self, spark, epoch_id: int) -> bool:
+        """True when the reference already contains this epoch's fold
+        (an at-least-once foreachBatch replay after a post-swap crash)."""
+        from acled_spark.fsutil import fs_exists, fs_read_text
+
+        marker = posixpath.join(self.root, _EPOCH_MARKER)
+        if not fs_exists(spark, marker):
+            return False
+        return fs_read_text(spark, marker).strip() == str(epoch_id)

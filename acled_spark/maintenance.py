@@ -21,9 +21,23 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 
+#: Hive's directory name for a NULL partition value.
+HIVE_NULL_PART = "__HIVE_DEFAULT_PARTITION__"
+
+
 def partition_file_counts(path: str, partition_col: str) -> dict[str, int]:
     """Data files per hive partition directory (driver-side listing —
-    on object stores swap in the catalog/manifest listing)."""
+    on object stores swap in the catalog/manifest listing).
+
+    Keys are the partition VALUES: Hive percent-escapes special
+    characters (':' '%' '=' ...) in dirnames, so entries are unescaped
+    here — otherwise the rewrite filter ``isin(escaped)`` matches zero
+    rows and a fragmented partition is "compacted" forever without ever
+    being rewritten.  A NULL partition value appears under the
+    ``HIVE_NULL_PART`` key.
+    """
+    from urllib.parse import unquote
+
     out: dict[str, int] = {}
     prefix = f"{partition_col}="
     if not os.path.isdir(path):
@@ -31,7 +45,9 @@ def partition_file_counts(path: str, partition_col: str) -> dict[str, int]:
     for entry in sorted(os.listdir(path)):
         if entry.startswith(prefix):
             full = os.path.join(path, entry)
-            out[entry[len(prefix):]] = sum(
+            raw = entry[len(prefix):]
+            key = raw if raw == HIVE_NULL_PART else unquote(raw)
+            out[key] = sum(
                 1
                 for f in os.listdir(full)
                 if f.endswith(".parquet") and not f.startswith(("_", "."))
@@ -60,9 +76,11 @@ def _rewrite_partitions(
         partitions = [p for p, n in counts.items() if n > files_per_partition]
     if not partitions:
         return {}
-    df = spark.read.parquet(path).filter(
-        F.col(partition_col).isin(list(partitions))
-    )
+    values = [p for p in partitions if p != HIVE_NULL_PART]
+    cond = F.col(partition_col).isin(values) if values else F.lit(False)
+    if HIVE_NULL_PART in partitions:
+        cond = cond | F.col(partition_col).isNull()
+    df = spark.read.parquet(path).filter(cond)
     shaped = shaper(df, list(partitions))
     from acled_spark.silver import dynamic_overwrite
 
@@ -103,13 +121,16 @@ def compact_partitions(
             # in exactly one task -> exactly one output file per dir
             shaped = df.repartition(len(parts), partition_col)
         else:
-            # salt within partition value to spread across N files
+            # salt within partition value to spread across N files —
+            # a CONTENT hash, not monotonically_increasing_id: the
+            # monotonic id is partition-layout-dependent and changes on
+            # task recompute, so a shuffle-fetch retry mid-write could
+            # duplicate/lose rows and re-runs weren't reproducible
+            # (same determinism class as the zorder __ztie tiebreak)
             shaped = (
                 df.withColumn(
                     "__salt",
-                    F.pmod(
-                        F.monotonically_increasing_id(), files_per_partition
-                    ),
+                    F.pmod(F.xxhash64(*df.columns), files_per_partition),
                 )
                 .repartition(
                     files_per_partition * len(parts), partition_col, "__salt"
@@ -180,9 +201,10 @@ def zorder_bounds(
     any scale)."""
     n_buckets = 1 << bits
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    return [
-        spark_df.approxQuantile(c, probs, rel_err) for c in cols
-    ]
+    # ONE multi-column pass: approxQuantile(list, ...) sketches every
+    # column in a single scan (per-column calls re-read the whole
+    # compaction input once per z-order column)
+    return spark_df.approxQuantile(list(cols), probs, rel_err)
 
 
 def compact_partitions_zorder(

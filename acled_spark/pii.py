@@ -82,6 +82,11 @@ def scrub_frame(df: DataFrame, text_col: str = "text") -> DataFrame:
     out = df.withColumn(f"{text_col}_scrubbed", scrub_pii(text))
     any_expr = F.lit(False)
     for name, c in counts.items():
+        # NULL text -> regexp_count NULL -> coalesce to 0: the routing
+        # gate must be two-valued, or a NULL-text row passes NEITHER
+        # filter('pii_any') NOR filter(~pii_any) and silently vanishes
+        # from both sinks
+        c = F.coalesce(c, F.lit(0))
         out = out.withColumn(f"pii_{name}", c)
         any_expr = any_expr | (c > 0)
     return out.withColumn("pii_any", any_expr)

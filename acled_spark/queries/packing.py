@@ -28,6 +28,15 @@ _NTOK_SQL = (
 )
 
 
+def _n_tok() -> F.Column:
+    """Whitespace token count of ``text`` — THE tokenization rule of the
+    packing family, shared by pack/mix/materialize so the Spark side
+    can't drift copy-by-copy from itself or from ``_NTOK_SQL``."""
+    return F.when(F.length(F.trim("text")) == 0, 0).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+"))
+    )
+
+
 @query(
     "pack_sequences",
     oracle=f"""
@@ -73,9 +82,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory, and bin ids get a shard prefix.
     """
     docs = load(spark, sf_dir, "documents")
-    n_tok = F.when(F.length(F.trim("text")) == 0, 0).otherwise(
-        F.size(F.split(F.trim("text"), r"\s+"))
-    )
+    n_tok = _n_tok()
     w = (
         Window.partitionBy("lang")
         .orderBy("doc_id")
@@ -143,9 +150,7 @@ def mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     real work is the one pass computing per-source token counts.
     """
     docs = load(spark, sf_dir, "documents")
-    n_tok = F.when(F.length(F.trim("text")) == 0, 0).otherwise(
-        F.size(F.split(F.trim("text"), r"\s+"))
-    )
+    n_tok = _n_tok()
     s = docs.select("source", n_tok.alias("n_tok")).groupBy("source").agg(
         F.count("*").alias("docs"), F.sum("n_tok").cast("long").alias("tokens")
     )
@@ -185,8 +190,7 @@ EOS = " <eos> "
              doc_id
       FROM (
         SELECT doc_id, lang, text,
-               CASE WHEN length(trim(text)) = 0 THEN 0
-                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok
+               {_NTOK_SQL} AS n_tok
         FROM documents
       )
     )
@@ -211,9 +215,7 @@ def pack_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload never outgrows an executor.  One shuffle on (lang, bin).
     """
     docs = load(spark, sf_dir, "documents")
-    n_tok = F.when(F.length(F.trim("text")) == 0, 0).otherwise(
-        F.size(F.split(F.trim("text"), r"\s+"))
-    )
+    n_tok = _n_tok()
     w = (
         Window.partitionBy("lang")
         .orderBy("doc_id")

@@ -177,3 +177,41 @@ def test_drift_monitor_over_real_stream(spark, tmp_path):
     # replay with no new files: the checkpoint yields no batch to score
     run()
     assert len(fired) == 1
+
+
+def test_moving_baseline_fold_is_epoch_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a replayed epoch must NOT fold its
+    counts into the reference a second time (double-counted bins would
+    bias every future PSI low).  The epoch marker swaps in atomically
+    with the staged reference."""
+    from acled_spark.drift import DriftMonitor, init_reference
+
+    ref = str(tmp_path / "ref")
+    base = spark.createDataFrame(
+        [("a", float(v)) for v in (10, 60, 110, 160)],
+        "event_type string, value double",
+    )
+    init_reference(base, ref)
+    mon = DriftMonitor(ref, update_reference=True)
+    batch = spark.createDataFrame(
+        [("a", 10.0), ("a", 60.0)], "event_type string, value double"
+    )
+    mon(batch, epoch_id=7)
+    n_after_first = (
+        spark.read.parquet(ref).agg(F.sum("n").alias("s")).collect()[0]["s"]
+    )
+    assert n_after_first == 6  # 4 baseline + 2 folded
+
+    # replay of the SAME epoch: scored again, but NOT folded again
+    mon(batch, epoch_id=7)
+    n_after_replay = (
+        spark.read.parquet(ref).agg(F.sum("n").alias("s")).collect()[0]["s"]
+    )
+    assert n_after_replay == 6
+
+    # the next epoch folds normally
+    mon(batch, epoch_id=8)
+    assert (
+        spark.read.parquet(ref).agg(F.sum("n").alias("s")).collect()[0]["s"]
+        == 8
+    )

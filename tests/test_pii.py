@@ -109,3 +109,20 @@ def test_null_and_empty_text(spark):
     assert by_text[""]["text_scrubbed"] == ""
     assert by_text[""]["pii_any"] is False
     assert by_text[None]["text_scrubbed"] is None
+
+
+def test_scrub_frame_null_text_routes_clean_not_nowhere(spark):
+    """NULL text must give pii_any=False (two-valued gate): a NULL
+    would fail BOTH filter('pii_any') and filter(~pii_any), silently
+    dropping the row from quarantine and clean sinks alike."""
+    df = spark.createDataFrame(
+        [(1, "mail me at a@b.com"), (2, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in scrub_frame(df).collect()}
+    assert out[1]["pii_any"] is True
+    assert out[2]["pii_any"] is False
+    assert out[2]["pii_email"] == 0
+    routed = scrub_frame(df)
+    n_q = routed.filter(F.col("pii_any")).count()
+    n_clean = routed.filter(~F.col("pii_any")).count()
+    assert n_q + n_clean == 2
