@@ -523,3 +523,52 @@ def sim_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("variance"), "dim")
         .limit(TOP_VAR_DIMS)
     )
+
+
+@query(
+    "sim_pca_top_component",
+    oracle=None,
+    tags=("similarity", "embedding", "iterative", "extended"),
+)
+def sim_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding covariance
+    (acled_spark/embedding.py `top_component`: JVM-side one-pass
+    Gramian via ml.feature.PCA + exact d×d driver eig — the standard
+    tall-skinny distributed PCA; the matrix-free power-iteration
+    variant exists for widths beyond a materializable Gramian).
+
+    One row per dimension with its loading, plus self-certification
+    columns: `residual` = ‖C·v − λv‖/λ computed in ONE distributed
+    pass against this corpus's covariance (the linear-algebra claim
+    itself, not a convergence proxy) with `residual_ok` pinning it
+    below 1e-9, and `explained_ratio` the component's share of total
+    variance — certified like a19/a26's sketches.
+
+    No oracle by design: eigen-decomposition is not SQL-expressible;
+    pytest pins the result against numpy.linalg.eigh on the exact
+    covariance (tests/test_embedding.py).
+
+    Scale: one Gramian pass (d²-sized partials combine map-side), two
+    d-row stat passes, one certification pass.  Nothing grows with the
+    corpus; the driver holds d floats.
+    """
+    from acled_spark.embedding import top_component
+
+    emb = load(spark, sf_dir, "embeddings")
+    res = top_component(emb)
+    rows = [
+        (
+            i,
+            round(x, 6),
+            round(res["eigenvalue"], 6),
+            round(res["explained_ratio"], 6),
+            bool(res["residual"] < 1e-9),
+            round(res["residual"], 12),
+        )
+        for i, x in enumerate(res["component"])
+    ]
+    return spark.createDataFrame(
+        rows,
+        "dim int, loading double, eigenvalue double, "
+        "explained_ratio double, residual_ok boolean, residual double",
+    ).orderBy("dim")
