@@ -79,10 +79,17 @@ def build_suite(config: Sequence[dict]) -> list[engine.Check]:
             raise ValueError(
                 f"unknown check type {ctype!r} (valid: {sorted(_BUILDERS)})"
             )
-        entry = {
-            k: refs[v] if isinstance(v, str) and v in refs else v
-            for k, v in entry.items()
-        }
+        resolved = {}
+        for k, v in entry.items():
+            if isinstance(v, str) and v.startswith("$"):
+                if v not in refs:
+                    raise ValueError(
+                        f"unknown schema reference {v!r} in suite entry #{i} "
+                        f"(valid: {sorted(refs)})"
+                    )
+                v = refs[v]
+            resolved[k] = v
+        entry = resolved
         checks.append(_BUILDERS[ctype](**entry))
     return checks
 

@@ -228,7 +228,9 @@ class DriftMonitor:
         scores = psi_scores(old, new, self.n_bins).localCheckpoint()
         if self.on_scores is not None:
             self.on_scores(scores)
-        if self.update_reference and not self._already_folded(spark, epoch_id):
+        if self.update_reference and not self._already_folded(
+            spark, epoch_id, new
+        ):
             from acled_spark.fsutil import fs_replace_dir, fs_write_text
 
             merged = (
@@ -251,17 +253,35 @@ class DriftMonitor:
             fs_write_text(
                 spark,
                 posixpath.join(self._staging(), _EPOCH_MARKER),
-                str(epoch_id),
+                self._fold_stamp(epoch_id, new),
             )
             fs_replace_dir(spark, self._staging(), self.root)
         self.batches_scored += 1
 
-    def _already_folded(self, spark, epoch_id: int) -> bool:
-        """True when the reference already contains this epoch's fold
+    @staticmethod
+    def _fold_stamp(epoch_id: int, new_counts: DataFrame) -> str:
+        """Identity of one fold: epoch id + a digest of the batch's bin
+        sketch.  The digest disambiguates a REPLAY of the same batch
+        from a fresh stream whose epoch ids restarted (new checkpoint
+        dir) and coincidentally collide — bare epoch equality would
+        silently drop that legitimate first fold from the baseline."""
+        import hashlib
+
+        rows = sorted(
+            (str(r["group"]), int(r["bin"]), int(r["n"]))
+            for r in new_counts.collect()  # |groups|·bins rows — tiny
+        )
+        digest = hashlib.md5(repr(rows).encode()).hexdigest()
+        return f"{epoch_id}:{digest}"
+
+    def _already_folded(self, spark, epoch_id: int, new_counts: DataFrame) -> bool:
+        """True when the reference already contains exactly this fold
         (an at-least-once foreachBatch replay after a post-swap crash)."""
         from acled_spark.fsutil import fs_exists, fs_read_text
 
         marker = posixpath.join(self.root, _EPOCH_MARKER)
         if not fs_exists(spark, marker):
             return False
-        return fs_read_text(spark, marker).strip() == str(epoch_id)
+        return fs_read_text(spark, marker).strip() == self._fold_stamp(
+            epoch_id, new_counts
+        )

@@ -8,10 +8,11 @@ enforcement, and predicate pushdown (CSV/JSON readers support column
 pruning) come from the engine.
 
 Scale notes:
-- `shards` controls output fan-in via repartition BY RANGE on a sort
-  key, so shard N of a re-run holds the same rows (deterministic
-  sharding — retraining sees stable shard boundaries) and each shard is
-  internally sorted for reproducible diffing.
+- `shards` controls output fan-in via DETERMINISTIC hash-prefix
+  bucketing of the sort key (never sampled range boundaries, which are
+  run-dependent), so shard N of a re-run holds the same rows and each
+  shard is internally sorted by (bucket, key) — byte-stable for
+  reproducible diffing.  Shards are NOT contiguous key ranges.
 - Readers take an explicit schema: schema inference reads the data
   twice and guesses types (a 100 TB anti-pattern); the pipeline's
   schemas are known.
@@ -40,9 +41,13 @@ def write_jsonl(
 ) -> None:
     """Write a DataFrame as compressed JSONL shards.
 
-    With ``shards`` + ``sort_col``, output is range-partitioned and
-    per-shard sorted on the key — byte-stable across re-runs on the
-    same input, which makes corpus diffs and resumable training real.
+    With ``shards`` + ``sort_col``, rows bucket by a deterministic
+    hash prefix of the key and sort by (bucket, key) within each shard
+    — byte-stable across re-runs on the same input, which makes corpus
+    diffs and resumable training real.  Shard membership is a pure
+    function of (key, shard count), NOT a contiguous key range: a
+    consumer needing global order must merge on the key, not
+    concatenate shards.
 
     With ``shuffle_seed`` + ``sort_col``, rows are instead GLOBALLY
     SHUFFLED by the seeded permutation of ``sort_col`` (see

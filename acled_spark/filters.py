@@ -76,7 +76,12 @@ class Predicate:
         if op == "prefix":
             return c.startswith(v)
         if op == "in":
-            return c.isin(list(v))
+            vals = list(v)
+            if not vals:
+                return F.lit(False)  # empty IN-list: always-false
+            # literals through _spark_lit like every other comparison
+            # (datetime values must stay tz-naive)
+            return c.isin([_spark_lit(x) for x in vals])
         if op == "between":
             lo, hi = v
             return c.between(_spark_lit(lo), _spark_lit(hi))

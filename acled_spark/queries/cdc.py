@@ -209,7 +209,13 @@ def release_delta_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" rev2"))
         ).otherwise(F.col("text")),
     )
-    diff = snapshot_diff(old, new).select("doc_id", "status")
+    # materialized lazily: `delta` and `retire` both consume the diff,
+    # and without the checkpoint the full-outer fingerprint join over
+    # both snapshot scans would execute twice (ReuseExchange does not
+    # dedupe the differently-filtered consumers)
+    diff = snapshot_diff(old, new).select("doc_id", "status").localCheckpoint(
+        eager=False
+    )
     delta = (
         new.join(
             diff.filter(F.col("status").isin("added", "changed")),

@@ -60,11 +60,12 @@ def j1_target_stat_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The per-segment stats AND the global mean come out of ONE
     ``rollup`` pass over the fact join (separate ``agg`` + ``groupBy``
     subtrees would execute the orders⋈customer join twice); the
-    |segments|+1 rollup rows are a bounded dim collect, re-broadcast as
-    a literal frame, so the fact side is scanned once and the customer
-    probe never shuffles.  ``grouping()`` — not NULL-ness — splits the
-    grand-total row, so a NULL segment value could never be mistaken
-    for the total.
+    |segments|+1 rollup frame is LAZILY localCheckpointed so its two
+    consumers (stats join, global-mean cross join) share one execution
+    — and building the frame stays plan-only (an eager collect here
+    made `explain` run the full fact aggregation).  ``grouping()`` —
+    not NULL-ness — splits the grand-total row, so a NULL segment
+    value could never be mistaken for the total.
     """
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
@@ -79,27 +80,23 @@ def j1_target_stat_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg("o_totalprice").alias("mean_price"),
             F.grouping("c_mktsegment").alias("_is_total"),
         )
-        .collect()
+        .localCheckpoint(eager=False)
     )
-    gmean = next(r["mean_price"] for r in rolled if r["_is_total"] == 1)
-    stats = spark.createDataFrame(
-        [
-            (r["c_mktsegment"], r["cnt"], r["mean_price"])
-            for r in rolled
-            if r["_is_total"] == 0
-        ],
-        "c_mktsegment string, cnt bigint, mean_price double",
+    g = rolled.filter(F.col("_is_total") == 1).select(
+        F.col("mean_price").alias("gmean")
     )
-    smoothed = (F.col("cnt") * F.col("mean_price") + _SMOOTHING * F.lit(gmean)) / (
-        F.col("cnt") + _SMOOTHING
-    )
+    stats = rolled.filter(F.col("_is_total") == 0).drop("_is_total")
+    smoothed = (
+        F.col("cnt") * F.col("mean_price") + _SMOOTHING * F.col("gmean")
+    ) / (F.col("cnt") + _SMOOTHING)
     return (
         cust.select("c_custkey", "c_mktsegment")
         .join(F.broadcast(stats), "c_mktsegment", "left")
+        .crossJoin(F.broadcast(g))
         .select(
             "c_custkey",
             "c_mktsegment",
-            F.round(F.coalesce(smoothed, F.lit(gmean)), 4).alias(
+            F.round(F.coalesce(smoothed, F.col("gmean")), 4).alias(
                 "segment_encoded"
             ),
         )

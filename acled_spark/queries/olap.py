@@ -359,8 +359,16 @@ def a26_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         sketch.join(F.broadcast(ranked), "event_type")
         .withColumn("max_rank_err", F.round(max_err, 6))
         .withColumn(
+            # a group whose values are ALL NULL has n=0 (count of
+            # non-null): no sketch, no realized ranks — certification
+            # is vacuously true, and the 1/n slack must not divide by
+            # zero (ANSI would abort the whole query)
             "within_bound",
-            F.col("max_rank_err") <= (1.0 / _GK_ACCURACY + 1.0 / F.col("n")),
+            F.when(
+                F.col("n") > 0,
+                F.col("max_rank_err")
+                <= (1.0 / _GK_ACCURACY + 1.0 / F.greatest(F.col("n"), F.lit(1))),
+            ).otherwise(F.lit(True)),
         )
         .select(
             "event_type", "n", "p50", "p90", "p99", "max_rank_err", "within_bound"

@@ -481,10 +481,12 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange, so ReuseExchange can't dedupe them — and at 100 TB the
     second scan costs more than every downstream stage combined.  The
     eval filter here CANNOT sink below the window because is_train is
-    not a partitioning column.)  explode_outer + coalesce(g, '') keeps
-    zero-gram docs in the stream ('' can never be a real gram and is
-    excluded from both counts), so per-doc sizes come free as
-    count_if(g != '').  At scale the gram key would be md5-hashed to
+    not a partitioning column.)  explode_outer keeps zero-gram docs in
+    the stream; each salts to a PER-DOC window key ('e:' + doc_id — a
+    real 8-word gram always contains spaces, so no collision) instead
+    of one shared '' key, and the has_g flag excludes salted rows from
+    both counts — same straggler fix as dup_span_census.  At scale the
+    real gram keys would be md5-hashed to
     16 bytes and frequency-capped (drop grams shared by >X docs) to
     bound hot keys; here both engines use the raw gram so the oracle
     stays exact.

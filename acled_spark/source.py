@@ -63,7 +63,16 @@ def fetch_day(
     """
     extra = dict(params or {})
     if filters is not None:
+        # event_date predicates can never travel as params: the fetcher
+        # OWNS the per-day date equality (it would raise on the
+        # collision), so they are engine-side residual by construction
+        date_preds = [p for p in filters.predicates if p.column == "event_date"]
+        if date_preds:
+            filters = FilterSpec(
+                tuple(p for p in filters.predicates if p.column != "event_date")
+            )
         pushed, residual = filters.to_params()
+        residual = list(residual) + date_preds
         if residual and not allow_partial_pushdown:
             ops = ", ".join(f"{p.column}:{p.op}" for p in residual)
             raise ValueError(
