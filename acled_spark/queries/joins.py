@@ -460,3 +460,63 @@ def j8_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- J9 (extended): interval-dimension band join -----------------------------
+# quartile-ish cut points for the generator's o_totalprice range
+# (~1k .. ~500k)
+_BANDS = [
+    ("budget", 0.0, 125000.0),
+    ("mid", 125000.0, 250000.0),
+    ("premium", 250000.0, 375000.0),
+    ("luxury", 375000.0, 1e18),
+]
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT '{n}' AS band, {lo} AS lo, {hi} AS hi" for n, lo, hi in _BANDS
+)
+
+
+@query(
+    "j9_band_join",
+    oracle=f"""
+    WITH bands AS ({_BANDS_SQL})
+    SELECT b.band,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total_value,
+           ROUND(AVG(o.o_totalprice), 4) AS avg_value
+    FROM orders o
+    JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band ORDER BY b.band
+    """,
+    tags=("join", "range", "extended"),
+)
+def j9_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi join of the fact table to an interval DIMENSION (price
+    bands) — the band-join operator class (distinct from J7's as-of and
+    J8's fact-fact interval join: here the interval side is a tiny
+    static dimension).
+
+    Scale: a non-equi join has no hash key, so the ONLY viable plan is
+    broadcast-nested-loop with the intervals side broadcast — which is
+    exactly right when that side is |bands| rows: per fact row the
+    executor scans 4 intervals, the fact table never shuffles for the
+    join, and the census aggregates partial+final on the band key.
+    (Half-open [lo, hi) intervals: a boundary value lands in exactly
+    one band, so the join is also a partition of the fact table —
+    pinned by n_orders summing to the table count in the plan tests.)
+    """
+    bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_value"),
+        )
+        .orderBy("band")
+    )

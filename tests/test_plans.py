@@ -270,3 +270,17 @@ def test_release_delta_audit_no_text_in_exchanges(spark):
     for line in exec_plan.splitlines():
         if "Exchange" in line:
             assert "text" not in line, line
+
+
+def test_band_join_broadcasts_intervals_no_fact_shuffle(spark):
+    """j9: the non-equi interval join must be BroadcastNestedLoopJoin
+    with the 4-row bands side broadcast — the fact table never shuffles
+    for the join — and the half-open bands partition the fact table."""
+    plan = _plan(spark, "j9_band_join")
+    assert "BroadcastNestedLoopJoin" in plan
+    # the only exchange is the band-keyed aggregate, never the raw fact
+    df = all_specs()["j9_band_join"].builder(spark, SF_DIR)
+    total = sum(r["n_orders"] for r in df.collect())
+    from acled_spark.tables import load
+
+    assert total == load(spark, SF_DIR, "orders").count()
