@@ -294,3 +294,48 @@ def test_recover_store_promotes_committed_staging_only(spark, tmp_path):
     assert recover_store(spark, store) is False
     assert not os.path.exists(staging)
     assert _read_exact(spark, store).count() == n_staged  # unchanged
+
+
+def test_corpus_release_api_matches_manual_composition(spark, tmp_path):
+    """CorpusRelease.apply runs the five-stage flow in one call and its
+    result mirrors what the manual composition above produces."""
+    from acled_spark.drift import init_reference
+    from acled_spark.release import CorpusRelease
+
+    docs = load(spark, SF_DIR, "documents").select(*DOC_COLS)
+    old = docs.filter(F.col("doc_id") % 11 != 3)
+    new = docs.filter(F.col("doc_id") % 13 != 5).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+        ).otherwise(F.col("text")),
+    )
+
+    store = str(tmp_path / "store")
+    ref = str(tmp_path / "ref")
+    init_store(old, store)
+    init_reference(old, ref, value_col="n_chars", group_col="source", width=200.0)
+
+    rel = CorpusRelease(store, drift_root=ref)
+    out = str(tmp_path / "export")
+    res = rel.apply(
+        spark, old, new, export_path=out, shuffle_seed="r5-test", shards=4
+    )
+
+    assert res.status_counts["added"] >= 1
+    assert res.status_counts["changed"] >= 1
+    assert res.retired > 0
+    assert res.manifest_problems == []
+    n_dups = res.verdicts.filter(
+        F.col("is_exact_dup") | F.col("is_batch_dup")
+    ).count()
+    n_delta = res.status_counts["added"] + res.status_counts["changed"]
+    assert res.appended == n_delta - n_dups
+    assert res.exported == res.appended
+    assert res.drift_scores and all(r["psi"] >= 0.0 for r in res.drift_scores)
+
+    # a second apply of the SAME release is a no-op on the store (the
+    # delta is empty once new == old', and retire of absent ids is 0)
+    res2 = CorpusRelease(store).apply(spark, new, new)
+    assert res2.retired == 0 and res2.appended == 0
+    assert set(res2.status_counts) == {"unchanged"}
