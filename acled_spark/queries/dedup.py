@@ -24,7 +24,12 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from acled_spark.queries.text import FINGERPRINT_SQL, fingerprint_spark
+from acled_spark.queries.text import (
+    FINGERPRINT_SQL,
+    WS,
+    fingerprint_spark,
+    ws_trim,
+)
 from acled_spark.registry import query
 from acled_spark.tables import load
 
@@ -36,8 +41,8 @@ NGRAM = 3
 # DuckDB list slicing is 1-based and end-inclusive: w[i+1:i+3] = 3 words.
 _SHINGLES_SQL = f"""
     list_distinct(list_transform(
-        range(0, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - {NGRAM - 1}, 0)),
-        i -> array_to_string(string_split_regex(lower(trim(text)), '\\s+')[i+1:i+{NGRAM}], ' ')
+        range(0, greatest(len(string_split_regex(lower(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')), '[ \t\n\x0B\f\r]+')) - {NGRAM - 1}, 0)),
+        i -> array_to_string(string_split_regex(lower(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')), '[ \t\n\x0B\f\r]+')[i+1:i+{NGRAM}], ' ')
     ))
 """
 
@@ -54,7 +59,7 @@ def shingles_spark(text: Column) -> Column:
     (n-1) incomplete grams fall out of the ``filter``; docs with < NGRAM
     words yield an empty array with no special-casing.
     """
-    words = F.split(F.lower(F.trim(text)), r"\s+")
+    words = F.split(F.lower(ws_trim(text)), f"{WS}+")
     grams = words
     for k in range(1, NGRAM):
         shifted = F.slice(words, k + 1, F.size(words))
@@ -372,7 +377,7 @@ def _simhash_bit_sql(j: int) -> str:
     "dedup_simhash",
     oracle=f"""
     WITH w AS (
-      SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS word
+      SELECT doc_id, unnest(list_distinct(string_split_regex(lower(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')), '[ \t\n\x0B\f\r]+'))) AS word
       FROM documents
     ),
     votes AS (
@@ -398,7 +403,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         "doc_id",
         F.explode(
-            F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+            F.array_distinct(F.split(F.lower(ws_trim(F.col("text"))), f"{WS}+"))
         ).alias("word"),
     )
     # One md5 + one hex->long conv per word, then 32 shift-and-mask bit

@@ -151,7 +151,12 @@ from acled_spark.queries.filters_q import (  # shared split bounds
     SPLIT_VAL_MAX,
     split_spark,
 )
-from acled_spark.queries.text import MIN_DISTINCT_RATIO, MIN_TOKENS
+from acled_spark.queries.text import (  # noqa: E402
+    MIN_DISTINCT_RATIO,
+    MIN_TOKENS,
+    WS,
+    ws_trim,
+)
 
 
 @query(
@@ -159,11 +164,11 @@ from acled_spark.queries.text import MIN_DISTINCT_RATIO, MIN_TOKENS
     oracle=f"""
     WITH t AS (
       SELECT doc_id, lang,
-             CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
-             CASE WHEN length(trim(text)) = 0 THEN []
-                  ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks,
-             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+             CASE WHEN length(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')) = 0 THEN 0
+                  ELSE len(string_split_regex(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+')) END AS n_tok,
+             CASE WHEN length(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')) = 0 THEN []
+                  ELSE string_split_regex(lower(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')), '[ \t\n\x0B\f\r]+') END AS toks,
+             md5(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))) AS fp,
              CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{SPLIT_TRAIN_MAX}' THEN 'train'
                   WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{SPLIT_VAL_MAX}' THEN 'val'
                   ELSE 'test' END AS split
@@ -205,16 +210,16 @@ def prep_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim("text")), r"\s+")
-    n_tok = F.when(F.length(F.trim("text")) == 0, 0).otherwise(
-        F.size(F.split(F.trim("text"), r"\s+"))
+    toks = F.split(F.lower(ws_trim(F.col("text"))), f"{WS}+")
+    n_tok = F.when(F.length(ws_trim(F.col("text"))) == 0, 0).otherwise(
+        F.size(F.split(ws_trim(F.col("text")), f"{WS}+"))
     )
     d = docs.select(
         "doc_id",
         "lang",
         split_spark(F.col("doc_id")).alias("split"),
         n_tok.alias("n_tok"),
-        F.when(F.length(F.trim("text")) == 0, 0.0)
+        F.when(F.length(ws_trim(F.col("text"))) == 0, 0.0)
         .otherwise(F.size(F.array_distinct(toks)) / n_tok.cast("double"))
         .alias("dr"),
         fingerprint_spark(F.col("text")).alias("fp"),

@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from acled_spark.queries.filters_q import hex_to_int_sql
+from acled_spark.queries.filters_q import SPLIT_TRAIN_MAX, hex_to_int_sql
 from acled_spark.registry import query
 from acled_spark.tables import load
 
@@ -32,16 +32,34 @@ _LANG_MARKERS = (
 )
 
 
+# THE whitespace class, shared verbatim by Spark (Java regex) and the
+# DuckDB oracles (RE2).  Java's \s includes \x0B (vertical tab) while
+# RE2's does NOT — a scraped-web corpus with one \x0B diverged 9 of 17
+# text queries cross-engine.  Spelling the class out makes both engines
+# tokenize identically; it equals Java's \s exactly.  trim() is just as
+# treacherous (strips 0x20 ONLY, so a doc of tabs passed the blank
+# guard and minted phantom '' tokens in BOTH engines): all edge
+# trimming goes through this class too.
+WS = r"[ \t\n\x0B\f\r]"
+WS_TRIM_TEXT_SQL = f"regexp_replace(text, '^{WS}+|{WS}+$', '', 'g')"
+
+
+def ws_trim(text: Column) -> Column:
+    """Strip leading/trailing whitespace (the FULL class, not trim's
+    space-only subset)."""
+    return F.regexp_replace(text, f"^{WS}+|{WS}+$", "")
+
+
 def _tokens_spark(text: Column) -> Column:
     """Whitespace tokenization; empty/blank text -> empty array."""
-    return F.when(F.length(F.trim(text)) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(F.trim(text), r"\s+")
+    return F.when(F.length(ws_trim(text)) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(ws_trim(text), f"{WS}+")
     )
 
 
 _TOKENS_SQL = (
-    "CASE WHEN length(trim(text)) = 0 THEN [] "
-    "ELSE string_split_regex(trim(text), '\\s+') END"
+    "CASE WHEN length(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')) = 0 THEN [] "
+    "ELSE string_split_regex(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+') END"
 )
 
 
@@ -106,9 +124,10 @@ def _stopword_filter_sql() -> str:
            ROUND(AVG(n_tokens), 4) AS avg_tokens,
            ROUND(AVG(stop_ratio), 4) AS avg_stop_ratio,
            ROUND(AVG(punct_ratio), 4) AS avg_punct_ratio,
-           ROUND(AVG(0.5 * LEAST(n_tokens / 100.0, 1.0)
-                   + 0.3 * (1.0 - stop_ratio)
-                   + 0.2 * (1.0 - punct_ratio)), 4) AS avg_quality
+           ROUND(AVG(CASE WHEN n_tokens IS NULL THEN 0.0
+                     ELSE 0.5 * LEAST(n_tokens / 100.0, 1.0)
+                        + 0.3 * (1.0 - stop_ratio)
+                        + 0.2 * (1.0 - punct_ratio) END), 4) AS avg_quality
     FROM s GROUP BY source ORDER BY source
     """,
     tags=("text", "quality", "extended"),
@@ -117,7 +136,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality heuristics: length/stopword/punct blend."""
     docs = load(spark, sf_dir, "documents")
     toks = _tokens_spark(F.col("text"))
-    n_stop = F.size(F.filter(toks, lambda t: _any_eq(t, _STOPWORDS)))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
     n_tokens = F.size(toks)
     n_chars = F.length("text")
     n_punct = F.length(F.regexp_replace("text", r"[^.,!?;:]", ""))
@@ -127,7 +146,12 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     punct_ratio = F.when(
         n_chars > 0, n_punct.cast("double") / n_chars
     ).otherwise(0.0)
-    quality = (
+    # NULL text scores 0.0 (an absent doc is the WORST quality, not the
+    # best: least() skips NULL in both engines, so without the guard a
+    # NULL-text doc's length term maxed out and it scored 1.0)
+    quality = F.when(
+        n_tokens.isNull(), F.lit(0.0)
+    ).otherwise(
         0.5 * F.least(n_tokens / 100.0, F.lit(1.0))
         + 0.3 * (1.0 - stop_ratio)
         + 0.2 * (1.0 - punct_ratio)
@@ -152,13 +176,6 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _any_eq(t: Column, words: tuple[str, ...]) -> Column:
-    out = t == words[0]
-    for w in words[1:]:
-        out = out | (t == w)
-    return out
-
-
 # --- language identification (marker-word heuristic) ------------------------
 @query(
     "text_langid_confusion",
@@ -181,9 +198,9 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks = _tokens_spark(F.col("text"))
     def has_marker(marker: str) -> Column:
-        # NB: the HOF lambda must take exactly one parameter — PySpark
-        # binds a second parameter to the element *index*.
-        return F.size(F.filter(toks, lambda t: t == F.lit(marker))) > 0
+        # array_contains, not a filter-HOF scan: native, short-circuit,
+        # codegen-friendly; same semantics incl. NULL array -> NULL
+        return F.array_contains(toks, marker)
 
     pred = None
     for marker, lg in _LANG_MARKERS:
@@ -200,12 +217,12 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- document fingerprinting ------------------------------------------------
 # Normalized md5 fingerprint — the exact-dedup key and provenance id.
-FINGERPRINT_SQL = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+FINGERPRINT_SQL = "md5(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))))"
 
 
 def fingerprint_spark(text: Column) -> Column:
     """Whitespace-normalized lowercase md5 fingerprint of a document."""
-    return F.md5(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))))
+    return F.md5(F.lower(F.trim(F.regexp_replace(text, f"{WS}+", " "))))
 
 
 @query(
@@ -239,8 +256,8 @@ WINNOW_W = 5  # grams per winnow window
 
 _WINNOW_GRAMS_SQL = f"""
     list_transform(
-        range(0, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - {WINNOW_K - 1}, 0)),
-        i -> md5(array_to_string(string_split_regex(lower(trim(text)), '\\s+')[i+1:i+{WINNOW_K}], ' '))
+        range(0, greatest(len(string_split_regex(lower(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')), '[ \t\n\x0B\f\r]+')) - {WINNOW_K - 1}, 0)),
+        i -> md5(array_to_string(string_split_regex(lower(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')), '[ \t\n\x0B\f\r]+')[i+1:i+{WINNOW_K}], ' '))
     )
 """
 
@@ -260,7 +277,7 @@ def gram_hashes_spark(text: Column) -> Column:
     element — same trick as shingles_spark); zip_with's null padding
     null-propagates through concat/md5 and falls out of the filter.
     """
-    words = F.split(F.lower(F.trim(text)), r"\s+")
+    words = F.split(F.lower(ws_trim(text)), f"{WS}+")
     grams = words
     for k in range(1, WINNOW_K):
         grams = F.zip_with(
@@ -397,7 +414,8 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Decontamination is a core training-data pipeline step: an eval document
 # sharing a long verbatim n-gram with any train document leaks test data
 # into training.  The split reuses the deterministic md5 prefix from
-# p7_hash_split (train = first 2 hex digits < 'cc', ~80%), so the audit
+# p7_hash_split (train = first 2 hex digits < SPLIT_TRAIN_MAX, ~80% —
+# imported, ONE source of truth with the split), so the audit
 # is reproducible across engines and cluster sizes.
 N_CONTAM = 8
 
@@ -415,7 +433,7 @@ def word_ngrams_spark(text: Column, n: int) -> Column:
     shifted side and concat null-propagates, so the trailing incomplete
     grams fall out of the filter; docs with < n words yield [].
     """
-    words = F.split(F.lower(F.trim(text)), r"\s+")
+    words = F.split(F.lower(ws_trim(text)), f"{WS}+")
     size = F.size(words)
     blocks = {1: words}  # block length -> grams of that length at each start
     grams, length = words, 1
@@ -435,8 +453,8 @@ def word_ngrams_spark(text: Column, n: int) -> Column:
 def _ngrams_sql(n: int) -> str:
     """DuckDB mirror: 1-based end-inclusive list slice over the word array."""
     return f"""list_distinct(list_transform(
-        range(0, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - {n - 1}, 0)),
-        i -> array_to_string(string_split_regex(lower(trim(text)), '\\s+')[i+1:i+{n}], ' ')
+        range(0, greatest(len(string_split_regex(lower(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')), '[ \t\n\x0B\f\r]+')) - {n - 1}, 0)),
+        i -> array_to_string(string_split_regex(lower(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')), '[ \t\n\x0B\f\r]+')[i+1:i+{n}], ' ')
     ))"""
 
 
@@ -445,7 +463,7 @@ def _ngrams_sql(n: int) -> str:
     oracle=f"""
     WITH d AS (
       SELECT doc_id, lang,
-             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' AS is_train,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{SPLIT_TRAIN_MAX}' AS is_train,
              {_ngrams_sql(N_CONTAM)} AS grams
       FROM documents
     ),
@@ -495,7 +513,10 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = docs.select(
         "doc_id",
         "lang",
-        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cc").alias(
+        (
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+            < SPLIT_TRAIN_MAX
+        ).alias(
             "is_train"
         ),
         F.explode_outer(word_ngrams_spark(F.col("text"), N_CONTAM)).alias("g"),
@@ -593,8 +614,8 @@ def chunk_stream(docs: DataFrame) -> DataFrame:
     oracle=f"""
     WITH t AS (
       SELECT doc_id, lang,
-             CASE WHEN length(trim(text)) = 0 THEN []
-                  ELSE string_split_regex(lower(trim(text)), '\\s+') END AS words
+             CASE WHEN length(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')) = 0 THEN []
+                  ELSE string_split_regex(lower(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')), '[ \t\n\x0B\f\r]+') END AS words
       FROM documents
     ),
     n AS (
@@ -656,7 +677,7 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_tfidf_terms",
     oracle="""
     WITH tok AS (
-      SELECT doc_id, lang, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+      SELECT doc_id, lang, unnest(string_split_regex(lower(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')), '[ \t\n\x0B\f\r]+')) AS w
       FROM documents WHERE length(trim(text)) > 0
     ),
     n AS (SELECT COUNT(*) AS n_docs FROM documents),
@@ -689,7 +710,7 @@ def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.filter(F.length(F.trim("text")) > 0).select(
         "doc_id",
         "lang",
-        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"),
+        F.explode(F.split(F.lower(ws_trim(F.col("text"))), f"{WS}+")).alias("w"),
     )
     # n_docs reads only doc_id (column-pruned scan); the corpus TEXT is
     # scanned exactly once: tf and per-lang df come from ONE (lang, w)
@@ -734,10 +755,10 @@ MIN_DISTINCT_RATIO = 0.35
     oracle=f"""
     WITH t AS (
       SELECT doc_id, lang,
-             CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
-             CASE WHEN length(trim(text)) = 0 THEN []
-                  ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks,
+             CASE WHEN length(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')) = 0 THEN 0
+                  ELSE len(string_split_regex(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+')) END AS n_tok,
+             CASE WHEN length(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')) = 0 THEN []
+                  ELSE string_split_regex(lower(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')), '[ \t\n\x0B\f\r]+') END AS toks,
              {FINGERPRINT_SQL} AS fp
       FROM documents
     ),
@@ -777,15 +798,15 @@ def doc_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a lang-sized rollup.
     """
     docs = load(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim("text")), r"\s+")
-    n_tok = F.when(F.length(F.trim("text")) == 0, 0).otherwise(
-        F.size(F.split(F.trim("text"), r"\s+"))
+    toks = F.split(F.lower(ws_trim(F.col("text"))), f"{WS}+")
+    n_tok = F.when(F.length(ws_trim(F.col("text"))) == 0, 0).otherwise(
+        F.size(F.split(ws_trim(F.col("text")), f"{WS}+"))
     )
     d = docs.select(
         "doc_id",
         "lang",
         n_tok.alias("n_tok"),
-        F.when(F.length(F.trim("text")) == 0, 0.0)
+        F.when(F.length(ws_trim(F.col("text"))) == 0, 0.0)
         .otherwise(F.size(F.array_distinct(toks)) / n_tok.cast("double"))
         .alias("dr"),
         fingerprint_spark(F.col("text")).alias("fp"),
@@ -828,7 +849,7 @@ def doc_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_unigram_logprob",
     oracle="""
     WITH tok AS (
-      SELECT doc_id, lang, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+      SELECT doc_id, lang, unnest(string_split_regex(lower(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')), '[ \t\n\x0B\f\r]+')) AS w
       FROM documents WHERE length(trim(text)) > 0
     ),
     v AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
@@ -858,7 +879,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.filter(F.length(F.trim("text")) > 0).select(
         "doc_id",
         "lang",
-        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"),
+        F.explode(F.split(F.lower(ws_trim(F.col("text"))), f"{WS}+")).alias("w"),
     )
     v = tok.groupBy("w").agg(F.count("*").alias("cnt"))
     # Global token total as a window over the VOCAB aggregate (tiny), not
@@ -884,7 +905,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pre-tokenizer split (GPT-2-style without unicode classes, identical
 # semantics in Java regex and RE2) whose counts approximate BPE token
 # budgets far better than whitespace words.
-BPE_REGEX = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+BPE_REGEX = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0B\f\r]"
 
 
 @query(
@@ -892,8 +913,8 @@ BPE_REGEX = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
     oracle=f"""
     WITH t AS (
       SELECT source,
-             CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_ws,
+             CASE WHEN length(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')) = 0 THEN 0
+                  ELSE len(string_split_regex(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+')) END AS n_ws,
              len(regexp_extract_all(text, '{BPE_REGEX}')) AS n_bpe
       FROM documents
     )
@@ -920,8 +941,8 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     but partial counts.
     """
     docs = load(spark, sf_dir, "documents")
-    n_ws = F.when(F.length(F.trim("text")) == 0, 0).otherwise(
-        F.size(F.split(F.trim("text"), r"\s+"))
+    n_ws = F.when(F.length(ws_trim(F.col("text"))) == 0, 0).otherwise(
+        F.size(F.split(ws_trim(F.col("text")), f"{WS}+"))
     )
     n_bpe = F.size(F.regexp_extract_all("text", F.lit(BPE_REGEX), F.lit(0)))
     return (
@@ -956,7 +977,7 @@ _DECILE_SQL = hex_to_int_sql("md5(CAST(doc_id AS VARCHAR))", 2)
     oracle=f"""
     WITH tok AS (
       SELECT ({_DECILE_SQL}) * 10 // 256 AS decile,
-             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+             unnest(string_split_regex(lower(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')), '[ \t\n\x0B\f\r]+')) AS w
       FROM documents WHERE length(trim(text)) > 0
     ),
     g AS (SELECT decile, w, COUNT(*) AS cnt FROM tok GROUP BY decile, w),
@@ -993,7 +1014,7 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     decile = F.floor(h1 * 10 / 256).cast("int")
     tok = docs.filter(F.length(F.trim("text")) > 0).select(
         decile.alias("decile"),
-        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"),
+        F.explode(F.split(F.lower(ws_trim(F.col("text"))), f"{WS}+")).alias("w"),
     )
     # g is DISTINCT on (decile, w), so each word has exactly one row
     # where decile == its min decile — first-seen detection is a
@@ -1029,7 +1050,7 @@ ZIPF_TOP = 500
     oracle=f"""
     WITH f AS (
       SELECT w, COUNT(*) AS freq
-      FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+      FROM (SELECT unnest(string_split_regex(lower(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')), '[ \t\n\x0B\f\r]+')) AS w
             FROM documents WHERE length(trim(text)) > 0)
       GROUP BY w
     ),
@@ -1061,7 +1082,7 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     f = (
         docs.filter(F.length(F.trim("text")) > 0)
-        .select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"))
+        .select(F.explode(F.split(F.lower(ws_trim(F.col("text"))), f"{WS}+")).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
     )
@@ -1145,7 +1166,12 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     # -> '[EMAIL]'), and the audit row must not contradict its own
     # pii_* counts
     aggs.append(
-        F.sum((text != scrubbed).cast("int")).cast("long").alias("docs_redacted")
+        # when/otherwise(0), not a bare boolean cast: a lang whose only
+        # docs have NULL text must report 0 like the oracle's ELSE 0,
+        # not NULL (sum of all-NULL)
+        F.sum(F.when(text != scrubbed, 1).otherwise(0))
+        .cast("long")
+        .alias("docs_redacted")
     )
     aggs.append(
         F.sum(F.length(text) - F.length(scrubbed)).cast("long").alias("chars_delta")
@@ -1183,7 +1209,7 @@ def _qc_weight(token: Column) -> Column:
     oracle=f"""
     WITH tok AS (
       SELECT doc_id, lang,
-             unnest(string_split_regex(trim(text), '\\s+')) AS w
+             unnest(string_split_regex(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+')) AS w
       FROM documents WHERE length(trim(text)) > 0
     ),
     tw AS (

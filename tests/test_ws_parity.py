@@ -1,0 +1,84 @@
+"""Cross-engine whitespace parity on a PLANTED edge corpus.
+
+Java's \\s includes \\x0B (vertical tab); RE2's does not — before round
+5 a single \\x0B diverged 9 of 17 text queries between Spark and the
+DuckDB oracle, and trim() (space-only) let tab/newline-edged docs mint
+phantom '' tokens in both engines.  Every tokenizer now shares the
+explicit WS class and a full-class regex trim; this suite runs the
+REGISTERED queries' engine-vs-oracle parity over a corpus planted with
+exactly those characters.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from acled_spark.registry import all_specs
+from tests.conftest import assert_parity
+
+ROWS = [
+    (1, "plain words here for a baseline document", "en", "s0", 40),
+    (2, "vertical\x0btab inside and der hund lief schnell davon", "de", "s0", 49),
+    (3, "\ttab-edged text with words inside\n", "en", "s1", 35),
+    (4, "\t", "en", "s1", 1),            # whitespace-only -> ZERO tokens
+    (5, "", "en", "s1", 0),              # empty -> zero tokens
+    (6, None, "en", "s1", 0),            # NULL text
+    (7, "a\x0bb c\td e\nf mixed separators everywhere", "en", "s2", 40),
+    (8, "plain words here for a baseline document", "en", "s2", 40),  # dup of 1
+]
+SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+# every oracle-backed query that tokenizes or fingerprints text
+_WS_QUERIES = [
+    "text_token_stats", "text_quality_scores", "text_fingerprints",
+    "text_tfidf_terms", "text_vocab_growth", "text_zipf_slope",
+    "text_unigram_logprob", "text_bpe_token_stats", "text_chunking",
+    "text_repetition", "text_winnow_pairs", "text_contamination",
+    "text_dup_spans", "dedup_exact", "dedup_ngram_jaccard",
+    "pack_sequences", "pack_materialize", "mix_weights",
+    "prep_corpus_stats", "cdc_snapshot_diff", "release_delta_audit",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("ws_edge")
+    spark.createDataFrame(ROWS, SCHEMA).coalesce(1).write.parquet(
+        str(d / "documents.parquet")
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def edge_duck(edge_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{edge_dir}/documents.parquet/*.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", _WS_QUERIES)
+def test_ws_edge_corpus_parity(spark, edge_duck, edge_dir, name):
+    assert_parity(spark, edge_duck, all_specs()[name], sf_dir=edge_dir)
+
+
+def test_blank_and_vtab_tokenization_pinned(spark):
+    """The semantic pins behind the parity: whitespace-only docs have
+    ZERO tokens (no phantom ''), and \\x0B separates tokens on the
+    Spark side exactly as the shared class dictates."""
+    from pyspark.sql import functions as F
+
+    from acled_spark.queries.text import _tokens_spark
+
+    df = spark.createDataFrame(
+        [("\t",), ("a\x0bb",), ("\nx y\n",), ("",)], "text string"
+    ).select(_tokens_spark(F.col("text")).alias("toks"))
+    got = [r["toks"] for r in df.collect()]
+    assert got[0] == []            # tab-only: no phantom '' token
+    assert got[1] == ["a", "b"]    # \x0B splits
+    assert got[2] == ["x", "y"]    # newline edges trimmed
+    assert got[3] == []
