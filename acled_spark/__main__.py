@@ -161,6 +161,7 @@ def _ingest(args) -> int:
 
     from acled_spark.http_client import make_http_fetcher
     from acled_spark.scheduler import missing_partitions, run_backfill
+    from acled_spark.source import EmptyPartitionError
     from acled_spark.session import get_spark
     from acled_spark.source import partition_days
 
@@ -190,17 +191,30 @@ def _ingest(args) -> int:
         # missing from silver promote the existing bronze partition.
         # Both paths are replay-safe for half-done days.
         all_days = partition_days(start, end)
-        miss_bronze = set(missing_partitions(args.bronze, all_days))
-        miss_silver = set(missing_partitions(args.silver, all_days))
-        done = sorted(miss_bronze | miss_silver)
-        for day in done:
+        # route the session in: partition discovery must go through the
+        # Hadoop FS API or a remote store (s3a://...) looks empty and
+        # every run re-ingests the full range (scheduler.py contract)
+        miss_bronze = set(missing_partitions(args.bronze, all_days, spark))
+        miss_silver = set(missing_partitions(args.silver, all_days, spark))
+        todo = sorted(miss_bronze | miss_silver)
+        done = []
+        for day in todo:
             if day in miss_bronze:
-                result = run_day(
-                    spark, fetcher, day, args.bronze, args.silver,
-                    page_limit=args.limit,
-                )
+                try:
+                    result = run_day(
+                        spark, fetcher, day, args.bronze, args.silver,
+                        page_limit=args.limit,
+                    )
+                except EmptyPartitionError:
+                    # a zero-row day can never materialize a partition:
+                    # skipping (like run_backfill) keeps the range
+                    # moving and avoids the re-run wedge where every
+                    # invocation dies at the same empty day
+                    print(f"{day.isoformat()}: empty day, skipped")
+                    continue
             else:
                 result = promote_day(spark, day, args.bronze, args.silver)
+            done.append(day)
             checks = result.bronze_checks + result.silver_checks
             print(
                 f"{day.isoformat()}: {result.rows} rows, "

@@ -136,9 +136,22 @@ def _upsert_delta(
     The merge condition names the touched partitions explicitly so the
     engine prunes untouched partition files from the scan — the same
     bounded-rewrite contract as the dynamic-overwrite path.
+
+    CONTRACT: keyed-upsert semantics hold WITHIN the batch's
+    partitions.  The partition value is treated as part of the
+    immutable row identity — a correction that MOVES a key to a new
+    partition value must tombstone the old partition first
+    (:func:`delete_keys`) or the old-partition row survives alongside
+    the new one (the bounded-rewrite shape cannot see untouched
+    partitions; scanning the full table per batch is exactly what this
+    path exists to avoid at 100 TB).
     """
     DeltaTable = _delta_table_cls()
-    latest = merge_updates(updates.limit(0), updates, keys, order_col)
+    # materialized ONCE: the touched-partition collect and the MERGE
+    # both consume it, and a nondeterministic updates lineage (live
+    # re-fetch) recomputed between the two could contain a partition
+    # absent from `touched` (same localCheckpoint fix as db_sink)
+    latest = merge_updates(updates.limit(0), updates, keys, order_col).localCheckpoint()
     if not DeltaTable.isDeltaTable(spark, target_path):
         if _table_exists(spark, target_path):
             # an existing parquet table must NOT be silently replaced by
@@ -200,6 +213,13 @@ def upsert_partitioned(
     merged, and rewritten (dynamic partition overwrite) — the Spark
     analog of the reference's per-day replay
     (``base_assets.py:207-233``).
+
+    CONTRACT (both paths): keyed-upsert semantics hold WITHIN the
+    batch's partitions — the partition value is part of the immutable
+    row identity.  A correction that moves a key to a different
+    partition value must :func:`delete_keys` the old partition first,
+    or the old row survives next to the new one (the bounded-rewrite
+    shape never reads untouched partitions).
     """
     keys = [key] if isinstance(key, str) else list(key)
     if table_format not in ("auto", "delta", "parquet"):
@@ -272,13 +292,23 @@ def delete_keys(
         scoped = current.filter(partition_membership(partition_col, touched))
     else:
         scoped = current
-    victims = F.broadcast(tombstones.select(*keys).distinct())
+    victims = F.broadcast(
+        tombstones.select(*[F.col(k).alias(f"__del_{k}") for k in keys]).distinct()
+    )
+    # null-SAFE key match: a tombstone carrying a NULL key value (the
+    # same way NULL partitions arise — try_cast nulling a malformed
+    # field) must still delete its NULL-keyed target rows; a plain
+    # equi-join silently no-ops on them, which on the
+    # right-to-be-forgotten path is a compliance bug, not a quirk
+    match = F.lit(True)
+    for k in keys:
+        match = match & F.col(k).eqNullSafe(F.col(f"__del_{k}"))
     # Cheap no-op path first: replayed tombstones whose keys are already
     # gone shouldn't checkpoint/rewrite anything.
-    deleted = scoped.join(victims, on=keys, how="left_semi").count()
+    deleted = scoped.join(victims, on=match, how="left_semi").count()
     if deleted == 0:
         return 0
-    kept = scoped.join(victims, on=keys, how="left_anti")
+    kept = scoped.join(victims, on=match, how="left_anti")
     kept = kept.localCheckpoint()  # sever lineage: the rewrite reads its input
     if partition_col is not None:
         emptied = [

@@ -382,3 +382,68 @@ def test_auto_never_creates_new_tables_as_delta(spark, tmp_path, monkeypatch):
         table_format="auto",
     )
     assert spark.read.parquet(target).count() == batch.count()
+
+
+def test_delete_keys_null_safe_tombstones(spark, tmp_path):
+    """A tombstone carrying a NULL key value must delete NULL-keyed
+    target rows (right-to-be-forgotten path) — a plain equi-join
+    silently no-ops on them."""
+    from acled_spark.silver import delete_keys
+
+    path = str(tmp_path / "t")
+    rows = [(1, "a", "2024-01-01"), (None, "b", "2024-01-01"),
+            (3, "c", "2024-01-02")]
+    spark.createDataFrame(
+        rows, "event_id long, v string, day string"
+    ).write.partitionBy("day").parquet(path)
+
+    tombs = spark.createDataFrame(
+        [(None, "2024-01-01")], "event_id long, day string"
+    )
+    n = delete_keys(spark, path, tombs, "event_id", partition_col="day")
+    assert n == 1
+    left = {
+        (r["event_id"], str(r["day"]))
+        for r in spark.read.parquet(path).collect()
+    }
+    assert left == {(1, "2024-01-01"), (3, "2024-01-02")}
+
+
+def test_partition_move_contract_tombstone_then_upsert(spark, tmp_path):
+    """The documented recipe for a key MOVING partitions: tombstone the
+    old partition, then upsert the new row — exactly one row per key
+    survives.  (A bare upsert cannot see untouched partitions — that
+    bounded-rewrite shape is the point of the path — so the duplicate
+    is the documented behavior without the tombstone.)"""
+    from acled_spark.silver import delete_keys
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, 10.0, "2024-01-01"), (2, 20.0, "2024-01-01")],
+        "event_id long, value double, day string",
+    ).write.partitionBy("day").parquet(path)
+
+    # correction: event 1 moves to day 2024-01-02 with a new value
+    moved = spark.createDataFrame(
+        [(1, 99.0, "2024-01-02")], "event_id long, value double, day string"
+    )
+    # 1) without the tombstone, the old row survives (documented)
+    upsert_partitioned(
+        spark, moved, path, key="event_id", partition_col="day",
+        table_format="parquet",
+    )
+    n_dupe = (
+        spark.read.parquet(path).filter(F.col("event_id") == 1).count()
+    )
+    assert n_dupe == 2  # the contract the docstring states
+
+    # 2) the recipe: tombstone the OLD partition's row, leaving the new
+    tombs = spark.createDataFrame(
+        [(1, "2024-01-01")], "event_id long, day string"
+    )
+    assert delete_keys(spark, path, tombs, "event_id", partition_col="day") == 1
+    rows = {
+        (r["event_id"], r["value"], str(r["day"]))
+        for r in spark.read.parquet(path).collect()
+    }
+    assert rows == {(1, 99.0, "2024-01-02"), (2, 20.0, "2024-01-01")}
