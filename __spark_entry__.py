@@ -27,63 +27,42 @@ from acled_spark.registry import oracle_map, spark_queries
 # stale and lead round 4, followed by the r02 half (whose source files
 # round 3 edited: silver/similarity/packing/pipeline/olap).
 #
-# Round-5 rotation state (folded from CORRECTNESS_r04.json): the r01
-# tier's five dedup queries and most of the r02 tier were re-verified
-# in round 4, so r01 is retired and r02 shrinks to the 12 rows the
-# 50-query cap couldn't reach — they are now TWO rounds stale while
-# their source files (ml/features.py, multimodal.py, sessions.py,
-# streaming.py) changed in round 4, so they lead round 5's emission
-# (VERDICT r4 #1).  After CORRECTNESS_r05 lands, fold its names into a
-# _R5_DRIVER_VERIFIED tier and retire the empties.
+# Round-6 rotation state (folded from CORRECTNESS_r05.json): round 5's
+# 50-row check re-verified the whole r02 tier (retired), 27 of the r03
+# tier, and 7 of the r04 tier, plus the 4 never-verified round-5
+# queries.  What remains stale: 23 r03 rows (two rounds old — they lead
+# round 6 per VERDICT r5 #1) and 43 r04 rows; 23 + 43 = 66 candidates
+# for the ~50-row budget, so all of r03 and the fast-family majority of
+# r04 land this round, leaving no row older than r04.  After
+# CORRECTNESS_r06 lands, fold its names into a _R6 tier and retire the
+# empties.
 #
-# Queries whose freshest driver rows were written by the round-2 check
-# (CORRECTNESS_r02.json) — the stale block, emitted first.
-_R2_DRIVER_VERIFIED: frozenset[str] = frozenset(
-    {
-        "cohort_retention", "j8_interval_join", "ml_distance_from_center",
-        "ml_label_encode", "ml_onehot_pivot", "ml_target_encode_cv",
-        "mm_feature_extract", "mm_payload_metadata", "sess_transitions",
-        "sess_user_sessions", "so1_set_ops", "t3_tumbling_window",
-    }
-)
-
-# Queries verified by the round-3 check (CORRECTNESS_r03.json) — the
-# FRESH block this round, emitted last.
+# Queries whose freshest driver rows were written by the round-3 check
+# (CORRECTNESS_r03.json) — the stale block, emitted first.
 _R3_DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
-        "a1_value_counts", "a2_conditional_counts", "a3_null_empty_audit",
-        "a4_daily_rollup", "a5_topk_groups", "a6_dim_rollup",
-        "a7_multi_measure_rollup", "a8_weekly_rollup", "a9_monthly_rollup",
-        "a10_descriptive_stats", "a11_distinct_counts", "a12_duplicate_keys",
-        "a13_histogram", "a14_group_deviation", "a15_risk_buckets",
-        "a16_percent_of_total", "a23_daily_anomaly", "a24_time_to_convert",
-        "a25_hour_profile", "a26_approx_quantiles", "chk_validation_summary",
         "dedup_canonical_pick", "dedup_exact", "doc_filter_funnel",
-        "j1_target_stat_lookup", "j2_static_map_lookup", "j3_anti_join",
-        "p2_filter_dsl", "p3_date_range", "p4_null_threshold",
-        "p5_eq_filter", "p6_threshold_topk", "p7_hash_split",
-        "p8_stratified_sample", "p9_weighted_sample", "pack_materialize",
-        "sim_ann_ivf", "text_bpe_token_stats", "text_chunking",
-        "text_contamination", "text_fingerprints", "text_langid_confusion",
+        "j2_static_map_lookup", "j3_anti_join", "p2_filter_dsl",
+        "p3_date_range", "p4_null_threshold", "p5_eq_filter",
+        "p6_threshold_topk", "p7_hash_split", "p8_stratified_sample",
+        "pack_materialize", "text_fingerprints", "text_langid_confusion",
         "text_quality_scores", "text_repetition", "text_tfidf_terms",
         "text_token_stats", "text_unigram_logprob", "text_vocab_growth",
         "text_winnow_pairs", "text_zipf_slope",
     }
 )
 
-# Queries verified by the round-4 check (CORRECTNESS_r04.json) — the
-# FRESH block, emitted last.  a19_approx_distinct's r04 row is the
+# Queries whose freshest driver rows were written by the round-4 check
+# (CORRECTNESS_r04.json).  a19_approx_distinct's r04 row is the
 # by-design rows-only check (no_oracle).
 _R4_DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
         "a17_rollup", "a18_cube", "a19_approx_distinct",
-        "a20_ranking_suite", "a21_unpivot", "a22_time_grouping_sets",
-        "cdc_snapshot_diff", "dedup_cluster_census",
-        "dedup_embedding_cosine", "dedup_incremental_check",
-        "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-        "drift_psi", "f13_correlation", "f14_levenshtein", "f15_bool_aggs",
-        "f16_regexp_extract", "f1_try_cast_json", "f2_time_extract",
-        "f4_date_arithmetic", "f6_string_cleanup", "f9_math_suite",
+        "a20_ranking_suite", "a21_unpivot", "dedup_cluster_census",
+        "dedup_incremental_check", "dedup_minhash_lsh",
+        "dedup_ngram_jaccard", "dedup_simhash", "drift_psi",
+        "f13_correlation", "f14_levenshtein", "f15_bool_aggs",
+        "f2_time_extract", "f4_date_arithmetic", "f9_math_suite",
         "f9b_vector_norm", "funnel_user_journey", "j4_semi_join",
         "j5_multiway_revenue", "j6_snowflake_dims", "j7_asof_join",
         "mix_weights", "pack_sequences", "prep_corpus_stats",
@@ -92,37 +71,47 @@ _R4_DRIVER_VERIFIED: frozenset[str] = frozenset(
         "sim_topk_bruteforce", "sql1_region_revenue", "text_dup_spans",
         "text_pii_scrub", "text_quality_classifier", "train_shuffle",
         "w1_moving_avg_7d", "w2_global_share", "w3_rank_rows",
-        "w4_lag_delta", "w5_range_frame", "w6_cumulative_distinct",
+        "w4_lag_delta", "w5_range_frame",
     }
 )
-_ALL_KNOWN = _R2_DRIVER_VERIFIED | _R3_DRIVER_VERIFIED | _R4_DRIVER_VERIFIED
 
-# Queries whose round-4 source edits POSTDATE their freshest driver row
-# (VERDICT r4 "what's wrong" #1): the reworked self-certifiers
-# (a26/sim_ann_ivf now emit recall/rank-error columns the driver has
-# never seen) plus any query whose oracle or engine semantics round 5
-# itself changes (cdc_snapshot_diff's oracle now keys presence on join
-# flags; t3 emits a stream_matches_batch flag).  These lead their
-# blocks so the ~50-query cap can't drop them.
+# Queries verified by the round-5 check (CORRECTNESS_r05.json) — the
+# FRESH block, emitted last.  sim_pca_top_component / a26 / sim_ann_ivf
+# rows are the by-design rows-only checks (no_oracle) whose invariants
+# ride the output columns.
+_R5_DRIVER_VERIFIED: frozenset[str] = frozenset(
+    {
+        "a1_value_counts", "a2_conditional_counts", "a3_null_empty_audit",
+        "a4_daily_rollup", "a5_topk_groups", "a6_dim_rollup",
+        "a7_multi_measure_rollup", "a8_weekly_rollup", "a9_monthly_rollup",
+        "a10_descriptive_stats", "a11_distinct_counts",
+        "a12_duplicate_keys", "a13_histogram", "a14_group_deviation",
+        "a15_risk_buckets", "a16_percent_of_total",
+        "a22_time_grouping_sets", "a23_daily_anomaly",
+        "a24_time_to_convert", "a25_hour_profile", "a26_approx_quantiles",
+        "cdc_snapshot_diff", "chk_validation_summary", "cohort_retention",
+        "dedup_embedding_cosine", "f16_regexp_extract", "f1_try_cast_json",
+        "f6_string_cleanup", "j1_target_stat_lookup", "j8_interval_join",
+        "j9_band_join", "ml_distance_from_center", "ml_label_encode",
+        "ml_onehot_pivot", "ml_target_encode_cv", "mm_feature_extract",
+        "mm_payload_metadata", "p9_weighted_sample", "release_delta_audit",
+        "sess_transitions", "sess_user_sessions", "sim_ann_ivf",
+        "sim_dim_stats", "sim_pca_top_component", "so1_set_ops",
+        "t3_tumbling_window", "text_bpe_token_stats", "text_chunking",
+        "text_contamination", "w6_cumulative_distinct",
+    }
+)
+_ALL_KNOWN = _R3_DRIVER_VERIFIED | _R4_DRIVER_VERIFIED | _R5_DRIVER_VERIFIED
+
+# Queries whose round-6 source/oracle edits POSTDATE their freshest
+# driver row — these lead their blocks so the ~50-query cap can't drop
+# them.  (Populated as round 6 edits land.)
 _RECERT_PRIORITY: frozenset[str] = frozenset(
     {
-        "a26_approx_quantiles", "sim_ann_ivf", "mm_feature_extract",
-        "t3_tumbling_window", "cdc_snapshot_diff",
-        # round-5 review edits: a23 moved to a calendar RANGE baseline
-        # with a sigma=0 guard, a13 drops NULLs pre-binning, a14/j1
-        # re-planned (broadcast global mean / single rollup pass)
-        "a23_daily_anomaly", "a13_histogram", "a14_group_deviation",
-        "j1_target_stat_lookup",
-        # round-5 null-safety/parity hardening (try_cast, concat_ws,
-        # zero-weight/zero-denominator guards, NULL-ts exclusion,
-        # NULL-text chunk guard, empty-gram salting)
-        "f1_try_cast_json", "f6_string_cleanup", "f16_regexp_extract",
-        "p9_weighted_sample", "w6_cumulative_distinct", "text_chunking",
-        "text_bpe_token_stats", "text_contamination",
-        # r5: pk_unique check names now embed the key columns
-        "chk_validation_summary",
-        # r5: a22 excludes NULL ts; embedding cosine zero-norm guard
-        "a22_time_grouping_sets", "dedup_embedding_cosine",
+        # r6: WS-class trim guard now gates the token-stream filters
+        # (ADVICE r5 #4) — oracles re-pinned in both engines
+        "text_tfidf_terms", "text_unigram_logprob", "text_vocab_growth",
+        "text_zipf_slope", "text_quality_classifier",
     }
 )
 
@@ -148,7 +137,7 @@ def _ordered(names: list[str]) -> list[str]:
     taken = set(never) | set(priority)
     blocks = [never, priority] + [
         [n for n in names if n in tier and n not in taken]
-        for tier in (_R2_DRIVER_VERIFIED, _R3_DRIVER_VERIFIED, _R4_DRIVER_VERIFIED)
+        for tier in (_R3_DRIVER_VERIFIED, _R4_DRIVER_VERIFIED, _R5_DRIVER_VERIFIED)
     ]
     for block in blocks:
         block.sort(key=lambda n: (_family_rank(n), names.index(n)))

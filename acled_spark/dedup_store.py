@@ -74,6 +74,28 @@ def _bands_path(root: str) -> str:
     return posixpath.join(root, "bands")
 
 
+def store_exists(spark: SparkSession, root: str) -> bool:
+    """True when a signature store is present (either backend).
+
+    A path backend counts as present when ``exact/`` exists OR a
+    committed retire staging does (the next read heals it into place);
+    a ``table:`` backend when the exact table is in the catalog.  Used
+    by callers (e.g. :class:`acled_spark.release.CorpusRelease`) to
+    fail fast with a clear bootstrap message instead of an opaque
+    parquet/table read error mid-pipeline.
+    """
+    if _is_table(root):
+        return spark.catalog.tableExists(_table_names(root)[0])
+    from acled_spark.fsutil import fs_exists
+
+    if fs_exists(spark, _exact_path(root)):
+        return True
+    staging = _retire_staging(root)
+    return fs_exists(
+        spark, posixpath.join(staging, _COMMIT_MARKER)
+    ) and fs_exists(spark, _exact_path(staging))
+
+
 def _read_exact(spark: SparkSession, root: str) -> DataFrame:
     if _is_table(root):
         return spark.table(_table_names(root)[0])
@@ -278,7 +300,9 @@ def _retire_staging(root: str) -> str:
 _COMMIT_MARKER = "_COMMIT"
 
 
-def recover_store(spark: SparkSession, root: str) -> bool:
+def recover_store(
+    spark: SparkSession, root: str, *, discard_uncommitted: bool = False
+) -> bool:
     """Repair a path-backend store after a crash mid-:func:`retire_ids`.
 
     The retire swap is staged: the full replacement store is written to
@@ -287,8 +311,17 @@ def recover_store(spark: SparkSession, root: str) -> bool:
     crash anywhere in the swap window leaves the staging dir behind;
     this promotes any still-staged tables (completing the interrupted
     swap — committed staging is the authoritative post-retire state)
-    and removes the shell.  Staging WITHOUT the marker is an
-    incomplete write: it is discarded and the original store stands.
+    and removes the shell.
+
+    Staging WITHOUT the marker is an incomplete write.  The original
+    store is intact in that case, so the read path (``discard_uncommitted
+    =False``, the default) leaves it ALONE: a concurrent reader — e.g. a
+    streaming :class:`DedupMaintainer` micro-batch — must not delete a
+    staging dir another process's :func:`retire_ids` is still writing
+    (the writer's later swap would delete root's bands dir and then fail
+    the rename, losing a table).  Only :func:`retire_ids` itself — the
+    store's single writer, about to rebuild staging anyway — passes
+    ``discard_uncommitted=True`` to clear its own crash debris.
 
     Called automatically by :func:`retire_ids` and by the store read
     path whenever a staging dir exists, so a crashed retire heals on
@@ -305,14 +338,15 @@ def recover_store(spark: SparkSession, root: str) -> bool:
     from acled_spark.fsutil import _fs_and_path
 
     fs, jstaging, _ = _fs_and_path(spark, staging)
-    promoted = False
     if fs_exists(spark, posixpath.join(staging, _COMMIT_MARKER)):
         for sub in (_bands_path, _exact_path):
             if fs_exists(spark, sub(staging)):
                 fs_replace_dir(spark, sub(staging), sub(root))
-                promoted = True
-    fs.delete(jstaging, True)
-    return promoted
+        fs.delete(jstaging, True)
+        return True
+    if discard_uncommitted:
+        fs.delete(jstaging, True)
+    return False
 
 
 def retire_ids(
@@ -356,7 +390,10 @@ def retire_ids(
     """
     from acled_spark.fsutil import _fs_and_path, fs_replace_dir, fs_write_text
 
-    recover_store(spark, root)
+    # As the store's single writer, a leftover marker-less staging dir
+    # is this function's own prior crash debris — safe to clear here
+    # (and ONLY here; the read path never discards, see recover_store).
+    recover_store(spark, root, discard_uncommitted=True)
     keys = ids.select("doc_id").distinct().localCheckpoint()
     exact = _read_exact(spark, root)
     before = exact.count()

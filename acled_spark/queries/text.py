@@ -678,7 +678,7 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH tok AS (
       SELECT doc_id, lang, unnest(string_split_regex(lower(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')), '[ \t\n\x0B\f\r]+')) AS w
-      FROM documents WHERE length(trim(text)) > 0
+      FROM documents WHERE length(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')) > 0
     ),
     n AS (SELECT COUNT(*) AS n_docs FROM documents),
     df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w),
@@ -707,7 +707,7 @@ def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     join; the only wide shuffle is the (lang, term) partial-agg count.
     """
     docs = load(spark, sf_dir, "documents")
-    tok = docs.filter(F.length(F.trim("text")) > 0).select(
+    tok = docs.filter(F.length(ws_trim(F.col("text"))) > 0).select(
         "doc_id",
         "lang",
         F.explode(F.split(F.lower(ws_trim(F.col("text"))), f"{WS}+")).alias("w"),
@@ -850,7 +850,7 @@ def doc_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH tok AS (
       SELECT doc_id, lang, unnest(string_split_regex(lower(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')), '[ \t\n\x0B\f\r]+')) AS w
-      FROM documents WHERE length(trim(text)) > 0
+      FROM documents WHERE length(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')) > 0
     ),
     v AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
     v2 AS (SELECT w, cnt, CAST(SUM(cnt) OVER () AS DOUBLE) AS total FROM v)
@@ -876,7 +876,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id rollup.
     """
     docs = load(spark, sf_dir, "documents")
-    tok = docs.filter(F.length(F.trim("text")) > 0).select(
+    tok = docs.filter(F.length(ws_trim(F.col("text"))) > 0).select(
         "doc_id",
         "lang",
         F.explode(F.split(F.lower(ws_trim(F.col("text"))), f"{WS}+")).alias("w"),
@@ -978,7 +978,7 @@ _DECILE_SQL = hex_to_int_sql("md5(CAST(doc_id AS VARCHAR))", 2)
     WITH tok AS (
       SELECT ({_DECILE_SQL}) * 10 // 256 AS decile,
              unnest(string_split_regex(lower(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')), '[ \t\n\x0B\f\r]+')) AS w
-      FROM documents WHERE length(trim(text)) > 0
+      FROM documents WHERE length(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')) > 0
     ),
     g AS (SELECT decile, w, COUNT(*) AS cnt FROM tok GROUP BY decile, w),
     s AS (SELECT decile, cnt,
@@ -1012,7 +1012,7 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
     ).cast("int")
     decile = F.floor(h1 * 10 / 256).cast("int")
-    tok = docs.filter(F.length(F.trim("text")) > 0).select(
+    tok = docs.filter(F.length(ws_trim(F.col("text"))) > 0).select(
         decile.alias("decile"),
         F.explode(F.split(F.lower(ws_trim(F.col("text"))), f"{WS}+")).alias("w"),
     )
@@ -1051,7 +1051,7 @@ ZIPF_TOP = 500
     WITH f AS (
       SELECT w, COUNT(*) AS freq
       FROM (SELECT unnest(string_split_regex(lower(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')), '[ \t\n\x0B\f\r]+')) AS w
-            FROM documents WHERE length(trim(text)) > 0)
+            FROM documents WHERE length(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')) > 0)
       GROUP BY w
     ),
     r AS (
@@ -1081,7 +1081,7 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     f = (
-        docs.filter(F.length(F.trim("text")) > 0)
+        docs.filter(F.length(ws_trim(F.col("text"))) > 0)
         .select(F.explode(F.split(F.lower(ws_trim(F.col("text"))), f"{WS}+")).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
@@ -1210,7 +1210,7 @@ def _qc_weight(token: Column) -> Column:
     WITH tok AS (
       SELECT doc_id, lang,
              unnest(string_split_regex(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+')) AS w
-      FROM documents WHERE length(trim(text)) > 0
+      FROM documents WHERE length(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')) > 0
     ),
     tw AS (
       SELECT doc_id, lang, COUNT(*) AS n_tokens,
@@ -1254,7 +1254,7 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality classifier; this extends the LLM-pipeline surface
     (SURVEY.md extended ops).
     """
-    docs = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    docs = load(spark, sf_dir, "documents").filter(F.length(ws_trim(F.col("text"))) > 0)
     toks = _tokens_spark(F.col("text"))
     d = docs.select(
         "lang",

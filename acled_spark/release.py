@@ -42,7 +42,15 @@ from pyspark.sql import functions as F
 
 @dataclass
 class ReleaseResult:
-    """What one release did, for the run log / downstream triggers."""
+    """What one release did, for the run log / downstream triggers.
+
+    ``exported`` counts the rows that PARSE back off disk;
+    ``manifest_problems`` additionally carries an ``export_rows``
+    record whenever that count disagrees with the survivor set that was
+    handed to the writer (or any line fails to parse) — the
+    round-trip-completeness gate a manifest alone can't provide, since
+    the manifest is derived from the same on-disk bytes it verifies.
+    """
 
     status_counts: dict[str, int]
     retired: int
@@ -88,10 +96,40 @@ class CorpusRelease:
         export_path: str | None = None,
         shuffle_seed: str | None = None,
         shards: int = 16,
-        epoch_id: int = 0,
+        epoch_id: int | None = None,
     ) -> ReleaseResult:
-        from acled_spark.dedup_store import process_batch, retire_ids
+        """Run one release.  PRECONDITION: the signature store at
+        ``store_root`` must already exist (:func:`~acled_spark.
+        dedup_store.init_store` on the bootstrap corpus) — checked up
+        front so a fresh root fails with a clear message instead of an
+        opaque parquet-read error inside stage 2.
+
+        With ``fold_reference=True``, ``epoch_id`` is REQUIRED and must
+        be unique per release (a release sequence number / tag hash):
+        the drift baseline's replay gate keys on ``(epoch_id, bin
+        digest)``, so two releases sharing the default id whose deltas
+        happen to sketch identically would misread the second fold as
+        an at-least-once replay and silently skip it.
+        """
+        from acled_spark.dedup_store import process_batch, retire_ids, store_exists
         from acled_spark.queries.cdc import snapshot_diff
+
+        if self.fold_reference and epoch_id is None:
+            raise ValueError(
+                "fold_reference=True needs a unique per-release epoch_id "
+                "(e.g. a release sequence number): the drift fold's replay "
+                "gate keys on it, and a repeated default id can silently "
+                "skip a legitimate fold"
+            )
+        if epoch_id is None:
+            epoch_id = 0
+        if not store_exists(spark, self.store_root):
+            raise ValueError(
+                f"no signature store at {self.store_root!r} — run "
+                "dedup_store.init_store(bootstrap_corpus, store_root) once "
+                "before the first release (CorpusRelease retires/appends "
+                "against an existing store; it does not bootstrap one)"
+            )
 
         # 1. diff (materialized once: three consumers below)
         diff = snapshot_diff(old, new).localCheckpoint()
@@ -132,6 +170,7 @@ class CorpusRelease:
         problems: list = []
         if export_path is not None:
             from acled_spark.export import (
+                corrupt_line_audit,
                 read_jsonl,
                 verify_manifest,
                 write_jsonl,
@@ -144,7 +183,9 @@ class CorpusRelease:
                 ).select("doc_id"),
                 "doc_id",
                 "left_semi",
-            )
+            ).localCheckpoint()  # one delta-scale materialization: the
+            # shard write and the expected-count below share it
+            expected = survivors.count()
             schema = ", ".join(
                 f"{f.name} {f.dataType.simpleString()}" for f in new.schema.fields
             )
@@ -158,7 +199,24 @@ class CorpusRelease:
             back = read_jsonl(spark, export_path, schema)
             write_manifest(back, export_path)
             problems = verify_manifest(spark, export_path, schema)
-            exported = back.count()
+            # Round-trip completeness: the manifest is derived from the
+            # same on-disk bytes it later verifies, so it cannot catch a
+            # row that failed the JSON round-trip (DROPMALFORMED would
+            # silently shrink the export and bake the loss into the
+            # manifest).  One raw-text pass counts parse failures and
+            # reconciles line count against the survivor set.
+            audit = corrupt_line_audit(spark, export_path, schema).collect()[0]
+            exported = audit["total_lines"] - audit["corrupt_lines"]
+            if audit["corrupt_lines"] or exported != expected:
+                problems.append(
+                    {
+                        "shard": "*",
+                        "problem": "export_rows",
+                        "expected_rows": expected,
+                        "parseable_rows": exported,
+                        "corrupt_rows": audit["corrupt_lines"],
+                    }
+                )
 
         return ReleaseResult(
             status_counts=status_counts,

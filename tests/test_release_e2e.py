@@ -262,9 +262,9 @@ def test_retire_ids_rekeys_orphaned_fingerprints(spark, tmp_path):
 def test_recover_store_promotes_committed_staging_only(spark, tmp_path):
     """Crash-window healing: a COMMITTED staging dir is promoted by the
     next store read (completing the interrupted swap); an uncommitted
-    one is discarded and the original store stands."""
-    import shutil
-
+    one is LEFT ALONE by readers (another process's retire_ids may
+    still be writing it — ADVICE r5) and discarded only by the writer's
+    own entry call (discard_uncommitted=True)."""
     from acled_spark.dedup_store import (
         _COMMIT_MARKER,
         _read_exact,
@@ -289,11 +289,18 @@ def test_recover_store_promotes_committed_staging_only(spark, tmp_path):
     assert _read_exact(spark, store).count() == n_staged < n0
     assert not os.path.exists(staging)
 
-    # an UNCOMMITTED staging dir (crash mid-write) is discarded
+    # an UNCOMMITTED staging dir (in-progress or crashed write): the
+    # read path must NOT touch it — a concurrent retirer may still be
+    # writing — and the store serves the intact root tables
     init_store(docs.limit(5), staging)  # no marker
     assert recover_store(spark, store) is False
-    assert not os.path.exists(staging)
+    assert os.path.exists(staging)  # reader left it alone
     assert _read_exact(spark, store).count() == n_staged  # unchanged
+
+    # only the writer's own entry call clears its crash debris
+    assert recover_store(spark, store, discard_uncommitted=True) is False
+    assert not os.path.exists(staging)
+    assert _read_exact(spark, store).count() == n_staged
 
 
 def test_corpus_release_api_matches_manual_composition(spark, tmp_path):
@@ -339,3 +346,59 @@ def test_corpus_release_api_matches_manual_composition(spark, tmp_path):
     res2 = CorpusRelease(store).apply(spark, new, new)
     assert res2.retired == 0 and res2.appended == 0
     assert set(res2.status_counts) == {"unchanged"}
+
+
+def test_release_guards_and_export_reconciliation(spark, tmp_path, monkeypatch):
+    """ADVICE r5 regression pins: (a) a fresh store root fails fast with
+    a bootstrap message, (b) fold_reference demands a unique per-release
+    epoch_id, (c) a parse-failing export line surfaces as an
+    ``export_rows`` problem instead of silently shrinking the count."""
+    import pytest
+
+    import acled_spark.export as export_mod
+    from acled_spark.drift import init_reference
+    from acled_spark.release import CorpusRelease
+
+    docs = load(spark, SF_DIR, "documents").select(*DOC_COLS).limit(40)
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs
+
+    # (a) never-bootstrapped store → descriptive error, not a parquet
+    # stack trace from inside retire_ids
+    with pytest.raises(ValueError, match="init_store"):
+        CorpusRelease(str(tmp_path / "nostore")).apply(spark, old, new)
+
+    store = str(tmp_path / "store")
+    init_store(old, store)
+
+    # (b) moving-baseline policy without a unique release id → the fold
+    # replay gate could silently skip a legitimate fold
+    ref = str(tmp_path / "ref")
+    init_reference(old, ref, value_col="n_chars", group_col="source", width=200.0)
+    rel = CorpusRelease(store, drift_root=ref, fold_reference=True)
+    with pytest.raises(ValueError, match="epoch_id"):
+        rel.apply(spark, old, new)
+    res = rel.apply(spark, old, new, epoch_id=1)  # explicit id folds fine
+    assert res.appended > 0
+
+    # (c) a dropped/corrupt export line is reported, not absorbed: fake
+    # the raw-line audit seeing one parse failure and assert the
+    # reconciliation record lands in manifest_problems
+    real_audit = export_mod.corrupt_line_audit
+
+    def lying_audit(sp, path, schema):
+        row = real_audit(sp, path, schema).collect()[0]
+        return sp.createDataFrame(
+            [(row["total_lines"], row["corrupt_lines"] + 1)],
+            "total_lines long, corrupt_lines long",
+        )
+
+    store2 = str(tmp_path / "store2")
+    init_store(old, store2)
+    monkeypatch.setattr(export_mod, "corrupt_line_audit", lying_audit)
+    res2 = CorpusRelease(store2).apply(
+        spark, old, new, export_path=str(tmp_path / "exp")
+    )
+    recs = [p for p in res2.manifest_problems if p["problem"] == "export_rows"]
+    assert len(recs) == 1 and recs[0]["corrupt_rows"] == 1
+    assert recs[0]["parseable_rows"] == recs[0]["expected_rows"] - 1

@@ -38,6 +38,7 @@ _WS_QUERIES = [
     "text_dup_spans", "dedup_exact", "dedup_ngram_jaccard",
     "pack_sequences", "pack_materialize", "mix_weights",
     "prep_corpus_stats", "cdc_snapshot_diff", "release_delta_audit",
+    "text_quality_classifier",
 ]
 
 
@@ -82,3 +83,17 @@ def test_blank_and_vtab_tokenization_pinned(spark):
     assert got[1] == ["a", "b"]    # \x0B splits
     assert got[2] == ["x", "y"]    # newline edges trimmed
     assert got[3] == []
+
+
+def test_token_stream_guard_uses_ws_class(spark, edge_dir):
+    """ADVICE r5 #4 regression: the token-stream queries' doc guard is
+    the WS-class trim, not space-only trim — an all-tab doc (row 4)
+    must contribute ZERO rows to the token stream instead of minting a
+    phantom '' term."""
+    from acled_spark.queries.text import text_tfidf_terms, text_unigram_logprob
+
+    terms = [r["term"] for r in text_tfidf_terms(spark, edge_dir).collect()]
+    assert "" not in terms
+    # the tab-only doc (doc_id=4) contributes no unigram row at all
+    ids = [r["doc_id"] for r in text_unigram_logprob(spark, edge_dir).collect()]
+    assert 4 not in ids
