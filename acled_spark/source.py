@@ -130,12 +130,61 @@ def ingest_day(
         raise EmptyPartitionError(
             f"no data returned for partition {day.isoformat()}"
         )
+    return _rows_to_df(spark, rows)
+
+
+def _rows_to_df(spark: SparkSession, rows: list[dict]) -> DataFrame:
+    """Fetched records -> all-string raw frame (S3; one day is driver-
+    sized by the source's own page cap)."""
     normalized = [
         tuple(str(r[name]) if r.get(name) is not None else None
               for name in ACLED_RAW_SCHEMA.fieldNames())
         for r in rows
     ]
     return spark.createDataFrame(normalized, schema=ACLED_RAW_SCHEMA)
+
+
+#: Region name -> ACLED region codes, mirroring the reference's region
+#: asset map (ref country_assets.py:11-14): a named region can span
+#: several API region codes, each fetched with its own page loop.
+REGIONS: dict[str, tuple[str, ...]] = {
+    "Africa": ("1", "2", "3", "4", "5"),
+    "Middle_East": ("11",),
+}
+
+
+def ingest_region(
+    spark: SparkSession,
+    fetcher: PageFetcher,
+    day: date,
+    region: str,
+    limit: int = DEFAULT_PAGE_LIMIT,
+    region_map: dict[str, tuple[str, ...]] | None = None,
+) -> DataFrame:
+    """One day's raw records for a NAMED region as a DataFrame.
+
+    The reference materializes per-region day assets by looping the
+    region's API codes, setting ``config.region`` per code, and running
+    the page loop for each (ref country_assets.py:35-72).  Here each
+    code rides the existing param-pushdown path — ``{"region": code}``
+    is a server-side filter exactly like a pushed DSL predicate — and
+    the per-code row lists concatenate into one typed frame.  An empty
+    region-day raises :class:`EmptyPartitionError` like
+    :func:`ingest_day` (the reference logs-and-returns-empty; a typed
+    error composes with ``run_backfill``'s skip handling).
+    """
+    codes = (region_map or REGIONS).get(region)
+    if not codes:
+        known = sorted(region_map or REGIONS)
+        raise ValueError(f"unknown region {region!r}; known: {known}")
+    rows: list[dict] = []
+    for code in codes:
+        rows.extend(fetch_day(fetcher, day, limit, params={"region": code}))
+    if not rows:
+        raise EmptyPartitionError(
+            f"no data returned for region {region} on {day.isoformat()}"
+        )
+    return _rows_to_df(spark, rows)
 
 
 def partition_days(start: date, end: date) -> list[date]:

@@ -90,6 +90,46 @@ def test_empty_partition_raises(spark):
         ingest_day(spark, fetcher, date(2025, 1, 2))
 
 
+def test_ingest_region_loops_codes_with_pushdown(spark):
+    """Region convenience face (ref country_assets.py:35-72): each of
+    the region's API codes gets its own page loop with the code pushed
+    as a server-side `region` param, and the per-code results land in
+    one typed frame."""
+    from acled_spark.source import EmptyPartitionError, ingest_region
+
+    seen: list[tuple[str, int]] = []
+
+    def fetcher(day, page, limit, params):
+        code = params["region"]
+        seen.append((code, page))
+        n = {"1": 70, "2": 0}.get(code, 0)  # code 1 pages at limit=50
+        start = (page - 1) * 50
+        stop = min(start + 50, n)
+        return [
+            _raw_row(start + i, day, region=f"code-{code}")
+            for i in range(max(0, stop - start))
+        ]
+
+    day = date(2025, 1, 2)
+    df = ingest_region(
+        spark, fetcher, day, "TestRegion", limit=50,
+        region_map={"TestRegion": ("1", "2")},
+    )
+    assert df.count() == 70
+    # code 1 paged twice (70 rows at limit 50), code 2 once (empty)
+    assert seen == [("1", 1), ("1", 2), ("2", 1)]
+    assert set(r["region"] for r in df.select("region").distinct().collect()) == {
+        "code-1"
+    }
+
+    with pytest.raises(ValueError, match="unknown region"):
+        ingest_region(spark, fetcher, day, "Atlantis")
+    with pytest.raises(EmptyPartitionError):
+        ingest_region(
+            spark, fetcher, day, "Empty", region_map={"Empty": ("9",)}
+        )
+
+
 def test_typed_cast_null_on_error(spark):
     day = date(2025, 1, 2)
     rows = [
