@@ -112,6 +112,9 @@ _RECERT_PRIORITY: frozenset[str] = frozenset(
         # (ADVICE r5 #4) — oracles re-pinned in both engines
         "text_tfidf_terms", "text_unigram_logprob", "text_vocab_growth",
         "text_zipf_slope", "text_quality_classifier",
+        # r6: convergence certificate column added in both engines
+        # (VERDICT r5 #4)
+        "dedup_cluster_census",
     }
 )
 

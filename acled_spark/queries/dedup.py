@@ -582,6 +582,50 @@ def lsh_candidate_edges(
     )
 
 
+def min_label_components(ed: DataFrame, rounds: int) -> tuple[DataFrame, DataFrame]:
+    """Bounded min-label propagation over undirected edges ``ed(u, v)``.
+
+    Returns ``(labels, chg)``: ``labels`` is one ``(v, lbl)`` row per
+    vertex after ``rounds`` propagation rounds (lbl = min vertex id
+    within graph distance ``rounds``), and ``chg`` is a ONE-ROW frame
+    whose ``chg`` column is 0 iff one further round moves no label —
+    the convergence certificate (components of diameter > rounds are
+    under-merged, and only this flag can tell).  Each round is one
+    shuffle keyed on the vertex id over label-pair rows only.
+    """
+    verts = ed.select(F.col("u").alias("x")).union(ed.select("v")).distinct()
+    adj = (
+        ed.select(F.col("u").alias("v"), F.col("v").alias("nbr"))
+        .unionByName(ed.select(F.col("v").alias("v"), F.col("u").alias("nbr")))
+        .unionByName(verts.select(F.col("x").alias("v"), F.col("x").alias("nbr")))
+    )
+
+    def propagate(lbls: DataFrame) -> DataFrame:
+        return (
+            adj.join(lbls.withColumnRenamed("v", "nv"), F.col("nbr") == F.col("nv"))
+            .groupBy("v")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+
+    labels = adj.groupBy("v").agg(F.min("nbr").alias("lbl"))
+    for _ in range(rounds - 1):
+        labels = propagate(labels)
+    # Materialize the k-round labels once: both the caller and the
+    # convergence-cert round read them, and the cert round would
+    # otherwise replay the whole k-join chain a second time.
+    labels = labels.localCheckpoint()
+    chg = (
+        labels.withColumnRenamed("lbl", "lbl0")
+        .join(propagate(labels), "v")
+        .agg(
+            F.coalesce(
+                F.max((F.col("lbl") != F.col("lbl0")).cast("int")), F.lit(0)
+            ).alias("chg")
+        )
+    )
+    return labels, chg
+
+
 def _propagation_sql(rounds: int) -> str:
     ctes = ["l1 AS (SELECT v, MIN(nbr) AS lbl FROM adj GROUP BY v)"]
     for k in range(2, rounds + 1):
@@ -607,13 +651,19 @@ def _propagation_sql(rounds: int) -> str:
       UNION ALL SELECT v, u FROM ed
       UNION ALL SELECT x, x FROM (SELECT u AS x FROM ed UNION SELECT v FROM ed)
     ),
-    {_propagation_sql(_PROPAGATION_ROUNDS)},
+    {_propagation_sql(_PROPAGATION_ROUNDS + 1)},
+    chg AS (
+      SELECT COALESCE(MAX(CASE WHEN a.lbl <> b.lbl THEN 1 ELSE 0 END), 0) AS chg
+      FROM l{_PROPAGATION_ROUNDS} a
+      JOIN l{_PROPAGATION_ROUNDS + 1} b ON a.v = b.v
+    ),
     census AS (
       SELECT lbl, COUNT(*) AS sz FROM l{_PROPAGATION_ROUNDS} GROUP BY lbl
     )
     SELECT CAST(sz AS BIGINT) AS cluster_size,
            COUNT(*) AS n_clusters,
-           CAST(SUM(sz) AS BIGINT) AS docs_in_clusters
+           CAST(SUM(sz) AS BIGINT) AS docs_in_clusters,
+           (SELECT chg FROM chg) = 0 AS converged
     FROM census GROUP BY sz ORDER BY cluster_size
     """,
     tags=("dedup", "lsh", "graph", "extended"),
@@ -629,6 +679,17 @@ def dedup_cluster_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     each propagation round is one small shuffle keyed on the vertex id,
     and the candidate graph is orders of magnitude smaller than the
     corpus.
+
+    Bounded-k under-merges components whose diameter exceeds k, so a
+    ``converged`` flag rides every row (VERDICT r5 #4): one EXTRA
+    propagation round runs and the flag is true iff no vertex's label
+    moved — i.e. k was sufficient for THIS graph, the census is the true
+    connected-components census, and the oracle agreement isn't just two
+    engines sharing the same truncation.  Both engines derive the flag
+    independently (the oracle runs l{{k+1}} and compares), so the driver
+    hash-match pins it.  Certification cost: one extra tiny-frame
+    shuffle round (labels are (v, lbl) pairs over bucketed vertices
+    only, never corpus rows).
     """
     docs = load(spark, sf_dir, "documents")
     bands = minhash_bands_spark(docs)
@@ -639,19 +700,7 @@ def dedup_cluster_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it would be checkpoint() to durable storage instead.  No bucket cap
     # here (the oracle keeps it exact); at 100 TB pass max_bucket.
     ed = lsh_candidate_edges(bands).localCheckpoint()
-    verts = ed.select(F.col("u").alias("x")).union(ed.select("v")).distinct()
-    adj = (
-        ed.select(F.col("u").alias("v"), F.col("v").alias("nbr"))
-        .unionByName(ed.select(F.col("v").alias("v"), F.col("u").alias("nbr")))
-        .unionByName(verts.select(F.col("x").alias("v"), F.col("x").alias("nbr")))
-    )
-    labels = adj.groupBy("v").agg(F.min("nbr").alias("lbl"))
-    for _ in range(_PROPAGATION_ROUNDS - 1):
-        labels = (
-            adj.join(labels.withColumnRenamed("v", "nv"), F.col("nbr") == F.col("nv"))
-            .groupBy("v")
-            .agg(F.min("lbl").alias("lbl"))
-        )
+    labels, chg = min_label_components(ed, _PROPAGATION_ROUNDS)
     census = labels.groupBy("lbl").agg(F.count("*").alias("sz"))
     return (
         census.groupBy(F.col("sz").cast("long").alias("cluster_size"))
@@ -659,6 +708,9 @@ def dedup_cluster_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_clusters"),
             F.sum("sz").cast("long").alias("docs_in_clusters"),
         )
+        .crossJoin(F.broadcast(chg))
+        .withColumn("converged", F.col("chg") == 0)
+        .drop("chg")
         .orderBy("cluster_size")
     )
 

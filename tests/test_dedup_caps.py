@@ -129,6 +129,34 @@ def test_lsh_cap_at_or_above_bucket_size_is_exact(hot_bucket_corpus):
     assert exact == lax
 
 
+def test_min_label_propagation_convergence_flag(spark):
+    """The census's ``converged`` certificate (VERDICT r5 #4): bounded-k
+    min-label propagation under-merges a path graph of diameter > k, and
+    the one-extra-round certificate must say so; with k >= diameter the
+    labels are the true components and the flag flips true."""
+    from acled_spark.queries.dedup import min_label_components
+
+    # path 0-1-2-...-7 (diameter 7) plus an isolated 2-clique 100-101
+    edges = [(i, i + 1) for i in range(7)] + [(100, 101)]
+    ed = spark.createDataFrame(edges, "u long, v long")
+
+    labels, chg = min_label_components(ed, rounds=3)
+    assert chg.collect()[0]["chg"] == 1  # NOT converged at k=3
+    got = {r["v"]: r["lbl"] for r in labels.collect()}
+    assert got[7] != 0  # far end of the path has not seen label 0 yet
+
+    labels, chg = min_label_components(ed, rounds=8)
+    assert chg.collect()[0]["chg"] == 0  # converged
+    got = {r["v"]: r["lbl"] for r in labels.collect()}
+    assert all(got[i] == 0 for i in range(8))
+    assert got[100] == got[101] == 100
+
+    # empty edge set: no vertices, trivially converged (the crossJoin
+    # in the census then broadcasts converged=true onto zero rows)
+    _, chg = min_label_components(ed.limit(0), rounds=3)
+    assert chg.collect()[0]["chg"] == 0
+
+
 def test_registry_queries_unchanged_by_refactor(spark):
     """dedup_ngram_jaccard / dedup_cluster_census still match their
     oracles after extracting the capped builders (default = exact)."""
