@@ -309,26 +309,33 @@ def recover_store(
     a staging dir, a ``_COMMIT`` marker is written, then each table is
     delete+renamed into place (Hadoop FS has no directory swap).  A
     crash anywhere in the swap window leaves the staging dir behind;
-    this promotes any still-staged tables (completing the interrupted
-    swap — committed staging is the authoritative post-retire state)
-    and removes the shell.
+    this heals it.  How aggressively depends on who is calling:
 
-    Staging WITHOUT the marker is an incomplete write.  The original
-    store is intact in that case, so the read path (``discard_uncommitted
-    =False``, the default) leaves it ALONE: a concurrent reader — e.g. a
-    streaming :class:`DedupMaintainer` micro-batch — must not delete a
-    staging dir another process's :func:`retire_ids` is still writing
-    (the writer's later swap would delete root's bands dir and then fail
-    the rename, losing a table).  Only :func:`retire_ids` itself — the
-    store's single writer, about to rebuild staging anyway — passes
-    ``discard_uncommitted=True`` to clear its own crash debris.
+    - **Reader path** (``discard_uncommitted=False``, the default —
+      every store read): promote a committed staged table ONLY into a
+      slot whose root dir is MISSING (the crash left the store with a
+      deleted table), via :func:`acled_spark.fsutil.fs_try_promote_dir`.
+      Readers never delete a live root dir and never remove the staging
+      shell: a concurrent :func:`retire_ids` may be mid-swap on those
+      exact dirs, and a reader's delete+rename there loses a table to
+      the interleaving (ADVICE r6).  A committed staging next to a
+      fully intact root therefore serves the intact (pre-retire) store
+      until the writer's own entry call completes the swap — stale but
+      consistent, the normal read-during-swap view.
+    - **Writer path** (``discard_uncommitted=True`` — passed only by
+      :func:`retire_ids`, the store's SINGLE writer, on entry): the
+      authoritative heal.  Committed staged tables clobber their root
+      slots (delete + rename), the emptied shell is removed, and
+      marker-less staging — necessarily this writer's own prior crash
+      debris — is discarded before the rebuild.
 
     Called automatically by :func:`retire_ids` and by the store read
     path whenever a staging dir exists, so a crashed retire heals on
-    the next store operation.  Returns True when a promotion happened.
+    the next store operation.  Returns True iff this call promoted at
+    least one staged table (shell-only cleanup returns False).
     No-op for ``table:`` backends (their overwrite is metastore-txn'd).
     """
-    from acled_spark.fsutil import fs_exists, fs_replace_dir
+    from acled_spark.fsutil import fs_exists, fs_replace_dir, fs_try_promote_dir
 
     if _is_table(root):
         return False
@@ -339,14 +346,43 @@ def recover_store(
 
     fs, jstaging, _ = _fs_and_path(spark, staging)
     if fs_exists(spark, posixpath.join(staging, _COMMIT_MARKER)):
+        promoted = False
         for sub in (_bands_path, _exact_path):
-            if fs_exists(spark, sub(staging)):
-                fs_replace_dir(spark, sub(staging), sub(root))
-        fs.delete(jstaging, True)
-        return True
+            if discard_uncommitted:
+                if fs_exists(spark, sub(staging)):
+                    fs_replace_dir(spark, sub(staging), sub(root))
+                    promoted = True
+            else:
+                promoted |= fs_try_promote_dir(spark, sub(staging), sub(root))
+        if discard_uncommitted:
+            fs.delete(jstaging, True)
+        return promoted
     if discard_uncommitted:
         fs.delete(jstaging, True)
     return False
+
+
+def _writer_promote(spark: SparkSession, src: str, dest: str) -> None:
+    """The writer's half of the committed-window swap: clobbering
+    delete+rename, tolerant of a concurrent reader's
+    :func:`recover_store` having completed the same promotion.  In the
+    committed window exactly one content is in flight (the staged
+    table), so ``src`` gone with ``dest`` present means a healer
+    already renamed the staged bytes into place — success by proxy.
+    """
+    from acled_spark.fsutil import fs_exists, fs_replace_dir
+
+    if not fs_exists(spark, src):
+        if fs_exists(spark, dest):
+            return  # a concurrent recover_store promoted it for us
+        raise IOError(f"staged table {src} missing and {dest} absent")
+    try:
+        fs_replace_dir(spark, src, dest)
+    except IOError:
+        # a reader's fs_try_promote_dir can steal the rename between
+        # our delete of dest and our rename — same staged content wins
+        if not (fs_exists(spark, dest) and not fs_exists(spark, src)):
+            raise
 
 
 def retire_ids(
@@ -388,7 +424,7 @@ def retire_ids(
     the next store op).  The table backend rewrites via a
     lineage-severed overwrite that restates the bucket spec.
     """
-    from acled_spark.fsutil import _fs_and_path, fs_replace_dir, fs_write_text
+    from acled_spark.fsutil import _fs_and_path, fs_write_text
 
     # As the store's single writer, a leftover marker-less staging dir
     # is this function's own prior crash debris — safe to clear here
@@ -437,8 +473,8 @@ def retire_ids(
         fs_write_text(
             spark, posixpath.join(staging, _COMMIT_MARKER), "committed"
         )
-        fs_replace_dir(spark, _bands_path(staging), _bands_path(root))
-        fs_replace_dir(spark, _exact_path(staging), _exact_path(root))
+        _writer_promote(spark, _bands_path(staging), _bands_path(root))
+        _writer_promote(spark, _exact_path(staging), _exact_path(root))
         _fs_and_path(spark, staging)[0].delete(
             _fs_and_path(spark, staging)[1], True
         )  # drop the emptied staging shell

@@ -61,6 +61,28 @@ def fs_replace_dir(spark: SparkSession, src: str, dest: str) -> None:
         raise IOError(f"could not rename {src} -> {dest}")
 
 
+def fs_try_promote_dir(spark: SparkSession, src: str, dest: str) -> bool:
+    """Rename ``src`` into ``dest`` ONLY when ``dest`` is absent.
+
+    The reader-safe half of :func:`fs_replace_dir`: it never deletes an
+    existing ``dest``, so a concurrent writer mid-swap cannot lose a
+    live table to a healing reader (ADVICE r6, dedup_store committed
+    window).  Peer-tolerant: ``src`` vanishing or ``dest`` appearing
+    between the checks and the rename means another process completed
+    the same promotion — that is success-by-proxy, not an error.
+    Returns True iff THIS call performed the rename.
+    """
+    fs, jdest, jvm = _fs_and_path(spark, dest)
+    jsrc = jvm.org.apache.hadoop.fs.Path(src)
+    if fs.exists(jdest) or not fs.exists(jsrc):
+        return False
+    if fs.rename(jsrc, jdest):
+        return True
+    if fs.exists(jdest):
+        return False  # a peer promoted it between our check and rename
+    raise IOError(f"could not rename {src} -> {dest}")
+
+
 def fs_qualified_path(spark: SparkSession, path: str) -> str:
     """The filesystem-resolved absolute (decoded) path of ``path`` —
     the prefix against which file URIs relativize."""

@@ -204,16 +204,28 @@ class CorpusRelease:
             # row that failed the JSON round-trip (DROPMALFORMED would
             # silently shrink the export and bake the loss into the
             # manifest).  One raw-text pass counts parse failures and
-            # reconciles line count against the survivor set.
+            # reconciles line count against the survivor set.  The
+            # consumer-side count is reconciled SEPARATELY (ADVICE r6):
+            # corrupt_line_audit parses via from_json/PERMISSIVE while
+            # downstream loads go through read_jsonl's DROPMALFORMED
+            # datasource — a line the two parsers judge differently
+            # would otherwise make exported == expected while the real
+            # consumer silently drops it.
             audit = corrupt_line_audit(spark, export_path, schema).collect()[0]
             exported = audit["total_lines"] - audit["corrupt_lines"]
-            if audit["corrupt_lines"] or exported != expected:
+            consumer_rows = back.count()
+            if (
+                audit["corrupt_lines"]
+                or exported != expected
+                or consumer_rows != expected
+            ):
                 problems.append(
                     {
                         "shard": "*",
                         "problem": "export_rows",
                         "expected_rows": expected,
                         "parseable_rows": exported,
+                        "consumer_rows": consumer_rows,
                         "corrupt_rows": audit["corrupt_lines"],
                     }
                 )

@@ -260,11 +260,15 @@ def test_retire_ids_rekeys_orphaned_fingerprints(spark, tmp_path):
 
 
 def test_recover_store_promotes_committed_staging_only(spark, tmp_path):
-    """Crash-window healing: a COMMITTED staging dir is promoted by the
-    next store read (completing the interrupted swap); an uncommitted
-    one is LEFT ALONE by readers (another process's retire_ids may
-    still be writing it — ADVICE r5) and discarded only by the writer's
-    own entry call (discard_uncommitted=True)."""
+    """Crash-window healing, reader vs writer contracts (ADVICE r5+r6):
+
+    - committed staging next to an INTACT root: readers do NOT clobber
+      (a concurrent retire_ids may be mid-swap on those dirs) — only
+      the writer's entry call completes the swap;
+    - committed staging with a root table MISSING (crash between the
+      swap's delete and rename): the next read heals just that slot;
+    - uncommitted staging: readers leave it alone, the writer's entry
+      call discards its own crash debris."""
     from acled_spark.dedup_store import (
         _COMMIT_MARKER,
         _read_exact,
@@ -277,17 +281,34 @@ def test_recover_store_promotes_committed_staging_only(spark, tmp_path):
     init_store(docs, store)
     n0 = _read_exact(spark, store).count()
 
-    # simulate a crash AFTER the staging write + commit marker but
-    # BEFORE any swap: staging holds the post-retire store (10 fewer)
+    # crash AFTER the staging write + commit marker but BEFORE any
+    # swap: root is fully intact, so READERS must not touch anything —
+    # the writer's delete+rename may be about to run on those dirs
     smaller = docs.filter(F.col("doc_id") >= 10)
     staging = _retire_staging(store)
     init_store(smaller, staging)
     open(os.path.join(staging, _COMMIT_MARKER), "w").write("committed")
     n_staged = spark.read.parquet(os.path.join(staging, "exact")).count()
+    assert recover_store(spark, store) is False  # no promotion by reader
+    assert os.path.exists(staging)  # shell retained for the writer
+    assert _read_exact(spark, store).count() == n0  # intact root served
 
-    # the next plain read heals the store to the staged state
+    # crash INSIDE the swap: root/exact was deleted, its staged
+    # replacement not yet renamed — the next read promotes exactly the
+    # missing slot (rename only, no deletes) and leaves bands alone
+    import shutil
+
+    shutil.rmtree(os.path.join(store, "exact"))
     assert _read_exact(spark, store).count() == n_staged < n0
+    assert os.path.exists(os.path.join(store, "bands"))  # untouched
+    assert os.path.exists(staging)  # readers never remove the shell
+
+    # the writer's entry call finishes the job: promotes any remaining
+    # staged table (bands here) and removes the emptied shell
+    assert recover_store(spark, store, discard_uncommitted=True) is True
     assert not os.path.exists(staging)
+    n_bands = spark.read.parquet(os.path.join(store, "bands")).count()
+    assert n_bands > 0
 
     # an UNCOMMITTED staging dir (in-progress or crashed write): the
     # read path must NOT touch it — a concurrent retirer may still be
