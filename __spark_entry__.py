@@ -27,56 +27,30 @@ from acled_spark.registry import oracle_map, spark_queries
 # stale and lead round 4, followed by the r02 half (whose source files
 # round 3 edited: silver/similarity/packing/pipeline/olap).
 #
-# Round-6 rotation state (folded from CORRECTNESS_r05.json): round 5's
-# 50-row check re-verified the whole r02 tier (retired), 27 of the r03
-# tier, and 7 of the r04 tier, plus the 4 never-verified round-5
-# queries.  What remains stale: 23 r03 rows (two rounds old — they lead
-# round 6 per VERDICT r5 #1) and 43 r04 rows; 23 + 43 = 66 candidates
-# for the ~50-row budget, so all of r03 and the fast-family majority of
-# r04 land this round, leaving no row older than r04.  After
-# CORRECTNESS_r06 lands, fold its names into a _R6 tier and retire the
-# empties.
+# Round-7 rotation state (folded from CORRECTNESS_r06.json): round 6's
+# 50-row check re-verified the whole r03 tier (retired) plus 27 r04 and
+# 17 r05 rows.  What remains stale: 16 r04 rows (two rounds old — they
+# lead round 7 per VERDICT r6 #5) and 50 r05 rows; 16 + 50 = 66
+# candidates for the ~50-row budget, so all of r04 and the fast-family
+# majority of r05 land this round, leaving no row older than r05.
+# After CORRECTNESS_r07 lands, fold its names into a _R7 tier and
+# retire the empties.
 #
-# Queries whose freshest driver rows were written by the round-3 check
-# (CORRECTNESS_r03.json) — the stale block, emitted first.
-_R3_DRIVER_VERIFIED: frozenset[str] = frozenset(
-    {
-        "dedup_canonical_pick", "dedup_exact", "doc_filter_funnel",
-        "j2_static_map_lookup", "j3_anti_join", "p2_filter_dsl",
-        "p3_date_range", "p4_null_threshold", "p5_eq_filter",
-        "p6_threshold_topk", "p7_hash_split", "p8_stratified_sample",
-        "pack_materialize", "text_fingerprints", "text_langid_confusion",
-        "text_quality_scores", "text_repetition", "text_tfidf_terms",
-        "text_token_stats", "text_unigram_logprob", "text_vocab_growth",
-        "text_winnow_pairs", "text_zipf_slope",
-    }
-)
-
 # Queries whose freshest driver rows were written by the round-4 check
-# (CORRECTNESS_r04.json).  a19_approx_distinct's r04 row is the
-# by-design rows-only check (no_oracle).
+# (CORRECTNESS_r04.json) — the stale block, emitted first.
 _R4_DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
-        "a17_rollup", "a18_cube", "a19_approx_distinct",
-        "a20_ranking_suite", "a21_unpivot", "dedup_cluster_census",
         "dedup_incremental_check", "dedup_minhash_lsh",
         "dedup_ngram_jaccard", "dedup_simhash", "drift_psi",
-        "f13_correlation", "f14_levenshtein", "f15_bool_aggs",
-        "f2_time_extract", "f4_date_arithmetic", "f9_math_suite",
-        "f9b_vector_norm", "funnel_user_journey", "j4_semi_join",
-        "j5_multiway_revenue", "j6_snowflake_dims", "j7_asof_join",
-        "mix_weights", "pack_sequences", "prep_corpus_stats",
-        "q1_pricing_summary", "s8_upsert_merge", "sim_ann_lsh",
+        "j7_asof_join", "mix_weights", "s8_upsert_merge", "sim_ann_lsh",
         "sim_label_centroids", "sim_norm_outliers", "sim_quantize_error",
-        "sim_topk_bruteforce", "sql1_region_revenue", "text_dup_spans",
-        "text_pii_scrub", "text_quality_classifier", "train_shuffle",
-        "w1_moving_avg_7d", "w2_global_share", "w3_rank_rows",
-        "w4_lag_delta", "w5_range_frame",
+        "sim_topk_bruteforce", "text_dup_spans", "text_pii_scrub",
+        "train_shuffle",
     }
 )
 
-# Queries verified by the round-5 check (CORRECTNESS_r05.json) — the
-# FRESH block, emitted last.  sim_pca_top_component / a26 / sim_ann_ivf
+# Queries whose freshest driver rows were written by the round-5 check
+# (CORRECTNESS_r05.json).  sim_pca_top_component / a26 / sim_ann_ivf
 # rows are the by-design rows-only checks (no_oracle) whose invariants
 # ride the output columns.
 _R5_DRIVER_VERIFIED: frozenset[str] = frozenset(
@@ -101,20 +75,42 @@ _R5_DRIVER_VERIFIED: frozenset[str] = frozenset(
         "text_contamination", "w6_cumulative_distinct",
     }
 )
-_ALL_KNOWN = _R3_DRIVER_VERIFIED | _R4_DRIVER_VERIFIED | _R5_DRIVER_VERIFIED
 
-# Queries whose round-6 source/oracle edits POSTDATE their freshest
+# Queries verified by the round-6 check (CORRECTNESS_r06.json) — the
+# FRESH block, emitted last.  a19_approx_distinct's r06 row is the
+# by-design rows-only check (no_oracle).
+_R6_DRIVER_VERIFIED: frozenset[str] = frozenset(
+    {
+        "a17_rollup", "a18_cube", "a19_approx_distinct",
+        "a20_ranking_suite", "a21_unpivot", "dedup_canonical_pick",
+        "dedup_cluster_census", "dedup_exact", "doc_filter_funnel",
+        "f13_correlation", "f14_levenshtein", "f15_bool_aggs",
+        "f2_time_extract", "f4_date_arithmetic", "f9_math_suite",
+        "f9b_vector_norm", "funnel_user_journey", "j2_static_map_lookup",
+        "j3_anti_join", "j4_semi_join", "j5_multiway_revenue",
+        "j6_snowflake_dims", "p2_filter_dsl", "p3_date_range",
+        "p4_null_threshold", "p5_eq_filter", "p6_threshold_topk",
+        "p7_hash_split", "p8_stratified_sample", "pack_materialize",
+        "pack_sequences", "prep_corpus_stats", "q1_pricing_summary",
+        "sql1_region_revenue", "text_fingerprints",
+        "text_langid_confusion", "text_quality_classifier",
+        "text_quality_scores", "text_repetition", "text_tfidf_terms",
+        "text_token_stats", "text_unigram_logprob", "text_vocab_growth",
+        "text_winnow_pairs", "text_zipf_slope", "w1_moving_avg_7d",
+        "w2_global_share", "w3_rank_rows", "w4_lag_delta",
+        "w5_range_frame",
+    }
+)
+_ALL_KNOWN = _R4_DRIVER_VERIFIED | _R5_DRIVER_VERIFIED | _R6_DRIVER_VERIFIED
+
+# Queries whose round-7 source/oracle edits POSTDATE their freshest
 # driver row — these lead their blocks so the ~50-query cap can't drop
-# them.  (Populated as round 6 edits land.)
+# them.  (Populated as round 7 edits land.)
 _RECERT_PRIORITY: frozenset[str] = frozenset(
     {
-        # r6: WS-class trim guard now gates the token-stream filters
-        # (ADVICE r5 #4) — oracles re-pinned in both engines
-        "text_tfidf_terms", "text_unigram_logprob", "text_vocab_growth",
-        "text_zipf_slope", "text_quality_classifier",
-        # r6: convergence certificate column added in both engines
-        # (VERDICT r5 #4)
-        "dedup_cluster_census",
+        # r7: self-cert converted to a FULL DuckDB hash-parity oracle
+        # (VERDICT r6 #2) — the byte-arithmetic decode re-derived in SQL
+        "mm_feature_extract",
     }
 )
 
@@ -140,7 +136,7 @@ def _ordered(names: list[str]) -> list[str]:
     taken = set(never) | set(priority)
     blocks = [never, priority] + [
         [n for n in names if n in tier and n not in taken]
-        for tier in (_R3_DRIVER_VERIFIED, _R4_DRIVER_VERIFIED, _R5_DRIVER_VERIFIED)
+        for tier in (_R4_DRIVER_VERIFIED, _R5_DRIVER_VERIFIED, _R6_DRIVER_VERIFIED)
     ]
     for block in blocks:
         block.sort(key=lambda n: (_family_rank(n), names.index(n)))

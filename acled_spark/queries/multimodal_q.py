@@ -1,6 +1,7 @@
-"""Multimodal-column queries: binary payload metadata rollup (oracle-
-checked) and the mapInPandas feature-extraction path (rows-only check —
-the Python decode step is not SQL-expressible)."""
+"""Multimodal-column queries: binary payload metadata rollup and the
+mapInPandas feature-extraction path, both DuckDB-oracled (the
+registered extraction query uses the deterministic byte-arithmetic
+decoder, which SQL re-derives; a real codec would not be)."""
 
 from __future__ import annotations
 
@@ -40,10 +41,29 @@ def mm_payload_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mm_feature_extract",
-    oracle=None,  # Python decode step — not SQL-expressible; the query
-    # SELF-CERTIFIES instead: digest parity across the Arrow boundary
-    # and decode-validity flags travel in the output, so the driver's
-    # rows-only check pins real invariants
+    # FULL hash-parity oracle (VERDICT r6 #2 — was a rows-only
+    # self-cert): the registered query's decoder is the deterministic
+    # test double, pure byte arithmetic — width = n%640+1, height =
+    # (n*7)%480+1 over n = payload byte count, digest = md5 of the
+    # utf-8 payload — every term of which DuckDB expresses via
+    # octet_length(encode(text)) / md5(text) (md5(VARCHAR) hashes the
+    # utf-8 bytes, verified equal to Python hashlib).  The oracle
+    # re-derives digest/width/height INDEPENDENTLY in SQL and pins the
+    # cert flags to TRUE, so a mangled Arrow boundary fails the hash
+    # gate outright — strictly stronger than the self-cert flags.
+    # (The PRODUCTION face with a real codec remains non-SQL-
+    # expressible; this oracle covers the registered test-double path.)
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS digest,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+           CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INTEGER)
+               AS height,
+           TRUE AS digest_ok,
+           TRUE AS decode_ok
+    FROM documents ORDER BY doc_id LIMIT 100
+    """,
     tags=("multimodal", "extended", "python"),
 )
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -56,7 +76,10 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     unmangled; ``decode_ok`` pins the decoder contract (dimensions in
     the documented 1..640 × 1..480 range, byte count matching the typed
     metadata).  Any false flag in a driver row means the Python
-    boundary, not just the row count, broke.
+    boundary, not just the row count, broke.  On top of the flags, the
+    DuckDB oracle re-derives n_bytes/digest/width/height from the raw
+    text in SQL, so the driver's hash gate compares the Python worker's
+    outputs value-by-value against an independent engine.
 
     Plan shape: ONE scan, zero joins — the JVM-side expectations
     (jvm_digest, meta byte count) ride through the Arrow batch as

@@ -10,6 +10,11 @@ stdout-tail capture (round 1's full 100-query line was ~3.3 KB and the
 driver recorded ``parsed: null``).  Full per-query timings always land
 in BENCH_FULL.json next to this script.
 
+Timing protocol: each query runs TWICE back-to-back and the min is
+reported (stdout line and BENCH_FULL.json) — single timings fold in
+one-off JIT/codegen/page-cache costs that dominated round-over-round
+comparisons (SCALE.md methodology has the measured spread).
+
 Regression guard (VERDICT r1 #9):
 
     python bench.py --check [baseline.json]
@@ -66,16 +71,40 @@ def run_bench(only: set[str] | None = None) -> tuple[dict[str, float], float | s
         if warm in specs:
             _force(specs[warm].builder(spark, sf_dir))
 
+    # Min-of-2 protocol (VERDICT r6 #1): each query is timed twice
+    # back-to-back and the MIN is reported.  Round-over-round driver
+    # comparisons had become dominated by session noise — r6's driver
+    # run measured 1.24x the committed baseline on identical code —
+    # because a single timing folds in whichever one-off JIT/codegen/
+    # page-cache cost that query happened to draw.  The min of two
+    # consecutive runs measures the plan, not the session (documented
+    # with measured spread in SCALE.md's methodology section).  All
+    # registered queries are read-only or replay-idempotent, so the
+    # second execution is side-effect-safe.
     timings: dict[str, float] = {}
+    spreads: list[float] = []
     for name in sorted(specs):
         spec = specs[name]
-        t0 = time.perf_counter()
+        passes = []
         try:
-            _force(spec.builder(spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 3)
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _force(spec.builder(spark, sf_dir))
+                passes.append(time.perf_counter() - t0)
+            timings[name] = round(min(passes), 3)
+            spreads.append(max(passes) / min(passes))
         except Exception as exc:  # keep the bench line parseable on failure
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
             timings[name] = -1.0
+    if spreads:
+        spreads.sort()
+        print(
+            "bench: pass-to-pass spread (max/min per query): "
+            f"median {spreads[len(spreads) // 2]:.2f}x, "
+            f"p90 {spreads[int(len(spreads) * 0.9)]:.2f}x, "
+            f"worst {spreads[-1]:.2f}x",
+            file=sys.stderr,
+        )
     spark.stop()
     return timings, float(sf) if sf.replace(".", "").isdigit() else sf
 
@@ -172,7 +201,10 @@ def main() -> None:
     timings, sf = run_bench(only)
     if only is None:
         with open(FULL_PATH, "w") as fh:
-            json.dump({"sf": sf, "queries": timings}, fh, indent=1, sort_keys=True)
+            json.dump(
+                {"sf": sf, "protocol": "min-of-2", "queries": timings},
+                fh, indent=1, sort_keys=True,
+            )
     print(summary_line(timings, sf))
     if check_mode:
         sys.exit(check(timings, base))
