@@ -111,6 +111,9 @@ _RECERT_PRIORITY: frozenset[str] = frozenset(
         # r7: self-cert converted to a FULL DuckDB hash-parity oracle
         # (VERDICT r6 #2) — the byte-arithmetic decode re-derived in SQL
         "mm_feature_extract",
+        # r7: incremental_classify edge rules changed in BOTH engines
+        # (NULL-text verdicts survive; self-matches are not dups)
+        "dedup_incremental_check",
     }
 )
 

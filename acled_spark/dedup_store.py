@@ -150,11 +150,28 @@ def init_store(docs: DataFrame, root: str) -> None:
     The bootstrap corpus is deduped to its canonical rows first (min
     doc_id per fingerprint — the same survivor the ``dup_of`` pointer
     names), so the one-signature-per-distinct-text invariant holds
-    from day one, not just for appended batches.
+    from day one, not just for appended batches.  NULL-text docs all
+    survive (each is its own canonical): ``groupBy`` coalesces NULL
+    keys into ONE group, so the min-id pick would silently drop every
+    NULL-text doc but one — they are carried through separately.
+
+    As a store WRITE, this first heals any crashed retire staging
+    (writer-authoritative): bootstrapping root while a committed
+    staging dir sits beside it would be clobbered by the next
+    ``retire_ids`` entry heal.
     """
+    recover_store(docs.sparkSession, root, discard_uncommitted=True)
     exact, _ = signatures(docs)
-    canon_ids = exact.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
-    canon_docs = docs.join(canon_ids.select("doc_id"), "doc_id", "left_semi")
+    canon_ids = (
+        exact.filter(F.col("fingerprint").isNotNull())
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .unionByName(
+            exact.filter(F.col("fingerprint").isNull()).select("doc_id")
+        )
+    )
+    canon_docs = docs.join(canon_ids, "doc_id", "left_semi")
     exact_c, bands_c = signatures(canon_docs)
     _write(exact_c, bands_c, root, mode="overwrite")
 
@@ -284,7 +301,17 @@ def append_batch(
     because the collision check is a left_semi join.  A crash before
     bands/ commits is a plain full replay.  That is what makes store
     growth exactly-once under at-least-once foreachBatch delivery.
+
+    As a store WRITE this heals any crashed retire staging FIRST
+    (writer-authoritative, like :func:`retire_ids`): appending to root
+    while a committed staging sits beside it would be silently undone
+    when the next retire entry heal renames the stale staged tables
+    over root — every signature appended since the crash would vanish
+    (round-7 review).  Store writes (appends and retires) are
+    serialized by contract — a concurrent append during a live retire
+    is already a lost update, heal or no heal.
     """
+    recover_store(spark, root, discard_uncommitted=True)
     exact_all, bands_all = _checkpointed_signatures(batch)
     if verdicts is None:
         verdicts = _classify(spark, exact_all, bands_all, root)
@@ -322,12 +349,16 @@ def recover_store(
       fully intact root therefore serves the intact (pre-retire) store
       until the writer's own entry call completes the swap — stale but
       consistent, the normal read-during-swap view.
-    - **Writer path** (``discard_uncommitted=True`` — passed only by
-      :func:`retire_ids`, the store's SINGLE writer, on entry): the
-      authoritative heal.  Committed staged tables clobber their root
-      slots (delete + rename), the emptied shell is removed, and
-      marker-less staging — necessarily this writer's own prior crash
-      debris — is discarded before the rebuild.
+    - **Writer path** (``discard_uncommitted=True`` — passed by the
+      store's WRITE faces on entry: :func:`retire_ids`,
+      :func:`append_batch` / :func:`process_batch`, :func:`init_store`;
+      store writes are serialized by contract, so the caller is THE
+      writer): the authoritative heal.  Committed staged tables
+      clobber their root slots (delete + rename), the emptied shell is
+      removed, and marker-less staging — necessarily a prior write's
+      crash debris — is discarded before the rebuild.  Appends must
+      heal first or their rows land on a root the next retire entry
+      heal replaces with the stale staged snapshot (round-7 review).
 
     Called automatically by :func:`retire_ids` and by the store read
     path whenever a staging dir exists, so a crashed retire heals on
@@ -423,6 +454,19 @@ def retire_ids(
     window is healed by :func:`recover_store` (run automatically on
     the next store op).  The table backend rewrites via a
     lineage-severed overwrite that restates the bucket spec.
+
+    Consistency windows, stated precisely: on the path backend a crash
+    BETWEEN the two table promotes leaves new-bands/old-exact visible
+    to READERS until the next store WRITE heals it (writer faces heal
+    on entry; readers only fill missing slots) — a changed doc
+    re-processed in that window is healed first by process_batch's
+    entry recover, so the id-reuse guard cannot trip on the stale
+    exact table.  The ``table:`` backend's two ``saveAsTable``
+    overwrites have the same window with metastore-txn'd per-table
+    writes but NO cross-table transaction; at production scale put the
+    store on a transactional table format (Delta/Iceberg) or accept
+    that a crash between the two overwrites needs a retire re-run
+    (replays are idempotent).
     """
     from acled_spark.fsutil import _fs_and_path, fs_write_text
 
@@ -494,7 +538,14 @@ def process_batch(
     This is the per-batch hot path — :class:`DedupMaintainer` calls it —
     and it computes the batch shingle/minhash signatures exactly once,
     where a ``check_batch`` + ``append_batch`` pair would run them twice.
+
+    As a store WRITE this heals any crashed retire staging first (see
+    :func:`append_batch` — an append onto a root shadowed by committed
+    staging would be undone by the next retire's entry heal), and the
+    heal runs BEFORE classification so the verdicts are computed
+    against the post-retire store, not the stale pre-swap one.
     """
+    recover_store(spark, root, discard_uncommitted=True)
     exact_all, bands_all = _checkpointed_signatures(batch)
     verdicts = _classify(spark, exact_all, bands_all, root).localCheckpoint()
     n = _append_signatures(

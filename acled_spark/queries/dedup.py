@@ -801,28 +801,55 @@ def incremental_classify(
     """Verdict rows for a batch checked against store signatures.
 
     One row per batch doc: ``is_exact_dup``/``dup_of`` (fingerprint hit
-    in the store, smallest matching store doc_id), ``is_batch_dup``
-    (duplicated WITHIN the batch and not its min-doc_id canonical), and
-    ``n_band_collisions`` (LSH band keys shared with the store — the
-    near-dup *candidate* signal, same banding as ``dedup_minhash_lsh``).
+    in the store under a DIFFERENT doc_id, smallest such store doc_id),
+    ``is_batch_dup`` (duplicated WITHIN the batch and not its
+    min-doc_id canonical), and ``n_band_collisions`` (LSH band keys
+    shared with the store — the near-dup *candidate* signal, same
+    banding as ``dedup_minhash_lsh``).
+
+    Two deliberate edge rules (round-7 review fixes, mirrored in the
+    ``dedup_incremental_check`` oracle):
+
+    - **NULL text** (NULL fingerprint) classifies as a non-dup
+      survivor with its verdict row intact — the joins are null-unsafe
+      so an inner canon join would silently DROP the doc from the
+      verdicts frame, and a release built on those verdicts would lose
+      the document from both store and export.
+    - **Self-matches are not dups**: a store row holding this doc's
+      OWN id (a replay of the same (id, text), or a fingerprint
+      re-keyed to this doc by ``retire_ids(corpus=)``) yields
+      ``is_exact_dup=false, dup_of=NULL`` — a document cannot
+      duplicate itself, and flagging it would drop a live canonical
+      doc from a release export.
 
     Shared by :mod:`acled_spark.dedup_store` (parquet-backed store) and
     the ``dedup_incremental_check`` oracle query (in-memory halves).
     Scale: joins key on digests only; text never enters any exchange.
     """
     vs_store = batch_exact.join(
-        store_exact.groupBy("fingerprint").agg(F.min("doc_id").alias("dup_of")),
+        store_exact.groupBy("fingerprint").agg(F.min("doc_id").alias("store_min")),
         "fingerprint",
         "left",
-    ).select("doc_id", "fingerprint", "dup_of")
+    ).select(
+        "doc_id",
+        "fingerprint",
+        # the store holds ONE canonical row per fingerprint (init_store
+        # dedups, appends are survivor-only), so "min store holder ==
+        # this doc" means the only holder is this doc itself
+        F.when(F.col("store_min") != F.col("doc_id"), F.col("store_min")).alias(
+            "dup_of"
+        ),
+    )
     canon = batch_exact.groupBy("fingerprint").agg(
         F.min("doc_id").alias("batch_canonical")
     )
-    flagged = vs_store.join(canon, "fingerprint").select(
+    flagged = vs_store.join(canon, "fingerprint", "left").select(
         "doc_id",
         F.col("dup_of").isNotNull().alias("is_exact_dup"),
         "dup_of",
-        (F.col("doc_id") != F.col("batch_canonical")).alias("is_batch_dup"),
+        F.coalesce(
+            F.col("doc_id") != F.col("batch_canonical"), F.lit(False)
+        ).alias("is_batch_dup"),
     )
     # left_semi returns each batch band row at most once no matter how
     # many store rows share the key, so NO .distinct() on the store
@@ -893,13 +920,16 @@ def _half_bands_sql(side: str) -> str:
       GROUP BY b.doc_id
     ),
     verdict AS (
+      -- mirrors incremental_classify's edge rules: NULL fingerprints
+      -- survive as verdict rows (LEFT canon join + COALESCE), and a
+      -- store match under the doc's OWN id is not a dup
       SELECT bfp.doc_id,
-             sfp.dup_of IS NOT NULL AS is_exact_dup,
-             bfp.doc_id <> canon.batch_canonical AS is_batch_dup,
+             COALESCE(sfp.dup_of <> bfp.doc_id, FALSE) AS is_exact_dup,
+             COALESCE(bfp.doc_id <> canon.batch_canonical, FALSE) AS is_batch_dup,
              COALESCE(coll.n_band_collisions, 0) AS n_band_collisions
       FROM bfp
       LEFT JOIN sfp USING (fingerprint)
-      JOIN canon USING (fingerprint)
+      LEFT JOIN canon USING (fingerprint)
       LEFT JOIN coll USING (doc_id)
     )
     SELECT COUNT(*) AS batch_docs,

@@ -147,7 +147,12 @@ class CorpusRelease:
         delta_ids = diff.filter(
             F.col("status").isin("added", "changed")
         ).select("doc_id")
-        delta = new.join(delta_ids, "doc_id", "left_semi")
+        # materialized once: the two signature passes inside
+        # process_batch, the drift monitor, and the export survivors
+        # join all consume the delta — without this each re-scans the
+        # full `new` corpus frame and re-runs the semi-join (~4 corpus
+        # projections per release at the 100-TB design point)
+        delta = new.join(delta_ids, "doc_id", "left_semi").localCheckpoint()
         verdicts, appended = process_batch(spark, delta, self.store_root)
 
         # 4. drift gate on the delta

@@ -105,6 +105,18 @@ def fetch_day(
         rows.extend(chunk)
         if len(chunk) < limit:
             break
+    else:
+        # every page came back full: the day has more data than
+        # MAX_PAGES * limit rows.  Returning what we have would persist
+        # a silently TRUNCATED partition that missing_partitions never
+        # re-selects (the day "succeeded") — fail loudly instead so the
+        # caller raises `limit` or splits the window (round-7 review).
+        raise RuntimeError(
+            f"partition {day.isoformat()} exceeded the page cap "
+            f"({MAX_PAGES} pages x {limit} rows/page) with no short "
+            "page — refusing to persist a truncated day; raise `limit` "
+            "or narrow the request (filters/params)"
+        )
     return rows
 
 
@@ -133,12 +145,19 @@ def ingest_day(
     return _rows_to_df(spark, rows)
 
 
+def _normalize_value(record: dict, name: str):
+    """The ONE raw-record coercion rule (None-preserving str()), shared
+    by the driver-side frame builder and the executor-side backfill so
+    the two ingest paths cannot drift (round-7 review)."""
+    v = record.get(name)
+    return None if v is None else str(v)
+
+
 def _rows_to_df(spark: SparkSession, rows: list[dict]) -> DataFrame:
     """Fetched records -> all-string raw frame (S3; one day is driver-
     sized by the source's own page cap)."""
     normalized = [
-        tuple(str(r[name]) if r.get(name) is not None else None
-              for name in ACLED_RAW_SCHEMA.fieldNames())
+        tuple(_normalize_value(r, name) for name in ACLED_RAW_SCHEMA.fieldNames())
         for r in rows
     ]
     return spark.createDataFrame(normalized, schema=ACLED_RAW_SCHEMA)
@@ -218,10 +237,7 @@ def fetch_partition_range(
                 if rows:
                     yield pd.DataFrame(
                         {
-                            n: [
-                                None if r.get(n) is None else str(r[n])
-                                for r in rows
-                            ]
+                            n: [_normalize_value(r, n) for r in rows]
                             for n in names
                         }
                     )

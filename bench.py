@@ -127,15 +127,20 @@ def summary_line(timings: dict[str, float], sf: float | str) -> str:
                 "unit": "sec",
                 "queries": qsub,
                 "n_queries": len(timings),
+                "n_failed": len(failed),
                 "full": "BENCH_FULL.json",
                 "sf": sf,
             },
             separators=(",", ":"),
         )
 
+    # Trim to the budget even INTO the failure list: a mostly-failing
+    # run (broken session) must still emit a parseable line — n_failed
+    # carries the count when names fall off (round-7 review; the full
+    # failure set is on stderr and in BENCH_FULL.json as -1 entries).
     n = len(keep)
     line = render(n)
-    while len(line) > _LINE_BUDGET and n > len(failed) + 1:
+    while len(line) > _LINE_BUDGET and n > 1:
         n -= 1
         line = render(n)
     return line
@@ -199,15 +204,25 @@ def main() -> None:
             base = json.load(fh)
 
     timings, sf = run_bench(only)
-    if only is None:
+    status = check(timings, base) if check_mode else 0
+    # A FAILED --check must NOT rewrite its own default baseline with
+    # the regressed numbers — a naive re-run would then compare against
+    # the regression and print OK, defeating the gate (round-7 review).
+    if only is None and status == 0:
         with open(FULL_PATH, "w") as fh:
             json.dump(
                 {"sf": sf, "protocol": "min-of-2", "queries": timings},
                 fh, indent=1, sort_keys=True,
             )
+    elif status != 0:
+        print(
+            "bench_check: FAILED — BENCH_FULL.json left at the baseline "
+            "(regressed timings not recorded)",
+            file=sys.stderr,
+        )
     print(summary_line(timings, sf))
     if check_mode:
-        sys.exit(check(timings, base))
+        sys.exit(status)
 
 
 if __name__ == "__main__":

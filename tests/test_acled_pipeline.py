@@ -82,6 +82,29 @@ def test_page_loop_stops_on_short_page():
     assert calls == [1, 2, 3]  # stopped at the short page
 
 
+def test_page_cap_exhaustion_raises_not_truncates(monkeypatch):
+    """Round-7 review: a day whose every page comes back FULL through
+    MAX_PAGES has more data than the cap can fetch — returning the
+    partial set would persist a silently truncated partition that
+    missing_partitions never re-selects.  It must raise instead."""
+    import acled_spark.source as source_mod
+
+    monkeypatch.setattr(source_mod, "MAX_PAGES", 3)
+
+    def endless(day, page, limit, params):
+        return [_raw_row((page - 1) * limit + i, day) for i in range(limit)]
+
+    with pytest.raises(RuntimeError, match="page cap"):
+        fetch_day(endless, date(2025, 1, 2), limit=10)
+
+    # a run that finishes ON the final page with a short page is fine
+    def fits(day, page, limit, params):
+        n = limit if page < 3 else limit - 1
+        return [_raw_row((page - 1) * limit + i, day) for i in range(n)]
+
+    assert len(fetch_day(fits, date(2025, 1, 2), limit=10)) == 29
+
+
 def test_empty_partition_raises(spark):
     def fetcher(day, page, limit, params):
         return []

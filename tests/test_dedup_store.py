@@ -285,3 +285,100 @@ def test_bucketed_table_store_matches_path_store_and_avoids_store_shuffle(
     finally:
         for t in ("sig_t_exact", "sig_t_bands"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_null_text_docs_keep_verdict_rows_and_survive(spark, store):
+    """Round-7 review: a NULL-text doc must come back with a verdict
+    row (classified non-dup survivor), not silently vanish from the
+    verdicts frame via the null-unsafe canon join — a release built on
+    the verdicts would drop the doc from store and export alike."""
+    root, _ = store
+    batch = _mk_batch(spark, [
+        (2001, None, "en", "web", 0),
+        (2002, None, "en", "web", 0),  # two NULLs: neither dups the other
+    ])
+    v = {r["doc_id"]: r for r in check_batch(spark, batch, root).collect()}
+    assert set(v) == {2001, 2002}  # one row per batch doc, none dropped
+    for r in v.values():
+        assert not r["is_exact_dup"]
+        assert not r["is_batch_dup"]
+        assert r["dup_of"] is None
+
+
+def test_replay_of_own_id_is_not_exact_dup(spark, store):
+    """Round-7 review: a store row under the doc's OWN id (replay of
+    the same (id, text), or a retire_ids re-key landing on this doc)
+    is not a duplicate — flagging it would drop a live canonical doc
+    from a release export."""
+    root, corpus = store
+    donor = corpus.filter(F.col("doc_id") == 7).first()
+    replay = _mk_batch(spark, [
+        (7, donor["text"], donor["lang"], donor["source"], donor["n_chars"]),
+    ])
+    v = check_batch(spark, replay, root).collect()[0]
+    assert not v["is_exact_dup"]
+    assert v["dup_of"] is None
+    # and a DIFFERENT id with the same text still classifies as a dup
+    other = _mk_batch(spark, [
+        (3007, donor["text"], donor["lang"], donor["source"], donor["n_chars"]),
+    ])
+    v2 = check_batch(spark, other, root).collect()[0]
+    assert v2["is_exact_dup"] and v2["dup_of"] == 7
+
+
+def test_append_heals_committed_staging_before_writing(spark, store, tmp_path):
+    """Round-7 review: an append onto a root shadowed by a COMMITTED
+    retire staging must heal the swap FIRST — otherwise the appended
+    signatures land on the doomed pre-retire root and the next
+    retire_ids entry heal silently destroys them."""
+    import os
+
+    from acled_spark.dedup_store import (
+        _COMMIT_MARKER,
+        _retire_staging,
+        process_batch,
+        recover_store,
+    )
+
+    root, corpus = store
+    # simulate a retire that staged + committed but crashed pre-swap:
+    # the staged store drops docs >= 30
+    staging = _retire_staging(root)
+    init_store(corpus.filter(F.col("doc_id") < 30), staging)
+    open(os.path.join(staging, _COMMIT_MARKER), "w").write("committed")
+
+    batch = _mk_batch(spark, [(5001, "entirely fresh append text payload",
+                               "en", "web", 33)])
+    verdicts, n = process_batch(spark, batch, root)
+    assert n == 1
+    assert not os.path.exists(staging)  # writer healed on entry
+    # a later writer-entry heal (what the next retire_ids runs first)
+    # must NOT undo the append
+    recover_store(spark, root, discard_uncommitted=True)
+    # the doc's own replay self-matches -> not a dup (see
+    # test_replay_of_own_id_is_not_exact_dup)
+    v = check_batch(spark, batch, root).collect()[0]
+    assert not v["is_exact_dup"] and v["dup_of"] is None
+    # the appended signature is still present: a DIFFERENT id with the
+    # same text now classifies as an exact dup of 5001
+    probe = _mk_batch(spark, [(5002, "entirely fresh append text payload",
+                               "en", "web", 33)])
+    p = check_batch(spark, probe, root).collect()[0]
+    assert p["is_exact_dup"] and p["dup_of"] == 5001
+
+
+def test_init_store_keeps_every_null_text_doc(spark, tmp_path):
+    """Round-7 review: groupBy coalesces NULL fingerprints into ONE
+    group, so the canonical pick would drop all NULL-text docs but one
+    from the bootstrap store — each must survive as its own canonical."""
+    from acled_spark.dedup_store import _read_exact
+
+    docs = _mk_batch(spark, [
+        (1, "real text one", "en", "web", 13),
+        (2, None, "en", "web", 0),
+        (3, None, "en", "web", 0),
+    ])
+    root = str(tmp_path / "nullstore")
+    init_store(docs, root)
+    ids = {r["doc_id"] for r in _read_exact(spark, root).collect()}
+    assert ids == {1, 2, 3}

@@ -209,8 +209,18 @@ def test_retire_ids_table_backend(spark):
         )
         verdicts, n = process_batch(spark, changed, troot)
         assert n == 1
+        # the doc's own (id, text) replay self-matches -> NOT a dup
+        # (round-7 semantics); a DIFFERENT id with the same text proves
+        # the re-keyed signature landed
         v = check_batch(spark, changed, troot).collect()[0]
-        assert v["is_exact_dup"] and v["dup_of"] == some_id
+        assert not v["is_exact_dup"] and v["dup_of"] is None
+        probe = spark.createDataFrame(
+            [(some_id + 100000, "entirely new text after retirement",
+              "en", "s", 33)],
+            DOC_SCHEMA,
+        )
+        p = check_batch(spark, probe, troot).collect()[0]
+        assert p["is_exact_dup"] and p["dup_of"] == some_id
     finally:
         for t in ("retire_t_exact", "retire_t_bands"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
@@ -423,3 +433,45 @@ def test_release_guards_and_export_reconciliation(spark, tmp_path, monkeypatch):
     recs = [p for p in res2.manifest_problems if p["problem"] == "export_rows"]
     assert len(recs) == 1 and recs[0]["corrupt_rows"] == 1
     assert recs[0]["parseable_rows"] == recs[0]["expected_rows"] - 1
+
+
+def test_removed_then_readded_text_survives_release(spark, tmp_path):
+    """Round-7 review: a release that removes doc A and adds doc B with
+    the SAME text must export doc B.  retire_ids' orphan re-key can
+    pick the ADDED doc as the fingerprint's successor; process_batch
+    then sees a store row under B's own id — a self-match, which must
+    not classify as an exact dup (it would silently drop a live
+    canonical doc from the released corpus)."""
+    from acled_spark.export import read_jsonl
+    from acled_spark.release import CorpusRelease
+
+    docs = load(spark, SF_DIR, "documents").select(*DOC_COLS).limit(40)
+    removed = docs.filter(F.col("doc_id") == 7)
+    moved_text = removed.first()["text"]
+    old = docs
+    # new corpus: doc 7 gone, doc 9007 carries 7's exact text
+    readd = spark.createDataFrame(
+        [(9007, moved_text, removed.first()["lang"],
+          removed.first()["source"], removed.first()["n_chars"])],
+        docs.schema,
+    )
+    new = docs.filter(F.col("doc_id") != 7).unionByName(readd)
+
+    store = str(tmp_path / "store")
+    init_store(old, store)
+    rel = CorpusRelease(store)
+    out = str(tmp_path / "export")
+    res = rel.apply(spark, old, new, export_path=out, shuffle_seed="r7", shards=2)
+
+    assert res.status_counts.get("removed", 0) == 1
+    assert res.status_counts.get("added", 0) == 1
+    assert res.manifest_problems == []
+    v = {r["doc_id"]: r for r in res.verdicts.collect()}
+    assert 9007 in v and not v[9007]["is_exact_dup"]
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields
+    )
+    exported_ids = {
+        r["doc_id"] for r in read_jsonl(spark, out, schema).collect()
+    }
+    assert 9007 in exported_ids  # the re-added canonical doc shipped
