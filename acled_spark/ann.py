@@ -266,8 +266,9 @@ def ivf_upsert(
     on the id — the keyed-upsert contract, same survivor policy as the
     silver layer.  Returns a NEW IvfIndex sharing the frozen model;
     ``base_cost`` carries over (it describes the centroids, which did
-    not move).  The old assignment cache is released when the new one
-    is materialized.
+    not move).  The old assignment's checkpoint blocks are released by
+    the ContextCleaner once the superseded index is garbage-collected —
+    never eagerly, so searches in flight against it finish cleanly.
 
     Scale: assignment is model.transform (narrow map over the batch
     only), the anti-join keys on the id — nothing rescans the existing
@@ -292,8 +293,16 @@ def ivf_upsert(
         # eviction recomputes the entire upsert history.  The
         # checkpoint severs lineage each fold (same discipline as
         # dedup_store._checkpointed_signatures).
+        #
+        # NO eager unpersist of the old assignment (round-7 review): a
+        # localCheckpoint has truncated lineage, so unpersisting it
+        # mid-job kills any search still executing against the PREVIOUS
+        # IvfIndex with a missing-block error instead of a recompute —
+        # and IvfMaintainer explicitly advertises serving searches from
+        # maint.index while the stream folds.  The old blocks are freed
+        # by the ContextCleaner once the superseded index object is
+        # garbage-collected (i.e. once no caller can still search it).
         merged = merged.localCheckpoint()
-        index.assigned.unpersist()
     return IvfIndex(model=index.model, assigned=merged, base_cost=index.base_cost)
 
 
@@ -378,6 +387,13 @@ class IvfMaintainer:
         self.batches_applied = 0
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            # idle trigger intervals hand foreachBatch zero-row batches;
+            # folding one would still run transform + anti-join + a
+            # full-index localCheckpoint copy — a complete index
+            # rematerialization per empty interval (round-7 review;
+            # same guard as DriftMonitor / streaming._merge_batch)
+            return
         self.index = ivf_upsert(
             self.index, batch_df, vec_col=self.vec_col, id_col=self.id_col
         )

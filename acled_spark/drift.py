@@ -100,6 +100,18 @@ def psi_scores(old_counts: DataFrame, new_counts: DataFrame, n_bins: int = DEFAU
         # the group domain without re-running either input's lineage
         .localCheckpoint()
     )
+    # Grid-domain guard (round-7 review): a sketch persisted with MORE
+    # bins than this call's n_bins would have its tail bins silently
+    # excluded by the grid left-join — wrong totals, plausible-looking
+    # PSI.  One cheap action on the materialized tiny frame.
+    out_of_grid = merged.filter(F.col("bin") >= n_bins).count()
+    if out_of_grid:
+        raise ValueError(
+            f"{out_of_grid} sketch row(s) carry bin >= n_bins ({n_bins}): "
+            "the sketches were built with a different binning than this "
+            "scoring call — align n_bins/width (see init_reference's "
+            "_BIN_CONFIG sidecar)"
+        )
     return psi_from_merged(merged, n_bins)
 
 
@@ -151,6 +163,9 @@ def psi_from_merged(merged: DataFrame, n_bins: int = DEFAULT_BINS) -> DataFrame:
     )
 
 
+_BIN_CONFIG_MARKER = "_BIN_CONFIG"
+
+
 def init_reference(
     df: DataFrame,
     root: str,
@@ -159,10 +174,25 @@ def init_reference(
     n_bins: int = DEFAULT_BINS,
     width: float = DEFAULT_WIDTH,
 ) -> None:
-    """Materialize the reference sketch for a baseline corpus/period."""
+    """Materialize the reference sketch for a baseline corpus/period.
+
+    The binning config rides along as an underscore sidecar (invisible
+    to the parquet reader): a sketch's counts are only comparable under
+    the SAME (n_bins, width), and a monitor constructed with different
+    values would silently bias PSI (bins past its grid drop out of the
+    totals — round-7 review), so :class:`DriftMonitor` validates
+    against this record before scoring.
+    """
     bin_counts(df, value_col, group_col, n_bins, width).write.mode(
         "overwrite"
     ).parquet(root)
+    from acled_spark.fsutil import fs_write_text
+
+    fs_write_text(
+        df.sparkSession,
+        posixpath.join(root, _BIN_CONFIG_MARKER),
+        f"{n_bins}:{width!r}",
+    )
 
 
 class DriftMonitor:
@@ -203,6 +233,28 @@ class DriftMonitor:
     def _staging(self) -> str:
         return self.root.rstrip("/") + "._staging"
 
+    def _check_reference_config(self, spark) -> None:
+        """Fail fast when the persisted reference was built under a
+        DIFFERENT (n_bins, width) than this monitor: the grids would
+        disagree and bins past the monitor's grid silently drop out of
+        the PSI totals (round-7 review).  References persisted before
+        the sidecar existed skip the check (nothing to compare)."""
+        from acled_spark.fsutil import fs_exists, fs_read_text
+
+        marker = posixpath.join(self.root, _BIN_CONFIG_MARKER)
+        if not fs_exists(spark, marker):
+            return
+        recorded = fs_read_text(spark, marker).strip()
+        mine = f"{self.n_bins}:{self.width!r}"
+        if recorded != mine:
+            raise ValueError(
+                f"drift reference at {self.root!r} was built with "
+                f"(n_bins:width) = {recorded} but this monitor uses "
+                f"{mine}; rebuild the reference (init_reference) or "
+                "construct the monitor with the recorded binning — "
+                "mismatched grids silently bias PSI"
+            )
+
     def _recover_staging(self, spark) -> None:
         """Promote a completed staging fold if a crash between the
         reference delete and the rename left ``root`` missing.  When
@@ -215,12 +267,17 @@ class DriftMonitor:
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        # recovery runs BEFORE the idle-batch guard: a crash mid-swap
+        # (root deleted, staging not yet renamed) followed by a quiet
+        # stream would otherwise leave the reference missing for as
+        # long as no data arrives (round-7 review)
+        self._recover_staging(spark)
         if batch_df.isEmpty():
             # idle trigger intervals hand foreachBatch zero-row batches;
             # scoring one would read EVERY reference group as maximally
             # drifted (n_new_t=0 → uniform p_new) and page on no data
             return
-        self._recover_staging(spark)
+        self._check_reference_config(spark)
         new = bin_counts(
             batch_df, self.value_col, self.group_col, self.n_bins, self.width
         ).localCheckpoint()  # one batch scan, shared by score + fold
@@ -254,6 +311,15 @@ class DriftMonitor:
                 spark,
                 posixpath.join(self._staging(), _EPOCH_MARKER),
                 self._fold_stamp(epoch_id, new),
+            )
+            # the binning-config sidecar must ride the swap too — the
+            # staging dir replaces root WHOLESALE, and losing the
+            # record would disable the grid-mismatch check for every
+            # reference that has ever folded a batch
+            fs_write_text(
+                spark,
+                posixpath.join(self._staging(), _BIN_CONFIG_MARKER),
+                f"{self.n_bins}:{self.width!r}",
             )
             fs_replace_dir(spark, self._staging(), self.root)
         self.batches_scored += 1

@@ -48,13 +48,24 @@ def _dot_lit(vec_col: str, lit_vec: list[float]) -> F.Column:
 
 
 def mean_vector(df: DataFrame, vec_col: str = "embedding") -> list[float]:
-    """Per-dimension mean as a plain Python list (d values, one pass)."""
+    """Per-dimension mean as a plain Python list (d values, one pass).
+
+    Raises on an empty/all-NULL input instead of returning ``[]``: the
+    downstream eigen paths would turn d=0 into a ZeroDivisionError deep
+    in the iteration (``1/sqrt(0)``) — an unrelated-looking arithmetic
+    crash instead of the real problem (round-7 review).
+    """
     row = (
         df.select(F.posexplode(F.col(vec_col)).alias("dim", "x"))
         .groupBy("dim")
         .agg(F.avg(F.col("x").cast("double")).alias("m"))
         .collect()
     )
+    if not row:
+        raise ValueError(
+            f"mean_vector: no vectors in column {vec_col!r} (empty frame "
+            "or all-NULL embeddings) — nothing to decompose"
+        )
     out = [0.0] * len(row)
     for r in row:
         out[r["dim"]] = r["m"]

@@ -93,6 +93,13 @@ def write_jsonl(
         # the writer emits UP TO ``shards`` files — deterministically.
         from acled_spark.queries.packing import shuffle_key_cols
 
+        # same collision contract as the shuffle branch above: silently
+        # clobbering-and-dropping a user column named like the temp
+        # would remove a data column from the export (round-7 review)
+        if "__range_shard" in df.columns:
+            raise ValueError(
+                "input columns collide with shard temp: {'__range_shard'}"
+            )
         _, shard = shuffle_key_cols(sort_col, "range-shard", shards)
         df = (
             df.withColumn("__range_shard", shard)
@@ -127,6 +134,20 @@ def read_jsonl(
     return spark.read.schema(schema).option("mode", "DROPMALFORMED").json(path)
 
 
+def _nonblank_line(col: F.Column) -> F.Column:
+    """Predicate for lines the file-based JSON reader actually parses.
+
+    Measured (round-7 review): the reader SKIPS lines that are empty
+    after stripping JSON whitespace (space/tab/CR/LF), while VT/FF-only
+    lines are NOT skipped — they parse as corrupt records.  ``F.trim``
+    strips only ASCII spaces, so the previous filter kept tab-only
+    lines in ``total_lines`` that the reader never yields, breaking the
+    audit's reconciliation contract (a spurious ``export_rows`` problem
+    on an intact export).
+    """
+    return F.length(F.regexp_replace(col, "[ \t\r\n]", "")) > 0
+
+
 def corrupt_line_audit(
     spark: SparkSession, path: str, schema: str
 ) -> DataFrame:
@@ -137,9 +158,9 @@ def corrupt_line_audit(
     alone is disallowed by Spark — SPARK-21610 — and the text formulation
     needs no cache workaround.)
     """
-    # Blank lines are skipped by the JSON reader, so exclude them here
-    # too or total_lines can't reconcile with read_jsonl's row count.
-    lines = spark.read.text(path).filter(F.length(F.trim("value")) > 0)
+    # Lines the JSON reader skips must be excluded here too or
+    # total_lines can't reconcile with read_jsonl's row count.
+    lines = spark.read.text(path).filter(_nonblank_line(F.col("value")))
     # PERMISSIVE from_json yields a struct (with the raw line in the
     # corrupt field) rather than NULL, so probe that field.
     parsed = lines.select(
@@ -312,6 +333,14 @@ def verify_manifest(
     directory-derived columns; their comparison drops to row counts —
     digests would differ on every intact shard and bury the real
     corruption in false positives.)
+
+    For the JSONL reader (the default), one extra raw-text pass counts
+    unparseable lines per shard: DROPMALFORMED makes the rows/digest
+    comparison blind to garbage APPENDED to a shard (the malformed
+    lines simply vanish from the parse — round-7 review), so any shard
+    carrying lines the parser rejects is reported as
+    ``problem="unparseable_lines"`` even when its parseable content
+    still matches the manifest.
     """
     import json
 
@@ -346,7 +375,50 @@ def verify_manifest(
             except Exception:
                 unreadable.add(name)
                 actual[name] = {"shard": name, "rows": -1, "digest": ""}
+    corrupt_by_shard: dict[str, int] = {}
+    if reader is read_jsonl:
+        from acled_spark.fsutil import fs_qualified_path
+
+        try:
+            root = fs_qualified_path(spark, path)
+            raw = spark.read.text(path).filter(_nonblank_line(F.col("value")))
+            per_file = (
+                raw.select(
+                    F.input_file_name().alias("_file"),
+                    F.from_json(
+                        "value",
+                        f"{schema}, {CORRUPT_COL} string",
+                        {"mode": "PERMISSIVE",
+                         "columnNameOfCorruptRecord": CORRUPT_COL},
+                    ).alias("rec"),
+                )
+                .groupBy("_file")
+                .agg(
+                    F.count(
+                        F.when(F.col(f"rec.{CORRUPT_COL}").isNotNull(), 1)
+                    ).alias("corrupt")
+                )
+                .collect()
+            )
+            corrupt_by_shard = {
+                _rel_shard_name(r["_file"], root): r["corrupt"]
+                for r in per_file
+                if r["corrupt"]
+            }
+        except Exception:
+            # codec-level corruption fails the raw text pass the same
+            # way it fails the bulk parse — the per-shard fallback
+            # below reports those shards as "unreadable"
+            corrupt_by_shard = {}
     problems: list[dict] = []
+    for shard in sorted(corrupt_by_shard):
+        problems.append(
+            {
+                "shard": shard,
+                "problem": "unparseable_lines",
+                "corrupt_lines": corrupt_by_shard[shard],
+            }
+        )
     for shard in sorted(set(recorded) | set(actual)):
         if shard not in actual:
             problems.append({"shard": shard, "problem": "missing"})

@@ -415,3 +415,36 @@ def test_ivf_refit_policy_closed_loop(spark):
     refit_recall = recall(maint.index)
     assert refit_recall >= 0.9, (stale_recall, refit_recall)
     assert refit_recall > stale_recall, (stale_recall, refit_recall)
+
+
+def test_maintainer_skips_empty_batches(spark, index):
+    """Round-7 review: idle trigger intervals hand the maintainer
+    zero-row batches; each must be a true no-op (no index
+    rematerialization, same index object)."""
+    from acled_spark.ann import IvfMaintainer
+
+    maint = IvfMaintainer(index)
+    before = maint.index
+    empty = load(spark, SF_DIR, "embeddings").filter(F.lit(False))
+    maint(empty, epoch_id=0)
+    assert maint.batches_applied == 0
+    assert maint.index is before
+
+
+def test_old_index_still_searchable_after_upsert(spark, index):
+    """Round-7 review: ivf_upsert must not eagerly unpersist the old
+    assignment (a localCheckpoint has no recompute path) — a search
+    against the PREVIOUS index issued after an upsert must still run."""
+    from acled_spark.ann import ivf_upsert
+
+    emb = load(spark, SF_DIR, "embeddings")
+    # build a checkpoint-backed index state the way the maintainer does
+    idx1 = ivf_upsert(index, emb.limit(5).withColumn(
+        "vec_id", F.col("vec_id") + 100000))
+    q = emb.limit(1)
+    idx2 = ivf_upsert(idx1, emb.limit(5).withColumn(
+        "vec_id", F.col("vec_id") + 200000))
+    # idx1 (superseded) still serves searches without missing-block errors
+    old_hits = ivf_search(idx1, q, top_k=3, nprobe=4)
+    assert old_hits.count() > 0
+    assert ivf_search(idx2, q, top_k=3, nprobe=4).count() > 0

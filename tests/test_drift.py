@@ -215,3 +215,71 @@ def test_moving_baseline_fold_is_epoch_idempotent(spark, tmp_path):
         spark.read.parquet(ref).agg(F.sum("n").alias("s")).collect()[0]["s"]
         == 8
     )
+
+
+def test_mismatched_binning_config_raises(spark, tmp_path):
+    """Round-7 review: a monitor constructed with different
+    (n_bins, width) than the persisted reference must fail fast — the
+    grid join would silently drop the reference's tail bins from the
+    PSI totals."""
+    import pytest
+
+    ref, batch = _halves(spark)
+    root = str(tmp_path / "ref")
+    init_reference(ref, root, n_bins=20)
+    mon = DriftMonitor(root, n_bins=10)
+    with pytest.raises(ValueError, match="n_bins:width"):
+        mon(batch, epoch_id=0)
+    # matching config scores fine
+    ok = DriftMonitor(root, n_bins=20)
+    ok(batch, epoch_id=0)
+    assert ok.batches_scored == 1
+
+
+def test_psi_scores_rejects_out_of_grid_bins(spark):
+    """Direct psi_scores misuse (sketches from a wider binning than the
+    call's n_bins) raises instead of silently excluding tail bins."""
+    import pytest
+
+    a = spark.createDataFrame(
+        [("g", 0, 5), ("g", 12, 7)], "group string, bin int, n long"
+    )
+    b = spark.createDataFrame([("g", 1, 6)], "group string, bin int, n long")
+    with pytest.raises(ValueError, match="bin >= n_bins"):
+        psi_scores(a, b, n_bins=10)
+
+
+def test_fold_preserves_binning_config_sidecar(spark, tmp_path):
+    """The staged fold replaces the reference dir WHOLESALE — the
+    binning-config sidecar must survive the swap or the mismatch check
+    dies after the first fold."""
+    import os
+
+    ref, batch = _halves(spark)
+    root = str(tmp_path / "ref")
+    init_reference(ref, root, n_bins=10)
+    mon = DriftMonitor(root, n_bins=10, update_reference=True)
+    mon(batch, epoch_id=0)
+    assert os.path.exists(os.path.join(root, "_BIN_CONFIG"))
+    # and the check still fires post-fold
+    import pytest
+
+    bad = DriftMonitor(root, n_bins=5, update_reference=True)
+    with pytest.raises(ValueError, match="n_bins:width"):
+        bad(batch, epoch_id=1)
+
+
+def test_crash_recovery_heals_even_when_stream_is_idle(spark, tmp_path):
+    """Round-7 review: recovery must run BEFORE the empty-batch guard —
+    a crash mid-swap followed by a quiet stream otherwise leaves the
+    reference missing until data happens to arrive."""
+    import os
+
+    ref, _ = _halves(spark)
+    root = str(tmp_path / "ref")
+    init_reference(ref, root)
+    os.rename(root, root + "._staging")  # crash window: root gone
+    mon = DriftMonitor(root, update_reference=True)
+    mon(ref.filter(F.lit(False)), epoch_id=0)  # idle batch
+    assert mon.batches_scored == 0  # still skipped scoring
+    assert os.path.exists(root)  # but the reference was healed

@@ -111,3 +111,18 @@ def test_registered_query_emits_certified_rows(spark):
     assert len(rows) == 64  # one per dimension
     assert all(r["residual_ok"] for r in rows)
     assert 0 < rows[0]["explained_ratio"] < 1
+
+
+def test_empty_corpus_raises_value_error(spark):
+    """Round-7 review: an empty frame must fail with a clear message,
+    not a ZeroDivisionError from 1/sqrt(0) deep in the iteration."""
+    import pytest
+
+    from acled_spark.embedding import mean_vector, power_iteration_top_component
+    from acled_spark.tables import load
+
+    empty = load(spark, SF_DIR, "embeddings").filter(F.lit(False))
+    with pytest.raises(ValueError, match="no vectors"):
+        mean_vector(empty)
+    with pytest.raises(ValueError, match="no vectors"):
+        power_iteration_top_component(empty)

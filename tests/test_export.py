@@ -293,3 +293,81 @@ def test_shuffle_rejects_colliding_columns(spark):
     docs = load(spark, SF_DIR, "documents").withColumn("pos", F.lit(1))
     with pytest.raises(ValueError, match="collide"):
         shuffle_assignment(docs)
+
+
+def test_tab_only_lines_reconcile_with_reader(spark, tmp_path):
+    """Round-7 review: the file-based JSON reader skips lines that are
+    blank after stripping JSON whitespace (space/tab/CR/LF), but F.trim
+    strips only spaces — a tab-only line inflated total_lines and broke
+    the exported==expected reconciliation on an intact export."""
+    p = str(tmp_path / "ws")
+    os.makedirs(p)
+    with open(os.path.join(p, "part-0.json"), "w") as fh:
+        fh.write('{"doc_id": 1, "text": "a", "lang": "en", '
+                 '"source": "s", "n_chars": 1}\n')
+        fh.write("\t\n")        # tab-only: reader skips
+        fh.write("  \n")        # spaces: reader skips
+        fh.write("\t \t\n")     # mixed: reader skips
+        fh.write('{"doc_id": 2, "text": "b", "lang": "en", '
+                 '"source": "s", "n_chars": 1}\n')
+    audit = corrupt_line_audit(spark, p, DOC_SCHEMA).collect()[0]
+    n_reader = read_jsonl(spark, p, DOC_SCHEMA).count()
+    assert audit["corrupt_lines"] == 0
+    assert audit["total_lines"] == n_reader == 2  # reconciles exactly
+
+
+def test_vertical_tab_line_counts_corrupt_like_the_reader(spark, tmp_path):
+    """VT/FF-only lines are NOT skipped by the reader — they parse as
+    corrupt records; the audit must agree."""
+    p = str(tmp_path / "vt")
+    os.makedirs(p)
+    with open(os.path.join(p, "part-0.json"), "w") as fh:
+        fh.write('{"doc_id": 1, "text": "a", "lang": "en", '
+                 '"source": "s", "n_chars": 1}\n')
+        fh.write("\x0b\n")
+    audit = corrupt_line_audit(spark, p, DOC_SCHEMA).collect()[0]
+    assert audit["total_lines"] == 2 and audit["corrupt_lines"] == 1
+    assert read_jsonl(spark, p, DOC_SCHEMA).count() == 1
+
+
+def test_hash_shard_branch_rejects_temp_column_collision(spark, tmp_path):
+    """Round-7 review: the shards+sort_col branch silently clobbered
+    and dropped an input column named __range_shard; it must raise like
+    the shuffle branch does for its temps."""
+    docs = load(spark, SF_DIR, "documents").limit(10).withColumn(
+        "__range_shard", F.lit(1)
+    )
+    with pytest.raises(ValueError, match="__range_shard"):
+        write_jsonl(docs, str(tmp_path / "x"), shards=2, sort_col="doc_id")
+
+
+def test_verify_manifest_catches_appended_garbage(spark, tmp_path):
+    """Round-7 review: DROPMALFORMED made the rows/digest gate blind to
+    garbage APPENDED to an uncompressed shard (the malformed lines
+    vanish from the parse).  verify_manifest must now report the shard
+    as unparseable_lines."""
+    from acled_spark.export import verify_manifest, write_manifest
+
+    docs = load(spark, SF_DIR, "documents").limit(20)
+    out = str(tmp_path / "exp")
+    write_jsonl(docs, out, shards=2, sort_col="doc_id", compression="none")
+    back = read_jsonl(spark, out, DOC_SCHEMA)
+    write_manifest(back, out)
+    assert verify_manifest(spark, out, DOC_SCHEMA) == []
+
+    shard = sorted(glob.glob(os.path.join(out, "part-*")))[0]
+    with open(shard, "a") as fh:
+        fh.write("garbage not json\nmore garbage\n")
+    # drop the local-FS CRC sidecar: the scenario under test is
+    # corruption that arrives WITH consistent file checksums (an object
+    # store has no .crc sidecars; locally the stale one would fail the
+    # read outright and mask the parser-level blindness)
+    crc = os.path.join(os.path.dirname(shard),
+                       "." + os.path.basename(shard) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    problems = verify_manifest(spark, out, DOC_SCHEMA)
+    kinds = {p["problem"] for p in problems}
+    assert "unparseable_lines" in kinds
+    bad = [p for p in problems if p["problem"] == "unparseable_lines"][0]
+    assert bad["corrupt_lines"] == 2
