@@ -114,6 +114,11 @@ _RECERT_PRIORITY: frozenset[str] = frozenset(
         # r7: incremental_classify edge rules changed in BOTH engines
         # (NULL-text verdicts survive; self-matches are not dups)
         "dedup_incremental_check",
+        # r7: packing token count re-derived from text.py's canonical
+        # tokenizer in BOTH engines (identical semantics, new spelling);
+        # sessions oracle dropped a dead projection column
+        "pack_sequences", "pack_materialize", "mix_weights",
+        "sess_user_sessions",
     }
 )
 

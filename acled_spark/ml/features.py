@@ -44,14 +44,27 @@ class TargetEncoder:
         return f"{self.cat_col}_target_encoded"
 
     def fit(self, df: DataFrame) -> "TargetEncoder":
-        self.global_mean = df.agg(F.avg(self.target_col)).collect()[0][0]
+        # ONE source scan: raw per-category stats materialize first
+        # (category-sized, tiny), and the global mean rolls up from them
+        # driver-side — a separate df.agg job would scan the fact twice
+        # (round-7 review; same rollup discipline as ml_target_encode_cv)
+        raw = (
+            df.groupBy(self.cat_col)
+            .agg(
+                F.count(self.target_col).alias("cnt"),
+                F.avg(self.target_col).alias("mean_t"),
+            )
+            .localCheckpoint()
+        )
+        g = raw.agg(
+            (F.sum(F.col("cnt") * F.col("mean_t")) / F.sum("cnt")).alias("m")
+        ).collect()[0]
+        self.global_mean = g["m"]
         smoothed = (
             F.col("cnt") * F.col("mean_t") + self.smoothing * F.lit(self.global_mean)
         ) / (F.col("cnt") + self.smoothing)
         self.stats = (
-            df.groupBy(self.cat_col)
-            .agg(F.count("*").alias("cnt"), F.avg(self.target_col).alias("mean_t"))
-            .select(self.cat_col, smoothed.alias(self.out_col))
+            raw.select(self.cat_col, smoothed.alias(self.out_col))
             # materialize NOW: a lazy plan would re-aggregate the SOURCE
             # at every transform, mixing post-fit table contents with the
             # fit-time global_mean — the frozen-at-fit contract the
@@ -63,8 +76,23 @@ class TargetEncoder:
     def transform(self, df: DataFrame) -> DataFrame:
         if self.stats is None:
             raise RuntimeError("TargetEncoder.transform before fit")
-        return df.join(F.broadcast(self.stats), self.cat_col, "left").withColumn(
-            self.out_col, F.coalesce(F.col(self.out_col), F.lit(self.global_mean))
+        # null-safe on the category (round-7 review): fit's groupBy keeps
+        # a NULL-category stats row, and a plain equi-join could never
+        # match it — NULL-category rows silently fell back to the global
+        # mean at serving while training encoded them as a real category
+        # (train/serve feature skew on exactly those rows)
+        stats = self.stats.withColumnRenamed(self.cat_col, "__te_cat")
+        return (
+            df.join(
+                F.broadcast(stats),
+                F.col(self.cat_col).eqNullSafe(F.col("__te_cat")),
+                "left",
+            )
+            .drop("__te_cat")
+            .withColumn(
+                self.out_col,
+                F.coalesce(F.col(self.out_col), F.lit(self.global_mean)),
+            )
         )
 
 
@@ -88,15 +116,27 @@ def out_of_fold_target_encode(
     # internal stat columns carry a __oof_ prefix so an input frame
     # that happens to contain "cnt"/"s"/... can't collide (ambiguous
     # reference) or be silently dropped below
-    fold_stats = df.groupBy(
-        F.col(cat_col).alias("__oof_cat"), F.col(fold_col).alias("__oof_fold")
-    ).agg(F.count("*").alias("__oof_cnt"), F.sum(target_col).alias("__oof_s"))
+    # materialized: THREE consumers below (totals rollup, global rollup,
+    # the per-row join) would otherwise each re-run the aggregation —
+    # three scans of the fact for a |cat|·|folds|-row frame
+    fold_stats = (
+        df.groupBy(
+            F.col(cat_col).alias("__oof_cat"), F.col(fold_col).alias("__oof_fold")
+        )
+        .agg(F.count("*").alias("__oof_cnt"), F.sum(target_col).alias("__oof_s"))
+        .localCheckpoint()
+    )
     totals = fold_stats.groupBy("__oof_cat").agg(
         F.sum("__oof_cnt").alias("__oof_tot_cnt"),
         F.sum("__oof_s").alias("__oof_tot_s"),
     )
-    g = df.agg(
-        F.count("*").alias("__oof_g_cnt"), F.sum(target_col).alias("__oof_g_s")
+    # global totals roll up from fold_stats — NOT a second aggregation
+    # over the fact (round-7 review; mirrors ml_target_encode_cv's
+    # "rollup of fold_stats" plan): sum of per-(cat, fold) counts/sums
+    # equals the frame totals exactly, with zero extra input I/O
+    g = fold_stats.agg(
+        F.sum("__oof_cnt").alias("__oof_g_cnt"),
+        F.sum("__oof_s").alias("__oof_g_s"),
     )
     joined = (
         # null-safe on the category: a NULL category is a real category

@@ -49,6 +49,7 @@ XGB_PARAM_NAMES = {
     "minInfoGain": "gamma",
 }
 _XGB_COLSAMPLE = {"all": 1.0, "sqrt": 0.6, "0.8": 0.8}
+_XGB_COLSAMPLE_INV = {v: k for k, v in _XGB_COLSAMPLE.items()}
 
 
 def make_estimator(kind: str, label_col: str, seed: int = SEED):
@@ -206,9 +207,17 @@ def train_regressor(
     )
     best_params = {}
     for name in SEARCH_SPACE:
-        param, _ = _estimator_param(fitted, name)
+        param, translate = _estimator_param(fitted, name)
         if param is not None:
-            best_params[name] = fitted.getOrDefault(param)
+            value = fitted.getOrDefault(param)
+            if translate is not None:
+                # the fitted estimator holds the TRANSLATED value (e.g.
+                # colsample_bytree=0.6); report the canonical GBT knob
+                # value ('sqrt') so best_params stays a member of
+                # SEARCH_SPACE and feeds straight back into GBTRegressor
+                # for a reproduction run (round-7 review)
+                value = _XGB_COLSAMPLE_INV.get(value, value)
+            best_params[name] = value
     return TrainedModel(best, best_params, metrics, importances)
 
 

@@ -17,28 +17,25 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from acled_spark.queries.filters_q import hex_to_int_sql
-from acled_spark.queries.text import WS, ws_trim
+from acled_spark.queries.text import _TOKENS_SQL, _tokens_spark
 from acled_spark.registry import query
 from acled_spark.tables import load
 
 TOKEN_BUDGET = 2048  # tokens per packed training sequence
 
-# full-class whitespace trim for the oracle side (see text.WS)
-_SQL_TRIM = f"regexp_replace(text, '^{WS}+|{WS}+$', '', 'g')"
-
-_NTOK_SQL = (
-    f"CASE WHEN length({_SQL_TRIM}) = 0 THEN 0 "
-    f"ELSE len(string_split_regex({_SQL_TRIM}, '[ \t\n\x0B\f\r]+')) END"
-)
+# Token COUNT as a thin face over text.py's canonical tokenizer
+# (round-7 review): the whitespace class and blank-guard are spelled
+# ONCE, in text.py, and both engines' packing counts derive from that
+# single spelling — a respelled copy here could silently desynchronize
+# token budgets between the text family and the packing family.
+_NTOK_SQL = f"len({_TOKENS_SQL})"
 
 
 def _n_tok() -> F.Column:
     """Whitespace token count of ``text`` — THE tokenization rule of the
-    packing family, shared by pack/mix/materialize so the Spark side
-    can't drift copy-by-copy from itself or from ``_NTOK_SQL``."""
-    return F.when(F.length(ws_trim(F.col("text"))) == 0, 0).otherwise(
-        F.size(F.split(ws_trim(F.col("text")), f"{WS}+"))
-    )
+    packing family, shared by pack/mix/materialize and DERIVED from
+    ``text._tokens_spark`` so it cannot drift from the text family."""
+    return F.size(_tokens_spark(F.col("text")))
 
 
 @query(

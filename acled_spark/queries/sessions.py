@@ -27,7 +27,7 @@ SESSION_GAP_MIN = 30
     "sess_user_sessions",
     oracle=f"""
     WITH flagged AS (
-      SELECT user_id, event_id, ts, value,
+      SELECT user_id, event_id, ts,
              CASE WHEN LAG(ts) OVER w IS NULL
                        OR ts - LAG(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
                   THEN 1 ELSE 0 END AS new_session
@@ -35,7 +35,7 @@ SESSION_GAP_MIN = 30
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sessions AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts,
              SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM flagged

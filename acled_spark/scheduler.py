@@ -130,7 +130,15 @@ def sensor_tick(
     days_back: int = 10,
     limit: int = 5000,
 ) -> list[date]:
-    """One scheduled sensor evaluation: probe -> diff -> ingest missing
-    (the 172800s-interval acled_sensor body, ref sensors.py:14-159)."""
-    available = probe_available_days(fetcher, today, days_back)
+    """One scheduled sensor evaluation: diff -> probe -> ingest missing
+    (the 172800s-interval acled_sensor body, ref sensors.py:14-159).
+
+    The partition diff runs FIRST — it needs no API — and only the
+    days the store does not already hold get an availability probe
+    (round-7 review: probing all ``days_back`` candidates re-issued
+    ~10 limit-1 requests per tick in steady state only to have
+    ``missing_partitions`` discard the answers)."""
+    window = [today - timedelta(days=i) for i in range(days_back)]
+    missing = missing_partitions(bronze_path, window, spark)
+    available = [d for d in missing if fetcher(d, 1, 1, {})]
     return run_backfill(spark, fetcher, bronze_path, available, limit=limit)

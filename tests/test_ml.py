@@ -213,3 +213,20 @@ def test_risk_level_null_labels_excluded_from_accuracy(spark):
     # both labeled rows risk-match (Medium/Medium, Low/Low); the
     # unlabeled row is excluded rather than counted as a mismatch
     assert out["risk_accuracy"] == 1.0
+
+
+def test_target_encoder_null_category_no_train_serve_skew(spark):
+    """Round-7 review: fit() keeps a NULL-category stats row, but
+    transform()'s plain equi-join could never match it — NULL-category
+    rows got the global mean at serving while training treated NULL as
+    a real category (feature skew on exactly those rows)."""
+    df = spark.createDataFrame(
+        [(None, 100.0), (None, 100.0), ("b", 1.0), ("b", 1.0)],
+        "cat string, y double",
+    )
+    enc = TargetEncoder("cat", "y", smoothing=0).fit(df)
+    out = {r["cat"]: r["cat_target_encoded"] for r in enc.transform(df).collect()}
+    assert out[None] == 100.0  # the fitted NULL-category stat, not 50.5
+    assert out["b"] == 1.0
+    # row cardinality preserved (no join fan-out/loss)
+    assert enc.transform(df).count() == 4

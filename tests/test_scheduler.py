@@ -159,3 +159,26 @@ def test_backfill_skips_empty_days_and_continues(spark, tmp_path):
     assert done == [d1, d3]
     # re-run: d2 still empty, still skipped, nothing re-ingested, no crash
     assert run_backfill(spark, fetcher, bronze, [d1, d2, d3], limit=50) == []
+
+
+def test_sensor_tick_skips_probing_materialized_days(spark, tmp_path):
+    """Round-7 review: the partition diff needs no API, so in steady
+    state (everything materialized) a tick should issue ZERO probe
+    calls instead of days_back limit-1 requests it then discards."""
+    bronze = os.path.join(str(tmp_path), "bronze")
+    fetcher = _gapped_fetcher(set())
+    sensor_tick(spark, fetcher, bronze, today=date(2025, 1, 10), days_back=3)
+    assert len(materialized_partitions(bronze)) == 3
+
+    probes = []
+
+    def counting(day, page, limit, params):
+        if limit == 1:
+            probes.append(day)
+        return fetcher(day, page, limit, params)
+
+    done = sensor_tick(
+        spark, counting, bronze, today=date(2025, 1, 10), days_back=3
+    )
+    assert done == []      # nothing new to ingest
+    assert probes == []    # and nothing was probed
