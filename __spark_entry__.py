@@ -119,6 +119,9 @@ _RECERT_PRIORITY: frozenset[str] = frozenset(
         # sessions oracle dropped a dead projection column
         "pack_sequences", "pack_materialize", "mix_weights",
         "sess_user_sessions",
+        # r7: completeness check name parameterized in BOTH engines;
+        # windowed_counts casts event time on both faces (t3's operator)
+        "chk_validation_summary", "t3_tumbling_window",
     }
 )
 

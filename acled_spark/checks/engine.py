@@ -315,13 +315,16 @@ def completeness(
             if total == 0
             else 100.0 * (1 - missing_total / (total * len(columns)))
         )
+        # columns embedded in the name, like pk_unique[...]: two
+        # completeness checks in one suite (critical vs optional column
+        # sets) must stay distinguishable in results and failure reports
         return CheckResult(
-            "completeness", pct >= min_pct, blocking,
+            f"completeness[{', '.join(columns)}]", pct >= min_pct, blocking,
             {"completeness_pct": round(pct, 2), "missing_by_column": per_col},
             f"critical fields >= {min_pct}% complete",
         )
 
-    return _fused("completeness", blocking, aggs, finalize)
+    return _fused(f"completeness[{', '.join(columns)}]", blocking, aggs, finalize)
 
 
 def dominance(
@@ -371,10 +374,12 @@ def partition_date_match(
 
     def finalize(m: dict) -> CheckResult:
         bad = m["mismatched_rows"]
+        # column embedded in the name (round-7 review): two date-match
+        # checks on different columns must stay distinguishable
         return CheckResult(
-            "partition_date_match", bad == 0, blocking,
+            f"partition_date_match[{column}]", bad == 0, blocking,
             {"mismatched_rows": bad, "expected": str(expected_date)},
             f"{column} == partition day {expected_date}",
         )
 
-    return _fused("partition_date_match", blocking, aggs, finalize)
+    return _fused(f"partition_date_match[{column}]", blocking, aggs, finalize)

@@ -25,9 +25,18 @@ from pyspark.sql import functions as F
 HIVE_NULL_PART = "__HIVE_DEFAULT_PARTITION__"
 
 
-def partition_file_counts(path: str, partition_col: str) -> dict[str, int]:
+def partition_file_counts(
+    path: str, partition_col: str, spark: SparkSession | None = None
+) -> dict[str, int]:
     """Data files per hive partition directory (driver-side listing —
     on object stores swap in the catalog/manifest listing).
+
+    With ``spark`` the listing goes through the Hadoop FileSystem API,
+    so scheme-qualified paths (``file://``, ``s3a://``, ``hdfs://``)
+    work — ``os.listdir`` returns nothing for those, and a compaction
+    given a URI target silently no-op'd forever (round-7 review; the
+    compactors always pass their session).  Without ``spark`` the
+    plain-local-path fallback remains for direct callers.
 
     Keys are the partition VALUES: Hive percent-escapes special
     characters (':' '%' '=' ...) in dirnames, so entries are unescaped
@@ -40,6 +49,27 @@ def partition_file_counts(path: str, partition_col: str) -> dict[str, int]:
 
     out: dict[str, int] = {}
     prefix = f"{partition_col}="
+    if spark is not None:
+        from acled_spark.fsutil import _fs_and_path, fs_exists
+
+        if not fs_exists(spark, path):
+            return out
+        fs, jpath, jvm = _fs_and_path(spark, path)
+        for st in fs.listStatus(jpath):
+            if not st.isDirectory():
+                continue
+            entry = st.getPath().getName()
+            if not entry.startswith(prefix):
+                continue
+            raw = entry[len(prefix):]
+            key = raw if raw == HIVE_NULL_PART else unquote(raw)
+            out[key] = sum(
+                1
+                for f in fs.listStatus(st.getPath())
+                if (name := f.getPath().getName()).endswith(".parquet")
+                and not name.startswith(("_", "."))
+            )
+        return out
     if not os.path.isdir(path):
         return out
     for entry in sorted(os.listdir(path)):
@@ -68,7 +98,7 @@ def _rewrite_partitions(
     to fix the output file shape, dynamic-overwrite ONLY the touched
     directories, and report their pre-compaction file counts.  Both
     public compactors are this scaffold plus a shaping strategy."""
-    counts = partition_file_counts(path, partition_col)
+    counts = partition_file_counts(path, partition_col, spark)
     if partitions is None:
         # only fragmented partitions rewrite — an implicit full-table
         # rewrite is never the default at scale (pass
@@ -76,13 +106,17 @@ def _rewrite_partitions(
         partitions = [p for p, n in counts.items() if n > files_per_partition]
     if not partitions:
         return {}
-    values = [p for p in partitions if p != HIVE_NULL_PART]
-    cond = F.col(partition_col).isin(values) if values else F.lit(False)
-    if HIVE_NULL_PART in partitions:
-        cond = cond | F.col(partition_col).isNull()
-    df = spark.read.parquet(path).filter(cond)
+    # ONE membership convention repo-wide (round-7 review): the
+    # directory-name sentinel maps to None and the shared NULL-safe
+    # predicate does the rest — a hand-rolled isin|isNull copy here
+    # could drift from silver's on the next NULL-partition fix
+    from acled_spark.silver import dynamic_overwrite, partition_membership
+
+    member_vals = [None if p == HIVE_NULL_PART else p for p in partitions]
+    df = spark.read.parquet(path).filter(
+        partition_membership(partition_col, member_vals)
+    )
     shaped = shaper(df, list(partitions))
-    from acled_spark.silver import dynamic_overwrite
 
     with dynamic_overwrite(spark):
         (

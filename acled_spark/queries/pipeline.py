@@ -288,7 +288,7 @@ def _missing_sql(col: str) -> str:
              COUNT(*) - COUNT(DISTINCT event_id)
       FROM events
       UNION ALL
-      SELECT 'completeness',
+      SELECT 'completeness[{", ".join(_CRITICAL_COLS)}]',
              CAST(CASE WHEN COUNT(*) = 0 THEN TRUE ELSE
                100.0 * (1 - ({" + ".join(_missing_sql(c) for c in _CRITICAL_COLS)})
                         / ({len(_CRITICAL_COLS)}.0 * COUNT(*))) >= 95.0

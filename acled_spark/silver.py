@@ -141,10 +141,11 @@ def _upsert_delta(
     partitions.  The partition value is treated as part of the
     immutable row identity — a correction that MOVES a key to a new
     partition value must tombstone the old partition first
-    (:func:`delete_keys`) or the old-partition row survives alongside
-    the new one (the bounded-rewrite shape cannot see untouched
-    partitions; scanning the full table per batch is exactly what this
-    path exists to avoid at 100 TB).
+    (``DeltaTable.delete`` — :func:`delete_keys` is parquet-path-only
+    and refuses Delta targets) or the old-partition row survives
+    alongside the new one (the bounded-rewrite shape cannot see
+    untouched partitions; scanning the full table per batch is exactly
+    what this path exists to avoid at 100 TB).
     """
     DeltaTable = _delta_table_cls()
     # materialized ONCE: the touched-partition collect and the MERGE
@@ -217,9 +218,10 @@ def upsert_partitioned(
     CONTRACT (both paths): keyed-upsert semantics hold WITHIN the
     batch's partitions — the partition value is part of the immutable
     row identity.  A correction that moves a key to a different
-    partition value must :func:`delete_keys` the old partition first,
-    or the old row survives next to the new one (the bounded-rewrite
-    shape never reads untouched partitions).
+    partition value must tombstone the old partition first
+    (:func:`delete_keys` on the parquet path, ``DeltaTable.delete`` on
+    Delta), or the old row survives next to the new one (the
+    bounded-rewrite shape never reads untouched partitions).
     """
     keys = [key] if isinstance(key, str) else list(key)
     if table_format not in ("auto", "delta", "parquet"):
@@ -239,14 +241,37 @@ def upsert_partitioned(
     if use_delta:
         _upsert_delta(spark, updates, target_path, keys, partition_col, order_col)
         return
+    if _has_delta_log(spark, target_path):
+        # a Delta table read as raw parquet resurrects removed file
+        # versions AND a parquet rewrite leaves _delta_log pointing at
+        # files that no longer exist — corruption, not a fallback
+        # (round-7 review).  Reached when table_format='parquet' was
+        # forced, or 'auto' found delta-spark missing.
+        raise ValueError(
+            f"{target_path} is a Delta table (_delta_log present) but the "
+            "parquet upsert path was selected "
+            f"({'delta-spark is not importable' if DeltaTable is None else 'table_format=parquet was forced'}); "
+            "rewriting it as parquet would corrupt the transaction log — "
+            "install delta-spark / use table_format='delta', or convert "
+            "the table to plain parquet first"
+        )
     if _table_exists(spark, target_path):
-        touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
+        # materialized ONCE (round-7 review; the same fix _upsert_delta
+        # carries): the touched-partition collect and the merge/write
+        # both consume the batch, and a nondeterministic updates lineage
+        # (live re-fetch) recomputed between the two could write a
+        # partition absent from `touched` — its existing rows never
+        # read, the directory replaced with batch rows only
+        latest = merge_updates(
+            updates.limit(0), updates, key, order_col
+        ).localCheckpoint()
+        touched = [r[0] for r in latest.select(partition_col).distinct().collect()]
         existing = (
             spark.read.parquet(target_path)
             .filter(partition_membership(partition_col, touched))
-            .select(*updates.columns)
+            .select(*latest.columns)
         )
-        merged = merge_updates(existing, updates, key, order_col)
+        merged = merge_updates(existing, latest, key, order_col)
     else:
         merged = merge_updates(
             updates.limit(0), updates, key, order_col
@@ -283,6 +308,15 @@ def delete_keys(
     Returns the number of rows deleted.
     """
     keys = [key] if isinstance(key, str) else list(key)
+    if _has_delta_log(spark, target_path):
+        # reading a Delta table as raw parquet resurrects removed row
+        # versions into `kept`, and the rewrite + FS deletes leave
+        # _delta_log referencing vanished files (round-7 review)
+        raise ValueError(
+            f"{target_path} is a Delta table; delete_keys is the "
+            "parquet-path retraction — use DeltaTable.delete (a "
+            "transactional keyed delete) on Delta tables instead"
+        )
     bounded = partition_col is not None and partition_col in tombstones.columns
     current = spark.read.parquet(target_path)
     if bounded:
@@ -330,11 +364,11 @@ def delete_keys(
             # (e.g. ':' -> '%3A') and maps NULL to the Hive default
             # partition — mirror both or the cleanup silently no-ops.
             esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            from acled_spark.maintenance import HIVE_NULL_PART
+
             for p in emptied:
                 dirname = (
-                    "__HIVE_DEFAULT_PARTITION__"
-                    if p is None
-                    else esc.escapePathName(str(p))
+                    HIVE_NULL_PART if p is None else esc.escapePathName(str(p))
                 )
                 jpath = jvm.org.apache.hadoop.fs.Path(
                     f"{target_path}/{partition_col}={dirname}"
@@ -344,6 +378,16 @@ def delete_keys(
     else:
         kept.write.mode("overwrite").parquet(target_path)
     return deleted
+
+
+def _has_delta_log(spark: SparkSession, path: str) -> bool:
+    """True when ``path`` carries a Delta transaction log — the guard
+    that keeps the parquet-path writers (:func:`upsert_partitioned`'s
+    fallback branch, :func:`delete_keys`) from corrupting a Delta table
+    by rewriting its data files behind the log's back."""
+    from acled_spark.fsutil import fs_exists
+
+    return fs_exists(spark, path.rstrip("/") + "/_delta_log")
 
 
 def _table_exists(spark: SparkSession, path: str) -> bool:

@@ -58,6 +58,7 @@ def start_upsert_stream(
     checkpoint_dir: str,
     order_col: str | None = None,
     max_files_per_trigger: int | None = None,
+    table_format: str = "auto",
 ) -> StreamingQuery:
     """Bronze->silver incremental upsert, ``Trigger.AvailableNow`` (T2+T4+T5).
 
@@ -66,6 +67,19 @@ def start_upsert_stream(
     the reference's sensor-triggered partition runs.  Crash-safety:
     re-delivered batches hit the same PK merge, so duplicates cannot
     land (exactly-once effect from at-least-once delivery).
+
+    PRECISE crash-window contract (round-7 review): replay idempotency
+    covers every crash OUTSIDE the parquet commit, but the dynamic
+    partition overwrite itself is delete-then-rename per touched
+    directory — a crash BETWEEN those two steps leaves that partition
+    empty, and the replayed batch then merges against an empty
+    "existing" set, silently dropping the partition's pre-crash rows
+    whose keys the batch does not carry.  Plain parquet cannot close
+    this window (no atomic directory swap); deployments that need it
+    closed should point ``upsert_partitioned`` at a Delta table
+    (``table_format='delta'`` — MERGE commits via the transaction log,
+    so a torn write is invisible to readers and the replay is fully
+    exactly-once).
 
     ``max_files_per_trigger`` bounds each micro-batch (AvailableNow
     still drains everything, in bounded chunks with checkpoint progress
@@ -84,7 +98,7 @@ def start_upsert_stream(
         # scoping must not leak into (or depend on) the outer one.
         upsert_partitioned(
             batch_df.sparkSession, batch_df, target_path, key, partition_col,
-            order_col,
+            order_col, table_format=table_format,
         )
 
     return (
@@ -135,14 +149,24 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
-def _with_event_time(events: DataFrame, ts_col: str, watermark: str) -> DataFrame:
-    """Streaming event-time preamble shared by the windowed operators:
-    watermarks require TIMESTAMP (tz), so NTZ inputs are cast under the
-    UTC-pinned session (wall-clock semantics unchanged) before the
-    watermark attaches."""
-    return events.withColumn(
-        ts_col, F.col(ts_col).cast("timestamp")
-    ).withWatermark(ts_col, watermark)
+def _with_event_time(
+    events: DataFrame, ts_col: str, watermark: str | None
+) -> DataFrame:
+    """Event-time preamble shared by the windowed operators, BOTH faces.
+
+    The cast to TIMESTAMP runs unconditionally (round-7 review): the
+    batch face used to skip it, so a string/NTZ ts input behaved
+    differently per face — streaming worked while the identical batch
+    call could raise, breaking the 'one expression for batch AND
+    stream' contract.  Watermarks attach only on the streaming face
+    (batch ignores them; and they REQUIRE the tz type — TIMESTAMP_NTZ
+    event time raises EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE, measured).
+    Under the UTC-pinned session the cast is wall-clock-preserving.
+    """
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if watermark is not None and events.isStreaming:
+        events = events.withWatermark(ts_col, watermark)
+    return events
 
 
 def windowed_counts(
@@ -159,15 +183,23 @@ def windowed_counts(
     so parity tests can compare the streaming result to the identical
     batch plan (see t3_tumbling_window in the query registry).
     """
-    if watermark is not None and events.isStreaming:
-        events = _with_event_time(events, ts_col, watermark)
+    events = _with_event_time(events, ts_col, watermark)
     return (
         events.groupBy(F.window(ts_col, window_len).alias("w"))
         .agg(
             F.count("*").alias("event_count"),
             F.round(F.sum(value_col), 2).alias("total_value"),
         )
-        .select(F.col("w.start").alias("window_start"), "event_count", "total_value")
+        # NTZ output on BOTH faces: the input cast above makes the raw
+        # window bound tz-typed, and faces diverging on the output type
+        # is exactly the parity bug this operator must not have; under
+        # the UTC-pinned session the cast is value-preserving and keeps
+        # the parquet/oracle NTZ convention
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_count",
+            "total_value",
+        )
     )
 
 
@@ -233,18 +265,18 @@ def session_counts(
     bounded by active sessions only, which is what makes gap
     sessionization viable on an unbounded feed.
     """
-    if events.isStreaming:
-        events = _with_event_time(events, ts_col, watermark)
+    events = _with_event_time(events, ts_col, watermark)
     return (
         events.groupBy(F.col(key_col), F.session_window(ts_col, gap).alias("w"))
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum(value_col), 2).alias("session_value"),
         )
+        # NTZ bounds on BOTH faces — same reasoning as windowed_counts
         .select(
             key_col,
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
             "n_events",
             "session_value",
         )

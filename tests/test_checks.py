@@ -170,7 +170,7 @@ def test_chk_validation_summary_counts_planted_defects(spark, tmp_path):
     assert got["pk_unique[event_id]"] == (0, 1)
     assert got["value_range[value]"] == (0, 2)  # negative + null
     assert got["domain[event_type]"] == (0, 2)  # 'teleport' + ''
-    assert got["completeness"] == (1, 3)  # 3 missing cells, still >= 95%
+    assert got["completeness[" + ", ".join(("event_id", "ts", "user_id", "event_type", "value")) + "]"] == (1, 3)  # 3 missing cells, still >= 95%
     assert got["non_empty"] == (1, 0)
 
     con = duckdb.connect()
