@@ -122,6 +122,10 @@ _RECERT_PRIORITY: frozenset[str] = frozenset(
         # r7: completeness check name parameterized in BOTH engines;
         # windowed_counts casts event time on both faces (t3's operator)
         "chk_validation_summary", "t3_tumbling_window",
+        # r7 review sweep: zero-norm vectors now excluded in BOTH
+        # engines (ANSI /0 guard); text_repetition's oracle now actually
+        # lowercases (the old .replace was a no-op on the WS spelling)
+        "sim_topk_bruteforce", "sim_ann_lsh", "text_repetition",
     }
 )
 

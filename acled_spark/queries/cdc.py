@@ -197,9 +197,13 @@ def release_delta_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors the release would actually append/export.
 
     Scale: both snapshots reduce to (doc_id, fp) at the scan; the
-    retained-fp set is distinct digests (broadcast-sized relative to
-    the corpus); every join keys on doc_id or a 32-hex digest — text
-    never shuffles, same discipline as ``snapshot_diff``.
+    retained-fp set is one distinct digest per unique retained doc —
+    CORPUS-scaled, so it is NOT broadcast (a forced broadcast of a
+    per-doc frame is the driver-OOM shape dedup.py refuses for sizes);
+    the fp join shuffles 32-hex digests and AQE downgrades it to a
+    broadcast on its own when the delta run is small.  Every join keys
+    on doc_id or a digest — text never shuffles, same discipline as
+    ``snapshot_diff``.
     """
     docs = load(spark, sf_dir, "documents")
     old = docs.filter(F.col("doc_id") % 11 != 3)
@@ -245,7 +249,7 @@ def release_delta_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     canon = delta.groupBy("k").agg(F.min("doc_id").alias("canon_id"))
     flagged = (
-        delta.join(F.broadcast(keep_fps), "fp", "left")
+        delta.join(keep_fps, "fp", "left")
         .join(canon, "k")
         .select(
             "status",

@@ -461,27 +461,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse quantizer (IVF centroid / LSH bucket, see sim_ann_lsh).
     Dot products ride zip_with/aggregate HOFs — JVM-side, no Python.
     """
+    from acled_spark.vector import as_double, dot as vdot, l2_norm
+
     e = load(spark, sf_dir, "embeddings")
-    dbl = F.transform("embedding", lambda x: x.cast("double"))
     v = e.select(
         "vec_id",
         "label",
-        dbl.alias("e"),
-        F.sqrt(
-            F.aggregate(
-                F.zip_with(dbl, dbl, lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        ).alias("nrm"),
+        as_double("embedding").alias("e"),
+        l2_norm("embedding").alias("nrm"),
     )
     a = v.alias("a")
     b = v.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot = vdot(F.col("a.e"), F.col("b.e"))
     return (
         a.join(
             b,

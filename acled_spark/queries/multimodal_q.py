@@ -53,15 +53,19 @@ def mm_payload_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gate outright — strictly stronger than the self-cert flags.
     # (The PRODUCTION face with a real codec remains non-SQL-
     # expressible; this oracle covers the registered test-double path.)
+    # NULL-payload rows mirror the worker's tolerance contract exactly
+    # (multimodal.py run(): n_bytes=0, digest/width/height NULL, and the
+    # cert flags NULL because NULL==NULL is NULL on the Spark side too —
+    # an unreadable payload must FLAG, not pass, certification).
     oracle="""
     SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(COALESCE(octet_length(encode(text)), 0) AS BIGINT) AS n_bytes,
            md5(text) AS digest,
            CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
            CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INTEGER)
                AS height,
-           TRUE AS digest_ok,
-           TRUE AS decode_ok
+           CASE WHEN text IS NULL THEN NULL ELSE TRUE END AS digest_ok,
+           CASE WHEN text IS NULL THEN NULL ELSE TRUE END AS decode_ok
     FROM documents ORDER BY doc_id LIMIT 100
     """,
     tags=("multimodal", "extended", "python"),

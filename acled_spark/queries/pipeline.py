@@ -152,10 +152,13 @@ from acled_spark.queries.filters_q import (  # shared split bounds
     split_spark,
 )
 from acled_spark.queries.text import (  # noqa: E402
+    FINGERPRINT_SQL,
+    GATE_DR_SQL,
+    GATE_NTOK_SQL,
+    GATE_TOKS_SQL,
     MIN_DISTINCT_RATIO,
     MIN_TOKENS,
-    WS,
-    ws_trim,
+    gate_exprs,
 )
 
 
@@ -164,11 +167,9 @@ from acled_spark.queries.text import (  # noqa: E402
     oracle=f"""
     WITH t AS (
       SELECT doc_id, lang,
-             CASE WHEN length(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')) = 0 THEN 0
-                  ELSE len(string_split_regex(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+')) END AS n_tok,
-             CASE WHEN length(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')) = 0 THEN []
-                  ELSE string_split_regex(lower(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')), '[ \t\n\x0B\f\r]+') END AS toks,
-             md5(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))) AS fp,
+             {GATE_NTOK_SQL} AS n_tok,
+             {GATE_TOKS_SQL} AS toks,
+             {FINGERPRINT_SQL} AS fp,
              CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{SPLIT_TRAIN_MAX}' THEN 'train'
                   WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{SPLIT_VAL_MAX}' THEN 'val'
                   ELSE 'test' END AS split
@@ -176,8 +177,7 @@ from acled_spark.queries.text import (  # noqa: E402
     ),
     d AS (
       SELECT doc_id, lang, split, n_tok,
-             CASE WHEN n_tok = 0 THEN 0.0
-                  ELSE len(list_distinct(toks)) / CAST(n_tok AS DOUBLE) END AS dr,
+             {GATE_DR_SQL} AS dr,
              doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS canon
       FROM t
     ),
@@ -210,18 +210,13 @@ def prep_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load(spark, sf_dir, "documents")
-    toks = F.split(F.lower(ws_trim(F.col("text"))), f"{WS}+")
-    n_tok = F.when(F.length(ws_trim(F.col("text"))) == 0, 0).otherwise(
-        F.size(F.split(ws_trim(F.col("text")), f"{WS}+"))
-    )
+    n_tok, dr = gate_exprs(F.col("text"))
     d = docs.select(
         "doc_id",
         "lang",
         split_spark(F.col("doc_id")).alias("split"),
         n_tok.alias("n_tok"),
-        F.when(F.length(ws_trim(F.col("text"))) == 0, 0.0)
-        .otherwise(F.size(F.array_distinct(toks)) / n_tok.cast("double"))
-        .alias("dr"),
+        dr.alias("dr"),
         fingerprint_spark(F.col("text")).alias("fp"),
     ).withColumn(
         "canon", F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("fp"))

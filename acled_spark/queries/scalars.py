@@ -278,16 +278,17 @@ def f16_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scalar", "vector", "extended"),
 )
 def f9b_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2 norm of embedding vectors via aggregate() HOF (extended surface)."""
+    """L2 norm of embedding vectors via aggregate() HOF (extended surface).
+
+    The norm expression is the shared kernel (acled_spark/vector.py) —
+    the same sequential fold every cosine query uses, spelled once.
+    """
+    from acled_spark.vector import l2_norm
+
     e = load(spark, sf_dir, "embeddings")
-    sq_sum = F.aggregate(
-        "embedding",
-        F.lit(0.0),
-        lambda acc, x: acc + x.cast("double") * x.cast("double"),
-    )
     return (
         e.select(
-            "vec_id", "label", F.round(F.sqrt(sq_sum), 4).alias("l2_norm")
+            "vec_id", "label", F.round(l2_norm("embedding"), 4).alias("l2_norm")
         )
         .orderBy("vec_id")
         .limit(100)

@@ -20,6 +20,8 @@ from pyspark.sql.window import Window
 
 from acled_spark.registry import query
 from acled_spark.tables import load
+from acled_spark.vector import as_double as _dbl
+from acled_spark.vector import dot as _dot
 
 DIM = 64
 N_QUERIES = 5  # vec_id < 5 are the probe vectors
@@ -31,16 +33,6 @@ N_PLANES = 6
 PLANES = [
     [round(_rng.gauss(0.0, 1.0), 6) for _ in range(DIM)] for _ in range(N_PLANES)
 ]
-
-
-def _dbl(col: str | Column) -> Column:
-    return F.transform(col, lambda x: x.cast("double"))
-
-
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
 
 
 def _plane_lit(p: list[float]) -> Column:
@@ -71,9 +63,11 @@ def _bucket_spark(e: Column) -> Column:
     "sim_topk_bruteforce",
     oracle=f"""
     WITH v AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-             SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-      FROM embeddings
+      SELECT * FROM (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+               SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+      ) WHERE nrm > 0
     ),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -99,14 +93,17 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     The probe set is tiny → broadcast; each executor scores its slice of
     the corpus and a per-query window takes top-k.  Ranking runs on the
     ROUNDED cosine with neighbor_id tiebreak so ordering is independent
-    of last-ulp float differences between engines.
+    of last-ulp float differences between engines.  Zero-norm vectors
+    (undefined cosine) are excluded from BOTH probe and candidate sets —
+    under Spark's default ANSI mode an unguarded /0 would abort the
+    query, and the oracle mirrors the same filter.
     """
     emb = load(spark, sf_dir, "embeddings")
     v = emb.select(
         "vec_id",
         _dbl("embedding").alias("e"),
         F.sqrt(_dot(_dbl("embedding"), _dbl("embedding"))).alias("nrm"),
-    )
+    ).filter(F.col("nrm") > 0)
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
@@ -135,9 +132,11 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ann_lsh",
     oracle=f"""
     WITH v AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-             SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-      FROM embeddings
+      SELECT * FROM (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+               SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+      ) WHERE nrm > 0
     ),
     b AS (SELECT vec_id, e, nrm, {_bucket_sql()} AS bucket FROM v),
     scored AS (
@@ -164,13 +163,19 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores same-bucket candidates.  At 100 TB: repartition the corpus by
     bucket once (signatures are cheap narrow maps), then every query is
     a partition-local scan — recall tunes with N_PLANES / multi-probe.
+    Zero-norm vectors are excluded on both engines (undefined cosine;
+    ANSI /0 guard — same rule as sim_topk_bruteforce).
     """
     emb = load(spark, sf_dir, "embeddings")
-    v = emb.select(
-        "vec_id",
-        _dbl("embedding").alias("e"),
-        F.sqrt(_dot(_dbl("embedding"), _dbl("embedding"))).alias("nrm"),
-    ).withColumn("bucket", _bucket_spark(F.col("e")))
+    v = (
+        emb.select(
+            "vec_id",
+            _dbl("embedding").alias("e"),
+            F.sqrt(_dot(_dbl("embedding"), _dbl("embedding"))).alias("nrm"),
+        )
+        .filter(F.col("nrm") > 0)
+        .withColumn("bucket", _bucket_spark(F.col("e")))
+    )
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),

@@ -57,10 +57,19 @@ def _tokens_spark(text: Column) -> Column:
     )
 
 
-_TOKENS_SQL = (
-    "CASE WHEN length(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')) = 0 THEN [] "
-    "ELSE string_split_regex(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+') END"
-)
+def _tokens_sql(col: str = "text") -> str:
+    """DuckDB tokens expression over ``col`` — the oracle twin of
+    :func:`_tokens_spark`, parameterized so case-folded variants (e.g.
+    ``lower(text)``) reuse the canonical spelling instead of a string
+    ``.replace`` that silently no-ops when this spelling changes."""
+    trimmed = f"regexp_replace({col}, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')"
+    return (
+        f"CASE WHEN length({trimmed}) = 0 THEN [] "
+        f"ELSE string_split_regex({trimmed}, '[ \t\n\x0B\f\r]+') END"
+    )
+
+
+_TOKENS_SQL = _tokens_sql()
 
 
 # --- token counting ---------------------------------------------------------
@@ -358,7 +367,7 @@ def text_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_repetition",
     oracle=f"""
     WITH w AS (
-      SELECT doc_id, unnest({_TOKENS_SQL.replace("trim(text)", "lower(trim(text))")}) AS word
+      SELECT doc_id, unnest({_tokens_sql("lower(text)")}) AS word
       FROM documents
     ),
     tc AS (SELECT doc_id, word, COUNT(*) AS cnt FROM w GROUP BY doc_id, word),
@@ -749,23 +758,47 @@ def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIN_TOKENS = 25
 MIN_DISTINCT_RATIO = 0.35
 
+# Gate-expression twins, spelled ONCE for both consumers: the standalone
+# funnel below and the prep_corpus_stats capstone (pipeline.py).  A
+# respelled copy in either file could silently desynchronize the
+# capstone's "kept" set from the funnel (same hazard packing._NTOK_SQL
+# documents for token counts).  GATE_DR_SQL references the n_tok/toks
+# aliases GATE_NTOK_SQL/GATE_TOKS_SQL mint in the enclosing CTE.
+GATE_NTOK_SQL = f"len({_tokens_sql()})"
+GATE_TOKS_SQL = _tokens_sql("lower(text)")
+GATE_DR_SQL = (
+    "CASE WHEN n_tok = 0 THEN 0.0 "
+    "ELSE len(list_distinct(toks)) / CAST(n_tok AS DOUBLE) END"
+)
+
+
+def gate_exprs(text: Column) -> tuple[Column, Column]:
+    """(n_tok, dr) quality-gate expressions — the Spark twins of
+    GATE_NTOK_SQL / GATE_DR_SQL.  The ratio is a quotient of two ints,
+    bit-identical across engines, so threshold comparisons can't flake."""
+    toks = F.split(F.lower(ws_trim(text)), f"{WS}+")
+    n_tok = F.when(F.length(ws_trim(text)) == 0, 0).otherwise(
+        F.size(F.split(ws_trim(text), f"{WS}+"))
+    )
+    dr = F.when(F.length(ws_trim(text)) == 0, 0.0).otherwise(
+        F.size(F.array_distinct(toks)) / n_tok.cast("double")
+    )
+    return n_tok, dr
+
 
 @query(
     "doc_filter_funnel",
     oracle=f"""
     WITH t AS (
       SELECT doc_id, lang,
-             CASE WHEN length(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')) = 0 THEN 0
-                  ELSE len(string_split_regex(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+')) END AS n_tok,
-             CASE WHEN length(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')) = 0 THEN []
-                  ELSE string_split_regex(lower(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')), '[ \t\n\x0B\f\r]+') END AS toks,
+             {GATE_NTOK_SQL} AS n_tok,
+             {GATE_TOKS_SQL} AS toks,
              {FINGERPRINT_SQL} AS fp
       FROM documents
     ),
     d AS (
       SELECT doc_id, lang, n_tok,
-             CASE WHEN n_tok = 0 THEN 0.0
-                  ELSE len(list_distinct(toks)) / CAST(n_tok AS DOUBLE) END AS dr,
+             {GATE_DR_SQL} AS dr,
              doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS canon
       FROM t
     ),
@@ -798,17 +831,12 @@ def doc_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a lang-sized rollup.
     """
     docs = load(spark, sf_dir, "documents")
-    toks = F.split(F.lower(ws_trim(F.col("text"))), f"{WS}+")
-    n_tok = F.when(F.length(ws_trim(F.col("text"))) == 0, 0).otherwise(
-        F.size(F.split(ws_trim(F.col("text")), f"{WS}+"))
-    )
+    n_tok, dr = gate_exprs(F.col("text"))
     d = docs.select(
         "doc_id",
         "lang",
         n_tok.alias("n_tok"),
-        F.when(F.length(ws_trim(F.col("text"))) == 0, 0.0)
-        .otherwise(F.size(F.array_distinct(toks)) / n_tok.cast("double"))
-        .alias("dr"),
+        dr.alias("dr"),
         fingerprint_spark(F.col("text")).alias("fp"),
     ).select(
         "lang",

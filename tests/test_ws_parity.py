@@ -26,6 +26,11 @@ ROWS = [
     (6, None, "en", "s1", 0),            # NULL text
     (7, "a\x0bb c\td e\nf mixed separators everywhere", "en", "s2", 40),
     (8, "plain words here for a baseline document", "en", "s2", 40),  # dup of 1
+    # MIXED CASE: round-7 regression — text_repetition's oracle
+    # lowercase was a silent no-op, latent because no planted (or
+    # testdata) doc had uppercase text; 'The'/'THE'/'the' must collapse
+    # to ONE token in both engines
+    (9, "The THE the Repeat repeat REPEAT Tokens tokens", "en", "s2", 47),
 ]
 SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 
@@ -38,7 +43,11 @@ _WS_QUERIES = [
     "text_dup_spans", "dedup_exact", "dedup_ngram_jaccard",
     "pack_sequences", "pack_materialize", "mix_weights",
     "prep_corpus_stats", "cdc_snapshot_diff", "release_delta_audit",
-    "text_quality_classifier",
+    "text_quality_classifier", "doc_filter_funnel",
+    # NULL-text row 6 exercises the worker's NULL-payload tolerance
+    # against the oracle's mirrored contract (round-7 regression: the
+    # oracle hard-coded TRUE cert flags and NULL n_bytes on NULL text)
+    "mm_feature_extract",
 ]
 
 
