@@ -93,7 +93,11 @@ def run_checks(
     n_actions = (1 if fusable else 0) + sum(
         1 for c in standalone if not c.scan_free
     )
-    cached = n_actions > 1
+    # never unpersist a cache the CALLER created: cache() on an
+    # already-cached frame is a no-op, so the finally-block unpersist
+    # would silently destroy the caller's persistence for every action
+    # AFTER this suite (round-7 review)
+    cached = n_actions > 1 and not df.is_cached
     if cached:
         df = df.cache()
     try:

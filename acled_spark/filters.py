@@ -49,6 +49,21 @@ class Predicate:
     def __post_init__(self) -> None:
         if self.op not in _OPS:
             raise ValueError(f"unknown filter op: {self.op!r} (valid: {sorted(_OPS)})")
+        if self.op in ("in", "between") and isinstance(self.value, (str, bytes)):
+            # a bare string iterates as CHARACTERS: 'in' would compile
+            # to isin('B','a','t','t','l','e','s') and push
+            # 'B|a|t|t|l|e|s' to the API — both silently wrong; fail
+            # loudly at construction instead (round-7 review)
+            raise TypeError(
+                f"op {self.op!r} needs an iterable of values, got a bare "
+                f"string {self.value!r} — wrap it: [{self.value!r}]"
+            )
+        if self.op == "between":
+            pair = tuple(self.value)
+            if len(pair) != 2:
+                raise ValueError(
+                    f"op 'between' needs exactly (lo, hi), got {len(pair)} values"
+                )
 
     # -- Spark side ---------------------------------------------------------
     def to_column(self) -> Column:

@@ -205,7 +205,12 @@ class OAuthTokenClient:
                     headers={"Content-Type": "application/x-www-form-urlencoded"},
                     timeout=self.timeout,
                 )
-            except (urllib.error.URLError, ConnectionError, TimeoutError) as exc:
+            except (
+                urllib.error.URLError,
+                ConnectionError,
+                TimeoutError,
+                ApiError,  # transport-level: 200 with a non-JSON body
+            ) as exc:
                 if attempt >= self.max_retries:
                     raise ApiError(
                         f"{kind} grant failed after {attempt + 1} attempts: {exc}"
@@ -275,9 +280,12 @@ class HttpPageFetcher:
     - 200 -> return rows;
     - 403 -> invalidate the token, re-auth, retry ONCE; a second 403
       raises :class:`AuthenticationError`;
-    - 5xx or connection error -> exponential backoff
+    - 429, 5xx, connection error, or a 200 whose body isn't JSON (a
+      proxy/LB failover page) -> exponential backoff
       (``backoff * 2**attempt``) up to ``max_retries``, then
-      :class:`ApiError`;
+      :class:`ApiError` — 429 is a rate limit, and the executor
+      fan-out makes bursts likely, so it gets the same budget the
+      token endpoint already gives it;
     - other 4xx -> :class:`ApiError` immediately (retrying a bad
       request cannot help).
 
@@ -325,9 +333,15 @@ class HttpPageFetcher:
         reauthed = False
         attempt = 0
         while True:
+            # auth_header OUTSIDE the try: a grant failure must surface
+            # with the grant's own (already-spent) retry budget, not be
+            # multiplied by the page loop's — AuthenticationError is an
+            # ApiError subclass and would otherwise match the retry
+            # branch below
+            headers = self.auth.auth_header()
             try:
                 status, payload = self.auth.transport(
-                    url, headers=self.auth.auth_header(), timeout=self.auth.timeout
+                    url, headers=headers, timeout=self.auth.timeout
                 )
             except (urllib.error.URLError, ConnectionError, TimeoutError) as exc:
                 # connection-level failure (refused, reset, DNS, timeout):
@@ -336,6 +350,17 @@ class HttpPageFetcher:
                     raise ApiError(
                         f"API request failed after {attempt + 1} attempts: {exc}"
                     ) from exc
+                self.sleep(self.backoff * (2**attempt))
+                attempt += 1
+                continue
+            except ApiError as exc:
+                # transport-level ApiError == a 200 whose body isn't
+                # JSON (_http_json's proxy/LB failover normalization).
+                # The same fault expressed as a 502 gets the backoff
+                # budget, so this shape must too — without this branch
+                # it aborted the whole day fetch with zero retries.
+                if attempt >= self.max_retries:
+                    raise
                 self.sleep(self.backoff * (2**attempt))
                 attempt += 1
                 continue
@@ -369,7 +394,12 @@ class HttpPageFetcher:
                 self.auth.invalidate()
                 reauthed = True
                 continue
-            if 500 <= status < 600:
+            if status == 429 or 500 <= status < 600:
+                # 429 is a rate limit, not a bad request: the token
+                # path already retries it for exactly the fan-out-burst
+                # reason (_grant), and page GETs are the bulk of the
+                # burst — aborting a whole day on one 429 that a single
+                # sleep would clear is the wrong trade
                 if attempt >= self.max_retries:
                     raise ApiError(
                         f"API request failed after {attempt + 1} attempts: "

@@ -89,12 +89,19 @@ def run_backfill(
     bronze_path: str,
     candidates: Sequence[date],
     limit: int = 5000,
+    rediff: bool = True,
 ) -> list[date]:
     """Materialize every missing candidate day (ref jobs.py:8-12 backfill).
 
     Each day is one ingest->cast->partition-overwrite cycle; re-running
     is safe (dynamic overwrite replaces only that day's directory).
     Returns the days actually materialized.
+
+    ``rediff=False`` skips the missing-partition diff when the caller
+    already ran it on these exact candidates (``sensor_tick`` does —
+    the re-diff was a second remote store listing per tick whose result
+    is identical by construction; round-7 review).  Direct callers with
+    raw candidate lists keep the default diff.
 
     Zero-row days are SKIPPED, not fatal: an empty day can never
     produce a partition directory, so treating it as an error would
@@ -106,7 +113,11 @@ def run_backfill(
     from acled_spark.checks.engine import partition_date_match, run_checks
     from acled_spark.source import EmptyPartitionError
 
-    todo = missing_partitions(bronze_path, candidates, spark)
+    todo = (
+        missing_partitions(bronze_path, candidates, spark)
+        if rediff
+        else sorted(candidates)
+    )
     done = []
     for day in todo:
         try:
@@ -141,4 +152,6 @@ def sensor_tick(
     window = [today - timedelta(days=i) for i in range(days_back)]
     missing = missing_partitions(bronze_path, window, spark)
     available = [d for d in missing if fetcher(d, 1, 1, {})]
-    return run_backfill(spark, fetcher, bronze_path, available, limit=limit)
+    return run_backfill(
+        spark, fetcher, bronze_path, available, limit=limit, rediff=False
+    )

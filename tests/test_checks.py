@@ -333,3 +333,29 @@ def test_domain_membership_counts_nulls(spark):
         raise_on_blocking=False,
     )[0]
     assert lenient.passed
+
+
+def test_run_checks_preserves_caller_cache(spark):
+    """Round-7 review: the engine caches for its own multi-action
+    suites, but must never unpersist a cache the CALLER created —
+    cache() on an already-cached frame is a no-op, so the old
+    finally-block unpersist destroyed the caller's persistence."""
+    from acled_spark.checks.engine import dominance, non_empty, run_checks
+    from acled_spark.tables import load
+
+    suite = [non_empty(blocking=False), dominance("event_type", 101.0)]
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").limit(50)
+    ours = ev.cache()
+    try:
+        ours.count()
+        assert ours.is_cached
+        run_checks(ours, suite, raise_on_blocking=False)
+        assert ours.is_cached  # the caller's cache survived the suite
+    finally:
+        ours.unpersist()
+
+    # and when the ENGINE cached (caller did not), it still cleans up
+    fresh = load(spark, "/root/testdata/sf0.001", "events").limit(50)
+    run_checks(fresh, suite, raise_on_blocking=False)
+    assert not fresh.is_cached

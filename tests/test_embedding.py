@@ -113,6 +113,29 @@ def test_registered_query_emits_certified_rows(spark):
     assert 0 < rows[0]["explained_ratio"] < 1
 
 
+def test_null_embeddings_excluded_consistently(spark):
+    """Round-7 review: rows with NULL embeddings must drop out of the
+    WHOLE decomposition (they contribute to no aggregate), not just the
+    sums — the old df.count() denominator biased λ and explained_ratio
+    low by the NULL fraction, and PCA.fit crashed on the null vector."""
+    from acled_spark.embedding import top_component
+    from acled_spark.tables import load
+
+    emb = load(spark, SF_DIR, "embeddings").limit(50)
+    with_nulls = emb.unionByName(
+        emb.limit(5).withColumn(
+            "embedding", F.lit(None).cast("array<float>")
+        )
+    )
+    clean = top_component(emb)
+    dirty = top_component(with_nulls)
+    assert dirty["n"] == clean["n"] == 50
+    assert dirty["eigenvalue"] == pytest.approx(clean["eigenvalue"], rel=1e-9)
+    assert dirty["explained_ratio"] == pytest.approx(
+        clean["explained_ratio"], rel=1e-9
+    )
+
+
 def test_empty_corpus_raises_value_error(spark):
     """Round-7 review: an empty frame must fail with a clear message,
     not a ZeroDivisionError from 1/sqrt(0) deep in the iteration."""

@@ -308,3 +308,21 @@ def test_fetch_day_where_companion_collision_raises():
             filters=FilterSpec([Predicate("fatalities", "ge", 5)]),
             params={"fatalities": "9"},
         )
+
+
+def test_bare_string_rejected_for_in_and_between():
+    """Round-7 review: Predicate('col', 'in', 'Battles') iterated the
+    STRING's characters — isin('B','a',...) plus 'B|a|t|t|l|e|s' pushed
+    to the API, silently wrong on both sides.  Construction now fails
+    loudly; between additionally pins exactly two bounds."""
+    import pytest
+
+    with pytest.raises(TypeError, match="bare"):
+        Predicate("event_type", "in", "Battles")
+    with pytest.raises(TypeError, match="bare"):
+        Predicate("event_type", "between", "ab")
+    with pytest.raises(ValueError, match="exactly"):
+        Predicate("fatalities", "between", (1, 2, 3))
+    # the documented shapes still construct
+    Predicate("event_type", "in", ["Battles"])
+    Predicate("fatalities", "between", (1, 5))

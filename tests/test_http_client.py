@@ -588,3 +588,119 @@ def test_cli_silver_flag_backfills_days_already_in_bronze(
          "--start", "2024-03-07", "--base-url", stub_server, "--limit", "5"]
     ) == 0
     assert spark.read.parquet(silver).count() == 9
+
+
+# --- round-7 review regressions: 429 + non-JSON-200 retry policy -------------
+
+
+def _fake_auth(transport) -> OAuthTokenClient:
+    """Token client whose transport is fully injected (no server)."""
+    client = OAuthTokenClient(
+        username="u@x.io", password="pw", base_url="http://stub",
+        transport=transport, max_retries=2, backoff=0.1,
+    )
+    client.sleep = lambda _s: None
+    return client
+
+
+def _token_payload() -> tuple[int, dict]:
+    return 200, {"access_token": "tok", "expires_in": 86400}
+
+
+def test_429_on_page_get_retries_like_5xx():
+    """A rate-limited page GET must spend the backoff budget (the token
+    path already did, for the same fan-out-burst reason), not abort the
+    whole day fetch on the first 429."""
+    calls = {"pages": 0}
+
+    def transport(url, data=None, headers=None, timeout=None):
+        if data is not None:
+            return _token_payload()
+        calls["pages"] += 1
+        if calls["pages"] <= 2:
+            return 429, {"error": "rate limited"}
+        return 200, {"data": [{"event_id_cnty": "X1"}]}
+
+    sleeps: list[float] = []
+    f = HttpPageFetcher(auth=_fake_auth(transport), max_retries=3, backoff=0.25)
+    f.sleep = sleeps.append
+    assert len(f(DAY, 1, 10, {})) == 1
+    assert sleeps == [0.25, 0.5]
+
+
+def test_429_exhausts_budget_as_api_error_with_status():
+    def transport(url, data=None, headers=None, timeout=None):
+        if data is not None:
+            return _token_payload()
+        return 429, {}
+
+    f = HttpPageFetcher(auth=_fake_auth(transport), max_retries=1, backoff=0.0)
+    f.sleep = lambda _s: None
+    with pytest.raises(ApiError) as exc:
+        f(DAY, 1, 10, {})
+    assert exc.value.status == 429
+
+
+def test_non_json_200_page_body_retries_then_succeeds():
+    """A 200 with an HTML body (proxy/LB failover) surfaces from the
+    transport as ApiError — the page loop must retry it exactly like
+    the same fault expressed as a 502."""
+    calls = {"pages": 0}
+
+    def transport(url, data=None, headers=None, timeout=None):
+        if data is not None:
+            return _token_payload()
+        calls["pages"] += 1
+        if calls["pages"] == 1:
+            raise ApiError("non-JSON body on HTTP 200", status=200)
+        return 200, {"data": []}
+
+    f = HttpPageFetcher(auth=_fake_auth(transport), max_retries=2, backoff=0.0)
+    f.sleep = lambda _s: None
+    assert f(DAY, 1, 10, {}) == []
+    assert calls["pages"] == 2
+
+
+def test_non_json_200_exhausts_budget():
+    def transport(url, data=None, headers=None, timeout=None):
+        if data is not None:
+            return _token_payload()
+        raise ApiError("non-JSON body on HTTP 200", status=200)
+
+    f = HttpPageFetcher(auth=_fake_auth(transport), max_retries=1, backoff=0.0)
+    f.sleep = lambda _s: None
+    with pytest.raises(ApiError, match="non-JSON"):
+        f(DAY, 1, 10, {})
+
+
+def test_grant_failure_not_multiplied_by_page_retry_loop():
+    """AuthenticationError is an ApiError subclass: the page loop's new
+    ApiError retry branch must NOT re-drive a credential rejection —
+    the grant spends its own budget exactly once."""
+    grants = {"n": 0}
+
+    def transport(url, data=None, headers=None, timeout=None):
+        if data is not None:
+            grants["n"] += 1
+            return 401, {"error": "invalid_grant"}
+        raise AssertionError("page GET must never run without a token")
+
+    f = HttpPageFetcher(auth=_fake_auth(transport), max_retries=3, backoff=0.0)
+    f.sleep = lambda _s: None
+    with pytest.raises(AuthenticationError):
+        f(DAY, 1, 10, {})
+    assert grants["n"] == 1  # one password grant, zero page-loop re-drives
+
+
+def test_token_grant_non_json_200_retries():
+    calls = {"n": 0}
+
+    def transport(url, data=None, headers=None, timeout=None):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise ApiError("non-JSON body on HTTP 200", status=200)
+        return _token_payload()
+
+    client = _fake_auth(transport)
+    assert client.get_access_token() == "tok"
+    assert calls["n"] == 2

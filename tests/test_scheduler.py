@@ -182,3 +182,20 @@ def test_sensor_tick_skips_probing_materialized_days(spark, tmp_path):
     )
     assert done == []      # nothing new to ingest
     assert probes == []    # and nothing was probed
+
+
+def test_backfill_rediff_flag_controls_store_listing_diff(spark, tmp_path):
+    """Round-7 review: sensor_tick already diffed its candidates, so
+    run_backfill(rediff=False) must trust them (no second remote store
+    listing); the default keeps the diff for raw candidate lists."""
+    bronze = os.path.join(str(tmp_path), "bronze")
+    fetcher = _gapped_fetcher(set())
+    day = date(2025, 2, 1)
+
+    assert run_backfill(spark, fetcher, bronze, [day], limit=50) == [day]
+    # default: diff sees the day materialized -> no work
+    assert run_backfill(spark, fetcher, bronze, [day], limit=50) == []
+    # rediff=False: caller's list is authoritative -> re-ingests
+    assert run_backfill(
+        spark, fetcher, bronze, [day], limit=50, rediff=False
+    ) == [day]
