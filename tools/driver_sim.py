@@ -1,0 +1,84 @@
+"""Full LOCAL driver simulation: every oracle-backed query side-by-side
+with its DuckDB oracle at sf0.01 on a PLAIN SparkSession — the exact
+shape of the driver's correctness gate, run before each round closes so
+oracle breakage is caught before CORRECTNESS_r0N does.
+
+Usage: python tools/driver_sim.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as E
+    from tests.conftest import normalize
+
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rows = E.entry(spark).collect()
+    print(f"entry: {len(rows)} rows", flush=True)
+
+    qs, osql = E.queries(), E.oracle_sql()
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+
+    t0 = time.time()
+    failed = []
+    for i, name in enumerate(qs):
+        sdf = qs[name](spark, sf)
+        s_cols, s_rows = normalize(
+            list(sdf.columns), [tuple(r) for r in sdf.collect()]
+        )
+        if name not in osql:
+            print(f"[{i + 1}/{len(qs)}] {name}: rows-only ({len(s_rows)})", flush=True)
+            continue
+        res = con.execute(osql[name])
+        d_cols, d_rows = normalize(
+            [d[0] for d in res.description], [tuple(r) for r in res.fetchall()]
+        )
+        ok = (
+            s_cols == d_cols
+            and len(s_rows) == len(d_rows)
+            and [tuple(map(str, r)) for r in s_rows]
+            == [tuple(map(str, r)) for r in d_rows]
+        )
+        print(
+            f"[{i + 1}/{len(qs)}] {name}: {'MATCH' if ok else 'MISMATCH'}"
+            f" ({len(s_rows)} rows)",
+            flush=True,
+        )
+        if not ok:
+            failed.append(name)
+            if s_cols != d_cols:
+                print(f"  cols spark={s_cols}\n  cols duck ={d_cols}")
+            for a, b in list(zip(s_rows, d_rows))[:3]:
+                if tuple(map(str, a)) != tuple(map(str, b)):
+                    print(f"  S {a}\n  D {b}")
+    print(
+        f"driver-sim: {len(qs) - len(failed)}/{len(qs)} ok in "
+        f"{time.time() - t0:.0f}s; failures: {failed}",
+        flush=True,
+    )
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
