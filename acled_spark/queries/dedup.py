@@ -626,6 +626,162 @@ def min_label_components(ed: DataFrame, rounds: int) -> tuple[DataFrame, DataFra
     return labels, chg
 
 
+def star_contraction_components(
+    ed: DataFrame, max_rounds: int = 20
+) -> tuple[DataFrame, int, bool]:
+    """EXACT connected components via alternating large-star/small-star
+    contraction — the unbounded-diameter algorithm the bounded-k census
+    docstring defers to ("switch to large-star/small-star when
+    components can be deep chains"), now real.
+
+    Converges in O(log² n) rounds REGARDLESS of component diameter
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014 — public literature), where k-round min-label propagation
+    needs k ≥ diameter.  Per round: two window-aggregate passes keyed
+    on the vertex id over EDGE rows only (never corpus rows), each new
+    edge frame localCheckpointed so no round replays prior lineage.
+    Fixpoint detection compares (count, xxhash64-bit_xor) signatures of
+    successive edge sets — one tiny aggregate per round.
+
+    Returns ``(labels, rounds, converged)``: ``labels`` has one
+    ``(v, lbl)`` row per vertex appearing in ``ed`` with lbl = MIN doc
+    id of its true component; ``converged`` is False only if
+    ``max_rounds`` was hit first (at the default 20 that means a graph
+    beyond 2^20-scale pathology — raise the cap, don't trust labels).
+
+    At 100 TB: the edge frame is the LSH candidate graph (orders of
+    magnitude smaller than the corpus, bucket-capped via
+    ``lsh_candidate_edges(max_bucket=...)``), and localCheckpoint
+    becomes a durable ``checkpoint()``.
+    """
+
+    def sym(e: DataFrame) -> DataFrame:
+        return e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+            e.select(F.col("v").alias("a"), F.col("u").alias("b"))
+        )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # attach every LARGER neighbor of a to min(N(a) ∪ {a})
+        w = Window.partitionBy("a")
+        return (
+            sym(e)
+            .withColumn("m", F.least(F.min("b").over(w), F.col("a")))
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient edges toward the smaller endpoint, then attach every
+        # smaller neighbor of a (and a itself) to min(N(a))
+        o = e.select(
+            F.greatest("u", "v").alias("a"), F.least("u", "v").alias("b")
+        )
+        w = Window.partitionBy("a")
+        with_m = o.withColumn("m", F.min("b").over(w))  # < a by construction
+        child = with_m.filter(F.col("b") != F.col("m")).select(
+            F.col("b").alias("u"), F.col("m").alias("v")
+        )
+        own = with_m.select(F.col("a").alias("u"), F.col("m").alias("v"))
+        return child.unionByName(own).distinct()
+
+    def sig(e: DataFrame) -> tuple:
+        # bit_xor, not sum: xor of 64-bit hashes can't overflow under
+        # ANSI mode (a hash SUM did) and is order-independent; edges are
+        # distinct so xor self-cancellation can't collide two rounds
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    cur = ed.select("u", "v").distinct().localCheckpoint()
+    prev = sig(cur)
+    rounds = 0
+    converged = False
+    for _ in range(max_rounds):
+        cur = small_star(large_star(cur)).localCheckpoint()
+        rounds += 1
+        now = sig(cur)
+        if now == prev:
+            converged = True
+            break
+        prev = now
+    # fixpoint edges are (child, root) stars; roots label themselves.
+    # groupBy-min is belt-and-braces: at a true fixpoint each child has
+    # exactly one root and no root is also a child.
+    labels = (
+        cur.select(F.col("u").alias("v"), F.col("v").alias("lbl"))
+        .unionByName(cur.select(F.col("v").alias("v"), F.col("v").alias("lbl")))
+        .groupBy("v")
+        .agg(F.min("lbl").alias("lbl"))
+    )
+    return labels, rounds, converged
+
+
+@query(
+    "dedup_components_exact",
+    oracle=f"""
+    WITH RECURSIVE {_BANDS_SQL},
+    ed AS (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    adj AS (
+      SELECT u AS v, v AS nbr FROM ed
+      UNION ALL SELECT v, u FROM ed
+      UNION ALL SELECT x, x FROM (SELECT u AS x FROM ed UNION SELECT v FROM ed)
+    ),
+    reach AS (
+      SELECT v AS src, nbr AS dst FROM adj
+      UNION
+      SELECT r.src, a.nbr FROM reach r JOIN adj a ON r.dst = a.v
+    ),
+    lbls AS (SELECT src AS v, MIN(dst) AS lbl FROM reach GROUP BY src),
+    census AS (SELECT lbl, COUNT(*) AS sz FROM lbls GROUP BY lbl)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS docs_in_clusters,
+           TRUE AS converged
+    FROM census GROUP BY sz ORDER BY cluster_size
+    """,
+    tags=("dedup", "lsh", "graph", "extended"),
+)
+def dedup_components_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT near-dup component census via star contraction — the
+    unbounded twin of ``dedup_cluster_census`` (whose k=3 propagation
+    is exact only while the ``converged`` cert holds; this operator
+    needs no diameter assumption at all).
+
+    The oracle computes TRUE connected components independently (DuckDB
+    recursive-CTE transitive closure over the same LSH candidate
+    edges) and pins ``converged = TRUE`` — so a driver hash-match
+    certifies both that star contraction reached ITS fixpoint and that
+    the fixpoint equals ground truth.  Scale: transitive closure is
+    oracle-only (O(Σ component²) blowup); the engine side is
+    :func:`star_contraction_components` — O(log² n) rounds of
+    vertex-keyed window aggregates over the candidate-edge frame,
+    bucket-capped upstream at 100 TB.
+    """
+    docs = load(spark, sf_dir, "documents")
+    bands = minhash_bands_spark(docs)
+    ed = lsh_candidate_edges(bands).localCheckpoint()
+    labels, _rounds, converged = star_contraction_components(ed)
+    census = labels.groupBy("lbl").agg(F.count("*").alias("sz"))
+    return (
+        census.groupBy(F.col("sz").cast("long").alias("cluster_size"))
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("sz").cast("long").alias("docs_in_clusters"),
+        )
+        .withColumn("converged", F.lit(converged))
+        .orderBy("cluster_size")
+    )
+
+
 def _propagation_sql(rounds: int) -> str:
     ctes = ["l1 AS (SELECT v, MIN(nbr) AS lbl FROM adj GROUP BY v)"]
     for k in range(2, rounds + 1):

@@ -448,3 +448,43 @@ def test_old_index_still_searchable_after_upsert(spark, index):
     old_hits = ivf_search(idx1, q, top_k=3, nprobe=4)
     assert old_hits.count() > 0
     assert ivf_search(idx2, q, top_k=3, nprobe=4).count() > 0
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Multi-probe LSH must score a superset of the single-bucket
+    candidates per query (its Hamming-1 probes include the own bucket),
+    so recall@k vs brute-force ground truth can only rise — on this
+    corpus it rises strictly."""
+    from acled_spark.registry import all_specs
+
+    SF = "/root/testdata/sf0.001"
+
+    def topk(name):
+        out = {}
+        for r in all_specs()[name].builder(spark, SF).collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    truth = topk("sim_topk_bruteforce")
+    single = topk("sim_ann_lsh")
+    multi = topk("sim_ann_multiprobe")
+    hits = lambda cand: sum(  # noqa: E731
+        len(cand.get(q, set()) & truth[q]) for q in truth
+    )
+    assert hits(multi) >= hits(single)
+    assert hits(multi) > 0  # and it actually finds true neighbors
+
+
+def test_multiprobe_probe_set_is_hamming_ball(spark):
+    from pyspark.sql import functions as F
+
+    from acled_spark.queries.similarity import N_PLANES, _probe_buckets_spark
+
+    df = spark.range(1).select(
+        _probe_buckets_spark(F.lit("010011")).alias("p")
+    )
+    probes = df.collect()[0]["p"]
+    assert len(probes) == N_PLANES + 1 == len(set(probes))
+    assert probes[0] == "010011"
+    for p in probes[1:]:
+        assert sum(a != b for a, b in zip(p, "010011")) == 1

@@ -182,3 +182,41 @@ def test_registry_queries_unchanged_by_refactor(spark):
             tuple(float(row[c]) for c in cols) for _, row in odf.iterrows()
         )
         assert srows == orows, name
+
+
+def test_star_contraction_exact_on_deep_chain(spark):
+    """The operator the census docstring defers to: a diameter-10 chain
+    under-merges at k=3 min-label propagation but star contraction
+    reaches the exact fixpoint in O(log^2 n) rounds with a certificate."""
+    from acled_spark.queries.dedup import (
+        min_label_components,
+        star_contraction_components,
+    )
+
+    edges = [(i, i + 1) for i in range(100, 110)] + [(1, 2), (2, 3), (1, 3)]
+    ed = spark.createDataFrame(edges, "u long, v long")
+
+    labels, rounds, converged = star_contraction_components(ed)
+    got = {r["v"]: r["lbl"] for r in labels.collect()}
+    expected = {i: 100 for i in range(100, 111)} | {1: 1, 2: 1, 3: 1}
+    assert got == expected
+    assert converged and rounds <= 10
+
+    # the bounded-k census on the same graph honestly reports non-convergence
+    _, chg = min_label_components(ed, 3)
+    assert chg.collect()[0]["chg"] == 1
+
+
+def test_star_contraction_empty_and_max_rounds(spark):
+    from acled_spark.queries.dedup import star_contraction_components
+
+    empty = spark.createDataFrame([], "u long, v long")
+    labels, rounds, converged = star_contraction_components(empty)
+    assert labels.count() == 0 and converged
+
+    # max_rounds hit -> converged=False, labels still returned
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "u long, v long"
+    )
+    _, _, conv = star_contraction_components(chain, max_rounds=1)
+    assert not conv

@@ -284,3 +284,22 @@ def test_band_join_broadcasts_intervals_no_fact_shuffle(spark):
     from acled_spark.tables import load
 
     assert total == load(spark, SF_DIR, "orders").count()
+
+
+def test_components_exact_plan_reads_no_parquet(spark):
+    """dedup_components_exact: the returned census derives entirely from
+    the localCheckpointed fixpoint edge frame — zero parquet scans in
+    the final plan (the corpus was read exactly once, before the loop),
+    and every per-round exchange carried edge rows only."""
+    import re
+
+    plan = _plan(spark, "dedup_components_exact")
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 0, plan[:2000]
+
+
+def test_multiprobe_broadcasts_probe_set(spark):
+    """sim_ann_multiprobe: the exploded probe set is the broadcast side;
+    candidates never shuffle for the join (same shape as sim_ann_lsh)."""
+    plan = _plan(spark, "sim_ann_multiprobe")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

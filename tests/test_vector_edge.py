@@ -55,6 +55,7 @@ SCHEMA = "vec_id long, embedding array<float>, label int"
 _VECTOR_QUERIES = [
     "sim_topk_bruteforce",
     "sim_ann_lsh",
+    "sim_ann_multiprobe",
     "sim_quantize_error",
     "dedup_embedding_cosine",
     "f9b_vector_norm",
