@@ -173,6 +173,28 @@ def ngram_jaccard_pairs(
     boilerplate tail — on a bounded-df corpus the cap is a no-op that
     still pays its df-window shuffle (+25 % here at cap=200).
     """
+    _, sized = _shingle_pair_counts(docs, max_doc_freq)
+    return sized.select(
+        "doc1",
+        "doc2",
+        F.round(
+            F.col("inter").cast("double")
+            / (F.col("n_sh1") + F.col("n_sh2") - F.col("inter")),
+            4,
+        ).alias("jaccard"),
+    )
+
+
+def _shingle_pair_counts(
+    docs: DataFrame, max_doc_freq: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Shared inverted-index core for the set-overlap dedup metrics:
+    returns ``(pairs, sized)`` where ``pairs`` is (doc1, doc2, inter)
+    and ``sized`` is the same joined with both true shingle-set sizes
+    (n_sh1, n_sh2).  One spelling for jaccard AND containment — the
+    candidate-generation plan (index self-join shape, cap semantics,
+    no-forced-broadcast rule) must not fork per metric.
+    """
     sh = docs.select(
         "doc_id",
         "lang",
@@ -193,7 +215,7 @@ def ngram_jaccard_pairs(
     # shuffle, keeping the giant pairs exchange as narrow as possible
     # (doc1, doc2, partial count only).  Sizes stay UNCAPPED even when
     # the index is capped: the denominator is the true shingle-set size,
-    # so a capped run under-estimates jaccard (never over-) — dropped
+    # so a capped run under-estimates the metric (never over-) — dropped
     # boilerplate can only push a pair below threshold, not fake one.
     sizes = docs.select(
         "doc_id", F.size(shingles_spark(F.col("text"))).alias("n_sh")
@@ -220,18 +242,91 @@ def ngram_jaccard_pairs(
     # broadcast is a guaranteed driver OOM at the 100 TB design point
     # this function documents.  AQE broadcasts it at bench scale on its
     # runtime size and falls back to a shuffle join when it grows.
-    return (
+    sized = (
         pairs.join(s1, pairs.doc1 == F.col("s1.doc_id"))
         .join(s2, pairs.doc2 == F.col("s2.doc_id"))
         .select(
             "doc1",
             "doc2",
-            F.round(
-                F.col("inter").cast("double")
-                / (F.col("s1.n_sh") + F.col("s2.n_sh") - F.col("inter")),
-                4,
-            ).alias("jaccard"),
+            "inter",
+            F.col("s1.n_sh").alias("n_sh1"),
+            F.col("s2.n_sh").alias("n_sh2"),
         )
+    )
+    return pairs, sized
+
+
+# --- asymmetric containment (doc-inside-doc detection) -----------------------
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, lang, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY doc1, doc2
+    )
+    SELECT p.doc1, p.doc2,
+           ROUND(CAST(p.inter AS DOUBLE) / LEAST(s1.n_sh, s2.n_sh), 4)
+             AS containment,
+           ROUND(CAST(p.inter AS DOUBLE) / (s1.n_sh + s2.n_sh - p.inter), 4)
+             AS jaccard
+    FROM pairs p
+    JOIN sizes s1 ON p.doc1 = s1.doc_id
+    JOIN sizes s2 ON p.doc2 = s2.doc_id
+    ORDER BY containment DESC, jaccard, doc1, doc2 LIMIT 20
+    """,
+    tags=("dedup", "extended"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top pairs by shingle-set CONTAINMENT — max(c(A→B), c(B→A)) =
+    |A∩B| / min(|A|, |B|) — the asymmetric near-dup metric symmetric
+    Jaccard structurally misses: a short doc quoted whole inside a long
+    one has containment 1.0 but Jaccard ≈ |A|/|B| → 0 as the host
+    grows, so a Jaccard threshold never fires (Broder's containment,
+    "On the resemblance and containment of documents", 1997 — public
+    literature).  The standard LLM-corpus case: article + wrapper
+    boilerplate, quote-expanded reposts, prefix/suffix-extended
+    revisions.
+
+    Jaccard rides along per pair so the asymmetry is visible in the
+    hashed output (high containment + low jaccard = the pairs only this
+    operator finds).  Same inverted-index core as dedup_ngram_jaccard
+    (:func:`_shingle_pair_counts` — one spelling of the candidate
+    generation, cap semantics included); at 100 TB pass
+    ``max_doc_freq`` through :func:`containment_pairs`.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return (
+        containment_pairs(docs)
+        .orderBy(F.desc("containment"), "jaccard", "doc1", "doc2")
+        .limit(20)
+    )
+
+
+def containment_pairs(
+    docs: DataFrame, max_doc_freq: int | None = None
+) -> DataFrame:
+    """(doc1, doc2, containment, jaccard) over the shared inverted
+    shingle index — see :func:`dedup_containment` for semantics and
+    :func:`ngram_jaccard_pairs` for the cap contract (a capped run
+    under-estimates both metrics, never over-estimates)."""
+    _, sized = _shingle_pair_counts(docs, max_doc_freq)
+    return sized.select(
+        "doc1",
+        "doc2",
+        F.round(
+            F.col("inter").cast("double") / F.least("n_sh1", "n_sh2"), 4
+        ).alias("containment"),
+        F.round(
+            F.col("inter").cast("double")
+            / (F.col("n_sh1") + F.col("n_sh2") - F.col("inter")),
+            4,
+        ).alias("jaccard"),
     )
 
 

@@ -220,3 +220,49 @@ def test_star_contraction_empty_and_max_rounds(spark):
     )
     _, _, conv = star_contraction_components(chain, max_rounds=1)
     assert not conv
+
+
+def test_containment_finds_doc_inside_doc_jaccard_misses(spark):
+    """The metric's reason to exist: a short doc quoted whole inside a
+    long host has containment 1.0 while Jaccard collapses toward 0 with
+    host length — below any sane near-dup threshold."""
+    from acled_spark.queries.dedup import containment_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon", "en", "s", 30),
+        (2, "intro words here alpha beta gamma delta epsilon plus a very "
+            "long tail of extra unrelated content going on and on",
+         "en", "s", 100),
+        (3, "totally different text about other things entirely", "en", "s", 50),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {
+        (r["doc1"], r["doc2"]): (r["containment"], r["jaccard"])
+        for r in containment_pairs(docs).collect()
+    }
+    assert out[(1, 2)][0] == 1.0       # fully contained
+    assert out[(1, 2)][1] < 0.2        # jaccard would never flag it
+    assert (1, 3) not in out and (2, 3) not in out  # no shared shingles
+
+
+def test_containment_cap_shares_jaccard_cap_semantics(spark):
+    """One candidate-generation core: capping max_doc_freq drops the
+    same hot shingles from BOTH metrics and can only lower them."""
+    from acled_spark.queries.dedup import containment_pairs
+
+    boiler = "all rights reserved by the site owner today"
+    rows = [(i, f"{boiler} unique token{i} tail{i} words{i}", "en", "s", 60)
+            for i in range(10)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    exact = {(r["doc1"], r["doc2"]): r["containment"]
+             for r in containment_pairs(docs).collect()}
+    capped = {(r["doc1"], r["doc2"]): r["containment"]
+              for r in containment_pairs(docs, max_doc_freq=5).collect()}
+    assert exact  # boilerplate shingles create pairs
+    assert not capped or all(
+        capped[k] <= exact[k] for k in capped
+    )  # cap only removes evidence, never adds

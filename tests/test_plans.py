@@ -75,18 +75,20 @@ def test_topk_uses_take_ordered_not_full_sort(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["dedup_minhash_lsh", "dedup_ngram_jaccard"]
+    "name", ["dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_containment"]
 )
 def test_dedup_plans_single_shingle_pass(spark, name):
     """The shingle explode/aggregate pipeline must not be duplicated per
-    band/size-lookup (the naive union/join shape recomputes it)."""
+    band/size-lookup (the naive union/join shape recomputes it).
+    dedup_containment shares jaccard's core (_shingle_pair_counts), so
+    it inherits the same pins."""
     import re
 
     plan = _plan(spark, name)
-    # jaccard: 2 exploded join sides + 2 array-length size projections
-    # (cheap, no Generate); minhash: exactly one shingle pipeline
-    assert _scan_count(plan) <= (4 if name == "dedup_ngram_jaccard" else 1), plan[:2000]
-    if name == "dedup_ngram_jaccard":
+    # jaccard/containment: 2 exploded join sides + 2 array-length size
+    # projections (cheap, no Generate); minhash: one shingle pipeline
+    assert _scan_count(plan) <= (1 if name == "dedup_minhash_lsh" else 4), plan[:2000]
+    if name != "dedup_minhash_lsh":
         # the heavy self-join must never broadcast an exploded side
         n_gen = len(re.findall(r"^\(\d+\) Generate", plan, re.MULTILINE))
         assert n_gen == 2

@@ -41,7 +41,7 @@ _WS_QUERIES = [
     "text_unigram_logprob", "text_bpe_token_stats", "text_chunking",
     "text_repetition", "text_winnow_pairs", "text_contamination",
     "text_dup_spans", "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_components_exact",
+    "dedup_components_exact", "dedup_containment",
     "pack_sequences", "pack_materialize", "mix_weights",
     "prep_corpus_stats", "cdc_snapshot_diff", "release_delta_audit",
     "text_quality_classifier", "doc_filter_funnel",
