@@ -150,9 +150,10 @@ def eigen_residual(
     """
     if mu is None:
         mu = mean_vector(df, vec_col)
-    # non-NULL count: the C·v sums see only rows posexplode emits, so n
-    # must match or the residual certifies against a scaled-down C
-    n = df.filter(F.col(vec_col).isNotNull()).count()
+    # size(col) > 0 is false for NULL *and* empty-array embeddings: the
+    # C·v sums see only rows posexplode emits, so n must count exactly
+    # those or the residual certifies against a scaled-down C
+    n = df.filter(F.size(F.col(vec_col)) > 0).count()
     cv = _cov_vec_product(df, vec_col, mu, component, n)
     num = math.sqrt(
         sum((a - eigenvalue * b) ** 2 for a, b in zip(cv, component))
@@ -174,10 +175,11 @@ def top_component(df: DataFrame, vec_col: str = "embedding") -> dict:
     from pyspark.ml.feature import PCA
     from pyspark.ml.functions import array_to_vector
 
-    # NULL embeddings: excluded, like every aggregate here (without the
-    # filter PCA.fit dies on a null vector deep in the JVM instead of
-    # the frame simply contributing fewer rows)
-    nn = df.filter(F.col(vec_col).isNotNull())
+    # NULL and empty-array embeddings: excluded, like every aggregate
+    # here (without the filter PCA.fit dies on a null/0-dim vector deep
+    # in the JVM instead of the frame simply contributing fewer rows);
+    # size(col) > 0 is false for both shapes
+    nn = df.filter(F.size(F.col(vec_col)) > 0)
     vec = nn.select(
         array_to_vector(
             F.transform(F.col(vec_col), lambda x: x.cast("double"))

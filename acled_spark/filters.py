@@ -49,20 +49,24 @@ class Predicate:
     def __post_init__(self) -> None:
         if self.op not in _OPS:
             raise ValueError(f"unknown filter op: {self.op!r} (valid: {sorted(_OPS)})")
-        if self.op in ("in", "between") and isinstance(self.value, (str, bytes)):
-            # a bare string iterates as CHARACTERS: 'in' would compile
-            # to isin('B','a','t','t','l','e','s') and push
-            # 'B|a|t|t|l|e|s' to the API — both silently wrong; fail
-            # loudly at construction instead (round-7 review)
-            raise TypeError(
-                f"op {self.op!r} needs an iterable of values, got a bare "
-                f"string {self.value!r} — wrap it: [{self.value!r}]"
-            )
-        if self.op == "between":
-            pair = tuple(self.value)
-            if len(pair) != 2:
+        if self.op in ("in", "between"):
+            if isinstance(self.value, (str, bytes)):
+                # a bare string iterates as CHARACTERS: 'in' would
+                # compile to isin('B','a','t','t','l','e','s') and push
+                # 'B|a|t|t|l|e|s' to the API — both silently wrong; fail
+                # loudly at construction instead (round-7 review)
+                raise TypeError(
+                    f"op {self.op!r} needs an iterable of values, got a bare "
+                    f"string {self.value!r} — wrap it: [{self.value!r}]"
+                )
+            # materialize ONCE (frozen dataclass -> object.__setattr__):
+            # validating via tuple() would otherwise consume a one-shot
+            # iterator and leave it exhausted for to_column()/to_sql()
+            vals = tuple(self.value)
+            object.__setattr__(self, "value", vals)
+            if self.op == "between" and len(vals) != 2:
                 raise ValueError(
-                    f"op 'between' needs exactly (lo, hi), got {len(pair)} values"
+                    f"op 'between' needs exactly (lo, hi), got {len(vals)} values"
                 )
 
     # -- Spark side ---------------------------------------------------------

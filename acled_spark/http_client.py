@@ -360,7 +360,13 @@ class HttpPageFetcher:
                 # budget, so this shape must too — without this branch
                 # it aborted the whole day fetch with zero retries.
                 if attempt >= self.max_retries:
-                    raise
+                    # same exhaustion framing as the sibling branches —
+                    # a bare re-raise read as a first-attempt abort with
+                    # a misleading status=200
+                    raise ApiError(
+                        f"API request failed after {attempt + 1} attempts: {exc}",
+                        status=exc.status,
+                    ) from exc
                 self.sleep(self.backoff * (2**attempt))
                 attempt += 1
                 continue

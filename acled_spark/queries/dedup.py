@@ -173,7 +173,7 @@ def ngram_jaccard_pairs(
     boilerplate tail — on a bounded-df corpus the cap is a no-op that
     still pays its df-window shuffle (+25 % here at cap=200).
     """
-    _, sized = _shingle_pair_counts(docs, max_doc_freq)
+    sized = _shingle_pair_counts(docs, max_doc_freq)
     return sized.select(
         "doc1",
         "doc2",
@@ -187,13 +187,13 @@ def ngram_jaccard_pairs(
 
 def _shingle_pair_counts(
     docs: DataFrame, max_doc_freq: int | None = None
-) -> tuple[DataFrame, DataFrame]:
+) -> DataFrame:
     """Shared inverted-index core for the set-overlap dedup metrics:
-    returns ``(pairs, sized)`` where ``pairs`` is (doc1, doc2, inter)
-    and ``sized`` is the same joined with both true shingle-set sizes
-    (n_sh1, n_sh2).  One spelling for jaccard AND containment — the
-    candidate-generation plan (index self-join shape, cap semantics,
-    no-forced-broadcast rule) must not fork per metric.
+    (doc1, doc2, inter, n_sh1, n_sh2) — candidate-pair intersection
+    counts joined with both TRUE shingle-set sizes.  One spelling for
+    jaccard AND containment — the candidate-generation plan (index
+    self-join shape, cap semantics, no-forced-broadcast rule) must not
+    fork per metric.
     """
     sh = docs.select(
         "doc_id",
@@ -242,7 +242,7 @@ def _shingle_pair_counts(
     # broadcast is a guaranteed driver OOM at the 100 TB design point
     # this function documents.  AQE broadcasts it at bench scale on its
     # runtime size and falls back to a shuffle join when it grows.
-    sized = (
+    return (
         pairs.join(s1, pairs.doc1 == F.col("s1.doc_id"))
         .join(s2, pairs.doc2 == F.col("s2.doc_id"))
         .select(
@@ -253,7 +253,6 @@ def _shingle_pair_counts(
             F.col("s2.n_sh").alias("n_sh2"),
         )
     )
-    return pairs, sized
 
 
 # --- asymmetric containment (doc-inside-doc detection) -----------------------
@@ -315,7 +314,7 @@ def containment_pairs(
     shingle index — see :func:`dedup_containment` for semantics and
     :func:`ngram_jaccard_pairs` for the cap contract (a capped run
     under-estimates both metrics, never over-estimates)."""
-    _, sized = _shingle_pair_counts(docs, max_doc_freq)
+    sized = _shingle_pair_counts(docs, max_doc_freq)
     return sized.select(
         "doc1",
         "doc2",
@@ -727,7 +726,10 @@ def star_contraction_components(
     """EXACT connected components via alternating large-star/small-star
     contraction — the unbounded-diameter algorithm the bounded-k census
     docstring defers to ("switch to large-star/small-star when
-    components can be deep chains"), now real.
+    components can be deep chains"), now real.  ``ed`` must be DISTINCT
+    undirected (u, v) pairs (duplicate edges would only perturb the
+    first fixpoint signature, but the contract keeps the input
+    materialization a plain copy, no re-distinct shuffle).
 
     Converges in O(log² n) rounds REGARDLESS of component diameter
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -791,7 +793,12 @@ def star_contraction_components(
         ).collect()[0]
         return (row["n"], row["h"])
 
-    cur = ed.select("u", "v").distinct().localCheckpoint()
+    # materialize the input ONCE and truncate its lineage (the rounds
+    # below would otherwise replay the caller's candidate-generation
+    # pipeline); edges are treated as given — callers supply distinct
+    # (u, v) pairs (lsh_candidate_edges already ends in .distinct(); a
+    # re-distinct here was measured as a pure extra shuffle, r7 review)
+    cur = ed.select("u", "v").localCheckpoint()
     prev = sig(cur)
     rounds = 0
     converged = False
@@ -863,7 +870,10 @@ def dedup_components_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     bands = minhash_bands_spark(docs)
-    ed = lsh_candidate_edges(bands).localCheckpoint()
+    # no caller-side localCheckpoint: star_contraction_components
+    # materializes its input itself (a second checkpoint of the same
+    # frame was a redundant full materialization, r7 review)
+    ed = lsh_candidate_edges(bands)
     labels, _rounds, converged = star_contraction_components(ed)
     census = labels.groupBy("lbl").agg(F.count("*").alias("sz"))
     return (

@@ -149,3 +149,26 @@ def test_empty_corpus_raises_value_error(spark):
         mean_vector(empty)
     with pytest.raises(ValueError, match="no vectors"):
         power_iteration_top_component(empty)
+
+
+def test_empty_array_embeddings_excluded_like_nulls(spark):
+    """r7 follow-up: a zero-length embedding (failed encoder output)
+    contributes to NO aggregate, so n/eigenvalue/residual must exclude
+    it exactly like a NULL — and PCA.fit must not see a 0-dim vector."""
+    from acled_spark.embedding import eigen_residual, top_component
+    from acled_spark.tables import load
+
+    emb = load(spark, SF_DIR, "embeddings").limit(40)
+    dirty = emb.unionByName(
+        emb.limit(3).withColumn(
+            "embedding", F.array().cast("array<float>")
+        )
+    )
+    clean = top_component(emb)
+    res = top_component(dirty)
+    assert res["n"] == clean["n"] == 40
+    assert res["eigenvalue"] == pytest.approx(clean["eigenvalue"], rel=1e-9)
+    assert res["residual"] < 1e-6
+    # the standalone certifier sees the same n
+    r = eigen_residual(dirty, "embedding", res["component"], res["eigenvalue"])
+    assert r < 1e-6

@@ -326,3 +326,16 @@ def test_bare_string_rejected_for_in_and_between():
     # the documented shapes still construct
     Predicate("event_type", "in", ["Battles"])
     Predicate("fatalities", "between", (1, 5))
+
+
+def test_one_shot_iterator_values_materialized_at_construction():
+    """r7 follow-up: validation must not exhaust a one-shot iterable —
+    the value is materialized to a tuple once, so to_column()/to_sql()
+    can both consume it."""
+    p = Predicate("fatalities", "between", iter([1, 5]))
+    assert p.value == (1, 5)
+    assert "BETWEEN" in p.to_sql()
+    p.to_column()  # second consumer — would raise on an exhausted iter
+    q = Predicate("event_type", "in", iter(["Riots", "Battles"]))
+    assert q.value == ("Riots", "Battles")
+    q.to_sql() and q.to_column()
