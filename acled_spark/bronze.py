@@ -53,10 +53,9 @@ def write_bronze(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     that day's directory (the reference's per-partition S3 object
     semantics).
     """
-    from acled_spark.silver import dynamic_overwrite
+    from acled_spark.silver import dynamic_writer
 
-    with dynamic_overwrite(df.sparkSession):
-        df.write.mode(mode).partitionBy(PARTITION_COL).parquet(path)
+    dynamic_writer(df).mode(mode).partitionBy(PARTITION_COL).parquet(path)
 
 
 def read_bronze(spark, path: str) -> DataFrame:

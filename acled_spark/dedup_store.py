@@ -232,19 +232,34 @@ def _append_signatures(
 ) -> int:
     """Append the keepable subset of precomputed batch signatures."""
     store_exact = _read_exact(spark, root)
+    # ONE store scan serves both the id-reuse guard and the replay gate
+    # (r7 review: they were two independent store jobs per micro-batch):
+    # join the store against the batch ids once, keep the batch-sized
+    # overlap with a per-id conflict flag.
+    #
     # Id-reuse guard on the FULL batch, not just survivors: a batch doc
     # reusing a doc_id already in the store with DIFFERENT text is an
     # upstream identity bug even when its new text happens to duplicate
     # some other doc (it would be silently dropped and the id mapping
-    # left ambiguous), so the check must see dup rows too.
-    conflicts = (
+    # left ambiguous), so the check must see dup rows too.  The
+    # comparison is null-SAFE: a doc whose text changes to or from NULL
+    # (NULL fingerprint) is the same identity bug — a null-unsafe `!=`
+    # evaluated it to NULL, filtered it out, and the new signatures were
+    # silently dropped forever (r7 review).
+    overlap = (
         store_exact.join(
             F.broadcast(exact_all.withColumnRenamed("fingerprint", "batch_fp")),
             "doc_id",
         )
-        .filter(F.col("fingerprint") != F.col("batch_fp"))
-        .count()
+        .select(
+            "doc_id",
+            (~F.col("fingerprint").eqNullSafe(F.col("batch_fp"))).alias(
+                "conflict"
+            ),
+        )
+        .localCheckpoint()  # batch-sized; severs the store-read lineage
     )
+    conflicts = overlap.filter(F.col("conflict")).count()
     if conflicts:
         raise ValueError(
             f"{conflicts} batch doc_id(s) already exist in the store with "
@@ -254,11 +269,12 @@ def _append_signatures(
     keep_ids = verdicts
     if survivors_only:
         keep_ids = verdicts.filter(~F.col("is_exact_dup") & ~F.col("is_batch_dup"))
-    # idempotency: a replayed batch's (id, text) rows are already there
+    # idempotency: a replayed batch's (id, text) rows are already there —
+    # anti-join against the (tiny) overlap frame, not the store again
     keep_ids = (
         keep_ids.select("doc_id")
-        .join(store_exact.select("doc_id"), "doc_id", "left_anti")
-        .localCheckpoint()  # severs the store-read lineage pre-append
+        .join(overlap.select("doc_id"), "doc_id", "left_anti")
+        .localCheckpoint()
     )
     n = keep_ids.count()
     if n:
@@ -475,6 +491,12 @@ def retire_ids(
     # (and ONLY here; the read path never discards, see recover_store).
     recover_store(spark, root, discard_uncommitted=True)
     keys = ids.select("doc_id").distinct().localCheckpoint()
+    if keys.count() == 0:
+        # no-change release (steady state): skip the full store rewrite
+        # AND the staged-swap crash window entirely — the entry heal
+        # above still ran, which is all an empty retire can owe (r7
+        # review: this path paid a corpus-store rewrite for nothing)
+        return 0
     exact = _read_exact(spark, root)
     before = exact.count()
     kept_exact = exact.join(keys, "doc_id", "left_anti").localCheckpoint()

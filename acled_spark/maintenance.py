@@ -110,7 +110,7 @@ def _rewrite_partitions(
     # directory-name sentinel maps to None and the shared NULL-safe
     # predicate does the rest — a hand-rolled isin|isNull copy here
     # could drift from silver's on the next NULL-partition fix
-    from acled_spark.silver import dynamic_overwrite, partition_membership
+    from acled_spark.silver import dynamic_writer, partition_membership
 
     member_vals = [None if p == HIVE_NULL_PART else p for p in partitions]
     df = spark.read.parquet(path).filter(
@@ -118,12 +118,12 @@ def _rewrite_partitions(
     )
     shaped = shaper(df, list(partitions))
 
-    with dynamic_overwrite(spark):
-        (
-            shaped.write.mode("overwrite")
-            .partitionBy(partition_col)
-            .parquet(path)
-        )
+    (
+        dynamic_writer(shaped)
+        .mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
     return {p: counts.get(p, 0) for p in partitions}
 
 

@@ -1111,10 +1111,19 @@ def incremental_classify(
     # (The DuckDB oracle needs DISTINCT only because it counts via an
     # inner join.)  Duplicate store band rows are also why a crashed
     # append replay is harmless — see dedup_store.append_batch.
+    # Self-exemption (third edge rule, like the exact path's): a store
+    # band row under this doc's OWN id — a replayed epoch re-checking an
+    # already-appended doc — is not a collision, or the replay would
+    # route the doc to the near-dup quarantine the original run never
+    # saw (verdict-stream replay idempotency; r7 review).
+    bb = batch_bands.alias("bb")
+    sb = store_bands.alias("sb")
     collisions = (
-        batch_bands.join(
-            store_bands.select("band_id", "band_key"),
-            ["band_id", "band_key"],
+        bb.join(
+            sb,
+            (F.col("bb.band_id") == F.col("sb.band_id"))
+            & (F.col("bb.band_key") == F.col("sb.band_key"))
+            & (F.col("bb.doc_id") != F.col("sb.doc_id")),
             "left_semi",
         )
         .groupBy("doc_id")
@@ -1165,10 +1174,16 @@ def _half_bands_sql(side: str) -> str:
     {_half_bands_sql('s')},
     {_half_bands_sql('b')},
     coll AS (
+      -- EXISTS = the engine's left_semi exactly (each batch band row
+      -- counts at most once), including the self-exemption rule (a
+      -- store band row under the doc's OWN id is not a collision — a
+      -- no-op on these disjoint odd/even halves, kept so the contract
+      -- reads 1:1)
       SELECT b.doc_id, COUNT(*) AS n_band_collisions
       FROM bbands b
-      JOIN (SELECT DISTINCT band_id, band_key FROM sbands) s
-        USING (band_id, band_key)
+      WHERE EXISTS (SELECT 1 FROM sbands s
+                    WHERE s.band_id = b.band_id AND s.band_key = b.band_key
+                      AND s.doc_id <> b.doc_id)
       GROUP BY b.doc_id
     ),
     verdict AS (

@@ -22,34 +22,29 @@ directory, not the table.
 
 from __future__ import annotations
 
-from contextlib import contextmanager
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 _SRC_COL = "__src_priority"
 _RN_COL = "__merge_rn"
-_OVERWRITE_MODE = "spark.sql.sources.partitionOverwriteMode"
 
 
-@contextmanager
-def dynamic_overwrite(spark: SparkSession):
-    """Scope the dynamic-partition-overwrite conf to one write.
+def dynamic_writer(df: DataFrame):
+    """DataFrameWriter carrying dynamic partition-overwrite as a
+    PER-WRITE datasource option, not a session conf.
 
-    The setting is session-global; leaving it flipped would leak into
-    every later ``mode("overwrite").partitionBy(...)`` on the same
-    session and silently change their semantics.
+    The ``spark.sql.sources.partitionOverwriteMode`` conf is
+    session-GLOBAL and not thread-safe: two concurrent writers on one
+    session (the normal foreachBatch shape — streaming upserts, bronze
+    writes, compaction can all share a session) toggling it through a
+    set/restore context manager can interleave so one write runs in
+    STATIC mode — which deletes every untouched partition of the target
+    — or so 'dynamic' leaks into the session permanently (r7 review).
+    The writer option takes precedence over the conf (Spark ≥ 2.4) and
+    is visible only to this write.
     """
-    prev = spark.conf.get(_OVERWRITE_MODE, None)
-    spark.conf.set(_OVERWRITE_MODE, "dynamic")
-    try:
-        yield
-    finally:
-        if prev is None:
-            spark.conf.unset(_OVERWRITE_MODE)
-        else:
-            spark.conf.set(_OVERWRITE_MODE, prev)
+    return df.write.option("partitionOverwriteMode", "dynamic")
 
 
 def partition_membership(partition_col: str, values: list) -> F.Column:
@@ -222,6 +217,19 @@ def upsert_partitioned(
     (:func:`delete_keys` on the parquet path, ``DeltaTable.delete`` on
     Delta), or the old row survives next to the new one (the
     bounded-rewrite shape never reads untouched partitions).
+
+    Crash window, stated honestly (parquet path only): Spark's
+    dynamic-partition-overwrite commit deletes each touched partition
+    dir and renames the staged one in, driver-side and per-partition —
+    a crash between a partition's delete and its rename loses that
+    partition's PRE-batch rows, and re-running the upsert then rebuilds
+    it from batch rows alone (the merge reads an empty partition), so
+    the loss is permanent and silent.  This window is exactly why the
+    Delta ``MERGE INTO`` path is preferred when available: its commit
+    is a log append, crash = clean retry.  Parquet callers for whom a
+    partition's pre-batch rows are irreplaceable should snapshot
+    touched partitions first or move the table to a transactional
+    format.
     """
     keys = [key] if isinstance(key, str) else list(key)
     if table_format not in ("auto", "delta", "parquet"):
@@ -266,22 +274,31 @@ def upsert_partitioned(
             updates.limit(0), updates, key, order_col
         ).localCheckpoint()
         touched = [r[0] for r in latest.select(partition_col).distinct().collect()]
-        existing = (
-            spark.read.parquet(target_path)
-            .filter(partition_membership(partition_col, touched))
-            .select(*latest.columns)
-        )
+        current = spark.read.parquet(target_path)
+        if set(current.columns) != set(latest.columns):
+            # check BEFORE the column projection: projecting existing to
+            # the batch's columns first would satisfy merge_updates'
+            # set-equality guard while silently DROPPING target columns
+            # absent from the batch from every rewritten partition
+            # (r7 review)
+            raise ValueError(
+                f"schema mismatch: table={sorted(current.columns)} "
+                f"updates={sorted(latest.columns)}"
+            )
+        existing = current.filter(
+            partition_membership(partition_col, touched)
+        ).select(*latest.columns)  # column ORDER normalization only
         merged = merge_updates(existing, latest, key, order_col)
     else:
         merged = merge_updates(
             updates.limit(0), updates, key, order_col
         )
-    with dynamic_overwrite(spark):
-        (
-            merged.write.mode("overwrite")
-            .partitionBy(partition_col)
-            .parquet(target_path)
-        )
+    (
+        dynamic_writer(merged)
+        .mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(target_path)
+    )
 
 
 def delete_keys(
@@ -353,10 +370,12 @@ def delete_keys(
                 .join(kept.select(partition_col).distinct(), partition_col, "left_anti")
             ).collect()
         ]
-        with dynamic_overwrite(spark):
-            kept.write.mode("overwrite").partitionBy(partition_col).parquet(
-                target_path
-            )
+        (
+            dynamic_writer(kept)
+            .mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(target_path)
+        )
         if emptied:
             jvm = spark._jvm
             conf = spark._jsc.hadoopConfiguration()
@@ -376,7 +395,17 @@ def delete_keys(
                 fs = jpath.getFileSystem(conf)
                 fs.delete(jpath, True)
     else:
-        kept.write.mode("overwrite").parquet(target_path)
+        # whole-table rewrite: stage first, then swap — a direct
+        # mode("overwrite") deletes the old table BEFORE the new data
+        # exists, so a crash mid-write destroys the table with `kept`
+        # living only in localCheckpoint blocks that die with the app
+        # (r7 review; fs_replace_dir's window instead leaves the staged
+        # copy recoverable)
+        from acled_spark.fsutil import fs_replace_dir
+
+        staging = target_path.rstrip("/") + "._delete_staging"
+        kept.write.mode("overwrite").parquet(staging)
+        fs_replace_dir(spark, staging, target_path)
     return deleted
 
 

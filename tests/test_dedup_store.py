@@ -382,3 +382,65 @@ def test_init_store_keeps_every_null_text_doc(spark, tmp_path):
     init_store(docs, root)
     ids = {r["doc_id"] for r in _read_exact(spark, root).collect()}
     assert ids == {1, 2, 3}
+
+
+def test_id_reuse_guard_is_null_safe_both_directions(spark, tmp_path):
+    """r7 review: the conflict guard compared fingerprints with a
+    null-UNSAFE `!=`, so text changing to or from NULL slipped through
+    and the new signatures were silently dropped forever."""
+    root = str(tmp_path / "nullstore")
+    init_store(
+        _mk_batch(spark, [
+            (1, None, "en", "s", 0),                       # NULL-text doc
+            (2, "stored real text for id two", "en", "s", 27),
+        ]),
+        root,
+    )
+    # NULL -> real text under the same id: identity bug, must raise
+    with pytest.raises(ValueError, match="different text"):
+        append_batch(
+            spark,
+            _mk_batch(spark, [(1, "now it has text", "en", "s", 15)]),
+            root,
+        )
+    # real text -> NULL under the same id: symmetric, must raise
+    with pytest.raises(ValueError, match="different text"):
+        append_batch(spark, _mk_batch(spark, [(2, None, "en", "s", 0)]), root)
+    # replaying the ORIGINAL NULL-text row stays a clean no-op
+    assert append_batch(
+        spark,
+        _mk_batch(spark, [(1, None, "en", "s", 0)]),
+        root,
+        survivors_only=False,
+    ) == 0
+
+
+def test_replay_reports_zero_band_collisions_for_own_rows(spark, store):
+    """r7 review: a replayed epoch re-checking an already-appended doc
+    joined the doc's OWN store band rows as collisions, routing it to
+    near-dup quarantine on replay only — verdicts must be
+    replay-idempotent, not just store growth."""
+    root, corpus = store
+    donor = corpus.filter(F.col("doc_id") == 11).first()
+    replay = _mk_batch(
+        spark,
+        [(11, donor["text"], donor["lang"], donor["source"], donor["n_chars"])],
+    )
+    v = check_batch(spark, replay, root).collect()[0]
+    assert not v["is_exact_dup"]          # own-id store row is not a dup
+    assert v["n_band_collisions"] == 0    # ...nor a near-dup candidate
+
+
+def test_retire_empty_id_set_is_a_cheap_noop(spark, store, tmp_path):
+    """r7 review: a no-change release paid a full store rewrite plus the
+    staged-swap crash window for an EMPTY retire set."""
+    import os
+
+    from acled_spark.dedup_store import retire_ids
+
+    root, corpus = store
+    empty = spark.createDataFrame([], "doc_id long")
+    before = check_batch(spark, corpus.limit(5), root).count()
+    assert retire_ids(spark, empty, root) == 0
+    assert not os.path.exists(root + "._retire_staging")  # no swap walked
+    assert check_batch(spark, corpus.limit(5), root).count() == before

@@ -447,3 +447,44 @@ def test_partition_move_contract_tombstone_then_upsert(spark, tmp_path):
         for r in spark.read.parquet(path).collect()
     }
     assert rows == {(1, 99.0, "2024-01-02"), (2, 20.0, "2024-01-01")}
+
+
+def test_upsert_schema_mismatch_raises_before_column_loss(spark, tmp_path):
+    """r7 review: the pre-merge projection to the batch's columns
+    defeated merge_updates' schema guard, silently dropping target
+    columns absent from the batch from every rewritten partition."""
+    target = os.path.join(str(tmp_path), "tbl")
+    full = spark.createDataFrame(
+        [(1, "2024-01-05", 1.0, "keep me")],
+        "event_id long, day string, value double, notes string",
+    )
+    upsert_partitioned(spark, full, target, key="event_id", partition_col="day")
+    narrow = spark.createDataFrame(
+        [(1, "2024-01-05", 2.0)], "event_id long, day string, value double"
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        upsert_partitioned(
+            spark, narrow, target, key="event_id", partition_col="day"
+        )
+    # the notes column survived untouched
+    assert spark.read.parquet(target).select("notes").first()[0] == "keep me"
+
+
+def test_dynamic_mode_is_per_write_not_session_state(spark, tmp_path):
+    """r7 review: the old set/restore of the session-global
+    partitionOverwriteMode conf raced concurrent writers; the mode now
+    travels as a per-write option and never touches session state."""
+    target = os.path.join(str(tmp_path), "tbl")
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(conf_key, None)
+    d5 = spark.createDataFrame(
+        [(1, "2024-01-05", 1.0)], "event_id long, day string, value double"
+    )
+    d6 = spark.createDataFrame(
+        [(2, "2024-01-06", 2.0)], "event_id long, day string, value double"
+    )
+    upsert_partitioned(spark, d5, target, key="event_id", partition_col="day")
+    upsert_partitioned(spark, d6, target, key="event_id", partition_col="day")
+    assert spark.conf.get(conf_key, None) == before  # no session leak
+    # and the option really was dynamic: day=05 survived the 06 write
+    assert spark.read.parquet(target).count() == 2
