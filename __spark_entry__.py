@@ -30,11 +30,13 @@ from acled_spark.registry import oracle_map, spark_queries
 # Round-7 rotation state (folded from CORRECTNESS_r06.json): round 6's
 # 50-row check re-verified the whole r03 tier (retired) plus 27 r04 and
 # 17 r05 rows.  What remains stale: 16 r04 rows (two rounds old — they
-# lead round 7 per VERDICT r6 #5) and 50 r05 rows; 16 + 50 = 66
-# candidates for the ~50-row budget, so all of r04 and the fast-family
-# majority of r05 land this round, leaving no row older than r05.
-# After CORRECTNESS_r07 lands, fold its names into a _R7 tier and
-# retire the empties.
+# lead round 7 per VERDICT r6 #5) and 50 r05 rows.  Round 7 also ADDED
+# three never-verified queries (dedup_components_exact,
+# sim_ann_multiprobe, dedup_containment) — never-verified emits first
+# by construction, then the recert block (round-7 semantic edits),
+# then r04, so the ~50-row budget lands: 3 new + 11 recert + all 16
+# r04 + the fast-family front of r05.  After CORRECTNESS_r07 lands,
+# fold its names into a _R7 tier and retire the empties.
 #
 # Queries whose freshest driver rows were written by the round-4 check
 # (CORRECTNESS_r04.json) — the stale block, emitted first.
