@@ -128,6 +128,9 @@ _RECERT_PRIORITY: frozenset[str] = frozenset(
         # engines (ANSI /0 guard); text_repetition's oracle now actually
         # lowercases (the old .replace was a no-op on the WS spelling)
         "sim_topk_bruteforce", "sim_ann_lsh", "text_repetition",
+        # r7: PSI bin clamp now runs BEFORE the int cast in BOTH
+        # engines (overflow abort on values past 2^31*width)
+        "drift_psi",
     }
 )
 

@@ -114,6 +114,17 @@ def build_ivf_index(
     return IvfIndex(model=model, assigned=assigned, base_cost=base_cost)
 
 
+def _centroid_frame(spark, model) -> DataFrame:
+    """The nlist-row ``(cell, centroid)`` table off a fitted KMeans
+    model — ONE spelling for probe selection (:func:`ivf_search`) and
+    drift measurement (:func:`ivf_staleness`), so a centroid-
+    representation change can never desynchronize the two (r7 review)."""
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+
+
 def ivf_search(
     index: IvfIndex,
     queries: DataFrame,
@@ -145,10 +156,7 @@ def ivf_search(
     once); leave at 1 when the query frame is broadcast-sized.
     """
     spark = queries.sparkSession
-    centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(index.model.clusterCenters())],
-        "cell int, centroid array<double>",
-    )
+    centroids = _centroid_frame(spark, index.model)
     # L2-normalize each query ONCE via the shared helper; centroids
     # were fit on normalized vectors, so distances compare on the unit
     # sphere.
@@ -204,8 +212,13 @@ def ivf_search(
         join_key = ["cell", "__salt"]
     else:
         join_key = ["cell"]
+    # Null-SAFE self-exclusion (r7 review): a NULL corpus id under a
+    # plain != evaluates to NULL and silently vanishes from EVERY
+    # query's results.  Contract note: query and corpus ids share one
+    # namespace — "same id" MEANS "same entity", the standard
+    # self-query exclusion; external query frames must use fresh ids.
     cand = corpus.join(q, join_key).filter(
-        F.col(id_col) != F.col("query_id")
+        ~F.col(id_col).eqNullSafe(F.col("query_id"))
     )
     # zero-norm guard: under ANSI mode a 0 divisor aborts the whole job;
     # define cosine(x, 0-vector) = 0.0
@@ -258,6 +271,7 @@ def ivf_upsert(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     persist: bool = True,
+    durable_path: str | None = None,
 ) -> IvfIndex:
     """Fold new/updated vectors into the index WITHOUT a refit.
 
@@ -269,6 +283,16 @@ def ivf_upsert(
     not move).  The old assignment's checkpoint blocks are released by
     the ContextCleaner once the superseded index is garbage-collected —
     never eagerly, so searches in flight against it finish cleanly.
+
+    Durability (r7 review): ``localCheckpoint`` blocks live on
+    EXECUTORS with truncated lineage — one lost executor in a
+    long-running maintainer makes the accumulated index unrecoverable
+    (the streaming checkpoint will not replay committed epochs).  Pass
+    ``durable_path`` to persist each fold to parquet (stage-then-swap,
+    never delete-before-write) and serve the index FROM that parquet —
+    executor loss then costs a re-read, not the index.  The in-memory
+    default is right for batch jobs and tests; the streaming face
+    (:class:`IvfMaintainer`) should run durable.
 
     Scale: assignment is model.transform (narrow map over the batch
     only), the anti-join keys on the id — nothing rescans the existing
@@ -285,6 +309,22 @@ def ivf_upsert(
         fresh.select(id_col), id_col, "left_anti"
     )
     merged = kept.unionByName(fresh)
+    if durable_path is not None:
+        from acled_spark.fsutil import fs_replace_dir
+
+        spark = vectors.sparkSession
+        staging = durable_path.rstrip("/") + "._staging"
+        # stage-then-swap: the merge READS the previous fold's parquet
+        # (when durable_path was used before), so an in-place overwrite
+        # would delete its own input mid-job; a crash in the swap window
+        # leaves the staged copy recoverable
+        merged.write.mode("overwrite").parquet(staging)
+        fs_replace_dir(spark, staging, durable_path)
+        return IvfIndex(
+            model=index.model,
+            assigned=spark.read.parquet(durable_path),
+            base_cost=index.base_cost,
+        )
     if persist:
         # localCheckpoint, not cache: a foreachBatch maintainer folds a
         # batch per epoch, and cache() materializes data WITHOUT
@@ -321,13 +361,7 @@ def ivf_staleness(index: IvfIndex, vec_col: str = "embedding") -> dict:
     vectors.
     """
     spark = index.assigned.sparkSession
-    centroids = spark.createDataFrame(
-        [
-            (i, [float(x) for x in c])
-            for i, c in enumerate(index.model.clusterCenters())
-        ],
-        "cell int, centroid array<double>",
-    )
+    centroids = _centroid_frame(spark, index.model)
     sq_dist = F.aggregate(
         F.zip_with(F.col("__n"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
@@ -373,6 +407,13 @@ class IvfMaintainer:
     vectors, and ``maint.staleness()`` reports drift;
     ``needs_refit(threshold)`` is the scheduling signal.  (Refit itself
     is a batch job — rebuild with :func:`build_ivf_index` and swap.)
+
+    ``durable_path``: parquet location for the assignment — STRONGLY
+    recommended for any long-running stream (r7 review): without it the
+    index's only copy lives in executor-local checkpoint blocks, and
+    one lost executor (spot reclaim, OOM) makes hours of accumulated
+    upserts unrecoverable.  With it, each fold stage-swaps to parquet
+    and executor loss costs a re-read.
     """
 
     def __init__(
@@ -380,10 +421,12 @@ class IvfMaintainer:
         index: IvfIndex,
         vec_col: str = "embedding",
         id_col: str = "vec_id",
+        durable_path: str | None = None,
     ):
         self.index = index
         self.vec_col = vec_col
         self.id_col = id_col
+        self.durable_path = durable_path
         self.batches_applied = 0
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -395,7 +438,11 @@ class IvfMaintainer:
             # same guard as DriftMonitor / streaming._merge_batch)
             return
         self.index = ivf_upsert(
-            self.index, batch_df, vec_col=self.vec_col, id_col=self.id_col
+            self.index,
+            batch_df,
+            vec_col=self.vec_col,
+            id_col=self.id_col,
+            durable_path=self.durable_path,
         )
         self.batches_applied += 1
 

@@ -37,6 +37,7 @@ from __future__ import annotations
 from typing import Callable, Iterable, Iterator
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from acled_spark.silver import merge_updates
 
@@ -143,6 +144,24 @@ def upsert_dbapi(
         raise ValueError("num_writers must be >= 1")
     if batch_size < 1:
         raise ValueError("batch_size must be >= 1")
+    # NULL key values break the idempotency contract outright: SQL
+    # unique indexes treat NULLs as distinct, so ON CONFLICT never
+    # fires for them and EVERY replay (task retry, foreachBatch
+    # redelivery) inserts the row again — duplicates accumulating in
+    # the relational store with no error (r7 review).  Fail loudly on
+    # the driver instead.
+    null_key_pred = None
+    for k in keys:
+        cond = F.col(k).isNull()
+        null_key_pred = cond if null_key_pred is None else (null_key_pred | cond)
+    null_keys = df.filter(null_key_pred).count()
+    if null_keys:
+        raise ValueError(
+            f"{null_keys} row(s) carry NULL in key column(s) {keys}: "
+            "ON CONFLICT never matches NULL unique-index entries, so "
+            "replays would duplicate these rows — filter them out or "
+            "repair the keys upstream"
+        )
 
     columns = df.columns
     sql = build_upsert_sql(table, columns, keys, paramstyle, conflict_clause)

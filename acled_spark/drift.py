@@ -44,16 +44,22 @@ def bin_counts(
     """``(group, bin, n)`` sketch of a frame's value distribution.
 
     Fixed-width bins with edge clamping; NULL values clamp into bin 0
-    (GREATEST/LEAST propagate the 0 floor over NULL), matching the
-    ``drift_psi`` oracle's CASE semantics.
+    (Spark's GREATEST skips NULL inputs, so the 0 floor survives),
+    matching the ``drift_psi`` oracle.  The int cast runs AFTER the
+    clamp: floor() yields a long, and casting it first meant one value
+    past 2^31·width either aborted the job (ANSI CAST_OVERFLOW, the
+    session default) or wrapped negative and read a right-shifted
+    distribution as mass in bin 0 — confirmed by execution, r7 review.
     """
     return (
         df.select(
             F.col(group_col).alias("group"),
             F.least(
                 F.lit(n_bins - 1),
-                F.greatest(F.lit(0), F.floor(F.col(value_col) / width).cast("int")),
-            ).alias("bin"),
+                F.greatest(F.lit(0), F.floor(F.col(value_col) / width)),
+            )
+            .cast("int")
+            .alias("bin"),
         )
         .groupBy("group", "bin")
         .agg(F.count("*").alias("n"))
@@ -281,13 +287,20 @@ class DriftMonitor:
         new = bin_counts(
             batch_df, self.value_col, self.group_col, self.n_bins, self.width
         ).localCheckpoint()  # one batch scan, shared by score + fold
+        if self.update_reference and self._already_folded(spark, epoch_id, new):
+            # replayed epoch after a post-fold crash: the reference
+            # already ABSORBED this batch, so scoring now would compare
+            # the batch against a baseline containing itself — PSI reads
+            # near-zero and an epoch-keyed alert sink would overwrite
+            # the original (true) reading with a spurious all-clear
+            # (r7 review).  The original delivery scored and folded;
+            # a replay owes nothing.
+            return
         old = spark.read.parquet(self.root)
         scores = psi_scores(old, new, self.n_bins).localCheckpoint()
         if self.on_scores is not None:
             self.on_scores(scores)
-        if self.update_reference and not self._already_folded(
-            spark, epoch_id, new
-        ):
+        if self.update_reference:
             from acled_spark.fsutil import fs_replace_dir, fs_write_text
 
             merged = (

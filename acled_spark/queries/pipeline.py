@@ -367,7 +367,7 @@ _PSI_WIDTH = 50.0  # value spans [0, 500)
     oracle=f"""
     WITH e AS (
       SELECT event_type,
-             LEAST({_PSI_BINS - 1}, GREATEST(0, CAST(FLOOR(value / {_PSI_WIDTH}) AS INT))) AS bin,
+             CAST(LEAST({_PSI_BINS - 1}, GREATEST(0, FLOOR(value / {_PSI_WIDTH}))) AS INT) AS bin,
              CASE WHEN ts >= TIMESTAMP '{_PSI_SPLIT}' THEN 1 ELSE 0 END AS is_new
       FROM events
     ),
@@ -436,10 +436,15 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     e = ev.select(
         F.col("event_type").alias("group"),
+        # clamp BEFORE the int cast (mirrored in the oracle): floor()
+        # yields a long, and casting first overflowed on values past
+        # 2^31·width — ANSI abort or a wrapped-negative bin 0 (r7 review)
         F.least(
             F.lit(_PSI_BINS - 1),
-            F.greatest(F.lit(0), F.floor(F.col("value") / _PSI_WIDTH).cast("int")),
-        ).alias("bin"),
+            F.greatest(F.lit(0), F.floor(F.col("value") / _PSI_WIDTH)),
+        )
+        .cast("int")
+        .alias("bin"),
         # when/otherwise (not a bare cast) so a NULL ts lands in the OLD
         # period like the oracle's CASE, instead of vanishing from both
         # counts; timestamp_ntz matches the table's type so the split is

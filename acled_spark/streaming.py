@@ -226,8 +226,13 @@ def dedup_stream(
     operator exists for — the faces agree exactly, and the batch
     choice is stable across re-runs.
     """
+    # event-time preamble on BOTH faces (r7 review): skipping it on the
+    # batch face left ts at its raw type, so the two faces returned
+    # different ts column types AND a string-ts replay ordered survivors
+    # lexicographically — mixed-offset ISO strings then pick a different
+    # "earliest" row than the timestamp ordering the contract promises
+    events = _with_event_time(events, ts_col, watermark)
     if events.isStreaming:
-        events = _with_event_time(events, ts_col, watermark)
         return events.dropDuplicatesWithinWatermark(list(key_cols))
     # plain dropDuplicates keeps a partition-order-NONdeterministic
     # survivor; replays must reproduce the stream's first-seen choice,

@@ -164,3 +164,26 @@ def test_real_events_slice_end_to_end(spark, tmp_path):
     assert len(after) == len(before)
     assert all(b2 - b1 == pytest.approx(1000.0)
                for (*_, b1), (*_, b2) in zip(before, after))
+
+
+def test_null_key_rows_rejected_loudly(spark, tmp_path):
+    """r7 review: SQL unique indexes treat NULLs as distinct, so ON
+    CONFLICT never fires for a NULL-keyed row and every replay inserts
+    it again — the idempotency contract demands a loud driver-side
+    failure instead."""
+    import pytest
+
+    from acled_spark.db_sink import upsert_dbapi
+
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b")], "event_id long, payload string"
+    )
+    with pytest.raises(ValueError, match="NULL in key"):
+        upsert_dbapi(
+            df,
+            _factory(str(tmp_path / "x.db")),
+            "t",
+            key="event_id",
+            create_sql="CREATE TABLE IF NOT EXISTS t "
+            "(event_id INTEGER PRIMARY KEY, payload TEXT)",
+        )

@@ -192,7 +192,10 @@ def test_moving_baseline_fold_is_epoch_idempotent(spark, tmp_path):
         "event_type string, value double",
     )
     init_reference(base, ref)
-    mon = DriftMonitor(ref, update_reference=True)
+    fired = []
+    mon = DriftMonitor(
+        ref, update_reference=True, on_scores=lambda s: fired.append(s.collect())
+    )
     batch = spark.createDataFrame(
         [("a", 10.0), ("a", 60.0)], "event_type string, value double"
     )
@@ -202,8 +205,12 @@ def test_moving_baseline_fold_is_epoch_idempotent(spark, tmp_path):
     )
     assert n_after_first == 6  # 4 baseline + 2 folded
 
-    # replay of the SAME epoch: scored again, but NOT folded again
+    # replay of the SAME epoch: neither folded NOR re-scored (r7 review:
+    # the post-fold reference already contains the batch, so a replay
+    # score compares the batch against itself — a biased-low duplicate
+    # reading that an epoch-keyed sink would record over the true one)
     mon(batch, epoch_id=7)
+    assert len(fired) == 1
     n_after_replay = (
         spark.read.parquet(ref).agg(F.sum("n").alias("s")).collect()[0]["s"]
     )
@@ -283,3 +290,18 @@ def test_crash_recovery_heals_even_when_stream_is_idle(spark, tmp_path):
     mon(ref.filter(F.lit(False)), epoch_id=0)  # idle batch
     assert mon.batches_scored == 0  # still skipped scoring
     assert os.path.exists(root)  # but the reference was healed
+
+
+def test_bin_counts_survives_huge_values(spark):
+    """r7 review (confirmed by execution): the int cast ran BEFORE the
+    clamp, so one value past 2^31·width aborted the job under ANSI mode
+    (CAST_OVERFLOW) — or, ANSI off, wrapped negative and read a
+    right-shifted distribution as mass in bin 0."""
+    from acled_spark.drift import bin_counts
+
+    df = spark.createDataFrame(
+        [("a", 2.0e11), ("a", 10.0), ("a", None)],
+        "event_type string, value double",
+    )
+    rows = {r["bin"]: r["n"] for r in bin_counts(df).collect()}
+    assert rows == {9: 1, 0: 2}  # huge -> TOP bin; NULL still clamps to 0

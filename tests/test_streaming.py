@@ -268,3 +268,23 @@ def test_batch_dedup_survivor_is_deterministic(spark):
          for r in dedup_stream(df.coalesce(1), ("event_id",)).collect()}
     assert a == b
     assert a[1] == "early"  # first-seen (earliest event time) wins
+
+
+def test_dedup_stream_batch_face_casts_event_time(spark):
+    """r7 review: the batch face skipped the shared event-time cast, so
+    string-ts replays returned a different ts TYPE than the streaming
+    face and ordered survivors lexicographically — a mixed-offset ISO
+    feed then keeps a different row than the event-time rule."""
+    from acled_spark.streaming import dedup_stream
+
+    rows = [
+        # key 1: +02:00 offset arrives EARLIER as an instant (08:00Z)
+        # than the Z row (09:30Z), but lexicographic string order says
+        # otherwise ('2024-06-09T09' < '2024-06-09T10')
+        (1, "2024-06-09T10:00:00+02:00", "early-instant"),
+        (1, "2024-06-09T09:30:00Z", "late-instant"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts string, tag string")
+    out = dedup_stream(df, key_cols=("event_id",))
+    assert dict(out.dtypes)["ts"] == "timestamp"  # same type as the stream face
+    assert out.collect()[0]["tag"] == "early-instant"
