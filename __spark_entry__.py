@@ -131,6 +131,10 @@ _RECERT_PRIORITY: frozenset[str] = frozenset(
         # r7: PSI bin clamp now runs BEFORE the int cast in BOTH
         # engines (overflow abort on values past 2^31*width)
         "drift_psi",
+        # r7: OOF smoothing prior now excludes the row's WHOLE fold in
+        # BOTH engines (leakage fix — VALUES change); label mapping
+        # filters NULL classes before ranking in BOTH engines
+        "ml_target_encode_cv", "ml_label_encode",
     }
 )
 

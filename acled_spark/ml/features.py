@@ -123,12 +123,29 @@ def out_of_fold_target_encode(
         df.groupBy(
             F.col(cat_col).alias("__oof_cat"), F.col(fold_col).alias("__oof_fold")
         )
-        .agg(F.count("*").alias("__oof_cnt"), F.sum(target_col).alias("__oof_s"))
+        # count(target), not count(*): a NULL-target row contributes to
+        # neither sum nor count, matching TargetEncoder.fit — counting
+        # it coerced NULL targets to 0 at training while serving
+        # excluded them (train/serve skew on every such category;
+        # r7 review)
+        .agg(
+            F.count(target_col).alias("__oof_cnt"),
+            F.sum(target_col).alias("__oof_s"),
+        )
         .localCheckpoint()
     )
     totals = fold_stats.groupBy("__oof_cat").agg(
         F.sum("__oof_cnt").alias("__oof_tot_cnt"),
         F.sum("__oof_s").alias("__oof_tot_s"),
+    )
+    # per-FOLD totals: the smoothing prior must exclude the row's whole
+    # fold, not just its own (category, fold) cell — subtracting only
+    # the cell left every OTHER category's same-fold targets inside the
+    # prior, leaking validation-fold values into training features
+    # (r7 review)
+    fold_tot = fold_stats.groupBy("__oof_fold").agg(
+        F.sum("__oof_cnt").alias("__oof_f_cnt"),
+        F.sum("__oof_s").alias("__oof_f_s"),
     )
     # global totals roll up from fold_stats — NOT a second aggregation
     # over the fact (round-7 review; mirrors ml_target_encode_cv's
@@ -156,19 +173,32 @@ def out_of_fold_target_encode(
             & F.col(fold_col).eqNullSafe(fold_stats["__oof_fold"]),
             "left",
         )
+        .join(
+            F.broadcast(fold_tot),
+            F.col(fold_col).eqNullSafe(fold_tot["__oof_fold"]),
+            "left",
+        )
+        .drop(fold_tot["__oof_fold"])
         .crossJoin(F.broadcast(g))
     )
     oof_cnt = F.col("__oof_tot_cnt") - F.coalesce(F.col("__oof_cnt"), F.lit(0))
     oof_s = F.col("__oof_tot_s") - F.coalesce(F.col("__oof_s"), F.lit(0.0))
-    oof_gmean = (
-        F.col("__oof_g_s") - F.coalesce(F.col("__oof_s"), F.lit(0.0))
-    ) / (F.col("__oof_g_cnt") - F.coalesce(F.col("__oof_cnt"), F.lit(0)))
+    # leave-FOLD-out global prior (whole fold subtracted, see fold_tot);
+    # guarded: a single-fold frame leaves zero out-of-fold rows and the
+    # prior is undefined — NULL, not an ANSI divide-by-zero abort
+    oof_g_cnt = F.col("__oof_g_cnt") - F.coalesce(F.col("__oof_f_cnt"), F.lit(0))
+    oof_gmean = F.when(
+        oof_g_cnt > 0,
+        (F.col("__oof_g_s") - F.coalesce(F.col("__oof_f_s"), F.lit(0.0)))
+        / oof_g_cnt,
+    )
     smoothed = (oof_s + smoothing * oof_gmean) / (oof_cnt + smoothing)
     return joined.withColumn(
         out_col, F.when(oof_cnt > 0, smoothed).otherwise(oof_gmean)
     ).drop(
         "__oof_cat", "__oof_fold", "__oof_cnt", "__oof_s",
         "__oof_tot_cnt", "__oof_tot_s", "__oof_g_cnt", "__oof_g_s",
+        "__oof_f_cnt", "__oof_f_s",
     )
 
 

@@ -49,10 +49,22 @@ def save_model_package(
     stamped here — persistence stays deterministic and replayable.
     """
     trained.model.write().overwrite().save(path)
+
+    def _portable(x):
+        # NaN/Inf metrics (e.g. r2 on a constant-label split) would be
+        # emitted as bare NaN literals — json.loads round-trips them but
+        # strict consumers (DuckDB read_json, jq, JS) reject the sidecar
+        # as invalid JSON; serialize them as null (r7 review)
+        if isinstance(x, float) and (x != x or x in (float("inf"), float("-inf"))):
+            return None
+        return x
+
     package = {
         "format_version": PACKAGE_FORMAT_VERSION,
         "best_params": trained.best_params,
-        "performance_metrics": trained.metrics,
+        "performance_metrics": {
+            k: _portable(v) for k, v in trained.metrics.items()
+        },
         "feature_importance": [
             {"feature": name, "importance": weight}
             for name, weight in trained.feature_importances
@@ -62,7 +74,12 @@ def save_model_package(
         "training_date": training_date,
     }
     _fs_write_text(
-        spark, f"{path}/{SIDECAR_NAME}", json.dumps(package, indent=1, sort_keys=True)
+        spark,
+        f"{path}/{SIDECAR_NAME}",
+        # allow_nan=False enforces the portability contract at write
+        # time: any non-finite float that escapes _portable fails HERE,
+        # not in a downstream strict parser
+        json.dumps(package, indent=1, sort_keys=True, allow_nan=False),
     )
     return package
 

@@ -29,9 +29,32 @@ def risk_level(col: Column) -> Column:
     )
 
 
-def score(model: PipelineModel, df: DataFrame, label_col: str) -> DataFrame:
-    """Predict + per-row error columns (ref ml.py:653-665)."""
+def score(
+    model: PipelineModel,
+    df: DataFrame,
+    label_col: str,
+    allow_incomplete_rows: bool = False,
+) -> DataFrame:
+    """Predict + per-row error columns (ref ml.py:653-665).
+
+    The feature pipeline assembles with ``handleInvalid="skip"``, which
+    silently DROPS any row carrying a NULL numeric feature — fine when
+    fitting (incomplete rows can't train), but at scoring time a
+    shrinking row set corrupts every downstream count and rate with no
+    signal (r7 review).  The default therefore fails loudly when rows
+    vanish; pass ``allow_incomplete_rows=True`` to accept the drop
+    knowingly (the returned frame then covers only complete rows).
+    """
     pred = model.transform(df)
+    if not allow_incomplete_rows:
+        n_in, n_out = df.count(), pred.count()
+        if n_out < n_in:
+            raise ValueError(
+                f"scoring dropped {n_in - n_out} of {n_in} rows (NULL "
+                "numeric features; the assembler skips them) — impute "
+                "upstream or pass allow_incomplete_rows=True to accept "
+                "a reduced population"
+            )
     err = F.col("prediction") - F.col(label_col)
     # np.where guard (ml.py:660-661) — but NULL labels must stay NULL,
     # not 0.0: a ground-truth-less serving row scored as "0% error"
@@ -79,12 +102,23 @@ def error_analysis(scored: DataFrame, group_col: str | None = None) -> dict:
             .agg(
                 F.avg("absolute_error").alias("mae"),
                 F.count("*").alias("n"),
-                F.avg("prediction").alias("avg_predicted"),
+                # avg_predicted restricted to LABELED rows so the
+                # predicted-vs-actual comparison reads one population —
+                # averaging predictions over unlabeled rows too would
+                # conflate population mix with model bias (r7 review)
+                F.avg(
+                    F.when(
+                        F.col("prediction_error").isNotNull(),
+                        F.col("prediction"),
+                    )
+                ).alias("avg_predicted"),
                 F.avg(F.col("prediction") - F.col("prediction_error")).alias(
                     "avg_actual"
                 ),
             )
-            .orderBy(F.desc("mae"))
+            # group_col tiebreak: equal-mae groups at the cutoff would
+            # otherwise make the returned set partition-order-dependent
+            .orderBy(F.desc("mae"), group_col)
             .limit(20)
             .collect()
         ]

@@ -241,6 +241,16 @@ def _feature_names(transformed_sample: DataFrame) -> list[str]:
         for a in group:
             named.append((a["idx"], a.get("name", f"f{a['idx']}")))
     if not named:
-        size = transformed_sample.select(F.col("features")).first()[0].size
-        return [f"f{i}" for i in range(size)]
+        # the sampled row can vanish (assembler handleInvalid='skip'
+        # drops rows with NULL numeric features) — .first() is then
+        # None and an unguarded [0] crashed AFTER the expensive CV had
+        # already completed (r7 review)
+        row = transformed_sample.select(F.col("features")).first()
+        if row is None:
+            raise ValueError(
+                "cannot derive feature names: the sampled row was "
+                "dropped by the assembler (NULL numeric features) and "
+                "no ml_attr metadata is present — sample a complete row"
+            )
+        return [f"f{i}" for i in range(row[0].size)]
     return [name for _, name in sorted(named)]

@@ -35,7 +35,7 @@ N_FOLDS = 5     # ref ml.py cv=5
       FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
     ),
     fold_stats AS (
-      SELECT c_mktsegment, fold, COUNT(*) AS cnt,
+      SELECT c_mktsegment, fold, COUNT(o_totalprice) AS cnt,
              SUM(o_totalprice) AS s
       FROM base GROUP BY c_mktsegment, fold
     ),
@@ -43,22 +43,27 @@ N_FOLDS = 5     # ref ml.py cv=5
       SELECT c_mktsegment, CAST(SUM(cnt) AS BIGINT) AS tot_cnt, SUM(s) AS tot_s
       FROM fold_stats GROUP BY c_mktsegment
     ),
-    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS g_cnt, SUM(o_totalprice) AS g_s FROM base),
+    fold_tot AS (
+      SELECT fold, CAST(SUM(cnt) AS BIGINT) AS f_cnt, SUM(s) AS f_s
+      FROM fold_stats GROUP BY fold
+    ),
+    g AS (SELECT CAST(SUM(cnt) AS BIGINT) AS g_cnt, SUM(s) AS g_s FROM fold_stats),
     encoded AS (
       SELECT b.c_custkey, b.c_mktsegment, b.fold,
              (t.tot_cnt - COALESCE(f.cnt, 0)) AS oof_cnt,
              (t.tot_s - COALESCE(f.s, 0)) AS oof_s,
-             (g.g_cnt - COALESCE(f.cnt, 0)) AS oof_gcnt,
-             (g.g_s - COALESCE(f.s, 0)) AS oof_gs
+             (g.g_cnt - ft.f_cnt) AS oof_gcnt,
+             (g.g_s - ft.f_s) AS oof_gs
       FROM (SELECT DISTINCT c_custkey, c_mktsegment, fold FROM base) b
       JOIN seg_tot t ON b.c_mktsegment = t.c_mktsegment
       LEFT JOIN fold_stats f ON b.c_mktsegment = f.c_mktsegment AND b.fold = f.fold
+      JOIN fold_tot ft ON b.fold = ft.fold
       CROSS JOIN g
     )
     SELECT c_custkey, c_mktsegment, CAST(fold AS INTEGER) AS fold,
            ROUND(CASE WHEN oof_cnt > 0
-                 THEN (oof_s + {SMOOTHING} * (oof_gs / oof_gcnt)) / (oof_cnt + {SMOOTHING})
-                 ELSE oof_gs / oof_gcnt END, 4) AS target_encoded
+                 THEN (oof_s + {SMOOTHING} * (oof_gs / NULLIF(oof_gcnt, 0))) / (oof_cnt + {SMOOTHING})
+                 ELSE oof_gs / NULLIF(oof_gcnt, 0) END, 4) AS target_encoded
     FROM encoded ORDER BY c_custkey
     """,
     tags=("ml", "join"),
@@ -70,9 +75,16 @@ def ml_target_encode_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     (category × fold) partial stats; the global totals are a rollup of
     fold_stats (not a second pass over the fact), and the output row
     set comes from customer semi-joined against the pruned
-    distinct-o_custkey scan — no second fact JOIN anywhere.  Out-of-
-    fold stats are derived by subtracting the row's own fold from
-    category totals (no per-fold repeat passes).
+    distinct-o_custkey scan — no second fact JOIN anywhere.
+
+    Out-of-fold semantics (r7 review, mirrored in the oracle AND in
+    ml/features.out_of_fold_target_encode): the category stats subtract
+    the row's own (category, fold) cell, and the smoothing PRIOR
+    subtracts the row's ENTIRE fold — subtracting only the cell left
+    other categories' same-fold targets inside the prior, leaking
+    validation-fold values into every encoded training feature.
+    Counts use count(target): a NULL-target row contributes to neither
+    sum nor count (the serving encoder's convention).
     """
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
@@ -86,10 +98,13 @@ def ml_target_encode_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     fold_stats = base.groupBy("c_mktsegment", "fold").agg(
-        F.count("*").alias("cnt"), F.sum("o_totalprice").alias("s")
+        F.count("o_totalprice").alias("cnt"), F.sum("o_totalprice").alias("s")
     )
     seg_tot = fold_stats.groupBy("c_mktsegment").agg(
         F.sum("cnt").cast("long").alias("tot_cnt"), F.sum("s").alias("tot_s")
+    )
+    fold_tot = fold_stats.groupBy("fold").agg(
+        F.sum("cnt").cast("long").alias("f_cnt"), F.sum("s").alias("f_s")
     )
     g = fold_stats.agg(
         F.sum("cnt").cast("long").alias("g_cnt"), F.sum("s").alias("g_s")
@@ -104,6 +119,7 @@ def ml_target_encode_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = (
         rows.join(F.broadcast(seg_tot), "c_mktsegment")
         .join(F.broadcast(fold_stats), ["c_mktsegment", "fold"], "left")
+        .join(F.broadcast(fold_tot), "fold")
         .crossJoin(F.broadcast(g))
         .select(
             "c_custkey",
@@ -111,11 +127,13 @@ def ml_target_encode_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fold",
             (F.col("tot_cnt") - F.coalesce(F.col("cnt"), F.lit(0))).alias("oof_cnt"),
             (F.col("tot_s") - F.coalesce(F.col("s"), F.lit(0.0))).alias("oof_s"),
-            (F.col("g_cnt") - F.coalesce(F.col("cnt"), F.lit(0))).alias("oof_gcnt"),
-            (F.col("g_s") - F.coalesce(F.col("s"), F.lit(0.0))).alias("oof_gs"),
+            (F.col("g_cnt") - F.col("f_cnt")).alias("oof_gcnt"),
+            (F.col("g_s") - F.col("f_s")).alias("oof_gs"),
         )
     )
-    oof_gmean = F.col("oof_gs") / F.col("oof_gcnt")
+    oof_gmean = F.when(
+        F.col("oof_gcnt") > 0, F.col("oof_gs") / F.col("oof_gcnt")
+    )
     smoothed = (F.col("oof_s") + SMOOTHING * oof_gmean) / (
         F.col("oof_cnt") + SMOOTHING
     )
@@ -175,7 +193,8 @@ def ml_onehot_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
       SELECT c_mktsegment,
              CAST(DENSE_RANK() OVER (ORDER BY c_mktsegment) - 1 AS BIGINT) AS label_id
-      FROM (SELECT DISTINCT c_mktsegment FROM customer)
+      FROM (SELECT DISTINCT c_mktsegment FROM customer
+            WHERE c_mktsegment IS NOT NULL)
     )
     SELECT c.c_custkey, c.c_mktsegment, m.label_id
     FROM customer c JOIN m ON c.c_mktsegment = m.c_mktsegment
@@ -193,6 +212,13 @@ def ml_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("c_mktsegment")
     mapping = (
         c.select("c_mktsegment")
+        # NULL is not a class (sklearn raises on NULLs; label_encode_fit
+        # excludes None) — and the engines DISAGREE on its rank: Spark
+        # sorts NULL first (shifting every real label up by 1), DuckDB
+        # last.  Filter before ranking, on BOTH engines (r7 review);
+        # the final inner join drops NULL rows from the output either
+        # way, so the domain is identical.
+        .filter(F.col("c_mktsegment").isNotNull())
         .distinct()
         .select(
             "c_mktsegment",

@@ -230,3 +230,102 @@ def test_target_encoder_null_category_no_train_serve_skew(spark):
     assert out["b"] == 1.0
     # row cardinality preserved (no join fan-out/loss)
     assert enc.transform(df).count() == 4
+
+
+def test_oof_smoothing_prior_excludes_whole_fold(spark):
+    """r7 review (leakage): with smoothing>0 the prior used to subtract
+    only the row's own (category, fold) cell, so OTHER categories'
+    same-fold targets leaked into every encoded training feature.  The
+    prior must be the global mean over all OTHER folds."""
+    from acled_spark.ml.features import out_of_fold_target_encode
+
+    # fold 0: a=10, b=100 ; fold 1: a=20, b=200
+    df = spark.createDataFrame(
+        [("a", 10.0, 0), ("b", 100.0, 0), ("a", 20.0, 1), ("b", 200.0, 1)],
+        "cat string, y double, fold int",
+    )
+    out = {
+        (r["cat"], r["fold"]): r["cat_target_encoded"]
+        for r in out_of_fold_target_encode(
+            df, "cat", "y", "fold", n_folds=2, smoothing=10
+        ).collect()
+    }
+    # row (a, fold 0): oof stats = a's fold-1 cell (sum 20, cnt 1);
+    # prior = mean over fold 1 ONLY = (20+200)/2 = 110
+    expected_a0 = (20.0 + 10 * 110.0) / (1 + 10)
+    assert out[("a", 0)] == pytest.approx(expected_a0, rel=1e-12)
+    # row (b, 1): oof = b fold-0 (100, 1); prior = fold-0 mean = 55
+    expected_b1 = (100.0 + 10 * 55.0) / (1 + 10)
+    assert out[("b", 1)] == pytest.approx(expected_b1, rel=1e-12)
+
+
+def test_oof_null_targets_match_serving_encoder(spark):
+    """r7 review (train/serve skew): a NULL-target row must contribute
+    to NEITHER sum nor count — the serving TargetEncoder's convention —
+    instead of being coerced to target=0 at training."""
+    from acled_spark.ml.features import TargetEncoder, out_of_fold_target_encode
+
+    df = spark.createDataFrame(
+        [("a", 4.0, 0), ("a", 4.0, 1), ("a", None, 0), ("b", 8.0, 0),
+         ("b", 8.0, 1)],
+        "cat string, y double, fold int",
+    )
+    # serving: category 'a' mean must be 4.0 (2 labeled rows), not 8/3
+    enc = TargetEncoder("cat", "y", smoothing=0).fit(df)
+    serve = {
+        r["cat"]: r["cat_target_encoded"]
+        for r in enc.transform(df.select("cat").distinct()).collect()
+    }
+    assert serve["a"] == pytest.approx(4.0)
+    # training (smoothing 0): the (a, fold 1) row's oof stats are
+    # fold-0's LABELED rows only -> mean 4.0, same as serving
+    oof = {
+        (r["cat"], r["fold"], r["y"]): r["cat_target_encoded"]
+        for r in out_of_fold_target_encode(
+            df, "cat", "y", "fold", n_folds=2, smoothing=0
+        ).collect()
+    }
+    assert oof[("a", 1, 4.0)] == pytest.approx(4.0)
+
+
+def test_model_package_sidecar_is_strict_json_with_nan_metrics(spark, tmp_path):
+    """r7 review: a NaN metric (r2 on a constant-label split) used to be
+    written as a bare NaN literal — invalid JSON for strict consumers
+    (DuckDB read_json, jq)."""
+    import json
+    import math
+
+    from acled_spark.ml import build_feature_pipeline
+    from acled_spark.ml.persist import SIDECAR_NAME, save_model_package
+    from acled_spark.ml.train import TrainedModel, train_regressor
+    from acled_spark.tables import load
+
+    ev = (
+        load(spark, "/root/testdata/sf0.001", "events")
+        .limit(80)
+        .withColumn("hour", F.hour("ts"))
+    )
+    pipeline = build_feature_pipeline(
+        onehot_cols=["event_type"], label_cols=[], numeric_cols=["hour"]
+    )
+    trained = train_regressor(
+        ev, pipeline, label_col="value", n_candidates=1, n_folds=2,
+        parallelism=1,
+    )
+    broken = TrainedModel(
+        trained.model,
+        trained.best_params,
+        {**trained.metrics, "r2": float("nan"), "inf_metric": float("inf")},
+        trained.feature_importances,
+    )
+    path = str(tmp_path / "pkg")
+    save_model_package(spark, broken, path)
+    raw = open(f"{path}/{SIDECAR_NAME}").read()
+    parsed = json.loads(raw)  # and strictly:
+    assert "NaN" not in raw and "Infinity" not in raw
+    assert parsed["performance_metrics"]["r2"] is None
+    assert parsed["performance_metrics"]["inf_metric"] is None
+    assert not any(
+        isinstance(v, float) and not math.isfinite(v)
+        for v in parsed["performance_metrics"].values()
+    )
