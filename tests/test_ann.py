@@ -535,7 +535,9 @@ def test_ivf_maintainer_durable_path_survives_block_loss(spark, index, tmp_path)
         )
     )
     maint(batch, epoch_id=0)
-    assert maint.index.assigned.rdd.getNumPartitions() >= 0  # served frame OK
+    # served frame holds corpus + fold (a real count, not a toothless
+    # partition probe — r7 test review)
+    assert maint.index.assigned.count() == index.assigned.count() + 5
     # simulate total executor-state loss: clear every cached block
     spark.catalog.clearCache()
     spark.sparkContext._jsc.sc().cleaner().get()  # cleaner exists; no-op touch

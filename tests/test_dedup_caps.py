@@ -255,6 +255,14 @@ def test_containment_cap_shares_jaccard_cap_semantics(spark):
     boiler = "all rights reserved by the site owner today"
     rows = [(i, f"{boiler} unique token{i} tail{i} words{i}", "en", "s", 60)
             for i in range(10)]
+    # a TRUE near-dup pair sharing rare (df=2 <= cap) shingles, so the
+    # capped run keeps evidence and the monotonicity claim is exercised
+    # non-vacuously (r7 test review: with only boilerplate pairs the
+    # cap dropped everything and `not capped or ...` passed vacuously)
+    rows += [
+        (100, f"{boiler} genuine shared alpha beta gamma tail100", "en", "s", 70),
+        (101, f"{boiler} genuine shared alpha beta gamma tail101", "en", "s", 70),
+    ]
     docs = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     )
@@ -263,6 +271,8 @@ def test_containment_cap_shares_jaccard_cap_semantics(spark):
     capped = {(r["doc1"], r["doc2"]): r["containment"]
               for r in containment_pairs(docs, max_doc_freq=5).collect()}
     assert exact  # boilerplate shingles create pairs
-    assert not capped or all(
-        capped[k] <= exact[k] for k in capped
-    )  # cap only removes evidence, never adds
+    assert (100, 101) in capped  # rare-shingle evidence SURVIVES the cap
+    assert capped  # the monotonicity loop below is non-vacuous
+    assert all(capped[k] <= exact[k] for k in capped)  # never adds evidence
+    # boilerplate-only pairs are exactly what the cap exists to drop
+    assert (0, 1) in exact and (0, 1) not in capped

@@ -130,7 +130,10 @@ def test_train_score_deterministic(spark, training_frame):
     scored = score(t1.model, training_frame, label_col="value")
     analysis = error_analysis(scored, group_col="event_type")
     assert analysis["n"] == training_frame.count()
-    assert analysis["within_1"] + analysis["within_5"] >= analysis["within_1"]
+    # cumulative buckets: |err|<=1 implies |err|<=5 (r7 test review —
+    # the old a + b >= a spelling held for ANY non-negative counts)
+    assert analysis["within_5"] >= analysis["within_1"]
+    assert analysis["within_5"] + analysis["above_5"] == analysis["n"]
     assert 0.0 <= analysis["risk_accuracy"] <= 1.0
     assert len(analysis["by_group"]) == 5
 

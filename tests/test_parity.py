@@ -21,8 +21,15 @@ def test_oracle_parity(spark, duck, name):
 
 
 def test_all_queries_return_rows(spark):
-    """Every query (oracle or not) must run and produce a stable schema."""
+    """Every query (oracle or not) must run and produce a stable schema,
+    and the oracle-LESS queries — whose only other driver check is
+    rows-only — must actually produce rows (r7 test review: the old
+    version discarded the collect result, so a query regressing to
+    0 rows passed a test named ...return_rows)."""
+    no_oracle = {n for n, s in _SPECS.items() if s.oracle is None}
     for name, spec in sorted(_SPECS.items()):
         df = spec.builder(spark, "/root/testdata/sf0.001")
         assert df.columns, f"{name}: empty schema"
-        df.limit(1).collect()  # smoke-execute the plan
+        rows = df.limit(1).collect()  # smoke-execute the plan
+        if name in no_oracle:
+            assert rows, f"{name}: oracle-less query returned zero rows"

@@ -7,6 +7,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from acled_spark.report import compute_kpis, render_json, render_pdf, render_text
 
@@ -19,10 +20,17 @@ def kpis(spark):
 
 
 def test_kpis_consistent(spark, kpis):
+    from acled_spark.tables import load
+
     assert kpis.total_events == 1000  # sf0.001 events row count
-    assert kpis.avg_daily_events == pytest.approx(
-        kpis.total_events / len(kpis.daily_trend), abs=0.01
+    # INDEPENDENT oracle for the average (r7 test review: dividing the
+    # struct's own fields restated the implementation — wrong grouping
+    # would shift numerator and denominator in lockstep)
+    n_days = (
+        load(spark, SF_DIR, "events").select(F.to_date("ts")).distinct().count()
     )
+    assert len(kpis.daily_trend) == n_days
+    assert kpis.avg_daily_events == pytest.approx(1000 / n_days, abs=0.01)
     assert 0 < kpis.data_quality_score <= 100.0
     shares = sum(r["pct"] for r in kpis.category_shares)
     assert shares == pytest.approx(100.0, abs=0.1)
@@ -88,8 +96,11 @@ def test_ml_report_block_mirrors_reference_queries(ml_kpis):
     )
     assert len(k.high_value_head) <= 20
     assert k.histogram and {"bucket", "cnt"} <= set(k.histogram[0])
-    # scalar consistency: total == sum of the daily trend it reports
-    assert k.total_events == sum(r["event_count"] for r in k.daily_trend)
+    # INDEPENDENT oracle (r7 test review: summing the struct's own
+    # daily_trend restated report.py's derivation verbatim): the sf0.001
+    # events table holds exactly 1000 rows
+    assert k.total_events == 1000
+    assert sum(r["event_count"] for r in k.daily_trend) == 1000
     assert k.model_metrics["test_r2"] == 0.9
 
 
@@ -163,10 +174,21 @@ def test_heatmap_json_fallback_structure(spark, tmp_path):
     with open(path) as fh:
         payload = json.load(fh)
     assert payload["series"] == "Customer Count"
-    assert payload["regions_with_data"] == len(payload["regions"]) > 0
+    # independent cardinality oracle (r7 test review: comparing the
+    # payload's fields to each other restated render_heatmap_json's own
+    # derivations): regions come from the mapped slice of counts
+    from acled_spark.report import REGION_SLUGS as _slugs
+
+    expected_regions = {
+        _slugs[c["region"]] for c in counts if c["region"] in _slugs
+    }
+    assert set(payload["regions"]) == expected_regions
+    assert payload["regions_with_data"] == len(expected_regions) > 0
     # the three deliberately-unmapped dimension values are reported
     assert payload["unmapped"] == ["NATION_22", "NATION_23", "NATION_24"]
-    assert payload["total_customers"] == sum(payload["regions"].values())
+    assert payload["total_customers"] == sum(
+        c["count"] for c in counts if c["region"] in _slugs
+    )  # against the INPUT counts, not the payload's own fields
     # every mapped slug is a known table value; counts survive mapping
     from acled_spark.report import REGION_SLUGS
 

@@ -239,17 +239,22 @@ def test_exactly_once_across_simulated_crash_file_uri(spark, tmp_path):
     ).collect()[0]
     assert (agg["rows"], agg["content"]) == (rows1, content1)
 
-    # third run with nothing new: pure no-op
+    # third run with nothing new: pure no-op.  Capture the content
+    # oracle BEFORE the run (r7 test review: recomputing it from the
+    # post-run table compared the hash to itself — a run that mutated
+    # values while preserving counts would have passed)
+    content_before = (
+        spark.read.parquet(silver)
+        .agg(F.sum(F.xxhash64(*cols).cast("decimal(38,0)")))
+        .collect()[0][0]
+    )
     q = start_upsert_stream(
         spark, bronze, d5.schema, silver, key="event_id", partition_col="day",
         checkpoint_dir=ckpt,
     )
     q.awaitTermination(120)
     assert snapshot() == (
-        d5.count() + d6.count(), d5.count() + d6.count(),
-        spark.read.parquet(silver)
-        .agg(F.sum(F.xxhash64(*cols).cast("decimal(38,0)")))
-        .collect()[0][0],
+        d5.count() + d6.count(), d5.count() + d6.count(), content_before
     )
 
 
