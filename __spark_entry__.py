@@ -135,6 +135,11 @@ _RECERT_PRIORITY: frozenset[str] = frozenset(
         # BOTH engines (leakage fix — VALUES change); label mapping
         # filters NULL classes before ranking in BOTH engines
         "ml_target_encode_cv", "ml_label_encode",
+        # r7: vector-family degenerate-input contracts unified in BOTH
+        # engines (fixed-width filter, empty-array exclusion, HUGEINT/
+        # decimal pair arithmetic, fold-spelled norm oracle)
+        "sim_quantize_error", "sim_label_centroids",
+        "dedup_embedding_cosine", "dedup_minhash_lsh", "f9b_vector_norm",
     }
 )
 

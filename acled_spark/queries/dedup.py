@@ -38,6 +38,11 @@ from acled_spark.tables import load
 # ---------------------------------------------------------------------------
 NGRAM = 3
 
+# embedding width contract for the cosine query (ONE source of truth
+# with the similarity module; plain import — similarity never imports
+# dedup, so no cycle)
+from acled_spark.queries.similarity import DIM as _EMB_DIM  # noqa: E402
+
 # DuckDB list slicing is 1-based and end-inclusive: w[i+1:i+3] = 3 words.
 _SHINGLES_SQL = f"""
     list_distinct(list_transform(
@@ -420,7 +425,7 @@ def minhash_bands_spark(docs: DataFrame) -> DataFrame:
     SELECT CAST(band_id AS INTEGER) AS band_id,
            COUNT(*) AS n_buckets,
            CAST(SUM(CASE WHEN bucket_size > 1 THEN 1 ELSE 0 END) AS BIGINT) AS colliding_buckets,
-           CAST(SUM(bucket_size * (bucket_size - 1) / 2) AS BIGINT) AS candidate_pairs
+           CAST(SUM(CAST(bucket_size AS HUGEINT) * (bucket_size - 1) // 2) AS BIGINT) AS candidate_pairs
     FROM buckets GROUP BY band_id ORDER BY band_id
     """,
     tags=("dedup", "lsh", "extended"),
@@ -445,9 +450,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_buckets"),
             F.sum((F.col("bucket_size") > 1).cast("long")).alias("colliding_buckets"),
+            # exact integer arithmetic through DECIMAL (oracle: HUGEINT
+            # + integer division), r7 review: long*long ANSI-overflows
+            # past ~3e9-doc buckets — the single-hot-bucket skew shape
+            # this module's cap knob exists for — and the former
+            # double `/` lost exactness past 2^53 with per-term-vs-sum
+            # rounding diverging between engines
             F.sum(
-                (F.col("bucket_size") * (F.col("bucket_size") - 1) / 2).cast("long")
-            ).alias("candidate_pairs"),
+                (
+                    F.col("bucket_size").cast("decimal(20,0)")
+                    * (F.col("bucket_size") - 1)
+                    / 2
+                ).cast("decimal(38,0)")
+            )
+            .cast("long")
+            .alias("candidate_pairs"),
         )
         .orderBy("band_id")
     )
@@ -532,11 +549,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- embedding-cosine near-dup ----------------------------------------------
 @query(
     "dedup_embedding_cosine",
-    oracle="""
+    oracle=f"""
     WITH v AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
              SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-      FROM embeddings
+      FROM embeddings WHERE len(embedding) = {_EMB_DIM}
     )
     SELECT a.vec_id AS vec1, b.vec_id AS vec2, a.label AS label,
            ROUND(CASE WHEN a.nrm * b.nrm > 0
@@ -555,9 +572,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse quantizer (IVF centroid / LSH bucket, see sim_ann_lsh).
     Dot products ride zip_with/aggregate HOFs — JVM-side, no Python.
     """
+    from acled_spark.queries.similarity import DIM
     from acled_spark.vector import as_double, dot as vdot, l2_norm
 
-    e = load(spark, sf_dir, "embeddings")
+    # width filter mirrored in the oracle (r7 review): a ragged vector
+    # NULL-coses via zip_with padding in Spark but ABORTS DuckDB's
+    # list_dot_product ('list dimensions must be equal')
+    e = load(spark, sf_dir, "embeddings").filter(F.size("embedding") == DIM)
     v = e.select(
         "vec_id",
         "label",

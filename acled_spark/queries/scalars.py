@@ -269,10 +269,15 @@ def f16_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # JVM-side scale path for embedding math (no Python in the loop).
 @query(
     "f9b_vector_norm",
+    # fold spelling, not list_dot_product: DuckDB's dot product REFUSES
+    # the empty list while Spark's aggregate([]) folds to 0.0 — the fold
+    # + COALESCE mirrors Spark exactly (same sequential order; the same
+    # spelling sim_norm_outliers uses), r7 review
     oracle="""
     SELECT vec_id, label,
-           ROUND(SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                CAST(embedding AS DOUBLE[]))), 4) AS l2_norm
+           ROUND(SQRT(COALESCE(list_aggregate(
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+             'sum'), 0.0)), 4) AS l2_norm
     FROM embeddings ORDER BY vec_id LIMIT 100
     """,
     tags=("scalar", "vector", "extended"),

@@ -66,7 +66,7 @@ def _bucket_spark(e: Column) -> Column:
       SELECT * FROM (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
                SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-        FROM embeddings
+        FROM embeddings WHERE len(embedding) = {DIM}
       ) WHERE nrm > 0
     ),
     scored AS (
@@ -98,7 +98,9 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     under Spark's default ANSI mode an unguarded /0 would abort the
     query, and the oracle mirrors the same filter.
     """
-    emb = load(spark, sf_dir, "embeddings")
+    # width filter mirrored in the oracle (r7 review): a ragged vector
+    # NULL-coses in Spark but ABORTS DuckDB's list_dot_product
+    emb = load(spark, sf_dir, "embeddings").filter(F.size("embedding") == DIM)
     v = emb.select(
         "vec_id",
         _dbl("embedding").alias("e"),
@@ -135,7 +137,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT * FROM (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
                SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-        FROM embeddings
+        FROM embeddings WHERE len(embedding) = {DIM}
       ) WHERE nrm > 0
     ),
     b AS (SELECT vec_id, e, nrm, {_bucket_sql()} AS bucket FROM v),
@@ -166,7 +168,9 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Zero-norm vectors are excluded on both engines (undefined cosine;
     ANSI /0 guard — same rule as sim_topk_bruteforce).
     """
-    emb = load(spark, sf_dir, "embeddings")
+    # width filter mirrored in the oracle (r7 review, same rule as
+    # sim_topk_bruteforce)
+    emb = load(spark, sf_dir, "embeddings").filter(F.size("embedding") == DIM)
     v = (
         emb.select(
             "vec_id",
@@ -243,7 +247,7 @@ def _probe_buckets_spark(bucket: Column) -> Column:
       SELECT * FROM (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
                SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-        FROM embeddings
+        FROM embeddings WHERE len(embedding) = {DIM}
       ) WHERE nrm > 0
     ),
     b AS (SELECT vec_id, e, nrm, {_bucket_sql()} AS bucket FROM v),
@@ -285,7 +289,9 @@ def sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded probe set, candidates stay partition-local on their
     bucket; recall rises without re-bucketing or extra index state.
     """
-    emb = load(spark, sf_dir, "embeddings")
+    # width filter mirrored in the oracle (r7 review, same rule as
+    # sim_topk_bruteforce)
+    emb = load(spark, sf_dir, "embeddings").filter(F.size("embedding") == DIM)
     v = (
         emb.select(
             "vec_id",
@@ -336,7 +342,7 @@ def sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
              list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max') AS maxabs
-      FROM embeddings
+      FROM embeddings WHERE len(embedding) > 0
     ),
     q AS (
       SELECT vec_id, label, maxabs,
@@ -360,8 +366,14 @@ def sim_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     are sequential left-to-right in Spark and DuckDB, so the doubles
     match bit-for-bit; maxabs is staged as a real column so the O(d)
     max isn't re-evaluated inside the per-element lambda.
+
+    Empty-array embeddings are excluded on BOTH engines (r7 review):
+    array_max([]) is NULL, so the zero-maxabs guard was bypassed and
+    the mean divided by size 0 — an ANSI abort in Spark where the
+    oracle quietly produced a NULL row (use sim_norm_outliers to FIND
+    degenerate vectors; this query audits quantization of real ones).
     """
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").filter(F.size("embedding") > 0)
     v = emb.select(
         "vec_id",
         "label",
@@ -401,6 +413,7 @@ def sim_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
       SELECT label, i, embedding[i+1] AS val
       FROM embeddings, range(0, {DIM}) r(i)
+      WHERE len(embedding) = {DIM}
     ),
     ld AS (
       SELECT label, i, SUM(CAST(val AS DOUBLE)) AS s, COUNT(*) AS n
@@ -433,8 +446,15 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is the only wide exchange, and everything after it is
     labels x DIM rows; the global centroid derives from the same
     aggregate via a dim-partitioned window (no second scan).
+
+    Fixed-width contract (r7 review): NULL/short/ragged embeddings are
+    excluded on BOTH engines — the oracle's range(0, DIM) grid counts a
+    NULL row into every dim's denominator while posexplode emits
+    nothing for it, so one degenerate row diverged every centroid.
     """
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") == DIM
+    )
     e = emb.select("label", F.posexplode(F.col("embedding")).alias("i", "val"))
     ld = e.groupBy("label", "i").agg(
         F.sum(F.col("val").cast("double")).alias("s"), F.count("*").alias("n")

@@ -47,6 +47,13 @@ ROWS = [
     (9, [0.0] * DIM, 2),          # zero-norm candidate
     (10, _vec(), 2),
     (11, _vec(3.0), 2),
+    # DEGENERATE WIDTHS (r7 review): a ragged vector NULL-coses via
+    # zip_with padding in Spark but ABORTS DuckDB's list_dot_product,
+    # and an empty array bypassed the zero-maxabs guard (array_max([])
+    # is NULL) into an ANSI /0 — both now excluded by the shared
+    # fixed-width/non-empty filters on BOTH engines
+    (12, [round(0.1 * i, 3) for i in range(10)], 0),   # ragged (10-dim)
+    (13, [], 1),                                        # empty array
 ]
 SCHEMA = "vec_id long, embedding array<float>, label int"
 
@@ -104,6 +111,20 @@ def test_zero_norm_vectors_excluded_not_fatal(spark, edge_dir):
         for r in specs["f9b_vector_norm"].builder(spark, edge_dir).collect()
     }
     assert norms[3] == 0.0 and norms[9] == 0.0  # still audited, not hidden
+
+    # degenerate-width rows are excluded from the cosine family too
+    assert all(
+        r["neighbor_id"] not in (12, 13)
+        for r in specs["sim_ann_multiprobe"].builder(spark, edge_dir).collect()
+    )
+    # ...but NOT hidden from the quantization audit's input domain
+    # decision: the empty vector is excluded (undefined mae), while the
+    # ragged one still audits (per-vector op, width-independent)
+    q_ids = {
+        r["vec_id"]
+        for r in specs["sim_quantize_error"].builder(spark, edge_dir).collect()
+    }
+    assert 12 in q_ids and 13 not in q_ids
 
 
 def test_shared_kernel_fold_matches_duckdb(spark):

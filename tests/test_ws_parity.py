@@ -107,3 +107,51 @@ def test_token_stream_guard_uses_ws_class(spark, edge_dir):
     # the tab-only doc (doc_id=4) contributes no unigram row at all
     ids = [r["doc_id"] for r in text_unigram_logprob(spark, edge_dir).collect()]
     assert 4 not in ids
+
+
+def test_unicode_case_folding_divergence_is_pinned(spark, edge_duck):
+    """r7 review: Spark lower() = Java FULL Unicode casing, DuckDB
+    lower() = simple mapping.  ASCII (this suite's corpora) agrees;
+    the special-casing set (U+0130) diverges — pinned here as a KNOWN
+    oracle-harness limit so a behavior change in either engine
+    surfaces.  See the note above ws_trim in queries/text.py."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    spark_lower = (
+        spark.range(1).select(F.lower(F.lit("İstanbul")).alias("x"))
+        .collect()[0]["x"]
+    )
+    duck_lower = duckdb.sql("SELECT lower('İstanbul')").fetchone()[0]
+    assert spark_lower == "i̇stanbul"   # full casing: i + combining dot
+    assert duck_lower == "istanbul"          # simple mapping
+    assert spark_lower != duck_lower         # the documented divergence
+    # and the ASCII range agrees exactly
+    s = spark.range(1).select(F.lower(F.lit("MiXeD ASCII 123")).alias("x"))
+    assert s.collect()[0]["x"] == duckdb.sql(
+        "SELECT lower('MiXeD ASCII 123')"
+    ).fetchone()[0]
+
+
+def test_shingles_and_word_ngrams_builders_agree(spark, edge_dir):
+    """r7 review flagged dedup.shingles_spark and text.word_ngrams_spark
+    as parallel spellings of the same gram builder; consolidation is
+    risky (both carry measured performance rationales), so this pins
+    that they produce IDENTICAL shingle sets — if one gets a
+    tokenization fix the other must too, and this test is the tripwire."""
+    from pyspark.sql import functions as F
+
+    from acled_spark.queries.dedup import NGRAM, shingles_spark
+    from acled_spark.queries.text import word_ngrams_spark
+
+    docs = spark.read.parquet(f"{edge_dir}/documents.parquet")
+    both = docs.select(
+        "doc_id",
+        F.array_sort(shingles_spark(F.col("text"))).alias("a"),
+        F.array_sort(word_ngrams_spark(F.col("text"), NGRAM)).alias("b"),
+    )
+    diverged = both.filter(
+        ~F.col("a").eqNullSafe(F.col("b"))
+    ).count()
+    assert diverged == 0
