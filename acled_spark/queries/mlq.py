@@ -97,9 +97,15 @@ def ml_target_encode_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice",
         )
     )
+    # materialized: FOUR consumers (seg_tot, fold_tot, g, the per-row
+    # join) — with three, Spark's exchange reuse deduplicated the fact
+    # join, but the r7 fold_tot addition broke the reuse and every
+    # consumer re-scanned orders⋈customer (caught by the registry-wide
+    # plan-hygiene gate); the frame is |cat|·|folds| rows, same
+    # discipline as features.out_of_fold_target_encode
     fold_stats = base.groupBy("c_mktsegment", "fold").agg(
         F.count("o_totalprice").alias("cnt"), F.sum("o_totalprice").alias("s")
-    )
+    ).localCheckpoint()
     seg_tot = fold_stats.groupBy("c_mktsegment").agg(
         F.sum("cnt").cast("long").alias("tot_cnt"), F.sum("s").alias("tot_s")
     )
