@@ -22,64 +22,33 @@ from acled_spark.registry import oracle_map, spark_queries
 # round to newest.  Registry names/signatures are unchanged — only the
 # emission order here rotates.
 #
-# Round 3's 50-query cap left five r01-verified dedup queries unchecked
-# (they ranked last in the stale block) — those are now two rounds
-# stale and lead round 4, followed by the r02 half (whose source files
-# round 3 edited: silver/similarity/packing/pipeline/olap).
+# Round-8 rotation state (folded from CORRECTNESS_r07.json): round 7's
+# 50-row check re-verified the whole r04 tier (retired), the three
+# round-7 additions, the full recert block, and the fast-family front
+# of r05.  What remains stale: 23 r05 rows (lead round 8 per VERDICT
+# r7 #5) and 46 r06 rows.  After CORRECTNESS_r08 lands, fold its names
+# into a _R8 tier and retire the empties — no row should then be older
+# than r06.
 #
-# Round-7 rotation state (folded from CORRECTNESS_r06.json): round 6's
-# 50-row check re-verified the whole r03 tier (retired) plus 27 r04 and
-# 17 r05 rows.  What remains stale: 16 r04 rows (two rounds old — they
-# lead round 7 per VERDICT r6 #5) and 50 r05 rows.  Round 7 also ADDED
-# three never-verified queries (dedup_components_exact,
-# sim_ann_multiprobe, dedup_containment) — never-verified emits first
-# by construction, then the recert block (round-7 semantic edits),
-# then r04, so the ~50-row budget lands: 3 new + 11 recert + all 16
-# r04 + the fast-family front of r05.  After CORRECTNESS_r07 lands,
-# fold its names into a _R7 tier and retire the empties.
-#
-# Queries whose freshest driver rows were written by the round-4 check
-# (CORRECTNESS_r04.json) — the stale block, emitted first.
-_R4_DRIVER_VERIFIED: frozenset[str] = frozenset(
-    {
-        "dedup_incremental_check", "dedup_minhash_lsh",
-        "dedup_ngram_jaccard", "dedup_simhash", "drift_psi",
-        "j7_asof_join", "mix_weights", "s8_upsert_merge", "sim_ann_lsh",
-        "sim_label_centroids", "sim_norm_outliers", "sim_quantize_error",
-        "sim_topk_bruteforce", "text_dup_spans", "text_pii_scrub",
-        "train_shuffle",
-    }
-)
-
 # Queries whose freshest driver rows were written by the round-5 check
-# (CORRECTNESS_r05.json).  sim_pca_top_component / a26 / sim_ann_ivf
-# rows are the by-design rows-only checks (no_oracle) whose invariants
-# ride the output columns.
+# (CORRECTNESS_r05.json) — the stale block, emitted first.
+# sim_pca_top_component / a26 / sim_ann_ivf rows are the by-design
+# rows-only checks (no_oracle) whose invariants ride the output columns.
 _R5_DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
-        "a1_value_counts", "a2_conditional_counts", "a3_null_empty_audit",
-        "a4_daily_rollup", "a5_topk_groups", "a6_dim_rollup",
-        "a7_multi_measure_rollup", "a8_weekly_rollup", "a9_monthly_rollup",
-        "a10_descriptive_stats", "a11_distinct_counts",
-        "a12_duplicate_keys", "a13_histogram", "a14_group_deviation",
-        "a15_risk_buckets", "a16_percent_of_total",
         "a22_time_grouping_sets", "a23_daily_anomaly",
         "a24_time_to_convert", "a25_hour_profile", "a26_approx_quantiles",
-        "cdc_snapshot_diff", "chk_validation_summary", "cohort_retention",
-        "dedup_embedding_cosine", "f16_regexp_extract", "f1_try_cast_json",
-        "f6_string_cleanup", "j1_target_stat_lookup", "j8_interval_join",
-        "j9_band_join", "ml_distance_from_center", "ml_label_encode",
-        "ml_onehot_pivot", "ml_target_encode_cv", "mm_feature_extract",
-        "mm_payload_metadata", "p9_weighted_sample", "release_delta_audit",
-        "sess_transitions", "sess_user_sessions", "sim_ann_ivf",
+        "cdc_snapshot_diff", "cohort_retention", "j1_target_stat_lookup",
+        "j8_interval_join", "j9_band_join", "ml_distance_from_center",
+        "ml_onehot_pivot", "mm_payload_metadata", "p9_weighted_sample",
+        "release_delta_audit", "sess_transitions", "sim_ann_ivf",
         "sim_dim_stats", "sim_pca_top_component", "so1_set_ops",
-        "t3_tumbling_window", "text_bpe_token_stats", "text_chunking",
-        "text_contamination", "w6_cumulative_distinct",
+        "text_bpe_token_stats", "text_chunking", "text_contamination",
     }
 )
 
-# Queries verified by the round-6 check (CORRECTNESS_r06.json) — the
-# FRESH block, emitted last.  a19_approx_distinct's r06 row is the
+# Queries whose freshest driver rows were written by the round-6 check
+# (CORRECTNESS_r06.json).  a19_approx_distinct's r06 row is the
 # by-design rows-only check (no_oracle).
 _R6_DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
@@ -88,58 +57,57 @@ _R6_DRIVER_VERIFIED: frozenset[str] = frozenset(
         "dedup_cluster_census", "dedup_exact", "doc_filter_funnel",
         "f13_correlation", "f14_levenshtein", "f15_bool_aggs",
         "f2_time_extract", "f4_date_arithmetic", "f9_math_suite",
-        "f9b_vector_norm", "funnel_user_journey", "j2_static_map_lookup",
+        "funnel_user_journey", "j2_static_map_lookup",
         "j3_anti_join", "j4_semi_join", "j5_multiway_revenue",
         "j6_snowflake_dims", "p2_filter_dsl", "p3_date_range",
         "p4_null_threshold", "p5_eq_filter", "p6_threshold_topk",
-        "p7_hash_split", "p8_stratified_sample", "pack_materialize",
-        "pack_sequences", "prep_corpus_stats", "q1_pricing_summary",
-        "sql1_region_revenue", "text_fingerprints",
+        "p7_hash_split", "p8_stratified_sample", "prep_corpus_stats",
+        "q1_pricing_summary", "sql1_region_revenue", "text_fingerprints",
         "text_langid_confusion", "text_quality_classifier",
-        "text_quality_scores", "text_repetition", "text_tfidf_terms",
+        "text_quality_scores", "text_tfidf_terms",
         "text_token_stats", "text_unigram_logprob", "text_vocab_growth",
         "text_winnow_pairs", "text_zipf_slope", "w1_moving_avg_7d",
         "w2_global_share", "w3_rank_rows", "w4_lag_delta",
         "w5_range_frame",
     }
 )
-_ALL_KNOWN = _R4_DRIVER_VERIFIED | _R5_DRIVER_VERIFIED | _R6_DRIVER_VERIFIED
 
-# Queries whose round-7 source/oracle edits POSTDATE their freshest
+# Queries verified by the round-7 check (CORRECTNESS_r07.json) — the
+# FRESH block, emitted last.
+_R7_DRIVER_VERIFIED: frozenset[str] = frozenset(
+    {
+        "a1_value_counts", "a2_conditional_counts", "a3_null_empty_audit",
+        "a4_daily_rollup", "a5_topk_groups", "a6_dim_rollup",
+        "a7_multi_measure_rollup", "a8_weekly_rollup", "a9_monthly_rollup",
+        "a10_descriptive_stats", "a11_distinct_counts",
+        "a12_duplicate_keys", "a13_histogram", "a14_group_deviation",
+        "a15_risk_buckets", "a16_percent_of_total",
+        "chk_validation_summary", "dedup_components_exact",
+        "dedup_containment", "dedup_embedding_cosine",
+        "dedup_incremental_check", "dedup_minhash_lsh",
+        "dedup_ngram_jaccard", "dedup_simhash", "drift_psi",
+        "f16_regexp_extract", "f1_try_cast_json", "f6_string_cleanup",
+        "f9b_vector_norm", "j7_asof_join", "mix_weights",
+        "ml_label_encode", "ml_target_encode_cv", "mm_feature_extract",
+        "pack_materialize", "pack_sequences", "s8_upsert_merge",
+        "sess_user_sessions", "sim_ann_lsh", "sim_ann_multiprobe",
+        "sim_label_centroids", "sim_norm_outliers", "sim_quantize_error",
+        "sim_topk_bruteforce", "t3_tumbling_window", "text_dup_spans",
+        "text_pii_scrub", "text_repetition", "train_shuffle",
+        "w6_cumulative_distinct",
+    }
+)
+_ALL_KNOWN = _R5_DRIVER_VERIFIED | _R6_DRIVER_VERIFIED | _R7_DRIVER_VERIFIED
+
+# Queries whose round-8 source/oracle edits POSTDATE their freshest
 # driver row — these lead their blocks so the ~50-query cap can't drop
-# them.  (Populated as round 7 edits land.)
+# them.  (Populated as round 8 edits land.)
 _RECERT_PRIORITY: frozenset[str] = frozenset(
     {
-        # r7: self-cert converted to a FULL DuckDB hash-parity oracle
-        # (VERDICT r6 #2) — the byte-arithmetic decode re-derived in SQL
-        "mm_feature_extract",
-        # r7: incremental_classify edge rules changed in BOTH engines
-        # (NULL-text verdicts survive; self-matches are not dups)
-        "dedup_incremental_check",
-        # r7: packing token count re-derived from text.py's canonical
-        # tokenizer in BOTH engines (identical semantics, new spelling);
-        # sessions oracle dropped a dead projection column
-        "pack_sequences", "pack_materialize", "mix_weights",
-        "sess_user_sessions",
-        # r7: completeness check name parameterized in BOTH engines;
-        # windowed_counts casts event time on both faces (t3's operator)
-        "chk_validation_summary", "t3_tumbling_window",
-        # r7 review sweep: zero-norm vectors now excluded in BOTH
-        # engines (ANSI /0 guard); text_repetition's oracle now actually
-        # lowercases (the old .replace was a no-op on the WS spelling)
-        "sim_topk_bruteforce", "sim_ann_lsh", "text_repetition",
-        # r7: PSI bin clamp now runs BEFORE the int cast in BOTH
-        # engines (overflow abort on values past 2^31*width)
-        "drift_psi",
-        # r7: OOF smoothing prior now excludes the row's WHOLE fold in
-        # BOTH engines (leakage fix — VALUES change); label mapping
-        # filters NULL classes before ranking in BOTH engines
-        "ml_target_encode_cv", "ml_label_encode",
-        # r7: vector-family degenerate-input contracts unified in BOTH
-        # engines (fixed-width filter, empty-array exclusion, HUGEINT/
-        # decimal pair arithmetic, fold-spelled norm oracle)
-        "sim_quantize_error", "sim_label_centroids",
-        "dedup_embedding_cosine", "dedup_minhash_lsh", "f9b_vector_norm",
+        # r8 (ADVICE r7): f9b's oracle now guards NULL embeddings out
+        # front (Spark's aggregate(NULL) is NULL; the bare COALESCE
+        # mapped it to 0.0)
+        "f9b_vector_norm",
     }
 )
 
@@ -165,7 +133,7 @@ def _ordered(names: list[str]) -> list[str]:
     taken = set(never) | set(priority)
     blocks = [never, priority] + [
         [n for n in names if n in tier and n not in taken]
-        for tier in (_R4_DRIVER_VERIFIED, _R5_DRIVER_VERIFIED, _R6_DRIVER_VERIFIED)
+        for tier in (_R5_DRIVER_VERIFIED, _R6_DRIVER_VERIFIED, _R7_DRIVER_VERIFIED)
     ]
     for block in blocks:
         block.sort(key=lambda n: (_family_rank(n), names.index(n)))

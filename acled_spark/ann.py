@@ -251,6 +251,114 @@ def ivf_search(
 # refit only when the drift signal says the cells no longer describe
 # the corpus.
 
+# --- durable fold layout (ADVICE r7) -----------------------------------------
+# Each durable fold is an EPOCH-VERSIONED subdirectory of durable_path
+# (`_epoch-000000042`), never an in-place replace of it: the previous
+# fold's parquet stays on disk through the write, so a search running
+# against the superseded IvfIndex keeps its files (the old
+# fs_replace_dir delete-then-rename could FileNotFound it mid-fold),
+# and the commit point is the parquet job's own _SUCCESS marker — a
+# crash mid-write leaves an uncommitted directory that the next fold
+# simply overwrites, with no by-hand promotion step.  The `_` prefix
+# makes Spark's readers HIDE the epoch dirs from a listing of
+# durable_path itself, so a legacy flat-layout index still serving from
+# the root can never double-read new folds (both behaviors verified:
+# explicit-path reads of `_`-dirs work; parent reads skip them).
+# IVF_DURABLE_RETAIN committed folds are kept (current + previous by
+# default — enough for any search in flight against the immediately
+# superseded index); older ones are GC'd after each commit.
+
+IVF_DURABLE_RETAIN = 2
+_EPOCH_PREFIX = "_epoch-"
+
+
+def _epoch_dir(root: str, n: int) -> str:
+    return f"{root.rstrip('/')}/{_EPOCH_PREFIX}{n:09d}"
+
+
+def _committed_epochs(spark, root: str) -> list[int]:
+    """Epoch numbers under ``root`` whose parquet write COMMITTED
+    (the _SUCCESS marker exists), sorted ascending."""
+    from acled_spark.fsutil import fs_exists, fs_list_dirs
+
+    out = []
+    for name in fs_list_dirs(spark, root):
+        if not name.startswith(_EPOCH_PREFIX):
+            continue
+        try:
+            n = int(name[len(_EPOCH_PREFIX):])
+        except ValueError:
+            continue
+        if fs_exists(spark, f"{root.rstrip('/')}/{name}/_SUCCESS"):
+            out.append(n)
+    return sorted(out)
+
+
+def _commit_durable_fold(spark, merged: DataFrame, root: str) -> DataFrame:
+    """Write ``merged`` as the next epoch fold under ``root``, GC folds
+    older than the retain window, and return the frame served FROM the
+    committed parquet."""
+    from acled_spark.fsutil import fs_delete_dir, fs_list_dirs
+
+    committed = _committed_epochs(spark, root)
+    nxt = (committed[-1] + 1) if committed else 0
+    # mode("overwrite") replaces any uncommitted partial left at this
+    # number by a crashed predecessor
+    merged.write.mode("overwrite").parquet(_epoch_dir(root, nxt))
+    # GC strictly AFTER the new fold committed: a crash in between
+    # leaves extra folds, which the next commit's GC collects
+    cutoff = nxt - (IVF_DURABLE_RETAIN - 1)
+    for name in fs_list_dirs(spark, root):
+        if not name.startswith(_EPOCH_PREFIX):
+            continue  # legacy flat files / foreign dirs are not ours to GC
+        try:
+            n = int(name[len(_EPOCH_PREFIX):])
+        except ValueError:
+            continue
+        if n < cutoff:
+            fs_delete_dir(spark, f"{root.rstrip('/')}/{name}")
+    return spark.read.parquet(_epoch_dir(root, nxt))
+
+
+def load_ivf_index(
+    spark,
+    durable_path: str,
+    model: KMeansModel,
+    base_cost: float | None = None,
+) -> IvfIndex:
+    """Recover a durable IVF index after a restart (ADVICE r7).
+
+    Resolves the latest COMMITTED epoch fold under ``durable_path``;
+    when none exists, falls back to the legacy flat layout — healing a
+    legacy ``._staging`` leftover first (promote-into-missing-root via
+    :func:`~acled_spark.fsutil.fs_try_promote_dir`, the same reader-safe
+    rule dedup_store uses), so a maintainer restarted after a crash in
+    the OLD delete-then-rename swap window self-heals instead of
+    failing on ``spark.read.parquet(durable_path)``.
+
+    ``model`` is the frozen quantizer (persist/restore it with
+    ml/persist.py next to the assignment); ``base_cost`` restores the
+    staleness baseline when the caller recorded it.
+    """
+    from acled_spark.fsutil import fs_exists, fs_try_promote_dir
+
+    committed = _committed_epochs(spark, durable_path)
+    if committed:
+        assigned = spark.read.parquet(_epoch_dir(durable_path, committed[-1]))
+        return IvfIndex(model=model, assigned=assigned, base_cost=base_cost)
+    staging = durable_path.rstrip("/") + "._staging"
+    fs_try_promote_dir(spark, staging, durable_path)
+    if fs_exists(spark, durable_path):
+        return IvfIndex(
+            model=model,
+            assigned=spark.read.parquet(durable_path),
+            base_cost=base_cost,
+        )
+    raise FileNotFoundError(
+        f"no committed IVF fold under {durable_path} (no _epoch-* with "
+        "_SUCCESS, no legacy flat layout, no recoverable staging)"
+    )
+
 
 def _assign_cells(
     index: IvfIndex, vectors: DataFrame, vec_col: str, id_col: str
@@ -288,9 +396,13 @@ def ivf_upsert(
     EXECUTORS with truncated lineage — one lost executor in a
     long-running maintainer makes the accumulated index unrecoverable
     (the streaming checkpoint will not replay committed epochs).  Pass
-    ``durable_path`` to persist each fold to parquet (stage-then-swap,
-    never delete-before-write) and serve the index FROM that parquet —
-    executor loss then costs a re-read, not the index.  The in-memory
+    ``durable_path`` to persist each fold as an epoch-versioned
+    subdirectory (see the durable-fold layout note above: the previous
+    fold survives the write, commit = the parquet _SUCCESS marker, GC
+    keeps :data:`IVF_DURABLE_RETAIN` folds) and serve the index FROM
+    that parquet — executor loss then costs a re-read, not the index,
+    and a crashed fold never needs by-hand promotion
+    (:func:`load_ivf_index` recovers after restart).  The in-memory
     default is right for batch jobs and tests; the streaming face
     (:class:`IvfMaintainer`) should run durable.
 
@@ -310,19 +422,15 @@ def ivf_upsert(
     )
     merged = kept.unionByName(fresh)
     if durable_path is not None:
-        from acled_spark.fsutil import fs_replace_dir
-
+        # epoch-versioned fold (ADVICE r7): the merge READS the previous
+        # fold's parquet, and searches may still be running against the
+        # superseded IvfIndex — both keep their input because the new
+        # fold lands in a NEW subdirectory and the previous one stays
+        # inside the retain window
         spark = vectors.sparkSession
-        staging = durable_path.rstrip("/") + "._staging"
-        # stage-then-swap: the merge READS the previous fold's parquet
-        # (when durable_path was used before), so an in-place overwrite
-        # would delete its own input mid-job; a crash in the swap window
-        # leaves the staged copy recoverable
-        merged.write.mode("overwrite").parquet(staging)
-        fs_replace_dir(spark, staging, durable_path)
         return IvfIndex(
             model=index.model,
-            assigned=spark.read.parquet(durable_path),
+            assigned=_commit_durable_fold(spark, merged, durable_path),
             base_cost=index.base_cost,
         )
     if persist:
@@ -408,13 +516,37 @@ class IvfMaintainer:
     ``needs_refit(threshold)`` is the scheduling signal.  (Refit itself
     is a batch job — rebuild with :func:`build_ivf_index` and swap.)
 
-    ``durable_path``: parquet location for the assignment — STRONGLY
+    ``durable_path``: parquet ROOT for the assignment — STRONGLY
     recommended for any long-running stream (r7 review): without it the
     index's only copy lives in executor-local checkpoint blocks, and
     one lost executor (spot reclaim, OOM) makes hours of accumulated
-    upserts unrecoverable.  With it, each fold stage-swaps to parquet
-    and executor loss costs a re-read.
+    upserts unrecoverable.  With it, each fold commits an epoch
+    subdirectory (previous fold retained for in-flight searches) and
+    executor loss costs a re-read.  After a restart, reconstruct with
+    :meth:`resume` — it resolves the latest committed fold and heals
+    legacy staging leftovers (ADVICE r7).
     """
+
+    @classmethod
+    def resume(
+        cls,
+        spark,
+        model: KMeansModel,
+        durable_path: str,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        base_cost: float | None = None,
+    ) -> "IvfMaintainer":
+        """Rebuild the maintainer from its durable state after a
+        restart: :func:`load_ivf_index` resolves the latest committed
+        epoch fold (or heals/reads the legacy layout), so a maintainer
+        that crashed mid-fold comes back without manual promotion."""
+        return cls(
+            load_ivf_index(spark, durable_path, model, base_cost=base_cost),
+            vec_col=vec_col,
+            id_col=id_col,
+            durable_path=durable_path,
+        )
 
     def __init__(
         self,

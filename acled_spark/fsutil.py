@@ -83,6 +83,28 @@ def fs_try_promote_dir(spark: SparkSession, src: str, dest: str) -> bool:
     raise IOError(f"could not rename {src} -> {dest}")
 
 
+def fs_list_dirs(spark: SparkSession, path: str) -> list[str]:
+    """Names of the immediate SUBDIRECTORIES of ``path`` (sorted) —
+    including ``_``/``.``-prefixed ones, which Spark's readers hide but
+    our own maintenance code (epoch-fold GC in ann.py) must see.
+    Missing ``path`` is an empty listing, not an error."""
+    fs, jpath, _ = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return []
+    return sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(jpath)
+        if st.isDirectory()
+    )
+
+
+def fs_delete_dir(spark: SparkSession, path: str) -> None:
+    """Recursively delete ``path`` if it exists (idempotent)."""
+    fs, jpath, _ = _fs_and_path(spark, path)
+    if fs.exists(jpath) and not fs.delete(jpath, True):
+        raise IOError(f"could not delete {path}")
+
+
 def fs_qualified_path(spark: SparkSession, path: str) -> str:
     """The filesystem-resolved absolute (decoded) path of ``path`` —
     the prefix against which file URIs relativize."""

@@ -2,13 +2,19 @@
 (extended surface; the training-data-pipeline pattern).
 
 Spark-side plumbing is REAL — schema, partitioning, Arrow-batched
-``mapInPandas`` feature extraction, deterministic batching — while the
-actual media decode is STUBBED (no image/audio libs in this container):
+``mapInPandas`` feature extraction, deterministic batching — and so is
+the image decode for the stdlib-decodable formats (VERDICT r7 #1):
 
-- :func:`decode_image` raises ``NotImplementedError`` (plug Pillow/ffmpeg
-  in production);
-- :func:`fake_decode` is the deterministic test double (dimensions
-  derived from the payload bytes), letting every downstream op run.
+- :func:`decode_image` / :func:`decode_image_pixels` parse uncompressed
+  24-bpp BMP (fixed-offset little-endian header, bottom-up padded
+  rows) and binary PPM (P6) with pure byte arithmetic — no media
+  library; :func:`encode_bmp` / :func:`encode_ppm` are the matching
+  writers (round-trip pinned in tests and by the mm_decode_real
+  driver oracle's independent header-byte arithmetic);
+- compressed formats (PNG/JPEG/...) still raise ``NotImplementedError``
+  with a narrowed message — plug Pillow/ffmpeg there;
+- :func:`fake_decode` remains the deterministic test double for
+  payloads that are not images at all (text-derived bytes).
 
 Scale notes: payloads stay opaque bytes end-to-end (no JVM<->Python
 round-trip except inside the Arrow batches of the one extraction pass);

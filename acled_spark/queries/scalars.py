@@ -272,12 +272,17 @@ def f16_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fold spelling, not list_dot_product: DuckDB's dot product REFUSES
     # the empty list while Spark's aggregate([]) folds to 0.0 — the fold
     # + COALESCE mirrors Spark exactly (same sequential order; the same
-    # spelling sim_norm_outliers uses), r7 review
+    # spelling sim_norm_outliers uses), r7 review.  The COALESCE only
+    # covers the EMPTY array: a NULL embedding must stay NULL (Spark's
+    # aggregate(NULL, ...) is NULL), so it is guarded out front — an
+    # unguarded COALESCE mapped NULL -> 0.0 and broke parity on the
+    # first NULL row (ADVICE r7; pinned by test_vector_edge's NULL row)
     oracle="""
     SELECT vec_id, label,
-           ROUND(SQRT(COALESCE(list_aggregate(
-             list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
-             'sum'), 0.0)), 4) AS l2_norm
+           CASE WHEN embedding IS NULL THEN NULL
+                ELSE ROUND(SQRT(COALESCE(list_aggregate(
+                  list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+                  'sum'), 0.0)), 4) END AS l2_norm
     FROM embeddings ORDER BY vec_id LIMIT 100
     """,
     tags=("scalar", "vector", "extended"),

@@ -106,17 +106,26 @@ def fetch_day(
         if len(chunk) < limit:
             break
     else:
-        # every page came back full: the day has more data than
-        # MAX_PAGES * limit rows.  Returning what we have would persist
-        # a silently TRUNCATED partition that missing_partitions never
-        # re-selects (the day "succeeded") — fail loudly instead so the
-        # caller raises `limit` or splits the window (round-7 review).
-        raise RuntimeError(
-            f"partition {day.isoformat()} exceeded the page cap "
-            f"({MAX_PAGES} pages x {limit} rows/page) with no short "
-            "page — refusing to persist a truncated day; raise `limit` "
-            "or narrow the request (filters/params)"
-        )
+        # every page came back full — EITHER the day has more data than
+        # MAX_PAGES * limit rows, or it holds exactly that many and the
+        # cap landed on the boundary by coincidence.  One probe page
+        # past the cap tells them apart (ADVICE r7): an empty probe
+        # means the day completed exactly at the cap; a short probe
+        # means the day completes AT the probe (include it — still
+        # bounded at MAX_PAGES + 1 fetches); only a FULL probe proves
+        # real truncation.  Returning truncated rows would persist a
+        # partition missing_partitions never re-selects (the day
+        # "succeeded") — fail loudly so the caller raises `limit` or
+        # splits the window (round-7 review).
+        probe = fetcher(day, MAX_PAGES + 1, limit, extra)
+        rows.extend(probe)
+        if len(probe) >= limit:
+            raise RuntimeError(
+                f"partition {day.isoformat()} exceeded the page cap "
+                f"({MAX_PAGES} pages x {limit} rows/page) with no short "
+                "page — refusing to persist a truncated day; raise "
+                "`limit` or narrow the request (filters/params)"
+            )
     return rows
 
 

@@ -105,6 +105,35 @@ def test_page_cap_exhaustion_raises_not_truncates(monkeypatch):
     assert len(fetch_day(fits, date(2025, 1, 2), limit=10)) == 29
 
 
+def test_page_cap_exact_boundary_probes_not_raises(monkeypatch):
+    """ADVICE r7: a day holding EXACTLY MAX_PAGES*limit rows — complete
+    data, cap-aligned by coincidence — must not be reported as
+    truncated (the old for/else raised whenever every page was full,
+    permanently failing the day).  One probe page past the cap settles
+    it: empty probe -> complete; short probe -> complete WITH the probe
+    rows; full probe -> genuinely truncated, still raises."""
+    import acled_spark.source as source_mod
+
+    monkeypatch.setattr(source_mod, "MAX_PAGES", 3)
+
+    def exactly_at_cap(day, page, limit, params):
+        # 30 rows total at limit=10: pages 1-3 full, page 4 (probe) empty
+        start = (page - 1) * limit
+        stop = min(start + limit, 30)
+        return [_raw_row(i, day) for i in range(start, stop)]
+
+    assert len(fetch_day(exactly_at_cap, date(2025, 1, 2), limit=10)) == 30
+
+    def short_past_cap(day, page, limit, params):
+        # 33 rows total: pages 1-3 full, probe page returns the short
+        # tail — the day completes at the probe, all 33 rows kept
+        start = (page - 1) * limit
+        stop = min(start + limit, 33)
+        return [_raw_row(i, day) for i in range(start, stop)]
+
+    assert len(fetch_day(short_past_cap, date(2025, 1, 2), limit=10)) == 33
+
+
 def test_empty_partition_raises(spark):
     def fetcher(day, page, limit, params):
         return []

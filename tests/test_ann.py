@@ -550,3 +550,86 @@ def test_ivf_maintainer_durable_path_survives_block_loss(spark, index, tmp_path)
     # second fold reads the previous parquet and swaps cleanly
     maint(batch, epoch_id=1)
     assert maint.index.assigned.filter(F.col("vec_id") >= 100_000).count() == 5
+
+
+def test_ivf_durable_fold_keeps_previous_fold_readable(spark, index, tmp_path):
+    """ADVICE r7 (medium): the old delete-then-rename replaced the exact
+    directory the currently-served index read, so a search against the
+    superseded IvfIndex could FileNotFound mid-fold.  Epoch-versioned
+    folds keep the previous fold on disk through the commit: the
+    superseded index must still answer AFTER the next fold lands, and
+    the retain window must GC folds older than current+previous."""
+    from pyspark.sql import functions as F
+
+    from acled_spark.ann import (
+        _committed_epochs, IvfMaintainer, ivf_search,
+    )
+
+    durable = str(tmp_path / "ivf_root")
+    maint = IvfMaintainer(index, durable_path=durable)
+
+    def batch(offset):
+        return index.assigned.orderBy("vec_id").limit(3).select(
+            (F.col("vec_id") + offset).alias("vec_id"), "embedding"
+        )
+
+    maint(batch(100_000), epoch_id=0)
+    superseded = maint.index  # serves from _epoch-000000000
+    maint(batch(200_000), epoch_id=1)  # commits _epoch-000000001
+    # the superseded index's files survived the second fold
+    q = index.assigned.orderBy("vec_id").limit(1).select(
+        (F.col("vec_id") + 555_555).alias("vec_id"), "embedding"
+    )
+    assert len(ivf_search(superseded, q, top_k=3).collect()) == 3
+    assert _committed_epochs(spark, durable) == [0, 1]
+    # third fold GCs epoch 0 (retain = current + previous)
+    maint(batch(300_000), epoch_id=2)
+    assert _committed_epochs(spark, durable) == [1, 2]
+
+
+def test_ivf_maintainer_resume_from_durable(spark, index, tmp_path):
+    """ADVICE r7: a restarted maintainer must come back from the durable
+    root without by-hand promotion — latest committed fold wins, and an
+    uncommitted partial (no _SUCCESS) is ignored then overwritten."""
+    from pyspark.sql import functions as F
+
+    from acled_spark.ann import _epoch_dir, IvfMaintainer
+
+    durable = str(tmp_path / "ivf_root")
+    maint = IvfMaintainer(index, durable_path=durable)
+    batch = index.assigned.orderBy("vec_id").limit(4).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    maint(batch, epoch_id=0)
+    n = maint.index.assigned.count()
+
+    # simulate a crash mid-fold: an UNCOMMITTED epoch-1 partial
+    import os
+    partial = _epoch_dir(durable, 1)
+    os.makedirs(partial, exist_ok=True)
+    with open(os.path.join(partial, "part-corrupt.parquet"), "w") as f:
+        f.write("half-written")
+
+    revived = IvfMaintainer.resume(
+        spark, index.model, durable, base_cost=index.base_cost
+    )
+    assert revived.index.assigned.count() == n  # epoch 0, not the partial
+    # the next fold overwrites the partial at epoch 1 and commits it
+    revived(batch.withColumn("vec_id", F.col("vec_id") + 100), epoch_id=1)
+    assert revived.index.assigned.count() == n + 4
+
+
+def test_load_ivf_index_heals_legacy_staging(spark, index, tmp_path):
+    """Legacy-layout recovery: a crash in the OLD swap window left
+    `root._staging` complete and root missing — load_ivf_index must
+    promote it (reader-safe: only into a MISSING root) and serve it."""
+    from acled_spark.ann import load_ivf_index
+
+    root = str(tmp_path / "legacy_root")
+    index.assigned.limit(7).write.parquet(root + "._staging")
+    idx = load_ivf_index(spark, root, index.model)
+    assert idx.assigned.count() == 7
+
+    # nothing at all -> a loud, named error
+    with pytest.raises(FileNotFoundError, match="no committed IVF fold"):
+        load_ivf_index(spark, str(tmp_path / "absent"), index.model)

@@ -54,6 +54,10 @@ ROWS = [
     # fixed-width/non-empty filters on BOTH engines
     (12, [round(0.1 * i, 3) for i in range(10)], 0),   # ragged (10-dim)
     (13, [], 1),                                        # empty array
+    # NULL embedding (ADVICE r7): Spark's aggregate(NULL, ...) is NULL
+    # while the f9b oracle's bare COALESCE mapped it to 0.0 — the oracle
+    # now guards NULL out front, and this row keeps the divergence pinned
+    (14, None, 2),
 ]
 SCHEMA = "vec_id long, embedding array<float>, label int"
 
