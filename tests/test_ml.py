@@ -95,6 +95,16 @@ def test_distance_from_center_frozen_medians(spark):
     assert out2.collect()[0]["distance_from_center"] == pytest.approx(4.0)
 
 
+def test_xgb_param_translation_is_total():
+    """Every canonical search knob has an xgboost analog registered —
+    a new SEARCH_SPACE knob without a mapping would silently shrink
+    the xgboost search grid (this runs WITHOUT the library; the real
+    fit rides the env-gated tests/test_xgboost_integration.py)."""
+    from acled_spark.ml.train import SEARCH_SPACE, XGB_PARAM_NAMES
+
+    assert set(SEARCH_SPACE) == set(XGB_PARAM_NAMES)
+
+
 def test_train_score_deterministic(spark, training_frame):
     pipeline = build_feature_pipeline(
         onehot_cols=["event_type"],

@@ -43,9 +43,113 @@ def test_extract_features_matches_local_compute(spark):
         assert (f["width"], f["height"]) == fake_decode(payload)
 
 
-def test_real_decode_is_explicitly_stubbed():
-    with pytest.raises(NotImplementedError, match="media decode"):
-        decode_image(b"\x89PNG...")
+def test_compressed_formats_stay_explicitly_stubbed():
+    """Only the stdlib-decodable formats decode; compressed ones raise
+    a NARROWED NotImplementedError naming the gap (VERDICT r7 #1)."""
+    with pytest.raises(NotImplementedError, match="plug Pillow"):
+        decode_image(b"\x89PNG\r\n\x1a\n...")
+    # BMP variants outside 24-bpp BI_RGB name the gap too
+    from acled_spark.multimodal import encode_bmp
+
+    rle = bytearray(encode_bmp(bytes(12), 2, 2))
+    rle[30] = 1  # BI_RLE8
+    with pytest.raises(NotImplementedError, match="compression=1"):
+        decode_image(bytes(rle))
+
+
+def test_bmp_round_trip_every_padding_width():
+    """encode_bmp -> decode_image_pixels is the identity on (w, h,
+    pixels) for widths covering all four 4-byte row paddings, and the
+    bottom-up storage un-flips (row-distinct pixels prove it)."""
+    from acled_spark.multimodal import (
+        _bmp_row_pad, decode_image, decode_image_pixels, encode_bmp,
+    )
+
+    for w, pad in [(4, 0), (5, 1), (6, 2), (7, 3)]:
+        assert _bmp_row_pad(w) == pad
+        h = 3
+        pixels = bytes((r * 50 + i) % 256 for r in range(h) for i in range(3 * w))
+        payload = encode_bmp(pixels, w, h)
+        assert payload[:2] == b"BM"
+        assert len(payload) == 54 + h * (3 * w + pad)
+        # header fields at their fixed offsets, little-endian
+        assert int.from_bytes(payload[18:22], "little") == w
+        assert int.from_bytes(payload[22:26], "little") == h
+        assert decode_image(payload) == (w, h)
+        dw, dh, dpix = decode_image_pixels(payload)
+        assert (dw, dh, dpix) == (w, h, pixels)
+
+
+def test_bmp_top_down_variant_decodes():
+    """Negative header height = rows stored top-down; the decoder must
+    NOT flip those."""
+    from acled_spark.multimodal import decode_image_pixels, encode_bmp
+
+    w, h = 4, 2
+    pixels = bytes(range(w * h * 3))
+    payload = bytearray(encode_bmp(pixels, w, h))
+    payload[22:26] = (-h).to_bytes(4, "little", signed=True)
+    # rows were stored bottom-up by the encoder; with a top-down header
+    # the decoder reads them as-is -> rows come back swapped
+    dw, dh, dpix = decode_image_pixels(bytes(payload))
+    row = 3 * w
+    assert (dw, dh) == (w, h)
+    assert dpix == pixels[row:] + pixels[:row]
+
+
+def test_ppm_round_trip_and_comment_header():
+    from acled_spark.multimodal import (
+        decode_image, decode_image_pixels, encode_ppm,
+    )
+
+    w, h = 5, 4
+    pixels = bytes((i * 7) % 256 for i in range(w * h * 3))
+    payload = encode_ppm(pixels, w, h)
+    assert decode_image(payload) == (w, h)
+    assert decode_image_pixels(payload) == (w, h, pixels)
+    # header comments between tokens are legal PPM
+    commented = b"P6\n# made by a test\n5 4\n# maxval next\n255\n" + pixels
+    assert decode_image_pixels(commented) == (w, h, pixels)
+
+
+def test_truncated_payloads_raise_value_error():
+    from acled_spark.multimodal import encode_bmp, encode_ppm
+
+    bmp = encode_bmp(bytes(24), 4, 2)
+    ppm = encode_ppm(bytes(24), 4, 2)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_image(bmp[:40])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_image(bmp[:-3])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_image(ppm[:-3])
+    with pytest.raises(ValueError, match="needs exactly"):
+        encode_bmp(bytes(10), 4, 2)
+
+
+def test_real_decoder_rides_extract_features(spark):
+    """The production wiring: extract_features(decoder=decode_image)
+    over REAL BMP payloads — geometry comes from parsing actual bytes
+    through the Arrow boundary."""
+    from pyspark.sql import functions as F
+
+    from acled_spark.multimodal import encode_bmp, extract_features
+
+    rows = [
+        (1, encode_bmp(bytes(4 * 3 * 3), 4, 3)),
+        (2, encode_bmp(bytes(7 * 2 * 3), 7, 2)),
+        (3, None),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: r
+        for r in extract_features(media, decoder=decode_image).collect()
+    }
+    assert (got[1]["width"], got[1]["height"]) == (4, 3)
+    assert (got[2]["width"], got[2]["height"]) == (7, 2)
+    assert got[3]["width"] is None and got[3]["digest"] is None
+    assert got[1]["n_bytes"] == len(rows[0][1])
+    del F
 
 
 def test_resize_geometry_invariants(spark):

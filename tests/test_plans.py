@@ -209,6 +209,15 @@ def test_mm_feature_extract_single_scan_no_join(spark):
     assert "Join" not in plan
 
 
+def test_mm_decode_real_single_scan_no_join(spark):
+    """The real-codec decode pass is a narrow mapInPandas over one
+    documents scan: no join, no shuffle wider than the bounded
+    TakeOrderedAndProject feeding the Arrow stage."""
+    plan = _plan(spark, "mm_decode_real")
+    assert _scan_count(plan) == 1, plan[:2000]
+    assert "Join" not in plan
+
+
 def test_drift_psi_single_scan(spark):
     """PSI = one corpus scan to (type, bin) partials, consumed eagerly
     by the localCheckpoint; the executed plan must contain ZERO parquet
