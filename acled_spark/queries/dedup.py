@@ -177,6 +177,10 @@ def ngram_jaccard_pairs(
     df profile (one cheap aggregate over the exploded shingles) shows a
     boilerplate tail — on a bounded-df corpus the cap is a no-op that
     still pays its df-window shuffle (+25 % here at cap=200).
+    :func:`acled_spark.profiling.profile_caps` runs exactly that
+    profile and returns the recommendation (None on a bounded tail;
+    ``10 × p99.9`` when max ≫ p99.9) — validated against the measured
+    tables in tests/test_profiling.py.
     """
     sized = _shingle_pair_counts(docs, max_doc_freq)
     return sized.select(
@@ -673,6 +677,10 @@ def lsh_candidate_edges(
     rows) while keeping every natural-document edge (702/702) — an
     identical-text group needs no LSH evidence, the exact-fingerprint
     path already dedups it.
+    :func:`acled_spark.profiling.profile_buckets` runs the profile and
+    returns the recommendation (it reproduces the natural-tier numbers
+    29,695 / max 79 / p99.9 30 → None, and lands inside the measured
+    [100, 1000] band on the planted tier — tests/test_profiling.py).
     """
     buckets = (
         bands.groupBy("band_id", "band_key")

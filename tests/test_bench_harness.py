@@ -31,6 +31,35 @@ def test_summary_line_keeps_all_queries_when_they_fit():
     assert parsed["value"] == 1.25
 
 
+def test_adaptive_third_pass_fires_only_on_disagreement():
+    """Two agreeing passes stay at 2; a >1.5x disagreement draws a
+    third (VERDICT r7 #6), so one fluke pass can't own the min."""
+    def clock_seq(durations):
+        # perf_counter values: t0, t1 per pass
+        ticks, t = [], 0.0
+        for d in durations:
+            ticks += [t, t + d]
+            t += d
+        it = iter(ticks)
+        return lambda: next(it)
+
+    calls = []
+    passes = bench.adaptive_passes(
+        lambda: calls.append(1), clock=clock_seq([1.0, 1.1])
+    )
+    assert len(passes) == 2 and len(calls) == 2
+
+    calls = []
+    passes = bench.adaptive_passes(
+        lambda: calls.append(1), clock=clock_seq([4.8, 1.0, 1.05])
+    )
+    assert len(passes) == 3 and len(calls) == 3
+    best = sorted(passes)
+    assert best[0] == 1.0
+    assert round(best[1] / best[0], 3) == 1.05  # residual spread,
+    # not the 4.8x the adjudicated outlier would re-introduce
+
+
 def test_failed_check_does_not_rewrite_baseline(tmp_path, monkeypatch, capsys):
     """--check exiting 1 must leave BENCH_FULL.json at the baseline:
     rewriting it with the regressed numbers would make a naive re-run
@@ -40,7 +69,13 @@ def test_failed_check_does_not_rewrite_baseline(tmp_path, monkeypatch, capsys):
     full.write_text(json.dumps(baseline))
     monkeypatch.setattr(bench, "FULL_PATH", str(full))
     # q1 regresses past the double gate (>1.5x AND >0.5s)
-    monkeypatch.setattr(bench, "run_bench", lambda only: ({"q1": 3.0, "q2": 1.0}, 0.1))
+    def fake_run(t):
+        return lambda only: (
+            {"timings": t, "spread": {k: 1.0 for k in t}, "passes": {k: 2 for k in t}},
+            0.1,
+        )
+
+    monkeypatch.setattr(bench, "run_bench", fake_run({"q1": 3.0, "q2": 1.0}))
     monkeypatch.setattr("sys.argv", ["bench.py", "--check"])
     try:
         bench.main()
@@ -50,12 +85,17 @@ def test_failed_check_does_not_rewrite_baseline(tmp_path, monkeypatch, capsys):
     assert raised == 1
     assert json.loads(full.read_text()) == baseline  # untouched
 
-    # and a PASSING run does refresh the baseline
-    monkeypatch.setattr(bench, "run_bench", lambda only: ({"q1": 1.1, "q2": 0.9}, 0.1))
+    # and a PASSING run does refresh the baseline — now with the
+    # round-8 spread/passes fields for mechanical noise discounting
+    monkeypatch.setattr(bench, "run_bench", fake_run({"q1": 1.1, "q2": 0.9}))
     try:
         bench.main()
         raised = 0
     except SystemExit as e:
         raised = e.code
     assert raised == 0
-    assert json.loads(full.read_text())["queries"] == {"q1": 1.1, "q2": 0.9}
+    refreshed = json.loads(full.read_text())
+    assert refreshed["queries"] == {"q1": 1.1, "q2": 0.9}
+    assert refreshed["spread"] == {"q1": 1.0, "q2": 1.0}
+    assert refreshed["passes"] == {"q1": 2, "q2": 2}
+    assert refreshed["protocol"] == "min-of-2-adaptive-3"
