@@ -268,6 +268,16 @@ def ivf_search(
 # default — enough for any search in flight against the immediately
 # superseded index); older ones are GC'd after each commit.
 
+# Default fold-retention: current + previous.  The GC contract is
+# "a search may span at most `retain - 1` fold commits": a reader
+# holding an index superseded `retain` times can have its fold GC'd
+# mid-scan (the same FileNotFound shape the epoch layout eliminates
+# for the immediately superseded index).  Size `retain` so that
+# (slowest expected search) < (retain - 1) x (trigger interval) —
+# e.g. 10 s searches on a 30 s trigger keep the default; sub-second
+# triggers with minute-long analytical scans want retain >= 1 +
+# ceil(search / trigger) (r8 review: the window is a knob, not a
+# constant).
 IVF_DURABLE_RETAIN = 2
 _EPOCH_PREFIX = "_epoch-"
 
@@ -294,12 +304,16 @@ def _committed_epochs(spark, root: str) -> list[int]:
     return sorted(out)
 
 
-def _commit_durable_fold(spark, merged: DataFrame, root: str) -> DataFrame:
+def _commit_durable_fold(
+    spark, merged: DataFrame, root: str, retain: int = IVF_DURABLE_RETAIN
+) -> DataFrame:
     """Write ``merged`` as the next epoch fold under ``root``, GC folds
     older than the retain window, and return the frame served FROM the
     committed parquet."""
     from acled_spark.fsutil import fs_delete_dir, fs_list_dirs
 
+    if retain < 1:
+        raise ValueError(f"retain must be >= 1, got {retain}")
     committed = _committed_epochs(spark, root)
     nxt = (committed[-1] + 1) if committed else 0
     # mode("overwrite") replaces any uncommitted partial left at this
@@ -307,7 +321,7 @@ def _commit_durable_fold(spark, merged: DataFrame, root: str) -> DataFrame:
     merged.write.mode("overwrite").parquet(_epoch_dir(root, nxt))
     # GC strictly AFTER the new fold committed: a crash in between
     # leaves extra folds, which the next commit's GC collects
-    cutoff = nxt - (IVF_DURABLE_RETAIN - 1)
+    cutoff = nxt - (retain - 1)
     for name in fs_list_dirs(spark, root):
         if not name.startswith(_EPOCH_PREFIX):
             continue  # legacy flat files / foreign dirs are not ours to GC
@@ -340,7 +354,9 @@ def load_ivf_index(
     ml/persist.py next to the assignment); ``base_cost`` restores the
     staleness baseline when the caller recorded it.
     """
-    from acled_spark.fsutil import fs_exists, fs_try_promote_dir
+    from acled_spark.fsutil import (
+        fs_exists, fs_list_data_files, fs_try_promote_dir,
+    )
 
     committed = _committed_epochs(spark, durable_path)
     if committed:
@@ -348,7 +364,15 @@ def load_ivf_index(
         return IvfIndex(model=model, assigned=assigned, base_cost=base_cost)
     staging = durable_path.rstrip("/") + "._staging"
     fs_try_promote_dir(spark, staging, durable_path)
-    if fs_exists(spark, durable_path):
+    # Legacy flat layout needs actual VISIBLE data files, not bare
+    # directory existence: a root holding only an uncommitted _epoch
+    # partial (crash mid-FIRST-fold) would otherwise reach
+    # read.parquet and die with an unable-to-infer-schema
+    # AnalysisException instead of the documented FileNotFoundError
+    # the rebuild-from-scratch path catches (r8 review).
+    if fs_exists(spark, durable_path) and fs_list_data_files(
+        spark, durable_path
+    ):
         return IvfIndex(
             model=model,
             assigned=spark.read.parquet(durable_path),
@@ -380,6 +404,7 @@ def ivf_upsert(
     id_col: str = "vec_id",
     persist: bool = True,
     durable_path: str | None = None,
+    retain: int = IVF_DURABLE_RETAIN,
 ) -> IvfIndex:
     """Fold new/updated vectors into the index WITHOUT a refit.
 
@@ -430,7 +455,7 @@ def ivf_upsert(
         spark = vectors.sparkSession
         return IvfIndex(
             model=index.model,
-            assigned=_commit_durable_fold(spark, merged, durable_path),
+            assigned=_commit_durable_fold(spark, merged, durable_path, retain),
             base_cost=index.base_cost,
         )
     if persist:
@@ -554,11 +579,16 @@ class IvfMaintainer:
         vec_col: str = "embedding",
         id_col: str = "vec_id",
         durable_path: str | None = None,
+        retain: int = IVF_DURABLE_RETAIN,
     ):
         self.index = index
         self.vec_col = vec_col
         self.id_col = id_col
         self.durable_path = durable_path
+        #: folds kept on disk; size so the slowest search a consumer
+        #: runs spans fewer than `retain - 1` trigger intervals (see
+        #: the IVF_DURABLE_RETAIN note)
+        self.retain = retain
         self.batches_applied = 0
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -575,6 +605,7 @@ class IvfMaintainer:
             vec_col=self.vec_col,
             id_col=self.id_col,
             durable_path=self.durable_path,
+            retain=self.retain,
         )
         self.batches_applied += 1
 

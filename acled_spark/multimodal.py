@@ -141,6 +141,14 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
             f"BMP core-header variant (header size {header_size}) not "
             "supported; only BITMAPINFOHEADER+ — plug Pillow for the rest"
         )
+    if data_off < 14 + header_size:
+        # pixel data cannot start inside the headers; trusting a
+        # malformed offset would silently decode header bytes as
+        # pixels (r8 review)
+        raise ValueError(
+            f"BMP pixel-data offset {data_off} overlaps the "
+            f"{14 + header_size}-byte headers"
+        )
     width = _le32(payload, 18, signed=True)
     height = _le32(payload, 22, signed=True)
     bpp = int.from_bytes(payload[28:30], "little")
@@ -187,6 +195,11 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
             raise ValueError("PPM header truncated")
         tokens.append(payload[start:pos])
     width, height, maxval = (int(t) for t in tokens)
+    if width <= 0 or height <= 0:
+        # a negative token makes `need` negative, so the truncation
+        # check passes and the slice returns a garbage buffer — raise
+        # like the BMP path does for degenerate dims (r8 review)
+        raise ValueError(f"degenerate PPM dimensions {width}x{height}")
     if maxval != 255:
         raise NotImplementedError(
             f"only maxval=255 PPM decodes here (got {maxval})"

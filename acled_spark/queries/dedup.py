@@ -322,7 +322,18 @@ def containment_pairs(
     """(doc1, doc2, containment, jaccard) over the shared inverted
     shingle index — see :func:`dedup_containment` for semantics and
     :func:`ngram_jaccard_pairs` for the cap contract (a capped run
-    under-estimates both metrics, never over-estimates)."""
+    under-estimates both metrics, never over-estimates).
+
+    Cap sensitivity (measured sf1.0, round 8 — SCALE.md §containment):
+    containment is strictly MORE cap-sensitive than jaccard.  The same
+    sub-tail cap (df 100 on a max-df-140 tier) left jaccard's top-20
+    bit-identical but zeroed containment's: containment's top pairs
+    are small docs inside hosts, and a small doc's few shingles are
+    exactly the common high-df ones, so the numerator under-count
+    lands full-force on the min(|A|,|B|) normalization.  Keep the cap
+    ABOVE :func:`acled_spark.profiling.profile_caps`'s max df for
+    containment workloads.
+    """
     sized = _shingle_pair_counts(docs, max_doc_freq)
     return sized.select(
         "doc1",

@@ -68,7 +68,10 @@ def adaptive_passes(run_once, clock=time.perf_counter) -> list[float]:
     return passes
 
 
-def run_bench(only: set[str] | None = None) -> tuple[dict[str, float], float | str]:
+def run_bench(only: set[str] | None = None) -> tuple[dict, float | str]:
+    """Returns ``({"timings", "spread", "passes"}, sf)`` — three maps
+    over the SAME key set (failures carry timings -1.0 / spread -1.0 /
+    passes 0, so consumers can zip them without key checks)."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark(app_name="acled-spark-bench")
@@ -122,9 +125,15 @@ def run_bench(only: set[str] | None = None) -> tuple[dict[str, float], float | s
             n_passes[name] = len(passes)
         except Exception as exc:  # keep the bench line parseable on failure
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            # keep the three maps key-aligned (r8 review): a consumer
+            # iterating `queries` and indexing `spread[name]` must not
+            # KeyError on the failed entry
             timings[name] = -1.0
-    if spread:
-        s = sorted(spread.values())
+            spread[name] = -1.0
+            n_passes[name] = 0
+    ok_spreads = [v for v in spread.values() if v >= 0]
+    if ok_spreads:
+        s = sorted(ok_spreads)
         print(
             "bench: residual spread (second-best/best per query): "
             f"median {s[len(s) // 2]:.2f}x, "

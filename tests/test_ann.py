@@ -633,3 +633,39 @@ def test_load_ivf_index_heals_legacy_staging(spark, index, tmp_path):
     # nothing at all -> a loud, named error
     with pytest.raises(FileNotFoundError, match="no committed IVF fold"):
         load_ivf_index(spark, str(tmp_path / "absent"), index.model)
+
+    # r8 review: a root holding ONLY an uncommitted epoch partial
+    # (crash mid-FIRST-fold) must raise the same documented
+    # FileNotFoundError — not leak Spark's unable-to-infer-schema
+    # AnalysisException past the rebuild-from-scratch catch
+    import os
+
+    from acled_spark.ann import _epoch_dir
+
+    partial_root = str(tmp_path / "partial_only")
+    os.makedirs(_epoch_dir(partial_root, 0))
+    with pytest.raises(FileNotFoundError, match="no committed IVF fold"):
+        load_ivf_index(spark, partial_root, index.model)
+
+
+def test_ivf_retain_window_is_a_knob(spark, index, tmp_path):
+    """r8 review: the GC window must scale to the consumer's slowest
+    search (a reader superseded `retain` times loses its fold) —
+    retain=3 keeps three folds where the default keeps two."""
+    from pyspark.sql import functions as F
+
+    from acled_spark.ann import _committed_epochs, IvfMaintainer
+
+    durable = str(tmp_path / "ivf_root")
+    maint = IvfMaintainer(index, durable_path=durable, retain=3)
+    batch = index.assigned.orderBy("vec_id").limit(2).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    for e in range(4):
+        maint(batch.withColumn("vec_id", F.col("vec_id") + e), epoch_id=e)
+    assert _committed_epochs(spark, durable) == [1, 2, 3]
+
+    with pytest.raises(ValueError, match="retain must be >= 1"):
+        from acled_spark.ann import ivf_upsert
+
+        ivf_upsert(maint.index, batch, durable_path=durable, retain=0)

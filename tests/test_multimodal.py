@@ -127,6 +127,30 @@ def test_truncated_payloads_raise_value_error():
         encode_bmp(bytes(10), 4, 2)
 
 
+def test_malformed_headers_raise_not_garbage():
+    """r8 review: degenerate/hostile header fields must RAISE, never
+    return garbage geometry — negative PPM dims made `need` negative
+    (truncation check passed, slice went negative) and a data_off
+    inside the BMP headers decoded header bytes as pixels."""
+    from acled_spark.multimodal import decode_image_pixels, encode_bmp
+
+    with pytest.raises(ValueError, match="degenerate PPM"):
+        decode_image_pixels(b"P6\n-4 -3\n255\n" + bytes(36))
+    with pytest.raises(ValueError, match="degenerate PPM"):
+        decode_image_pixels(b"P6\n-4 3\n255\n" + bytes(100))
+    with pytest.raises(ValueError, match="degenerate PPM"):
+        decode_image_pixels(b"P6\n0 3\n255\n" + bytes(10))
+
+    hostile = bytearray(encode_bmp(bytes(24), 4, 2))
+    hostile[10:14] = (0).to_bytes(4, "little")  # data_off -> 0
+    with pytest.raises(ValueError, match="overlaps"):
+        decode_image_pixels(bytes(hostile))
+    hostile = bytearray(encode_bmp(bytes(24), 4, 2))
+    hostile[18:22] = (-4).to_bytes(4, "little", signed=True)
+    with pytest.raises(ValueError, match="degenerate BMP"):
+        decode_image_pixels(bytes(hostile))
+
+
 def test_real_decoder_rides_extract_features(spark):
     """The production wiring: extract_features(decoder=decode_image)
     over REAL BMP payloads — geometry comes from parsing actual bytes
