@@ -108,6 +108,11 @@ _RECERT_PRIORITY: frozenset[str] = frozenset(
         # front (Spark's aggregate(NULL) is NULL; the bare COALESCE
         # mapped it to 0.0)
         "f9b_vector_norm",
+        # r8 lens review: canonical-in-batch replay-convergence rule
+        # added to incremental_classify in BOTH engines (exact verdict
+        # + band-collision exemption; a no-op on the oracle's disjoint
+        # halves but the contract text changed on both sides)
+        "dedup_incremental_check",
     }
 )
 

@@ -33,6 +33,11 @@ class IvfIndex:
     model: KMeansModel
     assigned: DataFrame  # vec_id, embedding (array), cell
     base_cost: float | None = None  # mean squared centroid distance at fit
+    #: the committed durable fold this index serves from (None for
+    #: in-memory / legacy-flat indexes) — the GC clamp in
+    #: _commit_durable_fold needs it so a replayed fold after a crash
+    #: can never delete the epoch still being served (r8 review)
+    epoch: int | None = None
 
     def unpersist(self) -> None:
         """Release the cached cell assignment (see build_ivf_index)."""
@@ -305,11 +310,23 @@ def _committed_epochs(spark, root: str) -> list[int]:
 
 
 def _commit_durable_fold(
-    spark, merged: DataFrame, root: str, retain: int = IVF_DURABLE_RETAIN
-) -> DataFrame:
+    spark,
+    merged: DataFrame,
+    root: str,
+    retain: int = IVF_DURABLE_RETAIN,
+    serving_epoch: int | None = None,
+) -> tuple[DataFrame, int]:
     """Write ``merged`` as the next epoch fold under ``root``, GC folds
-    older than the retain window, and return the frame served FROM the
-    committed parquet."""
+    older than the retain window, and return ``(frame served FROM the
+    committed parquet, its epoch number)``.
+
+    ``serving_epoch`` clamps the GC: a crash between a fold's _SUCCESS
+    and the caller's index swap leaves an orphan committed epoch the
+    maintainer never served — on replay the retain window would
+    otherwise be counted from the orphan and delete the epoch the
+    maintainer (and any search against it) is STILL reading (r8
+    review).  Nothing at or above the serving epoch is ever GC'd.
+    """
     from acled_spark.fsutil import fs_delete_dir, fs_list_dirs
 
     if retain < 1:
@@ -322,6 +339,8 @@ def _commit_durable_fold(
     # GC strictly AFTER the new fold committed: a crash in between
     # leaves extra folds, which the next commit's GC collects
     cutoff = nxt - (retain - 1)
+    if serving_epoch is not None:
+        cutoff = min(cutoff, serving_epoch)
     for name in fs_list_dirs(spark, root):
         if not name.startswith(_EPOCH_PREFIX):
             continue  # legacy flat files / foreign dirs are not ours to GC
@@ -331,7 +350,36 @@ def _commit_durable_fold(
             continue
         if n < cutoff:
             fs_delete_dir(spark, f"{root.rstrip('/')}/{name}")
-    return spark.read.parquet(_epoch_dir(root, nxt))
+    return spark.read.parquet(_epoch_dir(root, nxt)), nxt
+
+
+def gc_legacy_flat(spark, durable_path: str) -> int:
+    """Delete the superseded LEGACY flat-layout files at the root of
+    ``durable_path`` once at least one committed epoch fold exists
+    (r8 review: the epoch GC deliberately skips non-epoch entries, so
+    a migrated deployment otherwise carries a corpus-sized dead copy
+    forever).  Returns the number of top-level files removed.
+
+    NOT called automatically: an in-process index loaded from the
+    legacy layout may still be serving those files — run this after
+    every consumer has moved to an epoch-fold index (one maintainer
+    fold + restart is enough).
+    """
+    from acled_spark.fsutil import _fs_and_path
+
+    if not _committed_epochs(spark, durable_path):
+        raise ValueError(
+            f"no committed epoch fold under {durable_path}; refusing to "
+            "delete the flat layout that is still the only copy"
+        )
+    fs, jroot, _ = _fs_and_path(spark, durable_path)
+    removed = 0
+    for st in fs.listStatus(jroot):
+        if st.isFile():
+            if not fs.delete(st.getPath(), False):
+                raise IOError(f"could not delete {st.getPath()}")
+            removed += 1
+    return removed
 
 
 def load_ivf_index(
@@ -361,7 +409,12 @@ def load_ivf_index(
     committed = _committed_epochs(spark, durable_path)
     if committed:
         assigned = spark.read.parquet(_epoch_dir(durable_path, committed[-1]))
-        return IvfIndex(model=model, assigned=assigned, base_cost=base_cost)
+        return IvfIndex(
+            model=model,
+            assigned=assigned,
+            base_cost=base_cost,
+            epoch=committed[-1],
+        )
     staging = durable_path.rstrip("/") + "._staging"
     fs_try_promote_dir(spark, staging, durable_path)
     # Legacy flat layout needs actual VISIBLE data files, not bare
@@ -453,10 +506,14 @@ def ivf_upsert(
         # fold lands in a NEW subdirectory and the previous one stays
         # inside the retain window
         spark = vectors.sparkSession
+        assigned, epoch = _commit_durable_fold(
+            spark, merged, durable_path, retain, serving_epoch=index.epoch
+        )
         return IvfIndex(
             model=index.model,
-            assigned=_commit_durable_fold(spark, merged, durable_path, retain),
+            assigned=assigned,
             base_cost=index.base_cost,
+            epoch=epoch,
         )
     if persist:
         # localCheckpoint, not cache: a foreachBatch maintainer folds a
@@ -599,6 +656,7 @@ class IvfMaintainer:
             # rematerialization per empty interval (round-7 review;
             # same guard as DriftMonitor / streaming._merge_batch)
             return
+        superseded = self.index
         self.index = ivf_upsert(
             self.index,
             batch_df,
@@ -607,6 +665,19 @@ class IvfMaintainer:
             durable_path=self.durable_path,
             retain=self.retain,
         )
+        if self.batches_applied == 0:
+            # Release the INITIAL index's build-time .cache() (r8 lens
+            # review): SQL CacheManager entries are held by strong JVM
+            # references — Python GC of the superseded IvfIndex frees
+            # nothing, so the docstring's own build_ivf_index(corpus)
+            # usage pinned a corpus-sized cache for the session's
+            # life.  Uncaching is SAFE for in-flight searches here
+            # because a cache (unlike a localCheckpoint) keeps its
+            # lineage: a concurrent search degrades to recompute,
+            # never to a missing-block failure.  Later folds are
+            # checkpoint-backed and stay on the r7 rule (ContextCleaner
+            # frees the weak-ref'd RDD blocks once unreachable).
+            superseded.unpersist()
         self.batches_applied += 1
 
     def staleness(self) -> dict:

@@ -591,7 +591,14 @@ class DedupMaintainer:
 
     Appends are id-idempotent (check_batch/append_batch contract), so
     a replayed epoch after a crash re-appends nothing — exactly-once
-    store growth on top of at-least-once foreachBatch delivery.
+    store growth on top of at-least-once foreachBatch delivery.  The
+    VERDICT stream converges too (r8): a store match whose canonical
+    holder rides the same batch classifies as a batch-dup
+    (``incremental_classify``'s third edge rule), so a replay after a
+    post-append crash — where the batch's own survivor is now in the
+    store — reports byte-identical verdict rows to the original
+    delivery, and an epoch-keyed ``on_verdicts`` sink can overwrite
+    idempotently.
     """
 
     def __init__(self, root: str, on_verdicts=None):

@@ -1113,24 +1113,52 @@ def incremental_classify(
       ``is_exact_dup=false, dup_of=NULL`` — a document cannot
       duplicate itself, and flagging it would drop a live canonical
       doc from a release export.
+    - **A store match whose canonical holder rides THIS batch is a
+      batch-dup, not a store-dup** (r8 lens review): after a
+      post-append crash, the replayed epoch sees its own survivor in
+      the store, and without this rule the within-batch dup's verdict
+      FLIPS shape across the replay (original: ``is_batch_dup=true,
+      dup_of=NULL``; replay: ``is_exact_dup=true, dup_of=survivor``) —
+      an epoch-keyed verdict sink would record nondeterministic rows
+      under at-least-once delivery.  With it, the verdict depends only
+      on the batch + the store-before-this-batch, so replays converge.
 
     Shared by :mod:`acled_spark.dedup_store` (parquet-backed store) and
     the ``dedup_incremental_check`` oracle query (in-memory halves).
     Scale: joins key on digests only; text never enters any exchange.
     """
-    vs_store = batch_exact.join(
-        store_exact.groupBy("fingerprint").agg(F.min("doc_id").alias("store_min")),
-        "fingerprint",
-        "left",
-    ).select(
-        "doc_id",
-        "fingerprint",
-        # the store holds ONE canonical row per fingerprint (init_store
-        # dedups, appends are survivor-only), so "min store holder ==
-        # this doc" means the only holder is this doc itself
-        F.when(F.col("store_min") != F.col("doc_id"), F.col("store_min")).alias(
-            "dup_of"
-        ),
+    batch_holder = (
+        batch_exact.select(
+            "fingerprint", F.col("doc_id").alias("store_min")
+        )
+        .dropDuplicates(["fingerprint", "store_min"])
+        .withColumn("_canon_in_batch", F.lit(True))
+    )
+    vs_store = (
+        batch_exact.join(
+            store_exact.groupBy("fingerprint").agg(
+                F.min("doc_id").alias("store_min")
+            ),
+            "fingerprint",
+            "left",
+        )
+        # batch-sized join keyed on (fingerprint, store canonical id):
+        # a hit means the store's holder is in this very batch — the
+        # replay-convergence rule above
+        .join(batch_holder, ["fingerprint", "store_min"], "left")
+        .select(
+            "doc_id",
+            "fingerprint",
+            # the store holds ONE canonical row per fingerprint
+            # (init_store dedups, appends are survivor-only), so "min
+            # store holder == this doc" means the only holder is this
+            # doc itself
+            F.when(
+                (F.col("store_min") != F.col("doc_id"))
+                & F.col("_canon_in_batch").isNull(),
+                F.col("store_min"),
+            ).alias("dup_of"),
+        )
     )
     canon = batch_exact.groupBy("fingerprint").agg(
         F.min("doc_id").alias("batch_canonical")
@@ -1152,12 +1180,20 @@ def incremental_classify(
     # inner join.)  Duplicate store band rows are also why a crashed
     # append replay is harmless — see dedup_store.append_batch.
     # Self-exemption (third edge rule, like the exact path's): a store
-    # band row under this doc's OWN id — a replayed epoch re-checking an
-    # already-appended doc — is not a collision, or the replay would
-    # route the doc to the near-dup quarantine the original run never
-    # saw (verdict-stream replay idempotency; r7 review).
+    # band row under ANY id riding THIS batch — its own id (r7: a
+    # replayed epoch re-checking an already-appended doc) or a batch
+    # peer's (r8: the replayed epoch's own SURVIVOR, appended before
+    # the crash) — is not a collision, or the replay would route docs
+    # to the near-dup quarantine the original run never saw
+    # (verdict-stream replay idempotency).  The exemption set is
+    # batch-sized, so it broadcasts: the store bands stay un-shuffled
+    # (their bucketed layout is the design-point join asset).
     bb = batch_bands.alias("bb")
-    sb = store_bands.alias("sb")
+    sb = store_bands.join(
+        F.broadcast(batch_exact.select("doc_id").distinct()),
+        "doc_id",
+        "left_anti",
+    ).alias("sb")
     collisions = (
         bb.join(
             sb,
@@ -1216,22 +1252,31 @@ def _half_bands_sql(side: str) -> str:
     coll AS (
       -- EXISTS = the engine's left_semi exactly (each batch band row
       -- counts at most once), including the self-exemption rule (a
-      -- store band row under the doc's OWN id is not a collision — a
-      -- no-op on these disjoint odd/even halves, kept so the contract
-      -- reads 1:1)
+      -- store band row under ANY id riding this batch — own id r7,
+      -- batch peer r8 — is not a collision; both clauses are no-ops
+      -- on these disjoint odd/even halves, kept so the contract reads
+      -- 1:1)
       SELECT b.doc_id, COUNT(*) AS n_band_collisions
       FROM bbands b
       WHERE EXISTS (SELECT 1 FROM sbands s
                     WHERE s.band_id = b.band_id AND s.band_key = b.band_key
-                      AND s.doc_id <> b.doc_id)
+                      AND s.doc_id <> b.doc_id
+                      AND s.doc_id NOT IN (SELECT doc_id FROM bfp))
       GROUP BY b.doc_id
     ),
     verdict AS (
       -- mirrors incremental_classify's edge rules: NULL fingerprints
-      -- survive as verdict rows (LEFT canon join + COALESCE), and a
-      -- store match under the doc's OWN id is not a dup
+      -- survive as verdict rows (LEFT canon join + COALESCE), a store
+      -- match under the doc's OWN id is not a dup, and a store match
+      -- whose canonical holder rides THIS batch is a batch-dup, not a
+      -- store-dup (replay convergence, r8 — a no-op on these disjoint
+      -- odd/even halves, kept so the contract reads 1:1)
       SELECT bfp.doc_id,
-             COALESCE(sfp.dup_of <> bfp.doc_id, FALSE) AS is_exact_dup,
+             COALESCE(sfp.dup_of <> bfp.doc_id, FALSE)
+               AND NOT EXISTS (SELECT 1 FROM bfp b2
+                               WHERE b2.fingerprint = bfp.fingerprint
+                                 AND b2.doc_id = sfp.dup_of)
+               AS is_exact_dup,
              COALESCE(bfp.doc_id <> canon.batch_canonical, FALSE) AS is_batch_dup,
              COALESCE(coll.n_band_collisions, 0) AS n_band_collisions
       FROM bfp

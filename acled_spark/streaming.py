@@ -109,7 +109,7 @@ def start_upsert_stream(
     )
 
 
-def stateful_user_totals(events: DataFrame) -> DataFrame:
+def stateful_user_totals(events: DataFrame, ttl_ms: int | None = None) -> DataFrame:
     """Custom stateful streaming operator: running per-user totals via
     ``applyInPandasWithState`` (the arbitrary-state path the reference
     never needed but a streaming engine must expose — SURVEY §2.10 note).
@@ -117,17 +117,35 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     State per user = (event_count, total_value); each micro-batch folds
     its rows in and emits the updated totals.  Pandas/Arrow at the state
     boundary only — upstream filtering/projection stays JVM-side.
+
+    ``ttl_ms`` (r8 lens review): state size here is bounded by USER
+    CARDINALITY, not by a watermark — on an unbounded/churning key
+    domain the default grows the state store (and every checkpoint
+    snapshot) monotonically until executors OOM.  Pass a processing-
+    time duration in MILLISECONDS (the pyspark GroupState API's unit;
+    SPARK-40437 tracks string durations) to evict users idle that
+    long; an evicted user's totals restart from zero on their next event
+    (running-totals-since-last-activity semantics — callers needing
+    lifetime totals must either keep the default and a bounded key
+    domain, or merge emitted rows in the sink).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def update(key, pdfs, state):
         import pandas as pd
 
+        if ttl_ms is not None and state.hasTimedOut:
+            # idle past the TTL: evict silently (every batch this user
+            # appeared in already emitted its running total)
+            state.remove()
+            return
         count, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             count += len(pdf)
             total += float(pdf["value"].sum())
         state.update((count, total))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
@@ -144,7 +162,11 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
             outputStructType="user_id long, event_count long, total_value double",
             stateStructType="event_count long, total_value double",
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if ttl_ms is not None
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
 

@@ -648,6 +648,95 @@ def test_load_ivf_index_heals_legacy_staging(spark, index, tmp_path):
         load_ivf_index(spark, partial_root, index.model)
 
 
+def test_ivf_gc_never_deletes_the_serving_epoch(spark, index, tmp_path):
+    """r8 lens review: a crash between a fold's _SUCCESS and the index
+    swap leaves an orphan committed epoch; the replayed fold's GC used
+    to count the retain window from the ORPHAN and delete the epoch
+    the maintainer is still serving.  The clamp: nothing at or above
+    index.epoch is ever GC'd."""
+    from pyspark.sql import functions as F
+
+    from acled_spark.ann import (
+        _commit_durable_fold, _committed_epochs, IvfMaintainer,
+    )
+
+    durable = str(tmp_path / "ivf_root")
+    maint = IvfMaintainer(index, durable_path=durable)
+    batch = index.assigned.orderBy("vec_id").limit(2).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    maint(batch, epoch_id=0)                    # serving _epoch-0
+    assert maint.index.epoch == 0
+    # simulate the crash window: a fold COMMITS epoch 1 but the swap
+    # never happens (maint.index still serves epoch 0)
+    _commit_durable_fold(
+        spark, maint.index.assigned.limit(1), durable, serving_epoch=0
+    )
+    assert _committed_epochs(spark, durable) == [0, 1]
+    # the replayed fold (epoch 2) must NOT GC epoch 0 — the serving fold
+    maint(batch.withColumn("vec_id", F.col("vec_id") + 7), epoch_id=1)
+    assert maint.index.epoch == 2
+    assert 0 in _committed_epochs(spark, durable)
+    # and the index served before the replay still answers
+    n = maint.index.assigned.count()
+    assert n > 0
+    # once the maintainer has moved on (serving epoch 2), the next fold
+    # GCs the old window normally
+    maint(batch.withColumn("vec_id", F.col("vec_id") + 9), epoch_id=2)
+    assert _committed_epochs(spark, durable) == [2, 3]
+
+
+def test_ivf_maintainer_releases_initial_build_cache(spark, tmp_path):
+    """r8 lens review: the build-time .cache() is a SQL CacheManager
+    entry (strong JVM reference) — superseding the index must uncache
+    it or a long stream pins the corpus-sized cache forever.  Safe to
+    do eagerly: a cache keeps lineage, so in-flight searches recompute
+    rather than fail."""
+    from pyspark.sql import functions as F
+
+    from acled_spark.ann import build_ivf_index, IvfMaintainer
+    from acled_spark.tables import load
+
+    idx = build_ivf_index(load(spark, SF_DIR, "embeddings"), nlist=4)
+    assert idx.assigned.storageLevel.useMemory  # cached at build
+    maint = IvfMaintainer(idx)
+    batch = idx.assigned.orderBy("vec_id").limit(2).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    maint(batch, epoch_id=0)
+    assert not idx.assigned.storageLevel.useMemory  # released on fold 1
+    # the superseded index still ANSWERS (recompute, not failure)
+    assert idx.assigned.count() > 0
+
+
+def test_gc_legacy_flat_removes_only_root_files(spark, index, tmp_path):
+    """Legacy-flat migration debris: gc_legacy_flat deletes root-level
+    files once an epoch fold exists, never before, and never touches
+    the epoch dirs."""
+    from pyspark.sql import functions as F
+
+    from acled_spark.ann import (
+        _committed_epochs, gc_legacy_flat, IvfMaintainer, load_ivf_index,
+    )
+
+    root = str(tmp_path / "legacy_root")
+    index.assigned.limit(5).coalesce(1).write.parquet(root)  # legacy layout
+    with pytest.raises(ValueError, match="refusing"):
+        gc_legacy_flat(spark, root)  # no epoch fold yet — the only copy
+
+    maint = IvfMaintainer(
+        load_ivf_index(spark, root, index.model), durable_path=root
+    )
+    batch = index.assigned.orderBy("vec_id").limit(2).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    maint(batch, epoch_id=0)
+    removed = gc_legacy_flat(spark, root)
+    assert removed > 0
+    assert _committed_epochs(spark, root) == [0]   # epoch dirs untouched
+    assert maint.index.assigned.count() == 7       # still served from epoch
+
+
 def test_ivf_retain_window_is_a_knob(spark, index, tmp_path):
     """r8 review: the GC window must scale to the consumer's slowest
     search (a reader superseded `retain` times loses its fold) —

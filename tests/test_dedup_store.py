@@ -65,6 +65,31 @@ def test_within_batch_dups_one_survivor(spark, store):
     assert v[2002]["is_batch_dup"]
 
 
+def test_replayed_epoch_reports_identical_verdicts_for_batch_dups(spark, store):
+    """r8 lens review: a replay after a post-append crash sees its own
+    survivor in the store — the within-batch dup's verdict used to
+    FLIP from (is_batch_dup, dup_of=NULL) to (is_exact_dup,
+    dup_of=survivor).  The canonical-in-batch rule makes the replayed
+    verdict rows byte-identical to the original delivery's, so an
+    epoch-keyed verdict sink overwrites idempotently."""
+    from acled_spark.dedup_store import process_batch
+
+    root, _ = store
+    novel = "entirely fresh sentence no prior batch or store ever held"
+    batch = _mk_batch(spark, [
+        (3001, novel, "en", "srcx", len(novel)),
+        (3002, novel, "en", "srcx", len(novel)),   # within-batch dup
+    ])
+    original, _ = process_batch(spark, batch, root)   # appends 3001
+    orig_rows = sorted(map(tuple, original.collect()))
+    replay, n2 = process_batch(spark, batch, root)    # the replayed epoch
+    assert n2 == 0                                    # exactly-once growth
+    assert sorted(map(tuple, replay.collect())) == orig_rows
+    v = {r["doc_id"]: r for r in replay.collect()}
+    assert v[3002]["is_batch_dup"] and not v[3002]["is_exact_dup"]
+    assert v[3002]["dup_of"] is None
+
+
 def test_append_grows_store_by_survivors_and_is_idempotent(spark, store):
     root, corpus = store
     n0 = spark.read.parquet(f"{root}/exact").count()

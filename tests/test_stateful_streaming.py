@@ -71,3 +71,60 @@ def test_stateful_totals_accumulate_across_batches(spark, tmp_path):
     # checkpoint and folds the new batch in
     half2.write.mode("append").parquet(bronze)
     assert drain() == expected(ev)
+
+
+def test_stateful_ttl_evicts_idle_users(spark, tmp_path):
+    """r8 lens review: without a TTL the per-user state store grows
+    with key cardinality forever.  With ttl set, a user idle past it
+    is evicted (processing-time timeout) and their totals restart
+    from zero on the next event — while active users keep
+    accumulating."""
+    import time
+
+    bronze = os.path.join(str(tmp_path), "bronze")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    out = os.path.join(str(tmp_path), "out")
+    schema = "user_id long, value double"
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(bronze)
+
+    def drain():
+        def sink(bdf, bid):
+            if not bdf.isEmpty():
+                bdf.withColumn("batch_id", F.lit(bid)).write.mode(
+                    "append"
+                ).parquet(out)
+
+        q = (
+            stateful_user_totals(
+                spark.readStream.schema(schema).parquet(bronze),
+                ttl_ms=1000,
+            )
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        w = Window.partitionBy("user_id").orderBy(F.desc("batch_id"))
+        latest = (
+            spark.read.parquet(out)
+            .withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+        )
+        return {r["user_id"]: r["event_count"] for r in latest.collect()}
+
+    feed([(1, 10.0), (2, 5.0)])
+    assert drain() == {1: 1, 2: 1}
+    time.sleep(2)  # let user 1 and 2 pass the 1s TTL
+    feed([(2, 5.0)])            # user 2 stays active; 1 idles out
+    assert drain()[2] in (1, 2)  # 2's state may or may not have expired
+    time.sleep(2)
+    feed([(1, 10.0)])
+    got = drain()
+    # user 1 was evicted while idle: totals restart at 1, not 2
+    assert got[1] == 1
