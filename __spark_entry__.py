@@ -113,6 +113,14 @@ _RECERT_PRIORITY: frozenset[str] = frozenset(
         # + band-collision exemption; a no-op on the oracle's disjoint
         # halves but the contract text changed on both sides)
         "dedup_incremental_check",
+        # r8 lens review: cent-snapped averages (ROUND(SUM,2)/COUNT) in
+        # BOTH engines — values can shift at exact .xxxx5 ulp ties
+        "a7_multi_measure_rollup", "a8_weekly_rollup", "a9_monthly_rollup",
+        # r8 lens review: NULL-ts days excluded from the ordered-window
+        # daily counts in BOTH engines (engines sort NULL days at
+        # opposite ends); a13's oracle rewritten as an independent
+        # hand-written literal
+        "w1_moving_avg_7d", "w4_lag_delta", "a13_histogram",
     }
 )
 

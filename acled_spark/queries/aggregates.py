@@ -186,7 +186,14 @@ def a6_dim_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n.n_name AS nation,
            COUNT(*) AS customer_count,
            ROUND(SUM(c.c_acctbal), 2) AS total_balance,
-           ROUND(AVG(c.c_acctbal), 4) AS avg_balance
+           -- avg via EXACT decimal arithmetic: c_acctbal is 2-decimal,
+           -- so SUM(DECIMAL)/COUNT is tie-exact in both engines — a
+           -- bare AVG(double) leaves the engines' sum-order ulp
+           -- difference to round apart at exact .xxxx5 ties (r8 lens;
+           -- a25's documented hazard, closed here with measured
+           -- agreement on positive/negative ties)
+           ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) / COUNT(*), 4)
+               AS avg_balance
     FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
     GROUP BY nation
     ORDER BY customer_count DESC, nation
@@ -207,7 +214,10 @@ def a7_multi_measure_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("customer_count"),
             F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
-            F.round(F.avg("c_acctbal"), 4).alias("avg_balance"),
+            # exact decimal avg — see the oracle note (r8 lens)
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")) / F.count("*"), 4
+            ).cast("double").alias("avg_balance"),
         )
         .orderBy(F.desc("customer_count"), "nation")
     )
@@ -220,7 +230,10 @@ def a7_multi_measure_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
            COUNT(*) AS event_count,
-           ROUND(AVG(value), 4) AS avg_value,
+           -- exact-decimal avg (value is 2-decimal): both engines do
+           -- tie-exact decimal division, closing the .xxxx5 ulp-tie
+           -- hazard a25 documents (r8 lens)
+           ROUND(SUM(CAST(value AS DECIMAL(18,2))) / COUNT(*), 4) AS avg_value,
            ROUND(SUM(value), 2) AS total_value
     FROM events GROUP BY week ORDER BY week
     """,
@@ -233,7 +246,10 @@ def a8_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.date_trunc("week", F.col("ts")).cast("date").alias("week"))
         .agg(
             F.count("*").alias("event_count"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            # exact decimal avg — see the oracle note (r8 lens)
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")) / F.count("*"), 4
+            ).cast("double").alias("avg_value"),
             F.round(F.sum("value"), 2).alias("total_value"),
         )
         .orderBy("week")
@@ -248,7 +264,9 @@ def a8_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
            COUNT(*) AS order_count,
            ROUND(SUM(o_totalprice), 2) AS total_price,
-           ROUND(AVG(o_totalprice), 4) AS avg_price,
+           -- exact-decimal avg (o_totalprice is 2-decimal; r8 lens)
+           ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) / COUNT(*), 4)
+               AS avg_price,
            COUNT(DISTINCT o_orderpriority) AS distinct_priorities
     FROM orders GROUP BY month ORDER BY month
     """,
@@ -264,7 +282,10 @@ def a9_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("order_count"),
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            # exact decimal avg — see the oracle note (r8 lens)
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")) / F.count("*"), 4
+            ).cast("double").alias("avg_price"),
             F.countDistinct("o_orderpriority").alias("distinct_priorities"),
         )
         .orderBy("month")
@@ -364,18 +385,22 @@ _BUCKETS = [0.0, 50.0, 100.0, 200.0]
 _LABELS = ["(-inf,0]", "(0,50]", "(50,100]", "(100,200]", "(200,inf)"]
 
 
-def _bucket_case_sql() -> str:
-    parts = [f"WHEN value <= {_BUCKETS[0]} THEN '{_LABELS[0]}'"]
-    for hi, lab in zip(_BUCKETS[1:], _LABELS[1:-1]):
-        parts.append(f"WHEN value <= {hi} THEN '{lab}'")
-    parts.append(f"ELSE '{_LABELS[-1]}'")
-    return "CASE " + " ".join(parts) + " END"
-
-
+# The oracle CASE below is deliberately a HAND-WRITTEN literal, NOT
+# generated from _BUCKETS/_LABELS (r8 lens review): an oracle derived
+# from the builder's own constants moves in lockstep with any mistake
+# in them — swap two labels or shift a threshold and both engines
+# produce identically wrong histograms that still hash-match.  With
+# the literal, editing the Spark-side binning without consciously
+# re-deriving the SQL fails the parity gate.
 @query(
     "a13_histogram",
-    oracle=f"""
-    SELECT {_bucket_case_sql()} AS bucket, COUNT(*) AS cnt
+    oracle="""
+    SELECT CASE WHEN value <= 0.0   THEN '(-inf,0]'
+                WHEN value <= 50.0  THEN '(0,50]'
+                WHEN value <= 100.0 THEN '(50,100]'
+                WHEN value <= 200.0 THEN '(100,200]'
+                ELSE '(200,inf)' END AS bucket,
+           COUNT(*) AS cnt
     FROM events WHERE value IS NOT NULL GROUP BY bucket ORDER BY bucket
     """,
     tags=("agg", "stats"),
@@ -405,6 +430,11 @@ def a13_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "a14_group_deviation",
     oracle="""
+    -- rounding note (r8 lens): these AVGs stay bare, unlike the
+    -- cent-snapped a7/a8/a9 — the deviation inputs |value - gmean| are
+    -- NOT 2-decimal, so an exact .xxxx5 rounding tie requires a
+    -- decimal-terminating mean of non-terminating doubles, which only
+    -- occurs when both engines already share the identical double
     SELECT event_type,
            COUNT(*) AS cnt,
            ROUND(AVG(value), 4) AS avg_value,

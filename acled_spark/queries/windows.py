@@ -18,9 +18,18 @@ from acled_spark.tables import load
 
 
 def _daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NULL-ts events are excluded (r8 lens review): the consumers are
+    # ORDERED windows (moving average, lag), and the engines place a
+    # NULL day at OPPOSITE ends of the sort (Spark NULLS FIRST, DuckDB
+    # NULLS LAST) — one NULL-ts row silently shifts every frame and lag
+    # pairing differently per engine.  Mirrored as ts IS NOT NULL in
+    # the w1/w4 oracles; the sessionization family applies the same
+    # rule for the same reason.
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy(F.to_date("ts").alias("day")).agg(
-        F.count("*").alias("cnt")
+    return (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("cnt"))
     )
 
 
@@ -30,7 +39,7 @@ def _daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w1_moving_avg_7d",
     oracle="""
     WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt
-               FROM events GROUP BY day)
+               FROM events WHERE ts IS NOT NULL GROUP BY day)
     SELECT day, cnt,
            ROUND(AVG(cnt) OVER (ORDER BY day
                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
@@ -175,7 +184,7 @@ def f4_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w4_lag_delta",
     oracle="""
     WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt
-               FROM events GROUP BY day)
+               FROM events WHERE ts IS NOT NULL GROUP BY day)
     SELECT day, cnt,
            CAST(cnt - COALESCE(LAG(cnt, 1) OVER (ORDER BY day), 0) AS BIGINT) AS delta
     FROM d ORDER BY day
@@ -198,7 +207,12 @@ def w4_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- W5: event-time range frame ---------------------------------------------
 # A RANGE frame over epoch seconds — the window shape Spark reserves for
 # numeric orderBy (rangeBetween needs a numeric sort key, so event time
-# is staged as epoch seconds; the tz cast cancels in the subtraction).
+# is staged as epoch seconds).  The epoch derivation (NTZ->session-tz
+# cast, then unix time) equals DuckDB's naive epoch(ts) ONLY under the
+# UTC-pinned session tables.configure() enforces — in a DST zone the
+# absolute offset varies across the data, so the cast does NOT cancel
+# in subtraction (r8 lens review: do not relax the PARITY_CONF pin
+# without re-deriving this query's key on both engines).
 @query(
     "w5_range_frame",
     oracle="""
