@@ -375,6 +375,7 @@ def verify_manifest(
             except Exception:
                 unreadable.add(name)
                 actual[name] = {"shard": name, "rows": -1, "digest": ""}
+    problems: list[dict] = []
     corrupt_by_shard: dict[str, int] = {}
     if reader is read_jsonl:
         from acled_spark.fsutil import fs_qualified_path
@@ -405,12 +406,23 @@ def verify_manifest(
                 for r in per_file
                 if r["corrupt"]
             }
-        except Exception:
-            # codec-level corruption fails the raw text pass the same
-            # way it fails the bulk parse — the per-shard fallback
-            # below reports those shards as "unreadable"
+        except Exception as exc:
+            # A failed raw-text pass must SURFACE, not silently skip
+            # the appended-garbage gate (r8 lens review): codec-level
+            # corruption usually also fails the bulk pass (whose
+            # per-shard fallback reports those shards "unreadable"),
+            # but a text-pass-ONLY failure previously produced no
+            # record at all — verify_manifest returned [] ("export
+            # intact") with its DROPMALFORMED-blindness gate unrun.
             corrupt_by_shard = {}
-    problems: list[dict] = []
+            if not unreadable:
+                problems.append(
+                    {
+                        "shard": "*",
+                        "problem": "text_pass_failed",
+                        "error": f"{type(exc).__name__}: {exc}"[:500],
+                    }
+                )
     for shard in sorted(corrupt_by_shard):
         problems.append(
             {

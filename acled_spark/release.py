@@ -201,9 +201,20 @@ class CorpusRelease:
                 sort_col="doc_id",
                 shuffle_seed=shuffle_seed,
             )
-            back = read_jsonl(spark, export_path, schema)
-            write_manifest(back, export_path)
-            problems = verify_manifest(spark, export_path, schema)
+            # Verification stages are report-don't-raise (r8 lens
+            # review): stages 1-4 have already mutated the signature
+            # store and folded the drift baseline, so a codec-level
+            # crash here (truncated-gzip shard failing write_manifest's
+            # collect, or the audit pass) must land as a
+            # manifest_problems record on the RETURNED result — raising
+            # would discard the retire/append/drift accounting the
+            # caller needs, for exactly the corruption class
+            # verify_manifest exists to report.  (A failed write_jsonl
+            # above still raises: there is no export to verify.)
+            try:
+                back = read_jsonl(spark, export_path, schema)
+                write_manifest(back, export_path)
+                problems = verify_manifest(spark, export_path, schema)
             # Round-trip completeness: the manifest is derived from the
             # same on-disk bytes it later verifies, so it cannot catch a
             # row that failed the JSON round-trip (DROPMALFORMED would
@@ -216,22 +227,34 @@ class CorpusRelease:
             # datasource — a line the two parsers judge differently
             # would otherwise make exported == expected while the real
             # consumer silently drops it.
-            audit = corrupt_line_audit(spark, export_path, schema).collect()[0]
-            exported = audit["total_lines"] - audit["corrupt_lines"]
-            consumer_rows = back.count()
-            if (
-                audit["corrupt_lines"]
-                or exported != expected
-                or consumer_rows != expected
-            ):
+                audit = corrupt_line_audit(
+                    spark, export_path, schema
+                ).collect()[0]
+                exported = audit["total_lines"] - audit["corrupt_lines"]
+                consumer_rows = back.count()
+                if (
+                    audit["corrupt_lines"]
+                    or exported != expected
+                    or consumer_rows != expected
+                ):
+                    problems.append(
+                        {
+                            "shard": "*",
+                            "problem": "export_rows",
+                            "expected_rows": expected,
+                            "parseable_rows": exported,
+                            "consumer_rows": consumer_rows,
+                            "corrupt_rows": audit["corrupt_lines"],
+                        }
+                    )
+            except Exception as exc:
+                exported = 0  # unknown — nothing verified round-trip
                 problems.append(
                     {
                         "shard": "*",
-                        "problem": "export_rows",
+                        "problem": "verification_crashed",
                         "expected_rows": expected,
-                        "parseable_rows": exported,
-                        "consumer_rows": consumer_rows,
-                        "corrupt_rows": audit["corrupt_lines"],
+                        "error": f"{type(exc).__name__}: {exc}"[:500],
                     }
                 )
 

@@ -19,7 +19,7 @@ from pyspark.sql import SparkSession
 
 from acled_spark.bronze import typed_cast, write_bronze
 from acled_spark.schema import PARTITION_COL
-from acled_spark.source import PageFetcher, ingest_day
+from acled_spark.source import DEFAULT_PAGE_LIMIT, PageFetcher, ingest_day
 
 # One source of truth with the writer: the partition dir prefix derives
 # from PARTITION_COL (write_bronze partitions by it), so the sensor can
@@ -88,7 +88,7 @@ def run_backfill(
     fetcher: PageFetcher,
     bronze_path: str,
     candidates: Sequence[date],
-    limit: int = 5000,
+    limit: int = DEFAULT_PAGE_LIMIT,
     rediff: bool = True,
 ) -> list[date]:
     """Materialize every missing candidate day (ref jobs.py:8-12 backfill).
@@ -139,7 +139,7 @@ def sensor_tick(
     bronze_path: str,
     today: date,
     days_back: int = 10,
-    limit: int = 5000,
+    limit: int = DEFAULT_PAGE_LIMIT,
 ) -> list[date]:
     """One scheduled sensor evaluation: diff -> probe -> ingest missing
     (the 172800s-interval acled_sensor body, ref sensors.py:14-159).

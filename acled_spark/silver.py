@@ -254,11 +254,23 @@ def upsert_partitioned(
         # versions AND a parquet rewrite leaves _delta_log pointing at
         # files that no longer exist — corruption, not a fallback
         # (round-7 review).  Reached when table_format='parquet' was
-        # forced, or 'auto' found delta-spark missing.
+        # forced, 'auto' found delta-spark missing, OR 'auto' found the
+        # log present but rejected by isDeltaTable (a half-created
+        # bootstrap) — the message must name the RIGHT one or it sends
+        # the operator debugging a call site that does not exist (r8
+        # lens review).
+        if DeltaTable is None:
+            reason = "delta-spark is not importable"
+        elif table_format == "parquet":
+            reason = "table_format='parquet' was forced"
+        else:
+            reason = (
+                "the log exists but DeltaTable.isDeltaTable rejects it — "
+                "likely a half-created Delta bootstrap (empty _delta_log)"
+            )
         raise ValueError(
             f"{target_path} is a Delta table (_delta_log present) but the "
-            "parquet upsert path was selected "
-            f"({'delta-spark is not importable' if DeltaTable is None else 'table_format=parquet was forced'}); "
+            f"parquet upsert path was selected ({reason}); "
             "rewriting it as parquet would corrupt the transaction log — "
             "install delta-spark / use table_format='delta', or convert "
             "the table to plain parquet first"
@@ -377,23 +389,27 @@ def delete_keys(
             .parquet(target_path)
         )
         if emptied:
-            jvm = spark._jvm
-            conf = spark._jsc.hadoopConfiguration()
             # Spark escapes special chars in partition directory names
             # (e.g. ':' -> '%3A') and maps NULL to the Hive default
             # partition — mirror both or the cleanup silently no-ops.
-            esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            esc = (
+                spark._jvm.org.apache.spark.sql.catalyst.catalog
+                .ExternalCatalogUtils
+            )
+            from acled_spark.fsutil import fs_delete_dir
             from acled_spark.maintenance import HIVE_NULL_PART
 
             for p in emptied:
                 dirname = (
                     HIVE_NULL_PART if p is None else esc.escapePathName(str(p))
                 )
-                jpath = jvm.org.apache.hadoop.fs.Path(
-                    f"{target_path}/{partition_col}={dirname}"
+                # fs_delete_dir raises on a False (non-raising) delete
+                # (r8 lens review): silently ignoring it returned a
+                # deleted-count while tombstoned rows stayed readable on
+                # disk — on the right-to-be-forgotten path
+                fs_delete_dir(
+                    spark, f"{target_path}/{partition_col}={dirname}"
                 )
-                fs = jpath.getFileSystem(conf)
-                fs.delete(jpath, True)
     else:
         # whole-table rewrite: stage first, then swap — a direct
         # mode("overwrite") deletes the old table BEFORE the new data
@@ -433,7 +449,12 @@ def _table_exists(spark: SparkSession, path: str) -> bool:
     fs = jpath.getFileSystem(conf)
     if not fs.exists(jpath):
         return False
+    # '.'-prefixed entries are crash debris, not data ('.spark-staging-*'
+    # from a died dynamic overwrite, '.crc' sidecars): counting them made
+    # a retry take the MERGE branch against a dataless directory and
+    # fail on schema inference forever instead of re-bootstrapping (r8
+    # lens review; same filter fsutil.fs_list_data_files applies).
     return any(
-        not status.getPath().getName().startswith("_")
+        not status.getPath().getName().startswith(("_", "."))
         for status in fs.listStatus(jpath)
     )

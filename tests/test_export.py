@@ -371,3 +371,27 @@ def test_verify_manifest_catches_appended_garbage(spark, tmp_path):
     assert "unparseable_lines" in kinds
     bad = [p for p in problems if p["problem"] == "unparseable_lines"][0]
     assert bad["corrupt_lines"] == 2
+
+
+def test_text_pass_only_failure_surfaces_as_problem(spark, tmp_path, monkeypatch):
+    """r8 lens review: when the BULK digest pass succeeds but the raw
+    text pass (the appended-garbage gate) crashes, verify_manifest used
+    to swallow the exception and return [] — 'export intact' with the
+    gate unrun.  It must emit a text_pass_failed record instead."""
+    from acled_spark import fsutil
+    from acled_spark.export import verify_manifest, write_manifest
+
+    docs = load(spark, SF_DIR, "documents").limit(30)
+    out = str(tmp_path / "tp_export")
+    write_jsonl(docs, out, shards=2, sort_col="doc_id")
+    write_manifest(read_jsonl(spark, out, DOC_SCHEMA), out)
+    assert verify_manifest(spark, out, DOC_SCHEMA) == []
+
+    def boom(*a, **k):
+        raise RuntimeError("text pass exploded")
+
+    monkeypatch.setattr(fsutil, "fs_qualified_path", boom)
+    problems = verify_manifest(spark, out, DOC_SCHEMA)
+    assert len(problems) == 1
+    assert problems[0]["problem"] == "text_pass_failed"
+    assert "text pass exploded" in problems[0]["error"]

@@ -482,3 +482,37 @@ def test_removed_then_readded_text_survives_release(spark, tmp_path):
         r["doc_id"] for r in read_jsonl(spark, out, schema).collect()
     }
     assert 9007 in exported_ids  # the re-added canonical doc shipped
+
+
+def test_release_verification_crash_reports_not_raises(spark, tmp_path, monkeypatch):
+    """r8 lens review: by the export-verification stage the signature
+    store and drift baseline are already mutated — a codec-level crash
+    there must land as a manifest_problems record on the RETURNED
+    ReleaseResult (retire/append accounting intact), not lose the whole
+    result to a Py4J traceback."""
+    from acled_spark import export as export_mod
+    from acled_spark.release import CorpusRelease
+
+    docs = load(spark, SF_DIR, "documents").select(*DOC_COLS)
+    old = docs.filter(F.col("doc_id") % 11 != 3)
+    new = docs
+
+    store = str(tmp_path / "store")
+    init_store(old, store)
+
+    def boom(*a, **k):
+        raise RuntimeError("audit pass exploded")
+
+    monkeypatch.setattr(export_mod, "corrupt_line_audit", boom)
+    res = CorpusRelease(store).apply(
+        spark, old, new, export_path=str(tmp_path / "export"), shards=2
+    )
+    assert res.appended > 0                       # stages 1-3 accounted
+    assert res.exported == 0                      # nothing verified
+    probs = {p["problem"] for p in res.manifest_problems}
+    assert "verification_crashed" in probs
+    crash = next(
+        p for p in res.manifest_problems
+        if p["problem"] == "verification_crashed"
+    )
+    assert "audit pass exploded" in crash["error"]

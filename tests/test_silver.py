@@ -488,3 +488,25 @@ def test_dynamic_mode_is_per_write_not_session_state(spark, tmp_path):
     assert spark.conf.get(conf_key, None) == before  # no session leak
     # and the option really was dynamic: day=05 survived the 06 write
     assert spark.read.parquet(target).count() == 2
+
+
+def test_table_exists_ignores_crash_debris(spark, tmp_path):
+    """r8 lens review: a died dynamic overwrite leaves only
+    '.spark-staging-*' under the target — counting dot-entries as data
+    made the retry take the MERGE branch against a dataless directory
+    and fail on schema inference forever instead of re-bootstrapping."""
+    import os
+
+    from acled_spark.silver import _table_exists, upsert_partitioned
+    from acled_spark.tables import load
+
+    target = str(tmp_path / "silver_debris")
+    os.makedirs(os.path.join(target, ".spark-staging-deadjob"))
+    assert not _table_exists(spark, target)
+
+    # and the retry actually re-bootstraps through the debris
+    ev = load(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "day", F.to_date("ts")
+    ).limit(50).localCheckpoint()
+    upsert_partitioned(spark, ev, target, key="event_id", partition_col="day")
+    assert spark.read.parquet(target).count() == 50
