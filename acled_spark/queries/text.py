@@ -1480,3 +1480,149 @@ def dup_span_census(
         )
         .orderBy("lang")
     )
+
+
+# --- BM25 top-k retrieval ------------------------------------------------------
+# The IR primitive a training-data pipeline uses for targeted corpus
+# queries (contamination probes, topic pulls, eval-set mining): Okapi
+# BM25 (Robertson & Zaragoza 2009, public literature) over the
+# whitespace-token index, scored for a pinned query set.  k1/b are the
+# textbook defaults.
+BM25_K1, BM25_B = 1.2, 0.75
+BM25_QUERIES: tuple[tuple[int, str], ...] = (
+    (0, "window merge sort stream"),
+    (1, "vector hash join"),
+    (2, "slow query scan filter"),
+)
+# ONE derivation of the query terms, emitted as literals into BOTH
+# engines (the queries are spec, not data — unlike a13's histogram
+# buckets there is no independent semantics for the oracle to re-derive)
+_BM25_TERMS: tuple[tuple[int, str], ...] = tuple(
+    (qid, t)
+    for qid, qtext in BM25_QUERIES
+    for t in dict.fromkeys(qtext.lower().split())
+)
+
+_BM25_ORACLE = f"""
+    WITH q(query_id, term) AS (VALUES {", ".join(f"({i}, '{t}')" for i, t in _BM25_TERMS)}),
+    d AS (
+      SELECT doc_id, {_tokens_sql("lower(text)")} AS toks
+      FROM documents
+      WHERE length({WS_TRIM_TEXT_SQL}) > 0
+    ),
+    dlen AS (SELECT doc_id, len(toks) AS dl FROM d),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dlen),
+    tok AS (SELECT doc_id, unnest(toks) AS w FROM d),
+    tf AS (
+      SELECT doc_id, w, COUNT(*) AS tf
+      FROM tok
+      WHERE w IN (SELECT DISTINCT term FROM q)
+      GROUP BY doc_id, w
+    ),
+    df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+    term_scores AS (
+      SELECT q.query_id, tf.doc_id, tf.w,
+             ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * ({BM25_K1} + 1)
+               / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                  + {BM25_B} * dlen.dl / stats.avgdl)) AS s
+      FROM tf
+      JOIN df USING (w)
+      JOIN dlen USING (doc_id)
+      JOIN q ON q.term = tf.w
+      CROSS JOIN stats
+    ),
+    agg AS (
+      -- canonical-order fold: list(s ORDER BY w) then sequential sum,
+      -- mirroring Spark's sort_array+aggregate — a bare SUM() leaves
+      -- the addition order (and so the last ulp at ROUND boundaries)
+      -- engine-dependent
+      SELECT query_id, doc_id,
+             ROUND(list_aggregate(list(s ORDER BY w), 'sum'), 4) AS score,
+             COUNT(*) AS n_terms
+      FROM term_scores GROUP BY query_id, doc_id
+    ),
+    r AS (
+      SELECT query_id, doc_id, score, CAST(n_terms AS BIGINT) AS n_terms,
+             ROW_NUMBER() OVER
+               (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+      FROM agg
+    )
+    SELECT query_id, doc_id, score, n_terms, rnk
+    FROM r WHERE rnk <= 10 ORDER BY query_id, rnk
+"""
+
+
+@query("text_bm25_topk", oracle=_BM25_ORACLE, tags=("text", "extended", "topk"))
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 documents per pinned query.
+
+    Scale shape (100 TB): exactly TWO corpus-text scans — the exploded
+    token stream (filtered against the BROADCAST query vocabulary
+    BEFORE any aggregation, so the tf shuffle carries only query-term
+    hits, never the corpus vocabulary) and one narrow size()
+    projection for document lengths, localCheckpointed (~16 B/doc) so
+    the avgdl scalar and the score join both read the materialized
+    lengths instead of re-tokenizing the corpus (un-checkpointed, the
+    plan re-evaluated the text scan FOUR times).  df is derived from
+    the already-tiny tf frame.  Per-(query, doc) scores fold term
+    contributions in CANONICAL term order (sort_array + sequential
+    aggregate — the vector-kernel discipline), so the rounded score is
+    bit-identical across engines and partitionings; rank ties break on
+    doc_id.
+    """
+    docs = load(spark, sf_dir, "documents").filter(
+        F.length(ws_trim(F.col("text"))) > 0
+    )
+    toks_col = _tokens_spark(F.lower(F.col("text")))
+    d = docs.select("doc_id", toks_col.alias("toks"))
+    dlen = d.select("doc_id", F.size("toks").alias("dl")).localCheckpoint()
+    stats = dlen.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qterms = spark.createDataFrame(
+        list(_BM25_TERMS), "query_id int, term string"
+    )
+    vocab = qterms.select(F.col("term").alias("w")).distinct()
+    tf = (
+        d.select("doc_id", F.explode("toks").alias("w"))
+        .join(F.broadcast(vocab), "w")
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("w").agg(F.count("*").alias("df"))
+    sat = (
+        F.col("tf") * (BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + BM25_K1
+            * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    term_scores = (
+        tf.join(F.broadcast(df), "w")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(qterms), F.col("w") == F.col("term"))
+        .select("query_id", "doc_id", "w", (idf * sat).alias("s"))
+    )
+    agg = term_scores.groupBy("query_id", "doc_id").agg(
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("w", "s"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["s"],
+            ),
+            4,
+        ).alias("score"),
+        F.count("*").cast("long").alias("n_terms"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    return (
+        agg.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 10)
+        .orderBy("query_id", "rnk")
+    )

@@ -209,6 +209,22 @@ def test_mm_feature_extract_single_scan_no_join(spark):
     assert "Join" not in plan
 
 
+def test_bm25_two_scans_broadcast_vocab(spark):
+    """BM25's executed plan: exactly two corpus scans (token explode +
+    the checkpointed length projection), the query vocabulary joined
+    by BROADCAST before any aggregation, and no sort-merge join — the
+    tf shuffle carries query-term hits only."""
+    import re
+
+    from acled_spark.registry import all_specs
+
+    df = all_specs()["text_bm25_topk"].builder(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Scan parquet", plan)) == 2, plan[:2000]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_mm_decode_real_single_scan_no_join(spark):
     """The real-codec decode pass is a narrow mapInPandas over one
     documents scan: no join, no shuffle wider than the bounded
