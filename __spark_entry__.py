@@ -121,6 +121,12 @@ _RECERT_PRIORITY: frozenset[str] = frozenset(
         # opposite ends); a13's oracle rewritten as an independent
         # hand-written literal
         "w1_moving_avg_7d", "w4_lag_delta", "a13_histogram",
+        # r8 scale lens: zero-token docs excluded from packing in BOTH
+        # engines; prep's canonical pick re-keyed null-safe in BOTH;
+        # domain check re-aggregated (summary values unchanged);
+        # release_delta_audit re-planned (scan-side fingerprints)
+        "pack_sequences", "pack_materialize", "prep_corpus_stats",
+        "chk_validation_summary", "release_delta_audit",
     }
 )
 

@@ -206,26 +206,50 @@ def domain_membership(
 ) -> Check:
     """All values in a fixed domain; reports unknown + missing categories
     via anti-membership set logic (ref acled_checks.py:402-472, J3).
-    ``collect_set`` is safe here by the check's own contract: the column
-    is categorical (set size = |domain|-ish, not |rows|).
 
-    NULL is not in any declared domain, and ``collect_set`` silently
-    drops it — counted separately so a NULL-flooded column can't sail
-    through as "all values valid" (``allow_null=True`` restores the
-    lenient reading for optional columns)."""
+    Aggregation-state discipline (r8 scale lens): the adversarial case
+    this check SCREENS FOR — per-row garbage (UUIDs, payloads) written
+    into a categorical column — is exactly where a naive
+    ``collect_set`` of the raw values grows to row cardinality in one
+    unspillable in-memory buffer and ships the whole set to the driver,
+    OOMing the validation job instead of reporting the failure.  So:
+    the KNOWN-value set is collected only over values inside the
+    declared domain (bounded by |domain| by construction — it feeds the
+    ``missing`` report), the unknown side is an EXACT
+    ``count_distinct`` (the spillable hash-aggregate path; one long
+    crosses to the driver), and the report carries bounded min/max
+    example values instead of the full set.
+
+    NULL is not in any declared domain and every set/count expression
+    here silently drops it — counted separately so a NULL-flooded
+    column can't sail through as "all values valid" (``allow_null=True``
+    restores the lenient reading for optional columns)."""
+    vals = list(valid)
+    col = F.col(column)
+    unknown_val = F.when(~col.isin(vals) & col.isNotNull(), col)
     aggs = {
-        "actual": F.collect_set(F.col(column)),
-        "nulls": F.count(F.when(F.col(column).isNull(), 1)),
+        "known": F.collect_set(F.when(col.isin(vals), col)),
+        "n_unknown": F.count_distinct(unknown_val),
+        "unknown_lo": F.min(unknown_val),
+        "unknown_hi": F.max(unknown_val),
+        "nulls": F.count(F.when(col.isNull(), 1)),
     }
 
     def finalize(m: dict) -> CheckResult:
-        actual = set(m["actual"] or [])
-        unknown = sorted(actual - set(valid))
-        missing = sorted(set(valid) - actual)
+        known = set(m["known"] or [])
+        missing = sorted(set(valid) - known)
+        examples = sorted(
+            {v for v in (m["unknown_lo"], m["unknown_hi"]) if v is not None}
+        )
         null_ok = allow_null or m["nulls"] == 0
         return CheckResult(
-            f"domain[{column}]", not unknown and null_ok, blocking,
-            {"unknown": unknown, "missing": missing, "nulls": m["nulls"]},
+            f"domain[{column}]", m["n_unknown"] == 0 and null_ok, blocking,
+            {
+                "n_unknown": m["n_unknown"],
+                "unknown_examples": examples,
+                "missing": missing,
+                "nulls": m["nulls"],
+            },
             f"{column} values within the declared domain",
         )
 

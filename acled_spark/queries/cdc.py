@@ -216,33 +216,45 @@ def release_delta_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized lazily: `delta` and `retire` both consume the diff,
     # and without the checkpoint the full-outer fingerprint join over
     # both snapshot scans would execute twice (ReuseExchange does not
-    # dedupe the differently-filtered consumers)
-    diff = snapshot_diff(old, new).select("doc_id", "status").localCheckpoint(
-        eager=False
+    # dedupe the differently-filtered consumers).  Unchanged rows are
+    # FILTERED OUT before the checkpoint (r8 scale lens): neither
+    # consumer reads them, and on a routine 1%-delta release they are
+    # ~99% of the corpus — materializing them to executor disk bought
+    # nothing.
+    diff = (
+        snapshot_diff(old, new)
+        .select("doc_id", "status")
+        .filter(F.col("status") != "unchanged")
+        .localCheckpoint(eager=False)
     )
-    delta = (
-        new.join(
-            diff.filter(F.col("status").isin("added", "changed")),
-            "doc_id",
-        )
-        .select(
-            "doc_id",
-            "status",
-            fingerprint_spark(F.col("text")).alias("fp"),
-        )
-        .withColumn(
-            "k",
-            F.coalesce(
-                "fp", F.concat(F.lit("null:"), F.col("doc_id").cast("string"))
-            ),
-        )
+    # Fingerprints are projected SCAN-SIDE, before any join (r8 scale
+    # lens): joining the raw snapshots on doc_id first put the full
+    # TEXT column under the shuffle whenever the delta is too large for
+    # AQE to broadcast (first release / major re-crawl — the exact
+    # corpus-text-on-the-wire shape this module's docstring forbids);
+    # with the projection the joins move 32-hex digests only, same
+    # discipline as snapshot_diff itself.
+    new_fp = new.select(
+        "doc_id", fingerprint_spark(F.col("text")).alias("fp")
+    )
+    old_fp = old.select(
+        "doc_id", fingerprint_spark(F.col("text")).alias("fp")
+    )
+    delta = new_fp.join(
+        diff.filter(F.col("status").isin("added", "changed")),
+        "doc_id",
+    ).withColumn(
+        "k",
+        F.coalesce(
+            "fp", F.concat(F.lit("null:"), F.col("doc_id").cast("string"))
+        ),
     )
     retire = diff.filter(F.col("status").isin("changed", "removed")).select(
         "doc_id"
     )
     keep_fps = (
-        old.join(retire, "doc_id", "left_anti")
-        .select(fingerprint_spark(F.col("text")).alias("fp"))
+        old_fp.join(retire, "doc_id", "left_anti")
+        .select("fp")
         .filter(F.col("fp").isNotNull())
         .distinct()
         .withColumn("_in_corpus", F.lit(True))

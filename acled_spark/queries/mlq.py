@@ -105,7 +105,8 @@ def ml_target_encode_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # discipline as features.out_of_fold_target_encode
     fold_stats = base.groupBy("c_mktsegment", "fold").agg(
         F.count("o_totalprice").alias("cnt"), F.sum("o_totalprice").alias("s")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # lazy (r8 lens): eager ran the fact
+    # join at BUILD time, so explain()/plan-gates executed a cluster job
     seg_tot = fold_stats.groupBy("c_mktsegment").agg(
         F.sum("cnt").cast("long").alias("tot_cnt"), F.sum("s").alias("tot_s")
     )

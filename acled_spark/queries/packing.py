@@ -42,7 +42,12 @@ def _n_tok() -> F.Column:
     "pack_sequences",
     oracle=f"""
     WITH d AS (
+      -- zero-token docs carry nothing to pack and never advance the
+      -- running sum, so an unbounded run of them (scraper-failure
+      -- blanks at crawl scale) would pile into ONE bin (r8 scale
+      -- lens) — excluded on BOTH engines
       SELECT doc_id, lang, {_NTOK_SQL} AS n_tok FROM documents
+      WHERE {_NTOK_SQL} > 0
     ),
     c AS (
       SELECT lang, n_tok,
@@ -89,7 +94,10 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    b = docs.select("doc_id", "lang", n_tok.alias("n_tok")).select(
+    # zero-token exclusion mirrors the oracle (see its inline note)
+    b = docs.select("doc_id", "lang", n_tok.alias("n_tok")).filter(
+        F.col("n_tok") > 0
+    ).select(
         "lang",
         "n_tok",
         # floor-div on BOTH engines: DuckDB's int/int '/' returns DOUBLE
@@ -190,9 +198,14 @@ EOS = " <eos> "
                / {TOKEN_BUDGET}) AS BIGINT) AS bin,
              doc_id
       FROM (
+        -- zero-token exclusion: without it the (lang, bin) group is
+        -- NOT bounded by TOKEN_BUDGET — blank docs never advance the
+        -- running sum, so millions of them (each potentially MBs of
+        -- whitespace) land in one collect_list buffer (r8 scale lens)
         SELECT doc_id, lang, text,
                {_NTOK_SQL} AS n_tok
         FROM documents
+        WHERE {_NTOK_SQL} > 0
       )
     )
     SELECT lang, bin,
@@ -222,7 +235,11 @@ def pack_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    b = docs.select("doc_id", "lang", "text", n_tok.alias("n_tok")).select(
+    # zero-token exclusion mirrors the oracle (see its inline note) —
+    # this is what makes the docstring's bounded-group claim TRUE
+    b = docs.select("doc_id", "lang", "text", n_tok.alias("n_tok")).filter(
+        F.col("n_tok") > 0
+    ).select(
         "lang",
         "doc_id",
         "text",

@@ -176,9 +176,15 @@ from acled_spark.queries.text import (  # noqa: E402
       FROM documents
     ),
     d AS (
+      -- NULL-safe dedup key, mirroring the engine (each NULL-text doc
+      -- is its own trivial group; moot after the n_tok gate, but the
+      -- two sides must read 1:1).  The oracle may keep the window
+      -- spelling — skew is a Spark-executor concern, not DuckDB's.
       SELECT doc_id, lang, split, n_tok,
              {GATE_DR_SQL} AS dr,
-             doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS canon
+             doc_id = MIN(doc_id) OVER (
+               PARTITION BY COALESCE(fp, 'null:' || CAST(doc_id AS VARCHAR))
+             ) AS canon
       FROM t
     ),
     kept AS (
@@ -202,12 +208,11 @@ def prep_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the query a data team runs before every training round;
     each stage reuses the exact shared constants of its standalone
     operator, so the capstone stays consistent with the parts.  Scale:
-    ONE corpus scan; the fingerprint window is the only wide shuffle
-    (16-byte key), gates and split are narrow maps, and the final
-    rollup is |splits x langs|.
+    ONE corpus scan; the canonical pick is a digest-keyed partial
+    aggregate + join (skew-immune — see the inline note), gates and
+    split are narrow maps, and the final rollup is |splits x langs|.
     """
     from acled_spark.queries.text import fingerprint_spark
-    from pyspark.sql.window import Window
 
     docs = load(spark, sf_dir, "documents")
     n_tok, dr = gate_exprs(F.col("text"))
@@ -217,14 +222,28 @@ def prep_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_spark(F.col("doc_id")).alias("split"),
         n_tok.alias("n_tok"),
         dr.alias("dr"),
-        fingerprint_spark(F.col("text")).alias("fp"),
-    ).withColumn(
-        "canon", F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("fp"))
+        # NULL-safe dedup key: NULL-text fingerprints must not collapse
+        # into one group (each NULL doc is its own trivial group)
+        F.coalesce(
+            fingerprint_spark(F.col("text")),
+            F.concat(F.lit("null:"), F.col("doc_id").cast("string")),
+        ).alias("fp"),
     )
-    kept = d.filter(
-        (F.col("n_tok") >= MIN_TOKENS)
-        & (F.col("dr") >= MIN_DISTINCT_RATIO)
-        & F.col("canon")
+    # Canonical pick via groupBy(min) + join, NOT a window over fp (r8
+    # scale lens): a window forces EVERY copy of a hot duplicated text
+    # (10^6-doc boilerplate groups on a real pre-dedup crawl) onto one
+    # reducer task with no partial aggregation and no AQE skew rescue —
+    # AQE splits skewed JOINS, not windows.  min() partial-aggregates
+    # map-side, and the join back is a digest-keyed shuffle AQE can
+    # skew-split.  Same shape as dedup_exact.
+    canon_ids = d.groupBy("fp").agg(F.min("doc_id").alias("canon_id"))
+    kept = (
+        d.join(canon_ids, "fp")
+        .filter(
+            (F.col("n_tok") >= MIN_TOKENS)
+            & (F.col("dr") >= MIN_DISTINCT_RATIO)
+            & (F.col("doc_id") == F.col("canon_id"))
+        )
     )
     return (
         kept.groupBy("split", "lang")
@@ -336,7 +355,8 @@ def chk_validation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             return m["out_of_range"] + m["nulls"]
         if r.name.startswith("domain"):
             # NULL counts as one unknown "category", like the engine
-            return len(m["unknown"]) + (1 if m["nulls"] else 0)
+            # (n_unknown = exact distinct unknown values, r8)
+            return m["n_unknown"] + (1 if m["nulls"] else 0)
         if r.name.startswith("pk_unique"):
             # dup rows + null-keyed rows == COUNT(*) - COUNT(DISTINCT key)
             return m["duplicates"] + m["null_keys"]
@@ -456,14 +476,18 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE corpus scan to the |types|·bins sketch; materialized so the
     # shared PSI core (grid completion, window totals, ln arithmetic —
     # acled_spark/drift.py, the same code DriftMonitor runs per batch)
-    # never re-scans events (plan pin: zero parquet scans)
+    # never re-scans events (plan pin: zero parquet scans).  eager=False
+    # (r8 lens): the default EAGER checkpoint ran the full corpus scan
+    # at DataFrame-BUILD time, so merely explain()-ing the query (the
+    # plan-hygiene gate, a deployment review) executed a cluster job;
+    # lazy materializes on the first real action with identical reuse.
     merged = (
         e.groupBy("group", "bin")
         .agg(
             F.sum("is_new").alias("n_new_b"),
             F.sum(1 - F.col("is_new")).alias("n_old_b"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     return psi_from_merged(merged, _PSI_BINS).withColumnRenamed(
         "group", "event_type"

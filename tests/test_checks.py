@@ -75,8 +75,28 @@ def test_domain_membership_reports_unknown_and_missing(spark):
         df, [domain_membership("etype", ["Battles", "Protests", "Riots", "Strategic developments"])]
     )[0]
     assert not res.passed
-    assert res.metrics["unknown"] == ["UFO sighting"]
+    assert res.metrics["n_unknown"] == 1
+    assert res.metrics["unknown_examples"] == ["UFO sighting"]
     assert res.metrics["missing"] == ["Strategic developments"]
+
+
+def test_domain_membership_bounded_under_garbage_flood(spark):
+    """r8 scale lens: per-row garbage in a categorical column (the very
+    failure the check screens for) must yield an exact distinct count
+    and bounded examples — never a row-cardinality set shipped to the
+    driver.  1000 distinct UUID-ish values -> n_unknown == 1000,
+    exactly 2 example values, missing domain intact."""
+    rows = GOOD + [
+        (f"g{i}", date(2025, 1, 2), 1.0, 0, f"uuid-{i:04d}")
+        for i in range(1000)
+    ]
+    res = run_checks(
+        _df(spark, rows), [domain_membership("etype", ["Battles", "Protests", "Riots"])]
+    )[0]
+    assert not res.passed
+    assert res.metrics["n_unknown"] == 1000
+    assert res.metrics["unknown_examples"] == ["uuid-0000", "uuid-0999"]
+    assert len(res.metrics["unknown_examples"]) == 2
 
 
 def test_pk_unique(spark):

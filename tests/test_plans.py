@@ -282,21 +282,54 @@ def test_dim_stats_topk_and_partial_agg(spark):
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
 
 
+def _shuffle_input_attrs(df) -> list[list[str]]:
+    """Attribute names feeding every shuffle exchange in the executed
+    plan — the ACTUAL exchange payload.  The old textual pin grepped
+    only Exchange header lines (partitioning keys), which cannot see a
+    wide column riding the exchange input (r8 scale lens: that blind
+    spot hid corpus text under two doc_id shuffles)."""
+    out: list[list[str]] = []
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            # AQE wraps the tree and exposes no children(); walk its
+            # pre-execution plan (the shape the first run executes)
+            walk(node.initialPlan())
+            return
+        if "ShuffleExchange" in name:
+            attrs = node.child().output()
+            out.append([attrs.apply(i).name() for i in range(attrs.size())])
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
 def test_release_delta_audit_no_text_in_exchanges(spark):
-    """release_delta_audit: every exchange carries doc ids, digests, and
-    flags only — raw document text must never shuffle (the same pin as
-    snapshot_diff, held across the full dedup-audit composition)."""
-    plan = _plan(spark, "release_delta_audit")
-    exec_plan = (
-        all_specs()["release_delta_audit"]
-        .builder(spark, SF_DIR)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    for line in exec_plan.splitlines():
-        if "Exchange" in line:
-            assert "text" not in line, line
+    """release_delta_audit: every shuffle exchange carries doc ids,
+    digests, and flags only — raw document text must never shuffle.
+    Checked on the exchange INPUT ATTRIBUTES with auto-broadcast OFF
+    (simulating a corpus-scale delta where AQE cannot downgrade the
+    doc_id joins to broadcast — exactly the case where text used to
+    ride the wire before the r8 scan-side fingerprint projection)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = all_specs()["release_delta_audit"].builder(spark, SF_DIR)
+        payloads = _shuffle_input_attrs(df)
+        assert payloads, "expected shuffle exchanges with broadcast off"
+        for attrs in payloads:
+            assert "text" not in attrs, attrs
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # and the same invariant under the default planner
+    for attrs in _shuffle_input_attrs(
+        all_specs()["release_delta_audit"].builder(spark, SF_DIR)
+    ):
+        assert "text" not in attrs, attrs
 
 
 def test_band_join_broadcasts_intervals_no_fact_shuffle(spark):

@@ -193,3 +193,36 @@ def test_dup_span_census_rejects_materialize_without_skew_safe(spark):
     docs = load(spark, SF_DIR, "documents").limit(5)
     with _pytest.raises(ValueError, match="skew_safe"):
         dup_span_census(docs, skew_safe=False, materialize=True)
+
+
+def test_packing_excludes_zero_token_docs(spark, tmp_path):
+    """r8 scale lens: blank docs never advance the running token sum,
+    so an unbounded run of them used to pile into ONE (lang, bin)
+    collect_list group — the per-group bound the docstring claims held
+    only without them.  Both packing queries now exclude n_tok == 0."""
+    from acled_spark.registry import all_specs
+
+    rows = [(i, "", "en", "t", 0) for i in range(500)]          # blanks
+    rows += [(1000 + i, "   \t  ", "en", "t", 5) for i in range(500)]
+    rows += [
+        (2000 + i, " ".join(f"tok{j}" for j in range(100)), "en", "t", 600)
+        for i in range(40)
+    ]
+    d = str(tmp_path / "blanks")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    seq = all_specs()["pack_sequences"].builder(spark, d).collect()
+    assert len(seq) == 1
+    r = seq[0]
+    assert r["docs"] == 40                      # 1000 blanks excluded
+    assert r["tokens"] == 40 * 100
+    # 2048-token budget -> ~20 docs/bin; the old behavior put all 1000
+    # blanks in bin 0 (max_docs_per_bin >= 1000)
+    assert r["max_docs_per_bin"] <= 21
+
+    mat = all_specs()["pack_materialize"].builder(spark, d).collect()
+    assert sum(m["n_docs"] for m in mat) == 40
+    assert all(m["n_docs"] <= 21 for m in mat)
