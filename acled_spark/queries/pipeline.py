@@ -229,20 +229,29 @@ def prep_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("null:"), F.col("doc_id").cast("string")),
         ).alias("fp"),
     )
-    # Canonical pick via groupBy(min) + join, NOT a window over fp (r8
+    # Canonical pick via min_by AGGREGATION, not a window over fp (r8
     # scale lens): a window forces EVERY copy of a hot duplicated text
     # (10^6-doc boilerplate groups on a real pre-dedup crawl) onto one
     # reducer task with no partial aggregation and no AQE skew rescue —
-    # AQE splits skewed JOINS, not windows.  min() partial-aggregates
-    # map-side, and the join back is a digest-keyed shuffle AQE can
-    # skew-split.  Same shape as dedup_exact.
-    canon_ids = d.groupBy("fp").agg(F.min("doc_id").alias("canon_id"))
+    # AQE splits skewed JOINS, not windows.  min_by combines MAP-SIDE
+    # (one struct per fp per task crosses the wire, hot keys included)
+    # and needs neither a second corpus scan nor a join back.  Measured
+    # same-session warm A/B at sf0.1 (min-of-3): min_by 0.74 s vs
+    # window 0.82 s vs groupBy+join 1.47 s (the join re-tokenized the
+    # corpus for the key frame) — the skew-immune shape is also the
+    # fastest.  Rows sharing fp share text, so the min-doc_id row IS
+    # the canonical doc with its own gate columns.
     kept = (
-        d.join(canon_ids, "fp")
+        d.groupBy("fp")
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "lang", "split", "n_tok", "dr"), "doc_id"
+            ).alias("r")
+        )
+        .select("r.*")
         .filter(
             (F.col("n_tok") >= MIN_TOKENS)
             & (F.col("dr") >= MIN_DISTINCT_RATIO)
-            & (F.col("doc_id") == F.col("canon_id"))
         )
     )
     return (
