@@ -127,6 +127,9 @@ _RECERT_PRIORITY: frozenset[str] = frozenset(
         # release_delta_audit re-planned (scan-side fingerprints)
         "pack_sequences", "pack_materialize", "prep_corpus_stats",
         "chk_validation_summary", "release_delta_audit",
+        # r8 lens: _with_event_time drops NULL event times on BOTH
+        # faces (mirrored as ts IS NOT NULL in the t3 oracle)
+        "t3_tumbling_window",
     }
 )
 

@@ -37,7 +37,9 @@ fetcher pickles its credentials and re-authenticates per task.
 
 from __future__ import annotations
 
+import http.client
 import json
+import ssl
 import time
 import urllib.error
 import urllib.parse
@@ -50,6 +52,38 @@ from datetime import date
 # (reference: 5-minute buffer, acled_request_config.py:37-45).
 EXPIRY_BUFFER_SECONDS = 300.0
 DEFAULT_TIMEOUT_SECONDS = 30.0
+RETRY_AFTER_CAP_SECONDS = 60.0  # ceiling on honoring a server Retry-After
+
+
+def _retry_wait(headers: dict | None, default: float) -> float:
+    """Backoff for one retry: a server Retry-After (seconds form,
+    capped — an adversarial/buggy header must not stall an executor
+    for hours) when present, else the exponential default.  The
+    ~3.5 s total exponential budget cannot outlast a real rate-limit
+    window on its own (r8 lens), and the server said when to come
+    back."""
+    ra = (headers or {}).get("Retry-After")
+    if ra is not None:
+        try:
+            return min(max(float(ra), 0.0), RETRY_AFTER_CAP_SECONDS)
+        except ValueError:
+            pass  # HTTP-date form (rare) -> fall back to exponential
+    return default
+
+
+# The transient-failure taxonomy for retries (r8 lens): URLError covers
+# connect-phase faults, but a failure while READING the body — an LB
+# closing mid-response (http.client.IncompleteRead and friends) or a
+# mid-read TLS error — subclasses neither URLError nor ConnectionError,
+# and one truncated response used to abort the whole day fetch with a
+# raw traceback instead of the documented backoff.
+TRANSIENT_EXCS = (
+    urllib.error.URLError,
+    ConnectionError,
+    TimeoutError,
+    http.client.HTTPException,
+    ssl.SSLError,
+)
 
 
 class ApiError(Exception):
@@ -85,8 +119,13 @@ class TokenData:
         )
 
     def is_expired(self, now: float) -> bool:
-        """Expired = within the 5-minute safety buffer of expiry."""
-        return now + EXPIRY_BUFFER_SECONDS >= self.expires_at
+        """Expired = within the safety buffer of expiry.  The buffer is
+        the smaller of 5 minutes and HALF the token's own lifetime
+        (r8 lens): a server issuing expires_in <= 300 made every token
+        expired at the instant of receipt, so each page request fired
+        a fresh grant — a grant storm under executor fan-out."""
+        buffer = min(EXPIRY_BUFFER_SECONDS, self.expires_in / 2.0)
+        return now + buffer >= self.expires_at
 
 
 def _http_json(
@@ -94,8 +133,10 @@ def _http_json(
     data: bytes | None = None,
     headers: dict[str, str] | None = None,
     timeout: float = DEFAULT_TIMEOUT_SECONDS,
-) -> tuple[int, dict]:
-    """One HTTP round-trip -> (status, parsed-JSON body).
+) -> tuple[int, dict, dict]:
+    """One HTTP round-trip -> (status, parsed-JSON body, response
+    headers).  The callers unpack ``status, payload, *rest`` so an
+    injected test transport may still return a bare 2-tuple.
 
     HTTPError is a response too (4xx/5xx) — normalized into the same
     tuple so callers branch on status, not exception type.
@@ -103,11 +144,12 @@ def _http_json(
     req = urllib.request.Request(url, data=data, headers=headers or {})
     try:
         with urllib.request.urlopen(req, timeout=timeout) as resp:
+            hdrs = dict(resp.headers)
             body = resp.read()
             if not body:
-                return resp.status, {}
+                return resp.status, {}, hdrs
             try:
-                return resp.status, json.loads(body)
+                return resp.status, json.loads(body), hdrs
             except json.JSONDecodeError as exc:
                 # a 200 with a non-JSON body (proxy/LB error page) must
                 # surface through the normal error taxonomy, not as a
@@ -123,7 +165,7 @@ def _http_json(
             payload = json.loads(body) if body else {}
         except json.JSONDecodeError:
             payload = {"raw": body.decode("utf-8", "replace")}
-        return exc.code, payload
+        return exc.code, payload, dict(exc.headers or {})
 
 
 @dataclass
@@ -199,16 +241,14 @@ class OAuthTokenClient:
         attempt = 0
         while True:
             try:
-                status, payload = self.transport(
+                status, payload, *rest = self.transport(
                     self.token_url,
                     data=body,
                     headers={"Content-Type": "application/x-www-form-urlencoded"},
                     timeout=self.timeout,
                 )
             except (
-                urllib.error.URLError,
-                ConnectionError,
-                TimeoutError,
+                *TRANSIENT_EXCS,
                 ApiError,  # transport-level: 200 with a non-JSON body
             ) as exc:
                 if attempt >= self.max_retries:
@@ -229,7 +269,10 @@ class OAuthTokenClient:
                         f"HTTP {status}",
                         status=status,
                     )
-                self.sleep(self.backoff * (2**attempt))
+                self.sleep(_retry_wait(
+                    rest[0] if rest else None,
+                    self.backoff * (2**attempt),
+                ))
                 attempt += 1
                 continue
             break
@@ -340,12 +383,13 @@ class HttpPageFetcher:
             # branch below
             headers = self.auth.auth_header()
             try:
-                status, payload = self.auth.transport(
+                status, payload, *rest = self.auth.transport(
                     url, headers=headers, timeout=self.auth.timeout
                 )
-            except (urllib.error.URLError, ConnectionError, TimeoutError) as exc:
-                # connection-level failure (refused, reset, DNS, timeout):
-                # same backoff policy as a 5xx
+            except TRANSIENT_EXCS as exc:
+                # connection- or read-phase failure (refused, reset, DNS,
+                # timeout, truncated body, mid-read TLS): same backoff
+                # policy as a 5xx
                 if attempt >= self.max_retries:
                     raise ApiError(
                         f"API request failed after {attempt + 1} attempts: {exc}"
@@ -412,7 +456,10 @@ class HttpPageFetcher:
                         f"HTTP {status}",
                         status=status,
                     )
-                self.sleep(self.backoff * (2**attempt))
+                self.sleep(_retry_wait(
+                    rest[0] if rest else None,
+                    self.backoff * (2**attempt),
+                ))
                 attempt += 1
                 continue
             raise ApiError(f"API request failed: HTTP {status}", status=status)

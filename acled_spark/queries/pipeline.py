@@ -78,7 +78,7 @@ def s8_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS event_count,
            ROUND(SUM(value), 2) AS total_value,
            TRUE AS stream_matches_batch
-    FROM events GROUP BY 1, 4 ORDER BY window_start
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 4 ORDER BY window_start
     """,
     tags=("pipeline", "streaming", "time"),
 )

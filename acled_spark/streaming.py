@@ -128,8 +128,23 @@ def stateful_user_totals(events: DataFrame, ttl_ms: int | None = None) -> DataFr
     (running-totals-since-last-activity semantics — callers needing
     lifetime totals must either keep the default and a bounded key
     domain, or merge emitted rows in the sink).
+
+    Restart constraints (r8 lens): the timeout TYPE is part of the
+    checkpointed operator contract — toggling ``ttl_ms`` between None
+    and a value on an EXISTING checkpoint changes
+    NoTimeout<->ProcessingTimeTimeout, which Spark's stateful-op
+    restart rules do not support; adopt a TTL by starting a NEW
+    checkpoint.  And timeouts are registered per key on its next
+    APPEARANCE: keys already in state that never reappear are not
+    evicted by a later-added TTL (their state predates any
+    setTimeoutDuration call) — another reason TTL adoption means a
+    fresh checkpoint, not a flag flip.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from acled_spark.tables import configure
+
+    configure(events.sparkSession)
 
     def update(key, pdfs, state):
         import pandas as pd
@@ -184,8 +199,29 @@ def _with_event_time(
     (batch ignores them; and they REQUIRE the tz type — TIMESTAMP_NTZ
     event time raises EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE, measured).
     Under the UTC-pinned session the cast is wall-clock-preserving.
+
+    Two r8 lens fixes:
+
+    - **The UTC pin is applied HERE, not assumed.**  Every batch path
+      reaches it through ``tables.load()`` -> ``configure()``, but a
+      streaming source is built straight off ``spark.readStream`` — a
+      harness/cluster session with another timezone would silently
+      shift every NTZ<->LTZ cast, and a checkpointed query RESTARTED
+      under a different session timezone would bucket the same
+      wall-clock ts into different windows than its own checkpointed
+      state.  ``configure()`` is idempotent and cheap.
+    - **NULL event times are dropped on BOTH faces.**  The streaming
+      face's watermark silently drops them anyway; the batch face used
+      to emit a NULL-window row, so the two faces of one expression
+      disagreed on totals whenever bronze's null-on-error cast
+      produced a NULL ts (the "one expression for batch AND stream"
+      contract this helper exists to enforce).
     """
+    from acled_spark.tables import configure
+
+    configure(events.sparkSession)
     events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    events = events.filter(F.col(ts_col).isNotNull())
     if watermark is not None and events.isStreaming:
         events = events.withWatermark(ts_col, watermark)
     return events
@@ -326,10 +362,10 @@ def attribution_pairs(
     stream-stream joins (no time bound) never free state — the interval
     condition is the 100 TB/day design, not a restriction.
     """
-    ts = F.col("ts").cast("timestamp")
-    src = events.withColumn("ts", ts)
-    if events.isStreaming:
-        src = src.withWatermark("ts", watermark)
+    # the SHARED event-time preamble (r8 lens): a private inline copy
+    # silently missed every fix the helper accumulates (UTC pin,
+    # NULL-ts drop, the r7 batch-face cast)
+    src = _with_event_time(events, "ts", watermark)
     views = src.filter(F.col("event_type") == "view").select(
         F.col("user_id"),
         F.col("event_id").alias("view_id"),

@@ -704,3 +704,66 @@ def test_token_grant_non_json_200_retries():
     client = _fake_auth(transport)
     assert client.get_access_token() == "tok"
     assert calls["n"] == 2
+
+
+def test_mid_body_truncation_retries(stub_server):
+    """r8 lens: a failure while READING the body (http.client.
+    IncompleteRead — an LB closing mid-response) subclasses neither
+    URLError nor ConnectionError and used to abort the whole day fetch
+    on attempt 1 instead of taking the documented backoff."""
+    import http.client
+
+    from acled_spark.http_client import _http_json
+
+    calls = {"n": 0}
+
+    def flaky(url, data=None, headers=None, timeout=None):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise http.client.IncompleteRead(b"half a body")
+        return _http_json(url, data=data, headers=headers, timeout=timeout)
+
+    fetcher = make_http_fetcher("u@x.io", "pw", base_url=stub_server, backoff=0.0)
+    fetcher.auth.transport = flaky
+    fetcher.auth.sleep = lambda s: None  # no real backoff sleeps
+    rows = fetch_day(fetcher, DAY, limit=50)
+    assert len(rows) == len(StubAcledHandler.rows)
+    assert calls["n"] >= 3  # two truncations retried through
+
+
+def test_retry_after_header_honored_and_capped():
+    """r8 lens: the exponential budget totals ~3.5s — a real rate-limit
+    window outlasts it, and the server SAYS when to come back.  The
+    429 branch sleeps Retry-After (capped), not the exponential."""
+    sleeps = []
+    responses = iter([
+        (200, {"access_token": "tok", "expires_in": 3600}),
+        (429, {}, {"Retry-After": "7"}),
+        (429, {}, {"Retry-After": "99999"}),   # capped to 60
+        (200, {"data": []}),
+    ])
+
+    def transport(url, data=None, headers=None, timeout=None):
+        return next(responses)
+
+    auth = OAuthTokenClient(
+        "u", "p", transport=transport, sleep=sleeps.append, backoff=0.5
+    )
+    fetcher = HttpPageFetcher(auth=auth, sleep=sleeps.append)
+    assert fetcher(DAY, 1, 50, {}) == []
+    assert sleeps[0] == 7.0
+    assert sleeps[1] == 60.0  # RETRY_AFTER_CAP_SECONDS
+
+
+def test_short_lived_token_is_not_instantly_expired():
+    """r8 lens: expires_in <= the 5-minute buffer made every token
+    expired at receipt -> one grant per page request (a grant storm
+    under executor fan-out).  The buffer is now min(300, lifetime/2)."""
+    t = TokenData(access_token="x", expires_in=300.0, expires_at=1000.0 + 300.0)
+    assert not t.is_expired(now=1000.0)          # fresh: usable
+    assert not t.is_expired(now=1000.0 + 140.0)  # before the half-life buffer
+    assert t.is_expired(now=1000.0 + 151.0)      # inside it
+    # long-lived tokens keep the full 5-minute buffer
+    t2 = TokenData(access_token="x", expires_in=86400.0, expires_at=1000.0 + 86400.0)
+    assert not t2.is_expired(now=1000.0 + 86400.0 - 301.0)
+    assert t2.is_expired(now=1000.0 + 86400.0 - 299.0)

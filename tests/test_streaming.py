@@ -293,3 +293,24 @@ def test_dedup_stream_batch_face_casts_event_time(spark):
     out = dedup_stream(df, key_cols=("event_id",))
     assert dict(out.dtypes)["ts"] == "timestamp"  # same type as the stream face
     assert out.collect()[0]["tag"] == "early-instant"
+
+
+def test_windowed_counts_batch_face_drops_null_ts(spark):
+    """r8 lens: the streaming face's watermark silently drops NULL
+    event times, so the batch face of the SAME expression must too —
+    it used to emit a NULL-window row, and the two faces of the 'one
+    expression for batch AND stream' contract disagreed on totals
+    whenever bronze's null-on-error cast produced a NULL ts."""
+    from acled_spark.streaming import windowed_counts
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 5.0),
+        (2, "2024-01-01 11:00:00", 7.0),
+        (3, None, 100.0),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts string, value double")
+    out = windowed_counts(ev).collect()
+    assert len(out) == 1
+    assert out[0]["event_count"] == 2          # the NULL-ts row is gone
+    assert out[0]["total_value"] == 12.0
+    assert out[0]["window_start"] is not None
