@@ -130,6 +130,10 @@ _RECERT_PRIORITY: frozenset[str] = frozenset(
         # r8 lens: _with_event_time drops NULL event times on BOTH
         # faces (mirrored as ts IS NOT NULL in the t3 oracle)
         "t3_tumbling_window",
+        # r8 lens: embedding._valid_vectors — NULL-element/ragged
+        # vectors excluded from sums AND n (self-cert rows-only query;
+        # values unchanged on the clean pinned corpus)
+        "sim_pca_top_component",
     }
 )
 

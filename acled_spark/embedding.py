@@ -47,6 +47,40 @@ def _dot_lit(vec_col: str, lit_vec: list[float]) -> F.Column:
     )
 
 
+def _valid_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """Rows carrying a FULLY-valid vector: non-empty, no NULL element,
+    exactly the corpus's modal width.
+
+    The eigen math here requires the sums and ``n`` to see the SAME
+    population (r8 lens): a vector with one NULL element poisons its
+    whole ``C·v`` contribution to NULL (zip_with/aggregate propagate),
+    and a ragged vector NULL-pads — either way the row drops from the
+    sums while ``n`` still counted it, deflating the eigenvalue,
+    explained_ratio, and the residual CERTIFICATION with no signal.
+    Same degenerate-input contract as the similarity family (fixed
+    width, exclusion); the width is the modal size (one cheap
+    size-histogram aggregation), deterministic for any input.
+    """
+    sizes = (
+        df.filter(F.size(F.col(vec_col)) > 0)
+        .groupBy(F.size(F.col(vec_col)).alias("d"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "d")
+        .limit(1)
+        .collect()
+    )
+    if not sizes:
+        raise ValueError(
+            f"no vectors in column {vec_col!r} (empty frame or all-"
+            "NULL/empty embeddings) — nothing to decompose"
+        )
+    d = sizes[0]["d"]
+    return df.filter(
+        (F.size(F.col(vec_col)) == d)
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+    )
+
+
 def mean_vector(df: DataFrame, vec_col: str = "embedding") -> list[float]:
     """Per-dimension mean as a plain Python list (d values, one pass).
 
@@ -148,12 +182,10 @@ def eigen_residual(
     (exact Gramian or power iteration), so the registered query's
     driver row pins the linear-algebra claim itself.
     """
+    df = _valid_vectors(df, vec_col)  # sums and n must see ONE population
     if mu is None:
         mu = mean_vector(df, vec_col)
-    # size(col) > 0 is false for NULL *and* empty-array embeddings: the
-    # C·v sums see only rows posexplode emits, so n must count exactly
-    # those or the residual certifies against a scaled-down C
-    n = df.filter(F.size(F.col(vec_col)) > 0).count()
+    n = df.count()
     cv = _cov_vec_product(df, vec_col, mu, component, n)
     num = math.sqrt(
         sum((a - eigenvalue * b) ** 2 for a, b in zip(cv, component))
@@ -175,12 +207,10 @@ def top_component(df: DataFrame, vec_col: str = "embedding") -> dict:
     from pyspark.ml.feature import PCA
     from pyspark.ml.functions import array_to_vector
 
-    # NULL and empty-array embeddings: excluded, like every aggregate
-    # here (without the filter PCA.fit dies on a null/0-dim vector deep
-    # in the JVM instead of the frame simply contributing fewer rows);
-    # size(col) > 0 is false for both shapes
-    nn = df.filter(F.size(F.col(vec_col)) > 0)
-    vec = nn.select(
+    # one validity contract for PCA.fit AND every aggregate below (see
+    # _valid_vectors): NULL/empty/ragged/NULL-element vectors excluded
+    df = _valid_vectors(df, vec_col)
+    vec = df.select(
         array_to_vector(
             F.transform(F.col(vec_col), lambda x: x.cast("double"))
         ).alias("__v")
@@ -230,6 +260,7 @@ def power_iteration_top_component(
     every reduction is a Spark aggregate.  Each iteration is ONE pass;
     the driver never holds more than d floats.
     """
+    df = _valid_vectors(df, vec_col)
     mu, total_var, n = _moments(df, vec_col)
     d = len(mu)
 

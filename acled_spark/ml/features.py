@@ -5,8 +5,12 @@ All encoders are DataFrame-native:
   broadcast-joined back (never a Python dict .map) — fit/transform split
   mirrors the reference's ``fit_encoders`` serving mode (ml.py:84-126);
 - M2 one-hot / M3 label encoding via StringIndexer/OneHotEncoder inside
-  a Pipeline (unseen -> handleInvalid="keep", remapped to -1 for parity
-  with ml.py:138-139);
+  a Pipeline (unseen/NULL -> handleInvalid="keep", i.e. the extra
+  LARGEST ordinal — the MLlib-native convention the assembler needs;
+  the reference's -1-sentinel parity (ml.py:138-139) lives in the
+  standalone ``label_encode_fit``/``label_encode_transform`` pair,
+  which the ml_label_encode oracle checks — the two conventions are
+  deliberately NOT the same, r8 lens);
 - M4 distance-from-center from frozen medians (ml.py:142-153);
 - M5 assembly via VectorAssembler.
 """
@@ -111,6 +115,11 @@ def out_of_fold_target_encode(
     one stats shuffle total instead of K passes.  Folds must be a
     deterministic int column (e.g. ``pmod(hash(key), k)``); the oracle-
     checked variant lives in queries/mlq.py (ml_target_encode_cv).
+
+    ``n_folds`` VALIDATES the fold column (r8 lens — it was previously
+    accepted and ignored, inviting the false belief it controlled
+    bucketing): every observed fold value must lie in [0, n_folds);
+    checked on the already-tiny stats frame, no extra corpus pass.
     """
     out_col = f"{cat_col}_target_encoded"
     # internal stat columns carry a __oof_ prefix so an input frame
@@ -134,6 +143,18 @@ def out_of_fold_target_encode(
         )
         .localCheckpoint()
     )
+    bad_folds = [
+        r["__oof_fold"]
+        for r in fold_stats.select("__oof_fold").distinct().collect()
+        if r["__oof_fold"] is None
+        or not (0 <= r["__oof_fold"] < n_folds)
+    ]
+    if bad_folds:
+        raise ValueError(
+            f"fold column {fold_col!r} holds values outside "
+            f"[0, {n_folds}): {sorted(bad_folds, key=str)[:10]} — pass "
+            "the n_folds the fold column was actually bucketed with"
+        )
     totals = fold_stats.groupBy("__oof_cat").agg(
         F.sum("__oof_cnt").alias("__oof_tot_cnt"),
         F.sum("__oof_s").alias("__oof_tot_s"),

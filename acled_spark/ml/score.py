@@ -45,7 +45,11 @@ def score(
     vanish; pass ``allow_incomplete_rows=True`` to accept the drop
     knowingly (the returned frame then covers only complete rows).
     """
-    pred = model.transform(df)
+    # cache before the guard count (r8 lens): the count executes the
+    # full pipeline transform, and an uncached frame re-executed it for
+    # every downstream aggregate — the default path paid the scoring
+    # cost 3+ times
+    pred = model.transform(df).cache()
     if not allow_incomplete_rows:
         n_in, n_out = df.count(), pred.count()
         if n_out < n_in:
@@ -79,8 +83,14 @@ def error_analysis(scored: DataFrame, group_col: str | None = None) -> dict:
     Single aggregation pass; the optional per-group frame is a second
     small aggregate (ref ml.py:673-685).
     """
+    # n = ALL rows, n_labeled = rows carrying ground truth: every
+    # error metric below covers only labeled rows (the NULL-propagation
+    # contract in score()), so rates must be read against n_labeled —
+    # on a part-labeled serving frame the within/above buckets
+    # partition n_labeled, NOT n (r8 lens)
     row = scored.agg(
         F.count("*").alias("n"),
+        F.count("prediction_error").alias("n_labeled"),
         F.sqrt(F.avg(F.pow("prediction_error", 2))).alias("rmse"),
         F.avg("absolute_error").alias("mae"),
         F.avg("prediction_error").alias("bias"),

@@ -69,9 +69,14 @@ def _quality_score(audit) -> float:
     """((kN - missing) / kN) * 100 over the audited fields
     (ref report.py:122-132) — one definition for both report KPI blocks."""
     n = audit["n_rows"]
-    missing = sum(audit[k] for k in _AUDITED_FIELDS)
     k = len(_AUDITED_FIELDS)
-    return round(100.0 * (k * n - missing) / (k * n), 2) if n else 100.0
+    if not n:
+        # guard BEFORE touching the audited sums: an empty table's
+        # F.sum() fields are NULL/None, and summing them raised the
+        # TypeError this fallback exists to prevent (r8 lens)
+        return 100.0
+    missing = sum(audit[k_] for k_ in _AUDITED_FIELDS)
+    return round(100.0 * (k * n - missing) / (k * n), 2)
 
 
 def _rows(frame_rows, date_cols=()):

@@ -172,3 +172,37 @@ def test_empty_array_embeddings_excluded_like_nulls(spark):
     # the standalone certifier sees the same n
     r = eigen_residual(dirty, "embedding", res["component"], res["eigenvalue"])
     assert r < 1e-6
+
+
+def test_null_element_and_ragged_vectors_excluded_consistently(spark):
+    """r8 lens: a vector with one NULL element poisoned its C·v
+    contribution to NULL while n still counted it — eigenvalue,
+    explained_ratio, and the residual certification deflated silently.
+    _valid_vectors excludes NULL-element/ragged/empty vectors from the
+    sums AND the count, so the certified numbers match the clean
+    corpus exactly."""
+    import random
+
+    from acled_spark.embedding import top_component
+
+    rng = random.Random(3)
+    clean = [(i, [rng.gauss(0, 1) + (0.5 * (j == 0)) for j in range(8)])
+             for i in range(60)]
+    dirty = clean + [
+        (100, [1.0, None, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),  # NULL element
+        (101, [2.0, 2.0]),                                  # ragged
+        (102, []),                                          # empty
+        (103, None),                                        # NULL vector
+    ]
+    schema = "vec_id long, embedding array<double>"
+    ref = top_component(spark.createDataFrame(clean, schema))
+    got = top_component(spark.createDataFrame(dirty, schema))
+    assert got["n"] == ref["n"] == 60
+    # last-ulp wiggle only: the filtered frame's partitioning changes
+    # the JVM-side sum order, so values agree to ~1e-12, not ==
+    assert got["eigenvalue"] == pytest.approx(ref["eigenvalue"], rel=1e-9)
+    assert got["residual"] < 1e-12 and ref["residual"] < 1e-12
+    assert got["component"] == pytest.approx(ref["component"], abs=1e-9)
+    assert got["explained_ratio"] == pytest.approx(
+        ref["explained_ratio"], rel=1e-9
+    )

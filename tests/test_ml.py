@@ -342,3 +342,52 @@ def test_model_package_sidecar_is_strict_json_with_nan_metrics(spark, tmp_path):
         isinstance(v, float) and not math.isfinite(v)
         for v in parsed["performance_metrics"].values()
     )
+
+
+def test_error_analysis_reports_labeled_base(spark, training_frame):
+    """r8 lens: on a part-labeled serving frame (the NULL-propagation
+    path score() supports), the within/above buckets partition
+    n_labeled, NOT n — and both bases are reported so no consumer
+    divides by the wrong one."""
+    from pyspark.sql import functions as F
+
+    from acled_spark.ml.score import error_analysis, risk_level
+
+    scored = training_frame.limit(100).select(
+        "event_id",
+        F.col("value").alias("prediction"),
+        F.when(F.col("event_id") % 5 != 0, F.col("value") + 2.0).alias("label"),
+    ).select(
+        "*",
+        (F.col("prediction") - F.col("label")).alias("prediction_error"),
+        F.abs(F.col("prediction") - F.col("label")).alias("absolute_error"),
+        risk_level(F.col("prediction")).alias("predicted_risk"),
+        risk_level(F.col("label")).alias("actual_risk"),
+    )
+    out = error_analysis(scored)
+    assert out["n"] == 100
+    assert out["n_labeled"] == scored.filter("label IS NOT NULL").count()
+    assert out["within_1"] + out["within_5"] - out["within_1"] >= 0
+    assert out["within_5"] + out["above_5"] == out["n_labeled"]
+    assert out["n_labeled"] < out["n"]
+
+
+def test_oof_encode_validates_fold_domain(spark):
+    """r8 lens: n_folds was accepted and ignored; it now validates the
+    fold column so a mismatched bucketing fails loudly."""
+    import pytest
+
+    from acled_spark.ml.features import out_of_fold_target_encode
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 0), ("a", 2.0, 7), ("b", 3.0, 1)],
+        "cat string, y double, fold int",
+    )
+    with pytest.raises(ValueError, match="outside"):
+        out_of_fold_target_encode(df, "cat", "y", "fold", n_folds=5).collect()
+    # in-domain folds pass
+    ok = spark.createDataFrame(
+        [("a", 1.0, 0), ("a", 2.0, 1), ("b", 3.0, 1)],
+        "cat string, y double, fold int",
+    )
+    assert out_of_fold_target_encode(ok, "cat", "y", "fold", n_folds=5).count() == 3

@@ -270,3 +270,23 @@ def test_cli_report_writes_artifacts(spark, tmp_path):
     assert report["total_events"] > 0
     assert heat["regions_with_data"] > 0
     assert os.path.getsize(os.path.join(out, "report.txt")) > 0
+
+
+def test_quality_score_empty_table_is_100_not_typeerror(spark):
+    """r8 lens: an empty documents table gives NULL audited sums, and
+    summing them ran BEFORE the n==0 guard — the guard's own input
+    crashed with TypeError instead of returning the 100.0 fallback."""
+    from acled_spark.queries.aggregates import a3_null_empty_audit
+    from acled_spark.report import _quality_score
+
+    empty = spark.createDataFrame(
+        [],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="empty_docs_")
+    empty.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    audit = a3_null_empty_audit(spark, d).collect()[0]
+    assert audit["n_rows"] == 0 and audit["text_nulls"] is None
+    assert _quality_score(audit) == 100.0
