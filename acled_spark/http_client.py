@@ -62,7 +62,13 @@ def _retry_wait(headers: dict | None, default: float) -> float:
     ~3.5 s total exponential budget cannot outlast a real rate-limit
     window on its own (r8 lens), and the server said when to come
     back."""
-    ra = (headers or {}).get("Retry-After")
+    # case-insensitive lookup: HTTP/2 servers and many proxies emit
+    # lowercase 'retry-after' (header names are case-insensitive per
+    # RFC 9110 §5.1), and a case-sensitive .get silently ignored them
+    ra = next(
+        (v for k, v in (headers or {}).items() if k.lower() == "retry-after"),
+        None,
+    )
     if ra is not None:
         try:
             return min(max(float(ra), 0.0), RETRY_AFTER_CAP_SECONDS)
@@ -185,7 +191,9 @@ class OAuthTokenClient:
     client_id: str = "acled"
     timeout: float = DEFAULT_TIMEOUT_SECONDS
     clock: Callable[[], float] = time.time
-    transport: Callable[..., tuple[int, dict]] = field(default=_http_json)
+    transport: Callable[..., "tuple[int, dict] | tuple[int, dict, dict]"] = (
+        field(default=_http_json)
+    )
     max_retries: int = 3
     backoff: float = 0.5
     sleep: Callable[[float], None] = time.sleep

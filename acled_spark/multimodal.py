@@ -168,9 +168,11 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
         raise ValueError(
             f"BMP pixel data truncated: {len(payload)} bytes, need {need}"
         )
+    # bounded slices: payload[start:][:row_bytes] copies the entire
+    # remaining buffer per row — O(height × payload) memory traffic
     rows = [
-        payload[data_off + r * (row_bytes + pad):][:row_bytes]
-        for r in range(h)
+        payload[start : start + row_bytes]
+        for start in range(data_off, data_off + h * (row_bytes + pad), row_bytes + pad)
     ]
     if not top_down:
         rows.reverse()  # un-flip bottom-up storage to top-down

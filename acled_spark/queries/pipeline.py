@@ -490,6 +490,10 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at DataFrame-BUILD time, so merely explain()-ing the query (the
     # plan-hygiene gate, a deployment review) executed a cluster job;
     # lazy materializes on the first real action with identical reuse.
+    # Residual caveat (r9, pinned in test_plans): under AQE, toRdd
+    # inside even a LAZY checkpoint pre-runs the aggregate's MAP stage
+    # at build time — accepted here because two downstream consumers
+    # (grid domain + fill join) repay the one materialization.
     merged = (
         e.groupBy("group", "bin")
         .agg(

@@ -1576,7 +1576,13 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks_col = _tokens_spark(F.lower(F.col("text")))
     d = docs.select("doc_id", toks_col.alias("toks"))
-    dlen = d.select("doc_id", F.size("toks").alias("dl")).localCheckpoint()
+    # eager=False: the default eager checkpoint runs the tokenization
+    # job at DataFrame-BUILD time, so explain()/plan gates would
+    # execute a corpus scan; lazy keeps identical reuse semantics once
+    # the first real action runs (same fix as drift_psi, r8)
+    dlen = d.select("doc_id", F.size("toks").alias("dl")).localCheckpoint(
+        eager=False
+    )
     stats = dlen.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )

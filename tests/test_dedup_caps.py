@@ -276,3 +276,57 @@ def test_containment_cap_shares_jaccard_cap_semantics(spark):
     assert all(capped[k] <= exact[k] for k in capped)  # never adds evidence
     # boilerplate-only pairs are exactly what the cap exists to drop
     assert (0, 1) in exact and (0, 1) not in capped
+
+
+@pytest.fixture(scope="module")
+def hot_block_embeddings(spark):
+    """Five small label blocks (one holding a genuine near-dup vector
+    pair) + one planted 200-vector near-constant block under label 99
+    — the runaway quantizer cell max_block exists to bound."""
+    from acled_spark.queries.similarity import DIM
+
+    def vec(seed, jitter=0.0):
+        return [((seed * 31 + j * 7) % 13) / 13.0 + (jitter if j == 0 else 0.0)
+                for j in range(DIM)]
+
+    rows = []
+    vid = 0
+    for lab in range(5):
+        for k in range(6):
+            rows.append((vid, lab, vec(lab * 100 + k))); vid += 1
+    # near-dup pair inside label 0: same direction, tiny perturbation
+    rows.append((9001, 0, vec(7)))
+    rows.append((9002, 0, vec(7, jitter=0.001)))
+    rows += [(10_000 + k, 99, vec(42)) for k in range(200)]
+    return spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+
+
+def test_embedding_max_block_bounds_pair_fanout(hot_block_embeddings):
+    from acled_spark.queries.dedup import embedding_cosine_pairs
+
+    uncapped = embedding_cosine_pairs(hot_block_embeddings).count()
+    assert uncapped >= 200 * 199 // 2  # the planted block alone
+
+    capped = embedding_cosine_pairs(hot_block_embeddings, max_block=50).collect()
+    # the quadratic block is dropped wholesale (explicit exclusion)
+    assert len(capped) < 200
+    assert all(r["label"] != 99 for r in capped)
+    # the genuine near-dup pair in a natural-sized block survives
+    match = [r for r in capped if (r["vec1"], r["vec2"]) == (9001, 9002)]
+    assert match and match[0]["cosine"] > 0.999
+
+
+def test_embedding_cap_at_or_above_block_size_is_exact(hot_block_embeddings):
+    """A cap no block exceeds must be a no-op (oracle-exactness)."""
+    from acled_spark.queries.dedup import embedding_cosine_pairs
+
+    exact = sorted(map(tuple, embedding_cosine_pairs(hot_block_embeddings).collect()))
+    lax = sorted(
+        map(
+            tuple,
+            embedding_cosine_pairs(hot_block_embeddings, max_block=500).collect(),
+        )
+    )
+    assert exact == lax

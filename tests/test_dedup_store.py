@@ -90,6 +90,44 @@ def test_replayed_epoch_reports_identical_verdicts_for_batch_dups(spark, store):
     assert v[3002]["dup_of"] is None
 
 
+def test_redelivered_nonminimal_holder_keeps_one_store_canonical(spark, store):
+    """ADVICE r8: the replay exemption must apply ONLY when the store's
+    holder is the batch canonical (store_min == batch_canonical).  A
+    holder redelivered at a NON-minimal batch id (cross-epoch duplicate
+    delivery, not same-epoch replay) must leave the batch-min doc a
+    real store-dup — the pre-r9 blanket exemption classified it as
+    neither exact- nor batch-dup, appended it, and created a SECOND
+    store holder for the fingerprint."""
+    from acled_spark.dedup_store import process_batch
+
+    root, _ = store
+    novel = "cross epoch redelivery sentence never present in the seed corpus"
+    # epoch 1: 5001 becomes the store's holder for this fingerprint
+    _, n1 = process_batch(
+        spark, _mk_batch(spark, [(5001, novel, "en", "srcx", len(novel))]), root
+    )
+    assert n1 == 1
+    # epoch 2: the holder is REDELIVERED alongside a smaller new id
+    batch2 = _mk_batch(spark, [
+        (4001, novel, "en", "srcx", len(novel)),   # batch min, new doc
+        (5001, novel, "en", "srcx", len(novel)),   # redelivered holder
+    ])
+    verdicts, n2 = process_batch(spark, batch2, root)
+    v = {r["doc_id"]: r for r in verdicts.collect()}
+    # batch-min doc is a real store-dup of the existing holder
+    assert v[4001]["is_exact_dup"] and v[4001]["dup_of"] == 5001
+    # the redelivered holder self-matches (not exact dup) and is a
+    # batch dup (not the batch min) -> nothing appends
+    assert not v[5001]["is_exact_dup"] and v[5001]["is_batch_dup"]
+    assert n2 == 0
+    # one-canonical-row-per-fingerprint invariant holds in the store
+    holders = (
+        spark.read.parquet(f"{root}/exact")
+        .groupBy("fingerprint").count().agg(F.max("count")).first()[0]
+    )
+    assert holders == 1
+
+
 def test_append_grows_store_by_survivors_and_is_idempotent(spark, store):
     root, corpus = store
     n0 = spark.read.parquet(f"{root}/exact").count()

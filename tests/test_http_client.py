@@ -755,6 +755,29 @@ def test_retry_after_header_honored_and_capped():
     assert sleeps[1] == 60.0  # RETRY_AFTER_CAP_SECONDS
 
 
+def test_retry_after_header_lowercase_honored():
+    """ADVICE r8: HTTP/2 servers and many proxies emit lowercase
+    'retry-after'; the lookup must be case-insensitive (RFC 9110 §5.1)
+    or the header is silently ignored and the ~3.5s exponential budget
+    the header was meant to outlast decides the wait."""
+    sleeps = []
+    responses = iter([
+        (200, {"access_token": "tok", "expires_in": 3600}),
+        (429, {}, {"retry-after": "11"}),
+        (200, {"data": []}),
+    ])
+
+    def transport(url, data=None, headers=None, timeout=None):
+        return next(responses)
+
+    auth = OAuthTokenClient(
+        "u", "p", transport=transport, sleep=sleeps.append, backoff=0.5
+    )
+    fetcher = HttpPageFetcher(auth=auth, sleep=sleeps.append)
+    assert fetcher(DAY, 1, 50, {}) == []
+    assert sleeps[0] == 11.0
+
+
 def test_short_lived_token_is_not_instantly_expired():
     """r8 lens: expires_in <= the 5-minute buffer made every token
     expired at receipt -> one grant per page request (a grant storm

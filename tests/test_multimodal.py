@@ -304,3 +304,72 @@ def test_sample_frames_rejects_nonpositive_every(spark):
     for bad in (0, -1):
         with _pytest.raises(ValueError, match="every"):
             sample_frames(media, every=bad)
+
+
+def test_phash_dedup_finds_planted_near_pairs(spark):
+    """mm_phash_dedup (r9): every planted (2k, 2k+1) same-source pair
+    must surface as a banded candidate and flag is_near; the blackout
+    perturbation makes most of them NEAR (hamming >= 1), certifying
+    the hash tolerates small pixel edits instead of only exact-byte
+    matches.  Output invariants: doc1 < doc2, hamming in [0, 64],
+    is_near == (hamming <= 6), fully deterministic order."""
+    from acled_spark.registry import all_specs
+
+    rows = all_specs()["mm_phash_dedup"].builder(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows == sorted(rows, key=lambda r: (r["hamming"], r["doc1"], r["doc2"]))
+    for r in rows:
+        assert r["doc1"] < r["doc2"]
+        assert 0 <= r["hamming"] <= 64
+        assert r["is_near"] == (r["hamming"] <= 6)
+    planted = [
+        r for r in rows if r["doc2"] == r["doc1"] + 1 and r["doc1"] % 2 == 0
+    ]
+    assert len(planted) == 75            # all 75 pairs of the 150-doc set
+    assert all(r["is_near"] for r in planted)
+    # the perturbation genuinely moves the hash for most pairs — this
+    # is a NEAR-dup detector, not an exact-hash equality check
+    assert sum(1 for r in planted if r["hamming"] >= 1) >= 60
+
+
+def test_phash_worker_hash_matches_pure_python_reference(spark):
+    """The Arrow-side aHash against an independent in-test
+    re-derivation from the same pixel definition (tile + blackout),
+    for a handful of docs — catches codec/band-packing drift without
+    the DuckDB oracle in the loop."""
+    from acled_spark.registry import all_specs
+    from acled_spark.tables import load
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, "/root/testdata/sf0.001", "documents")
+        .orderBy("doc_id").limit(6).collect()
+        if r["text"]
+    }
+
+    def ahash_bands(doc_id, src_text):
+        tb = src_text.encode("utf-8")
+        pix = bytearray((tb * (192 // len(tb) + 1))[:192])
+        if doc_id % 2 == 1:
+            pix[0:3] = b"\x00\x00\x00"
+        lum = [pix[3 * p] + pix[3 * p + 1] + pix[3 * p + 2] for p in range(64)]
+        total = sum(lum)
+        bits = [1 if 64 * l > total else 0 for l in lum]
+        return [sum(bits[16 * k + j] << j for j in range(16)) for k in range(4)]
+
+    # doc 2k vs 2k+1 hamming from the reference definition must equal
+    # the engine's reported hamming for that planted pair
+    rows = all_specs()["mm_phash_dedup"].builder(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    engine = {(r["doc1"], r["doc2"]): r["hamming"] for r in rows}
+    checked = 0
+    for even in (0, 2, 4):
+        if even in docs and even + 1 in docs and (even, even + 1) in engine:
+            a = ahash_bands(even, docs[even])
+            b = ahash_bands(even + 1, docs[even])
+            ham = sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+            assert engine[(even, even + 1)] == ham
+            checked += 1
+    assert checked >= 2

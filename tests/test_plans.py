@@ -225,6 +225,38 @@ def test_bm25_two_scans_broadcast_vocab(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_dataframe_build_runs_no_job(spark):
+    """ADVICE r8: eager localCheckpoint runs its job at DataFrame-BUILD
+    time, so merely constructing the query (explain()/plan gates)
+    executes a corpus-scale scan.  Building the checkpoint-bearing
+    queries must schedule no DATA job — the only build-time jobs
+    allowed are spark.read's 1-task parquet schema-inference footer
+    reads (every load() pays one; it never touches row data).
+    Iterative queries that must act to converge are exempt by design,
+    as is drift_psi: its tiny (|types|·bins) checkpoint is lazy, but
+    under AQE even a lazy checkpoint pre-runs the aggregate's map
+    stage at toRdd time — a documented cost its two downstream
+    consumers repay (plan-pinned zero downstream scans)."""
+    from acled_spark.registry import all_specs
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    for name in ("text_bm25_topk", "a26_approx_quantiles"):
+        group = f"build-probe-{name}"
+        sc.setJobGroup(group, "build-time job probe")
+        try:
+            all_specs()[name].builder(spark, SF_DIR)
+        finally:
+            sc.setJobGroup("", "")
+        for j in tracker.getJobIdsForGroup(group):
+            for s in tracker.getJobInfo(j).stageIds:
+                si = tracker.getStageInfo(s)
+                assert si.name.startswith("parquet at") and si.numTasks == 1, (
+                    f"{name} ran a data job at build time: "
+                    f"stage {si.name!r} ({si.numTasks} tasks)"
+                )
+
+
 def test_mm_decode_real_single_scan_no_join(spark):
     """The real-codec decode pass is a narrow mapInPandas over one
     documents scan: no join, no shuffle wider than the bounded
@@ -232,6 +264,22 @@ def test_mm_decode_real_single_scan_no_join(spark):
     plan = _plan(spark, "mm_decode_real")
     assert _scan_count(plan) == 1, plan[:2000]
     assert "Join" not in plan
+
+
+def test_mm_phash_two_scans_no_join_after_arrow(spark):
+    """Perceptual-hash dedup plan: two documents scans (the doc list +
+    the even-doc source-text side of the pairing join), ONE Arrow
+    stage, and — the design point — NO join downstream of it: band
+    rows carry the full hash, so Hamming is computed inline in the
+    bucket expansion instead of rejoining per-doc hashes (which would
+    re-run the Python encode per consumer)."""
+    plan = _plan(spark, "mm_phash_dedup")
+    assert _scan_count(plan) == 2, plan[:2000]
+    assert plan.count("MapInPandas") == 1
+    # plan strings print top-down: everything before the MapInPandas
+    # line is downstream of the Arrow stage
+    downstream = plan.split("MapInPandas")[0]
+    assert "Join" not in downstream, downstream
 
 
 def test_drift_psi_single_scan(spark):

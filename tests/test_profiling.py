@@ -114,6 +114,13 @@ def test_sf1_profiles_reproduce_measured_tables(spark):
     assert pb.recommended_cap is None
     pc = profile_caps(docs)
     assert pc.recommended_cap is None  # max df 140 <= 10 * p999 100
+    from acled_spark.profiling import profile_blocks
+
+    pe = profile_blocks(load(spark, HEAVY_DIR, "embeddings"))
+    # 10 uniform ~2,000-vector quantizer cells (max 2,180, median
+    # 1,960): no tail, no cap — the SCALE.md §max_block natural row
+    assert pe.n_keys == 10 and pe.max_size == 2180
+    assert pe.recommended_cap is None
 
     planted = docs.unionByName(
         spark.range(5000).select(
@@ -145,3 +152,68 @@ def test_sf1_profiles_reproduce_measured_tables(spark):
         ).collect()
     }
     assert nat <= capped
+
+
+def test_profile_blocks_small_key_fallback_detects_runaway_cell(spark):
+    """Label-block profiles have tens of keys, not the shingle index's
+    millions — p99.9 degenerates to the max there, so the bulk
+    statistic falls back to the MEDIAN (SMALL_PROFILE_KEYS).  30
+    natural 5-vector cells + one 500-vector runaway: detected, cap a
+    decade above the bulk, and engaging it keeps every natural pair."""
+    from acled_spark.profiling import profile_blocks
+    from acled_spark.queries.dedup import embedding_cosine_pairs
+    from acled_spark.queries.similarity import DIM
+
+    def vec(seed):
+        return [((seed * 31 + j * 7) % 13) / 13.0 for j in range(DIM)]
+
+    rows = []
+    vid = 0
+    for lab in range(30):
+        for k in range(5):
+            rows.append((vid, lab, vec(lab * 10 + k))); vid += 1
+    rows += [(10_000 + k, 99, vec(4)) for k in range(500)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    p = profile_blocks(emb)
+    assert p.n_keys == 31 and p.max_size == 500 and p.p50 == 5
+    assert p.tail_detected and p.recommended_cap == 50
+    natural = {
+        (r["vec1"], r["vec2"])
+        for r in embedding_cosine_pairs(emb.filter(F.col("label") != 99)).collect()
+    }
+    capped = {
+        (r["vec1"], r["vec2"])
+        for r in embedding_cosine_pairs(emb, max_block=p.recommended_cap).collect()
+    }
+    assert capped == natural  # all natural pairs kept, runaway gone
+
+
+def test_profile_blocks_uniform_cells_recommend_no_cap(spark):
+    """Uniform quantizer cells (the natural embeddings shape at every
+    tier): no tail, no cap — a cap here would only delete signal."""
+    from acled_spark.profiling import profile_blocks
+
+    emb = spark.range(600).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 12).cast("int").alias("label"),
+        F.array(F.lit(1.0)).alias("embedding"),
+    )
+    p = profile_blocks(emb)
+    assert p.n_keys == 12 and p.max_size == 50 and p.p50 == 50
+    assert p.recommended_cap is None
+
+
+def test_profile_blocks_excludes_null_labels(spark):
+    """NULL-label vectors never pair (the blocking join is
+    null-unsafe), so they must not distort the profile."""
+    from acled_spark.profiling import profile_blocks
+
+    emb = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.when(F.col("id") < 10, F.lit(0)).cast("int").alias("label"),
+        F.array(F.lit(1.0)).alias("embedding"),
+    )
+    p = profile_blocks(emb)
+    assert p.n_keys == 1 and p.max_size == 10

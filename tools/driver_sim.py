@@ -3,7 +3,7 @@ with its DuckDB oracle at sf0.01 on a PLAIN SparkSession — the exact
 shape of the driver's correctness gate, run before each round closes so
 oracle breakage is caught before CORRECTNESS_r0N does.
 
-Usage: python tools/driver_sim.py [sf_dir]
+Usage: python tools/driver_sim.py [sf_dir] [--only name1,name2,...]
 """
 
 from __future__ import annotations
@@ -22,7 +22,13 @@ def main() -> int:
     import __spark_entry__ as E
     from tests.conftest import normalize
 
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    only: set[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i : i + 2]
+    sf = args[0] if args else "/root/testdata/sf0.01"
     spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -30,6 +36,11 @@ def main() -> int:
     print(f"entry: {len(rows)} rows", flush=True)
 
     qs, osql = E.queries(), E.oracle_sql()
+    if only is not None:
+        unknown = only - set(qs)
+        if unknown:
+            raise SystemExit(f"--only names not in queries(): {sorted(unknown)}")
+        qs = {n: qs[n] for n in qs if n in only}
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem "
