@@ -45,9 +45,13 @@ TAIL_RATIO = 10.0
 HEADROOM = 10.0
 #: below this many keys, p99.9 degenerates to the max by construction
 #: (the top 0.1% IS the single largest key), so the tail test
-#: max ≫ p99.9 can never fire; small-key profiles (label blocks from a
+#: max ≫ p99.9 can never fire.  Only :func:`profile_blocks` opts into
+#: a MEDIAN-bulk fallback under this threshold (label blocks from a
 #: coarse quantizer have tens-to-hundreds of cells, not the shingle
-#: index's millions) fall back to the MEDIAN as the bulk statistic.
+#: index's millions); profile_caps/profile_buckets keep the p99.9 bulk
+#: unconditionally, so a naturally spread small shingle/bucket
+#: population can never trip a median-based cap that would wholesale-
+#: drop legitimate large keys (ADVICE r9).
 SMALL_PROFILE_KEYS = 1000
 
 
@@ -75,6 +79,7 @@ def _profile_sizes(
     size_col: str,
     tail_ratio: float,
     headroom: float,
+    median_fallback: bool = False,
 ) -> CapProfile:
     """Per-key sizes -> CapProfile.  Exact percentiles from the
     (size, n_keys) histogram (one small collect), never a sketch — a
@@ -108,10 +113,13 @@ def _profile_sizes(
     for s, n in hist:
         d = len(str(s)) - 1  # floor(log10(s)) for s >= 1
         decades[d] = decades.get(d, 0) + n
-    # bulk statistic: p99.9 when the key population supports it, the
+    # bulk statistic: p99.9 when the key population supports it; the
     # median below SMALL_PROFILE_KEYS (where p99.9 == max by
-    # construction and the tail test could never fire)
-    bulk = p999 if n_keys >= SMALL_PROFILE_KEYS else p50
+    # construction and the tail test could never fire) — but ONLY for
+    # callers that opt in (profile_blocks).  The other profiles keep
+    # p99.9 so a small naturally-spread population never trips a
+    # median-based cap (ADVICE r9).
+    bulk = p999 if (n_keys >= SMALL_PROFILE_KEYS or not median_fallback) else p50
     rec = None
     if max_size > tail_ratio * bulk:
         rec = int(headroom * max(bulk, 1))
@@ -170,13 +178,31 @@ def profile_blocks(
     never pairs and cannot contribute fan-out.  One map-side-combinable
     aggregate over the label column only; the histogram collect is
     |distinct block sizes|-bounded.
+
+    Feed it the SAME frame the pair join consumes — for the registered
+    query that is
+    :func:`acled_spark.queries.dedup.valid_width_embeddings` (the
+    width-filtered frame), not the raw table: ragged vectors never
+    pair, so counting them inflates block sizes and skews the
+    recommendation (ADVICE r9).
+
+    This is the ONE profile that opts into the small-key MEDIAN-bulk
+    fallback (quantizer cells number in the tens-to-hundreds, where
+    p99.9 degenerates to the max).  Caveat that fallback carries: on a
+    naturally spread small population (median far below max with no
+    single runaway cell) the median test can fire and the recommended
+    cap would drop legitimate large blocks wholesale — before applying
+    a cap from a sub-1000-key profile, check ``decades``: a genuine
+    runaway shows as an isolated top-decade key separated from the
+    bulk; a continuum of sizes up to the max means re-quantize (split
+    the big cells), don't drop.
     """
     sizes = (
         emb.filter(F.col("label").isNotNull())
         .groupBy("label")
         .agg(F.count("*").alias("sz"))
     )
-    return _profile_sizes(sizes, "sz", tail_ratio, headroom)
+    return _profile_sizes(sizes, "sz", tail_ratio, headroom, median_fallback=True)
 
 
 def profile_buckets(

@@ -590,7 +590,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``max_block`` to :func:`embedding_cosine_pairs` to bound the
     per-label quadratic term (SCALE.md §max_block).
     """
-    e = _valid_width_embeddings(spark, sf_dir)
+    e = valid_width_embeddings(spark, sf_dir)
     return (
         embedding_cosine_pairs(e)
         .orderBy(F.desc("cosine"), "vec1", "vec2")
@@ -598,12 +598,21 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _valid_width_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+def valid_width_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings frame restricted to full-width vectors — the
+    population every cosine consumer (pairing AND profiling) must
+    share.
+
+    Width filter mirrored in the oracle (r7 review): a ragged vector
+    NULL-coses via zip_with padding in Spark but ABORTS DuckDB's
+    list_dot_product ('list dimensions must be equal').  Public
+    (ADVICE r9): :func:`acled_spark.profiling.profile_blocks` must be
+    fed THIS frame, not the raw table — profiling unfiltered rows
+    counts vectors that can never pair and skews the cap
+    recommendation.
+    """
     from acled_spark.queries.similarity import DIM
 
-    # width filter mirrored in the oracle (r7 review): a ragged vector
-    # NULL-coses via zip_with padding in Spark but ABORTS DuckDB's
-    # list_dot_product ('list dimensions must be equal')
     return load(spark, sf_dir, "embeddings").filter(F.size("embedding") == DIM)
 
 

@@ -273,11 +273,15 @@ def test_mm_phash_two_scans_no_join_after_arrow(spark):
     rows carry the full hash, so Hamming is computed inline in the
     bucket expansion instead of rejoining per-doc hashes (which would
     re-run the Python encode per consumer)."""
+    import re
+
     plan = _plan(spark, "mm_phash_dedup")
     assert _scan_count(plan) == 2, plan[:2000]
-    assert plan.count("MapInPandas") == 1
-    # plan strings print top-down: everything before the MapInPandas
-    # line is downstream of the Arrow stage
+    # formatted explain prints every node twice (tree line + detail
+    # header) — count tree nodes, not raw substring occurrences
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan[:2000]
+    # the tree section prints top-down: everything before the FIRST
+    # MapInPandas line is downstream of the Arrow stage
     downstream = plan.split("MapInPandas")[0]
     assert "Join" not in downstream, downstream
 

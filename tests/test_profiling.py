@@ -190,6 +190,33 @@ def test_profile_blocks_small_key_fallback_detects_runaway_cell(spark):
     assert capped == natural  # all natural pairs kept, runaway gone
 
 
+def test_median_fallback_scoped_to_profile_blocks_only(spark):
+    """ADVICE r9: the small-key MEDIAN fallback is profile_blocks'
+    opt-in, not shared behavior — the SAME 31-key skewed distribution
+    that makes profile_blocks recommend a cap must leave
+    profile_buckets (and profile_caps' shared path) at None, because a
+    sub-1000-key bucket/df population with spread sizes is a natural
+    shape there and a median-based cap would wholesale-drop legitimate
+    large keys (drop semantics lose all their pairs)."""
+    rows = []
+    doc = 0
+    for k in range(30):
+        for _ in range(5):
+            rows.append((doc, 0, f"nat{k}")); doc += 1
+    for _ in range(500):
+        rows.append((doc, 0, "big")); doc += 1
+    bands = spark.createDataFrame(
+        rows, "doc_id long, band_id int, band_key string"
+    )
+    p = profile_buckets(bands)
+    # identical histogram to the profile_blocks runaway test (30×5 +
+    # 1×500) — there it fires with cap 50; here p99.9 degenerates to
+    # the max, the tail test cannot fire, and that is the POINT
+    assert p.n_keys == 31 and p.max_size == 500 and p.p50 == 5
+    assert p.p999 == 500
+    assert p.recommended_cap is None
+
+
 def test_profile_blocks_uniform_cells_recommend_no_cap(spark):
     """Uniform quantizer cells (the natural embeddings shape at every
     tier): no tail, no cap — a cap here would only delete signal."""
