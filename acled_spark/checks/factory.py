@@ -68,6 +68,11 @@ def build_suite(config: Sequence[dict]) -> list[engine.Check]:
     refs = _schema_refs()
     checks = []
     for i, entry in enumerate(config):
+        if not isinstance(entry, dict):
+            raise ValueError(
+                f"suite entry #{i} must be a mapping with a 'type' key, "
+                f"got {type(entry).__name__}: {entry!r}"
+            )
         entry = dict(entry)
         ctype = entry.pop("type", None)
         if ctype is None:
@@ -102,4 +107,18 @@ def load_suites(path: str | None = None) -> dict[str, list[engine.Check]]:
         path = os.path.join(os.path.dirname(__file__), "checks.yaml")
     with open(path) as f:
         cfg = yaml.safe_load(f)
-    return {name: build_suite(entries) for name, entries in cfg["suites"].items()}
+    # fail with the filename, not a bare TypeError/KeyError three frames
+    # deep: safe_load returns None for an empty file and any scalar for
+    # a non-mapping one (r10 hostile-input review)
+    if not isinstance(cfg, dict) or "suites" not in cfg:
+        raise ValueError(
+            f"{path}: expected a mapping with a top-level 'suites' key, "
+            f"got {type(cfg).__name__}"
+        )
+    suites = cfg["suites"]
+    if not isinstance(suites, dict):
+        raise ValueError(
+            f"{path}: 'suites' must map suite names to entry lists, "
+            f"got {type(suites).__name__}"
+        )
+    return {name: build_suite(entries) for name, entries in suites.items()}

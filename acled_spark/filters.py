@@ -15,12 +15,24 @@ Here the same DSL compiles to BOTH:
 
 from __future__ import annotations
 
+import math
+import re
 from collections.abc import Sequence
 from dataclasses import dataclass
 from datetime import date, datetime
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+#: the 31 reference filter columns are all plain snake_case
+#: identifiers; anything else is either a typo or an injection attempt
+#: against the three surfaces a column name reaches VERBATIM — the
+#: generated oracle WHERE fragment (to_sql), the API query-param name
+#: (to_params), and Spark's column resolver (where a stray dot would
+#: silently re-resolve as a struct-field path).  Reject at
+#: construction, the one choke point all three share (r10 hostile-
+#: input review).
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 _OPS = {
     "eq",
@@ -47,6 +59,13 @@ class Predicate:
     value: object = None
 
     def __post_init__(self) -> None:
+        if not isinstance(self.column, str) or not _IDENT.match(self.column):
+            raise ValueError(
+                f"invalid filter column {self.column!r}: column names must "
+                "be plain identifiers ([A-Za-z_][A-Za-z0-9_]*) — they are "
+                "interpolated verbatim into the generated SQL WHERE "
+                "fragment and the API query-param name"
+            )
         if self.op not in _OPS:
             raise ValueError(f"unknown filter op: {self.op!r} (valid: {sorted(_OPS)})")
         if self.op in ("in", "between"):
@@ -171,7 +190,22 @@ def _sql_lit(v: object) -> str:
         return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
     if isinstance(v, date):
         return f"DATE '{v.isoformat()}'"
-    return repr(v)
+    # numerics render via repr (shortest round-trip float text); the
+    # old catch-all repr() fallback let any object with a hostile
+    # __repr__ write itself into the SQL fragment unescaped (r10
+    # hostile-input review) — everything else fails loudly now
+    if isinstance(v, int):
+        return repr(v)
+    if isinstance(v, float):
+        if not math.isfinite(v):
+            raise ValueError(
+                f"non-finite float {v!r} has no SQL literal form"
+            )
+        return repr(v)
+    raise TypeError(
+        f"unsupported filter literal type {type(v).__name__!r} "
+        f"(supported: str, bool, int, float, date, datetime)"
+    )
 
 
 @dataclass(frozen=True)

@@ -71,7 +71,14 @@ def _retry_wait(headers: dict | None, default: float) -> float:
     )
     if ra is not None:
         try:
-            return min(max(float(ra), 0.0), RETRY_AFTER_CAP_SECONDS)
+            v = float(ra)
+            # NaN sails through float() AND through min/max (every
+            # comparison is False, so both return it unchanged) and
+            # would reach time.sleep(nan), which raises — treat it
+            # like any other unparseable header (r10 hostile-input
+            # review)
+            if v == v:
+                return min(max(v, 0.0), RETRY_AFTER_CAP_SECONDS)
         except ValueError:
             pass  # HTTP-date form (rare) -> fall back to exponential
     return default

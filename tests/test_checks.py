@@ -147,6 +147,33 @@ def test_factory_rejects_unknown_type():
         build_suite([{"type": "teleport"}])
 
 
+def test_factory_hostile_configs_fail_loudly(tmp_path):
+    """r10 hostile-input review: malformed YAML shapes must name the
+    file and the defect, not surface as a bare TypeError/KeyError from
+    three frames deep."""
+    # empty file -> safe_load returns None
+    p = tmp_path / "empty.yaml"
+    p.write_text("")
+    with pytest.raises(ValueError, match="top-level 'suites'"):
+        load_suites(str(p))
+    # a scalar where the mapping should be
+    p2 = tmp_path / "scalar.yaml"
+    p2.write_text("just a string")
+    with pytest.raises(ValueError, match="top-level 'suites'"):
+        load_suites(str(p2))
+    # suites holding a list instead of a name->entries map
+    p3 = tmp_path / "list.yaml"
+    p3.write_text("suites:\n  - type: non_empty\n")
+    with pytest.raises(ValueError, match="must map suite names"):
+        load_suites(str(p3))
+    # a suite entry that is a bare string, not a mapping
+    with pytest.raises(ValueError, match="must be a mapping"):
+        build_suite(["non_empty"])
+    # unknown builder params fail loudly (TypeError from the builder)
+    with pytest.raises(TypeError):
+        build_suite([{"type": "non_empty", "bogus_param": 1}])
+
+
 def test_chk_validation_summary_counts_planted_defects(spark, tmp_path):
     """The driver-visible suite summary must agree with its DuckDB
     oracle on data that actually VIOLATES every check: planted nulls,

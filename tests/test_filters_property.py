@@ -339,3 +339,89 @@ def test_one_shot_iterator_values_materialized_at_construction():
     q = Predicate("event_type", "in", iter(["Riots", "Battles"]))
     assert q.value == ("Riots", "Battles")
     q.to_sql() and q.to_column()
+
+
+# --- hostile-input hardening (r10 review) ------------------------------------
+
+
+def test_hostile_column_names_rejected_at_construction():
+    """Column names reach three surfaces verbatim — the generated SQL
+    WHERE fragment, the API param name, and Spark's column resolver —
+    so anything beyond a plain identifier must die at construction,
+    not compile into an injected predicate."""
+    for evil in (
+        "x = 1 OR 1=1 --",
+        "event_type; DROP TABLE events",
+        'a"b',
+        "a'b",
+        "a.b",          # Spark would silently resolve as a struct path
+        "a b",
+        "",
+        "1starts_with_digit",
+        "col|pipe",
+    ):
+        with pytest.raises(ValueError, match="invalid filter column"):
+            Predicate(evil, "eq", 1)
+    with pytest.raises(ValueError, match="invalid filter column"):
+        Predicate(None, "eq", 1)
+    # the same gate guards the dict shorthand
+    with pytest.raises(ValueError, match="invalid filter column"):
+        build_filter({"event_type) OR (1=1": "v"})
+    # plain identifiers still construct
+    Predicate("event_type", "eq", "Riots")
+    Predicate("_internal", "eq", 1)
+    Predicate("EVENT_TYPE2", "eq", 1)
+
+
+def test_sql_literal_rejects_unsupported_and_nonfinite_values():
+    """The old repr() catch-all let any object with a hostile __repr__
+    write itself into the SQL fragment unescaped; now only the six
+    literal types render and everything else fails loudly."""
+    class Sneaky:
+        def __repr__(self):
+            return "1); DROP TABLE events; --"
+
+    with pytest.raises(TypeError, match="unsupported filter literal"):
+        Predicate("value", "eq", Sneaky()).to_sql()
+    with pytest.raises(ValueError, match="non-finite"):
+        Predicate("value", "eq", float("nan")).to_sql()
+    with pytest.raises(ValueError, match="non-finite"):
+        Predicate("value", "eq", float("inf")).to_sql()
+    # quote-bearing strings stay VALUES, never syntax
+    sql = Predicate("actor1", "eq", "O'Brien'; DROP--").to_sql()
+    assert sql == "actor1 = 'O''Brien''; DROP--'"
+
+
+def test_quote_bearing_values_agree_across_engines(spark, duck):
+    """A value full of quotes/wildcards must filter identically through
+    the Spark Column and the generated DuckDB WHERE — proving the
+    escaping disciplines line up end-to-end, not just per-helper."""
+    hostile = "O'Brien 100%_\\done"
+    rows = [
+        (1, hostile),
+        (2, "O'Brien 100x_\\done"),   # % as wildcard would match this
+        (3, "xO'Brien 100%_\\doney"), # prefix vs contains discriminator
+        (4, "plain"),
+    ]
+    planted = spark.createDataFrame(rows, "event_id long, note string")
+    duck.execute("DROP TABLE IF EXISTS _hostile_notes")
+    duck.execute("CREATE TABLE _hostile_notes (event_id BIGINT, note VARCHAR)")
+    duck.executemany(
+        "INSERT INTO _hostile_notes (event_id, note) VALUES (?, ?)", rows
+    )
+    for spec, expect in (
+        (FilterSpec([Predicate("note", "eq", hostile)]), {1}),
+        (FilterSpec([Predicate("note", "like", "O'Brien 100%")]), {1, 3}),
+        (FilterSpec([Predicate("note", "prefix", "O'Brien 100%")]), {1}),
+    ):
+        spark_ids = {
+            r[0]
+            for r in planted.filter(spec.to_column()).select("event_id").collect()
+        }
+        duck_ids = {
+            r[0]
+            for r in duck.execute(
+                f"SELECT event_id FROM _hostile_notes WHERE {spec.to_sql()}"
+            ).fetchall()
+        }
+        assert spark_ids == duck_ids == expect, spec.to_sql()

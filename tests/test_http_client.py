@@ -778,6 +778,32 @@ def test_retry_after_header_lowercase_honored():
     assert sleeps[0] == 11.0
 
 
+def test_retry_after_nan_falls_back_to_exponential():
+    """r10 hostile-input review: 'Retry-After: NaN' passes float() AND
+    min/max (every NaN comparison is False, so both return it
+    unchanged) and reached time.sleep(nan), which raises — a hostile
+    or buggy server header must never crash the retry loop."""
+    sleeps = []
+    responses = iter([
+        (200, {"access_token": "tok", "expires_in": 3600}),
+        (429, {}, {"Retry-After": "NaN"}),
+        (429, {}, {"Retry-After": "not a number"}),
+        (200, {"data": []}),
+    ])
+
+    def transport(url, data=None, headers=None, timeout=None):
+        return next(responses)
+
+    auth = OAuthTokenClient(
+        "u", "p", transport=transport, sleep=sleeps.append, backoff=0.5
+    )
+    fetcher = HttpPageFetcher(auth=auth, sleep=sleeps.append)
+    assert fetcher(DAY, 1, 50, {}) == []
+    # both hostile headers fell back to the finite exponential default
+    assert all(s == s and s >= 0 for s in sleeps)
+    assert len(sleeps) == 2
+
+
 def test_short_lived_token_is_not_instantly_expired():
     """r8 lens: expires_in <= the 5-minute buffer made every token
     expired at receipt -> one grant per page request (a grant storm
