@@ -22,53 +22,27 @@ from acled_spark.registry import oracle_map, spark_queries
 # round to newest.  Registry names/signatures are unchanged — only the
 # emission order here rotates.
 #
-# Round-10 rotation state (folded from CORRECTNESS_r09.json): round
-# 9's 50-row check re-verified the whole r06 tier (retired), the new
-# mm_phash_dedup, the full 4-query recert block, and 14 r07 rows.
-# Freshness is now r9×50 / r8×47 / r7×25 — no row older than r07.
-# The 25 r07-fresh rows lead this round (VERDICT r9 #3), then
-# oldest-r08.  After CORRECTNESS_r10 lands, fold its names into a
-# _R10 tier and retire the empties.
+# Round-11 rotation state (folded from CORRECTNESS_r10.json): round
+# 10's 50-row check re-verified the whole r07 tier (retired) plus 25
+# r08 rows.  Freshness is now r10×50 / r9×50 / r8×22 — no row older
+# than r08.  The 22 r08-fresh rows lead this round (VERDICT r10 #7),
+# then oldest-r09.  After CORRECTNESS_r11 lands, fold its names into
+# a _R11 tier and retire the empties.
 #
-# Queries whose freshest driver rows were written by the round-7 check
-# (CORRECTNESS_r07.json) — the stale block, emitted first.
-_R7_DRIVER_VERIFIED: frozenset[str] = frozenset(
-    {
-        "a15_risk_buckets", "a16_percent_of_total",
-        "dedup_components_exact", "dedup_containment",
-        "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-        "drift_psi", "j7_asof_join", "mix_weights", "ml_label_encode",
-        "ml_target_encode_cv", "mm_feature_extract", "s8_upsert_merge",
-        "sess_user_sessions", "sim_ann_lsh", "sim_ann_multiprobe",
-        "sim_label_centroids", "sim_norm_outliers", "sim_quantize_error",
-        "sim_topk_bruteforce", "text_dup_spans", "text_pii_scrub",
-        "text_repetition", "train_shuffle",
-    }
-)
-
 # Queries whose freshest driver rows were written by the round-8 check
-# (CORRECTNESS_r08.json).  sim_pca_top_component / sim_ann_ivf rows are
-# the by-design rows-only checks (no_oracle) whose invariants ride the
-# output columns.
+# (CORRECTNESS_r08.json) — the stale block, emitted first.
+# sim_pca_top_component / sim_ann_ivf rows are the by-design rows-only
+# checks (no_oracle) whose invariants ride the output columns.
 _R8_DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
-        "a7_multi_measure_rollup", "a8_weekly_rollup", "a9_monthly_rollup",
-        "a13_histogram", "a22_time_grouping_sets", "a23_daily_anomaly",
-        "a24_time_to_convert", "a25_hour_profile",
         "cdc_snapshot_diff", "chk_validation_summary", "cohort_retention",
-        "f2_time_extract", "f4_date_arithmetic",
-        "f9_math_suite", "f9b_vector_norm", "f13_correlation",
-        "f14_levenshtein", "f15_bool_aggs", "funnel_user_journey",
         "j1_target_stat_lookup", "j8_interval_join", "j9_band_join",
         "ml_distance_from_center", "ml_onehot_pivot", "mm_decode_real",
-        "mm_payload_metadata", "p9_weighted_sample", "pack_materialize",
-        "pack_sequences", "prep_corpus_stats", "q1_pricing_summary",
+        "mm_payload_metadata", "pack_materialize", "prep_corpus_stats",
         "release_delta_audit", "sess_transitions", "sim_ann_ivf",
         "sim_dim_stats", "sim_pca_top_component", "so1_set_ops",
-        "sql1_region_revenue", "t3_tumbling_window",
-        "text_bpe_token_stats", "text_chunking", "text_contamination",
-        "w1_moving_avg_7d", "w2_global_share", "w3_rank_rows",
-        "w4_lag_delta", "w5_range_frame",
+        "t3_tumbling_window", "text_bpe_token_stats", "text_chunking",
+        "text_contamination",
     }
 )
 
@@ -98,11 +72,36 @@ _R9_DRIVER_VERIFIED: frozenset[str] = frozenset(
         "text_zipf_slope", "w6_cumulative_distinct",
     }
 )
-_ALL_KNOWN = _R7_DRIVER_VERIFIED | _R8_DRIVER_VERIFIED | _R9_DRIVER_VERIFIED
 
-# Queries whose round-10 source/oracle edits POSTDATE their freshest
+# Queries verified by the round-10 check (CORRECTNESS_r10.json) — the
+# FRESH block, emitted last.
+_R10_DRIVER_VERIFIED: frozenset[str] = frozenset(
+    {
+        "a7_multi_measure_rollup", "a8_weekly_rollup", "a9_monthly_rollup",
+        "a13_histogram", "a15_risk_buckets", "a16_percent_of_total",
+        "a22_time_grouping_sets", "a23_daily_anomaly",
+        "a24_time_to_convert", "a25_hour_profile",
+        "dedup_components_exact", "dedup_containment",
+        "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+        "drift_psi", "f2_time_extract", "f4_date_arithmetic",
+        "f9_math_suite", "f9b_vector_norm", "f13_correlation",
+        "f14_levenshtein", "f15_bool_aggs", "funnel_user_journey",
+        "j7_asof_join", "mix_weights", "ml_label_encode",
+        "ml_target_encode_cv", "mm_feature_extract", "p9_weighted_sample",
+        "pack_sequences", "q1_pricing_summary", "s8_upsert_merge",
+        "sess_user_sessions", "sim_ann_lsh", "sim_ann_multiprobe",
+        "sim_label_centroids", "sim_norm_outliers", "sim_quantize_error",
+        "sim_topk_bruteforce", "sql1_region_revenue", "text_dup_spans",
+        "text_pii_scrub", "text_repetition", "train_shuffle",
+        "w1_moving_avg_7d", "w2_global_share", "w3_rank_rows",
+        "w4_lag_delta", "w5_range_frame",
+    }
+)
+_ALL_KNOWN = _R8_DRIVER_VERIFIED | _R9_DRIVER_VERIFIED | _R10_DRIVER_VERIFIED
+
+# Queries whose round-11 source/oracle edits POSTDATE their freshest
 # driver row — these lead their blocks so the ~50-query cap can't drop
-# them.  (Populated as round 10 edits land.)
+# them.  (Populated as round 11 edits land.)
 _RECERT_PRIORITY: frozenset[str] = frozenset()
 
 # Cheap-first hint within the stale block: scalar/filter one-scan
@@ -127,7 +126,7 @@ def _ordered(names: list[str]) -> list[str]:
     taken = set(never) | set(priority)
     blocks = [never, priority] + [
         [n for n in names if n in tier and n not in taken]
-        for tier in (_R7_DRIVER_VERIFIED, _R8_DRIVER_VERIFIED, _R9_DRIVER_VERIFIED)
+        for tier in (_R8_DRIVER_VERIFIED, _R9_DRIVER_VERIFIED, _R10_DRIVER_VERIFIED)
     ]
     for block in blocks:
         block.sort(key=lambda n: (_family_rank(n), names.index(n)))

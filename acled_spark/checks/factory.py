@@ -121,4 +121,17 @@ def load_suites(path: str | None = None) -> dict[str, list[engine.Check]]:
             f"{path}: 'suites' must map suite names to entry lists, "
             f"got {type(suites).__name__}"
         )
-    return {name: build_suite(entries) for name, entries in suites.items()}
+    out = {}
+    for name, entries in suites.items():
+        # `suites:\n  name:\n` — the natural YAML spelling of an empty
+        # suite — parses as None; a scalar would iterate as characters
+        # and produce a misleading per-entry error (ADVICE r10)
+        if entries is None:
+            entries = []
+        if not isinstance(entries, list):
+            raise ValueError(
+                f"{path}: suite {name!r} entries must be a list of "
+                f"check mappings, got {type(entries).__name__}"
+            )
+        out[name] = build_suite(entries)
+    return out

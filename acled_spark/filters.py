@@ -16,6 +16,7 @@ Here the same DSL compiles to BOTH:
 from __future__ import annotations
 
 import math
+import numbers
 import re
 from collections.abc import Sequence
 from dataclasses import dataclass
@@ -190,18 +191,23 @@ def _sql_lit(v: object) -> str:
         return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
     if isinstance(v, date):
         return f"DATE '{v.isoformat()}'"
-    # numerics render via repr (shortest round-trip float text); the
-    # old catch-all repr() fallback let any object with a hostile
-    # __repr__ write itself into the SQL fragment unescaped (r10
-    # hostile-input review) — everything else fails loudly now
-    if isinstance(v, int):
-        return repr(v)
-    if isinstance(v, float):
-        if not math.isfinite(v):
+    # numerics render via the canonical int/float repr (shortest
+    # round-trip float text); the old catch-all repr() fallback let any
+    # object with a hostile __repr__ write itself into the SQL fragment
+    # unescaped (r10 hostile-input review).  Accept the ABC families,
+    # not exact types: numpy.int64 is an Integral but NOT an int
+    # subclass (unlike numpy.float64), so callers feeding aggregation
+    # results into predicates would otherwise regress (ADVICE r10) —
+    # coercing via int()/float() keeps the rendered text canonical.
+    if isinstance(v, numbers.Integral):
+        return repr(int(v))
+    if isinstance(v, numbers.Real):
+        f = float(v)
+        if not math.isfinite(f):
             raise ValueError(
-                f"non-finite float {v!r} has no SQL literal form"
+                f"non-finite float {f!r} has no SQL literal form"
             )
-        return repr(v)
+        return repr(f)
     raise TypeError(
         f"unsupported filter literal type {type(v).__name__!r} "
         f"(supported: str, bool, int, float, date, datetime)"

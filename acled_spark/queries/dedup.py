@@ -627,8 +627,11 @@ def embedding_cosine_pairs(
     cell, so block sizes are the pair-join fan-out — one runaway cell
     (a boilerplate/near-constant embedding mass, or a quantizer that
     collapsed) contributes O(block²) pairs and dominates the whole
-    stage: SCALE.md §max_block measured one planted 5,000-vector block
-    multiplying pair count ~13× and wall-clock ~4×.  A dropped block
+    stage: SCALE.md §max_block measured one planted 20,000-vector block
+    at sf1.0 taking the top-20 stage from 7.0 s / 20.1 M pairs (capped
+    at the advisor's recommendation) to 117.5 s / 220.0 M pairs
+    uncapped — ~11× pairs, ~16.7× wall-clock, the natural top-20
+    entirely displaced by the runaway cell's self-pairs.  A dropped block
     loses ALL its pairs (unlike LSH buckets there is no cross-band
     redundancy here), so the cap is an EXPLICIT, profiled exclusion of
     a block the quantizer should never have produced — the production
@@ -638,8 +641,15 @@ def embedding_cosine_pairs(
 
     Sizing: :func:`acled_spark.profiling.profile_blocks` runs the
     one-aggregate label profile and recommends a cap only on a genuine
-    tail (max ≫ 10×p99.9) — on the natural sf1.0 tier (10 uniform
-    ~2,000-vector blocks) it recommends None.  Scale shape: the block
+    tail (max > TAIL_RATIO=10 × the bulk statistic) — on the natural
+    sf1.0 tier (10 uniform ~2,000-vector blocks) it recommends None,
+    and the planted 20,000-vector cell fires it at ratio 10.05.  The
+    threshold gates only the RECOMMENDATION, not the lever: a
+    9.5×-bulk runaway stays sub-threshold (rec None) yet still costs
+    O(block²) — inspect the profile's ``decades`` histogram and pass
+    ``tail_ratio=`` or an explicit ``max_block`` when an isolated
+    top-decade key shows (SCALE.md §max_block, tail-sensitivity
+    note).  Scale shape: the block
     census is a map-side-combinable groupBy on the label column only
     (never a hot-key window), and the |labels|-sized keep-set
     broadcast-semi-joins onto the vector frame.

@@ -174,6 +174,22 @@ def test_factory_hostile_configs_fail_loudly(tmp_path):
         build_suite([{"type": "non_empty", "bogus_param": 1}])
 
 
+def test_factory_null_and_scalar_suite_entries(tmp_path):
+    """ADVICE r10: `suites:\\n  name:\\n` — the natural YAML spelling of
+    an empty suite — parses as entries=None and must load as an empty
+    suite, not raise a bare TypeError from build_suite's loop; a scalar
+    entries value must fail naming the file and suite, not iterate as
+    characters into a misleading per-entry error."""
+    p = tmp_path / "null_suite.yaml"
+    p.write_text("suites:\n  empty_suite:\n")
+    suites = load_suites(str(p))
+    assert suites == {"empty_suite": []}
+    p2 = tmp_path / "scalar_suite.yaml"
+    p2.write_text("suites:\n  bad_suite: non_empty\n")
+    with pytest.raises(ValueError, match=r"bad_suite.*must be a list"):
+        load_suites(str(p2))
+
+
 def test_chk_validation_summary_counts_planted_defects(spark, tmp_path):
     """The driver-visible suite summary must agree with its DuckDB
     oracle on data that actually VIOLATES every check: planted nulls,

@@ -392,6 +392,29 @@ def test_sql_literal_rejects_unsupported_and_nonfinite_values():
     assert sql == "actor1 = 'O''Brien''; DROP--'"
 
 
+def test_sql_literal_accepts_numpy_scalars_canonically():
+    """ADVICE r10: the whitelist accepts the numeric ABC families, not
+    exact built-in types — numpy.int64 is an Integral but NOT an int
+    subclass, so callers feeding aggregation results into predicates
+    must not regress vs the old repr() path.  Rendering coerces through
+    int()/float(), so the text is the CANONICAL literal (never the
+    value's own __repr__) and non-finite numpy floats still fail."""
+    import numpy as np
+
+    assert Predicate("value", "eq", np.int64(42)).to_sql() == "value = 42"
+    assert (
+        Predicate("value", "gt", np.float64(2.5)).to_sql() == "value > 2.5"
+    )
+    assert (
+        Predicate("value", "lt", np.float32(0.5)).to_sql() == "value < 0.5"
+    )
+    with pytest.raises(ValueError, match="non-finite"):
+        Predicate("value", "eq", np.float64("inf")).to_sql()
+    # bool is an Integral subclass in Python — it must KEEP rendering
+    # as a SQL boolean, not the integer 1/0
+    assert Predicate("is_valid", "eq", True).to_sql() == "is_valid = TRUE"
+
+
 def test_quote_bearing_values_agree_across_engines(spark, duck):
     """A value full of quotes/wildcards must filter identically through
     the Spark Column and the generated DuckDB WHERE — proving the
