@@ -439,8 +439,28 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     star); aHash per the public average-hash construction (Krawetz,
     "Looks Like It", 2011 — public literature).
     """
-    import pandas as pd
+    docs = phash_source_docs(spark, sf_dir, limit=_PHASH_DOCS)
+    return (
+        phash_band_pairs(docs)
+        .select(
+            "doc1",
+            "doc2",
+            "hamming",
+            (F.col("hamming") <= _PHASH_NEAR).alias("is_near"),
+        )
+        .orderBy("hamming", "doc1", "doc2")
+    )
 
+
+def phash_source_docs(
+    spark: SparkSession, sf_dir: str, limit: int | None = None
+) -> DataFrame:
+    """The (doc_id, src_text) frame ``mm_phash_dedup`` hashes: docs 2k
+    and 2k+1 render the same source text (2k's) so every even/odd pair
+    is a planted image near-dup.  ``limit`` bounds the set for the
+    oracle (ordered first, so the cut is deterministic); ``None`` keeps
+    the whole corpus WITHOUT the global sort a bounded cut needs —
+    the shape the heavy-tier measurement runs."""
     valid = load(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
         & (F.octet_length(F.encode(F.col("text"), "UTF-8")) > 0)
@@ -451,9 +471,25 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("src_id", F.col("doc_id") - F.col("doc_id") % 2)
         .join(src, "src_id")
         .select("doc_id", "src_text")
-        .orderBy("doc_id")
-        .limit(_PHASH_DOCS)
     )
+    if limit is not None:
+        docs = docs.orderBy("doc_id").limit(limit)
+    return docs
+
+
+def phash_band_pairs(docs: DataFrame) -> DataFrame:
+    """(doc1, doc2, hamming) banded Hamming-LSH candidate pairs — the
+    corpus-unbounded core of :func:`mm_phash_dedup`.
+
+    One narrow Arrow pass computes the 64-bit aHash per doc; the only
+    exchange moves 4 x ~10 B band rows per doc (~40 B/doc); the pair
+    expansion is the SimHash banding core with exact Hamming computed
+    inline.  Corpus-side cost is therefore ~linear in documents (hash
+    pass + a 40 B/doc shuffle); only the per-bucket expansion is
+    quadratic, and it takes the same profiled ``max_bucket``-style cap
+    as the LSH family on degenerate-image corpora.  Measured: SCALE.md
+    §phash-heavy (sf0.1 vs sf1.0, 10x docs)."""
+    import pandas as pd
 
     grid = _PHASH_GRID
     n_px = grid * grid
@@ -538,11 +574,4 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         buckets.select(F.explode(pair_expr).alias("p"))
         .select("p.doc1", "p.doc2", "p.hamming")
         .distinct()
-        .select(
-            "doc1",
-            "doc2",
-            "hamming",
-            (F.col("hamming") <= _PHASH_NEAR).alias("is_near"),
-        )
-        .orderBy("hamming", "doc1", "doc2")
     )

@@ -373,3 +373,49 @@ def test_phash_worker_hash_matches_pure_python_reference(spark):
             assert engine[(even, even + 1)] == ham
             checked += 1
     assert checked >= 2
+
+
+def test_phash_unbounded_core_has_no_global_sort(spark):
+    """The heavy-tier scale path (phash_source_docs(limit=None) ->
+    phash_band_pairs) must not pay the global sort the oracle's
+    deterministic LIMIT cut needs — a corpus-wide orderBy would be a
+    full-exchange total sort at 100 TB (SCALE.md §phash-heavy)."""
+    from acled_spark.queries.multimodal_q import (
+        phash_band_pairs,
+        phash_source_docs,
+    )
+
+    docs = phash_source_docs(spark, "/root/testdata/sf0.001")
+    plan = phash_band_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" not in plan
+    assert "Sort " not in plan  # no global/local sort anywhere in the core
+
+
+def test_phash_unbounded_core_agrees_with_registered_query(spark):
+    """The refactor contract: the registered (bounded) query's pairs
+    are exactly the unbounded core's pairs restricted to the bounded
+    doc set — the LIMIT changes scope, never semantics."""
+    from pyspark.sql import functions as F
+
+    from acled_spark.queries.multimodal_q import (
+        _PHASH_DOCS,
+        phash_band_pairs,
+        phash_source_docs,
+    )
+    from acled_spark.registry import all_specs
+
+    sf = "/root/testdata/sf0.001"
+    bounded_ids = {
+        r["doc_id"]
+        for r in phash_source_docs(spark, sf, limit=_PHASH_DOCS).collect()
+    }
+    unbounded = {
+        (r["doc1"], r["doc2"], r["hamming"])
+        for r in phash_band_pairs(phash_source_docs(spark, sf)).collect()
+        if r["doc1"] in bounded_ids and r["doc2"] in bounded_ids
+    }
+    registered = {
+        (r["doc1"], r["doc2"], r["hamming"])
+        for r in all_specs()["mm_phash_dedup"].builder(spark, sf).collect()
+    }
+    assert registered == unbounded
