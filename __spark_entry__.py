@@ -101,8 +101,10 @@ _ALL_KNOWN = _R8_DRIVER_VERIFIED | _R9_DRIVER_VERIFIED | _R10_DRIVER_VERIFIED
 
 # Queries whose round-11 source/oracle edits POSTDATE their freshest
 # driver row — these lead their blocks so the ~50-query cap can't drop
-# them.  (Populated as round 11 edits land.)
-_RECERT_PRIORITY: frozenset[str] = frozenset()
+# them.  mm_phash_dedup: r11 switched odd docs to the PNG round-trip
+# inside its Arrow hash pass (hash values unchanged by design — the
+# driver row re-proves it).
+_RECERT_PRIORITY: frozenset[str] = frozenset({"mm_phash_dedup"})
 
 # Cheap-first hint within the stale block: scalar/filter one-scan
 # queries ahead of heavier dedup/text-class plans, so a wall-clock-capped

@@ -44,9 +44,14 @@ def test_extract_features_matches_local_compute(spark):
 
 
 def test_compressed_formats_stay_explicitly_stubbed():
-    """Only the stdlib-decodable formats decode; compressed ones raise
-    a NARROWED NotImplementedError naming the gap (VERDICT r7 #1)."""
+    """Only the stdlib-decodable formats decode; the rest raise a
+    NARROWED NotImplementedError naming the gap (VERDICT r7 #1).
+    PNG graduated to a real decode in r11, so JPEG is the stub
+    representative now — and a MALFORMED PNG is a ValueError (it IS a
+    supported format), never a NotImplementedError."""
     with pytest.raises(NotImplementedError, match="plug Pillow"):
+        decode_image(b"\xff\xd8\xff\xe0JFIF...")
+    with pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n...")
     # BMP variants outside 24-bpp BI_RGB name the gap too
     from acled_spark.multimodal import encode_bmp
@@ -419,3 +424,117 @@ def test_phash_unbounded_core_agrees_with_registered_query(spark):
         for r in all_specs()["mm_phash_dedup"].builder(spark, sf).collect()
     }
     assert registered == unbounded
+
+
+def test_png_round_trip_all_filters():
+    """encode_png -> decode_image_pixels is the identity on pixel
+    bytes for every scanline filter (None/Sub/Up/Average/Paeth) and
+    for widths that stress the left/upper-left edges."""
+    from acled_spark.multimodal import decode_image_pixels, encode_png
+
+    for ft in range(5):
+        for w, h in ((1, 1), (4, 3), (7, 5), (16, 2)):
+            pix = bytes((i * 37 + ft * 11) % 256 for i in range(w * h * 3))
+            payload = encode_png(pix, w, h, filter_type=ft)
+            assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+            pw, ph, dec = decode_image_pixels(payload)
+            assert (pw, ph, dec) == (w, h, pix)
+
+
+def test_png_decode_handles_multi_idat():
+    """IDAT may span chunks; the reader must concatenate before
+    inflating (real encoders split at 8K/32K boundaries)."""
+    import zlib
+
+    from acled_spark.multimodal import (
+        _png_chunk,
+        decode_image_pixels,
+        encode_png,
+    )
+
+    w, h = 5, 4
+    pix = bytes((i * 13) % 256 for i in range(w * h * 3))
+    whole = encode_png(pix, w, h, filter_type=1)
+    # rebuild with the IDAT split in two
+    ln = int.from_bytes(whole[33:37], "big")
+    idat = whole[41 : 41 + ln]
+    head = whole[:33]  # sig + IHDR chunk
+    rebuilt = (
+        head
+        + _png_chunk(b"IDAT", idat[:3])
+        + _png_chunk(b"IDAT", idat[3:])
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_image_pixels(rebuilt) == (w, h, pix)
+
+
+def test_png_hostile_payloads_fail_loudly():
+    """Corrupt CRC, truncated chunks, missing IHDR, bad scanline
+    filters, and length mismatches are ValueErrors; unsupported but
+    VALID variants (16-bit, palette, interlace) are the narrowed
+    NotImplementedError naming the gap."""
+    import zlib
+
+    import pytest as _pytest
+
+    from acled_spark.multimodal import (
+        _png_chunk,
+        decode_image_pixels,
+        encode_png,
+    )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    good = encode_png(bytes(36), 4, 3)
+
+    # CRC tamper inside IDAT data
+    bad = bytearray(good)
+    bad[45] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_image_pixels(bytes(bad))
+    # truncated mid-chunk
+    with _pytest.raises(ValueError, match="truncated|IHDR"):
+        decode_image_pixels(good[:20])
+    # no IHDR at all
+    with _pytest.raises(ValueError, match="IHDR"):
+        decode_image_pixels(sig + _png_chunk(b"IEND", b""))
+    # unsupported color type (grayscale) -> narrowed NotImplementedError
+    ihdr = (4).to_bytes(4, "big") + (3).to_bytes(4, "big") + bytes(
+        [8, 0, 0, 0, 0]
+    )
+    gray = sig + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
+    with _pytest.raises(NotImplementedError, match="color_type=0"):
+        decode_image_pixels(gray)
+    # interlaced -> narrowed NotImplementedError
+    ihdr_i = (4).to_bytes(4, "big") + (3).to_bytes(4, "big") + bytes(
+        [8, 2, 0, 0, 1]
+    )
+    inter = sig + _png_chunk(b"IHDR", ihdr_i) + _png_chunk(b"IEND", b"")
+    with _pytest.raises(NotImplementedError, match="interlace=1"):
+        decode_image_pixels(inter)
+    # invalid scanline filter byte (5) in otherwise-valid data
+    ihdr_ok = (1).to_bytes(4, "big") + (1).to_bytes(4, "big") + bytes(
+        [8, 2, 0, 0, 0]
+    )
+    raw = bytes([5, 1, 2, 3])  # filter 5 + one RGB pixel
+    evil = (
+        sig
+        + _png_chunk(b"IHDR", ihdr_ok)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="invalid filter"):
+        decode_image_pixels(evil)
+    # scanline byte-count mismatch vs IHDR dims
+    short = (
+        sig
+        + _png_chunk(b"IHDR", ihdr_ok)
+        + _png_chunk(b"IDAT", zlib.compress(bytes([0, 1, 2])))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="scanline data"):
+        decode_image_pixels(short)
+    # encoder input validation
+    with _pytest.raises(ValueError, match="pixel buffer"):
+        encode_png(bytes(5), 4, 3)
+    with _pytest.raises(ValueError, match="filter type"):
+        encode_png(bytes(36), 4, 3, filter_type=7)
