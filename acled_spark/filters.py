@@ -207,6 +207,16 @@ def _sql_lit(v: object) -> str:
             raise ValueError(
                 f"non-finite float {f!r} has no SQL literal form"
             )
+        if f != v:
+            # a lossy coercion (Fraction(1,3), ...) would silently turn
+            # an exact equality predicate into an approximate one on
+            # the SQL face while the Spark face (F.lit) rejects the
+            # type — the two faces of one Predicate must never diverge
+            raise ValueError(
+                f"{type(v).__name__} value {v!r} does not coerce to "
+                "float exactly; convert explicitly before building the "
+                "predicate"
+            )
         return repr(f)
     raise TypeError(
         f"unsupported filter literal type {type(v).__name__!r} "

@@ -134,6 +134,12 @@ def encode_ppm(pixels: bytes, width: int, height: int) -> bytes:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 #: scanline filter codes, per the PNG spec §9 (public W3C standard)
 _PNG_FILTERS = ("none", "sub", "up", "average", "paeth")
+#: decode-side allocation ceiling for the inflated scanline buffer.
+#: deflate expands up to ~1032:1, so a few MB of CRC-valid IDAT under
+#: a huge IHDR would otherwise allocate tens of GB before the
+#: byte-count check could reject it (decompression bomb).  Callers
+#: decoding genuinely larger images should use a real media library.
+PNG_MAX_RAW_BYTES = 1 << 28  # 256 MiB of filter+pixel bytes
 
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
@@ -169,6 +175,11 @@ def encode_png(
     goes wrong (the headers are fixed-offset arithmetic)."""
     import zlib
 
+    if width <= 0 or height <= 0:
+        # width=0 would pass the buffer-size check with empty pixels
+        # and emit a PNG this module's own decoder rejects; negative
+        # dims would die in to_bytes with an opaque OverflowError
+        raise ValueError(f"degenerate PNG dimensions {width}x{height}")
     if len(pixels) != width * height * 3:
         raise ValueError(
             f"pixel buffer is {len(pixels)} bytes; {width}x{height} RGB "
@@ -248,12 +259,30 @@ def _decode_png(payload: bytes) -> tuple[int, int, bytes]:
         raise ValueError(f"degenerate PNG dimensions {width}x{height}")
     if not idat:
         raise ValueError("PNG has no IDAT data")
-    raw = zlib.decompress(idat)
     stride = 3 * width
-    if len(raw) != height * (1 + stride):
+    expected = height * (1 + stride)
+    if expected > PNG_MAX_RAW_BYTES:
+        # reject BEFORE inflating: the declared geometry alone sizes
+        # the allocation, and deflate's ~1032:1 ratio makes a small
+        # CRC-valid IDAT under a huge IHDR a decompression bomb
         raise ValueError(
-            f"PNG scanline data is {len(raw)} bytes; "
-            f"{width}x{height} RGB needs {height * (1 + stride)}"
+            f"PNG declares {expected} bytes of scanline data, over the "
+            f"{PNG_MAX_RAW_BYTES}-byte decode limit (PNG_MAX_RAW_BYTES)"
+        )
+    try:
+        # bounded inflate: never allocate past the declared geometry
+        # even when the stream expands further
+        raw = zlib.decompressobj().decompress(idat, expected + 1)
+    except zlib.error as e:
+        # CRC-valid chunks can still wrap a corrupt deflate stream;
+        # keep the malformed-payload contract (ValueError, not a
+        # library error leaking through)
+        raise ValueError(f"PNG IDAT is not a valid zlib stream: {e}") from e
+    if len(raw) != expected:
+        raise ValueError(
+            f"PNG scanline data is {len(raw)} bytes"
+            f"{' or more' if len(raw) > expected else ''}; "
+            f"{width}x{height} RGB needs {expected}"
         )
     out = bytearray()
     prev = bytes(stride)
@@ -396,9 +425,10 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, bytes]:
 
 def decode_image(payload: bytes) -> tuple[int, int]:
     """Decode an image payload to (width, height) — real byte-level
-    parse for uncompressed BMP / binary PPM (see
-    :func:`decode_image_pixels`); compressed formats raise
-    ``NotImplementedError``."""
+    parse for uncompressed BMP, binary PPM, and 8-bit RGB PNG (see
+    :func:`decode_image_pixels`); unsupported formats raise
+    ``NotImplementedError``, malformed payloads of a supported format
+    raise ``ValueError``."""
     w, h, _ = decode_image_pixels(payload)
     return w, h
 

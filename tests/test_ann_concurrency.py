@@ -23,7 +23,6 @@ from pyspark.sql import functions as F
 
 from acled_spark.ann import (
     IvfMaintainer,
-    _commit_durable_fold,
     _committed_epochs,
     _epoch_dir,
     build_ivf_index,

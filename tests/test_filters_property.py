@@ -448,3 +448,15 @@ def test_quote_bearing_values_agree_across_engines(spark, duck):
             ).fetchall()
         }
         assert spark_ids == duck_ids == expect, spec.to_sql()
+
+
+def test_sql_literal_rejects_lossy_real_coercion():
+    """The numeric-ABC widening must not let a lossy Real (Fraction)
+    silently turn exact equality into approximate equality on the SQL
+    face while the Spark face rejects the type: exact coercions render,
+    lossy ones fail loudly."""
+    from fractions import Fraction
+
+    assert Predicate("value", "eq", Fraction(1, 2)).to_sql() == "value = 0.5"
+    with pytest.raises(ValueError, match="does not coerce to float exactly"):
+        Predicate("value", "eq", Fraction(1, 3)).to_sql()

@@ -538,3 +538,59 @@ def test_png_hostile_payloads_fail_loudly():
         encode_png(bytes(5), 4, 3)
     with _pytest.raises(ValueError, match="filter type"):
         encode_png(bytes(36), 4, 3, filter_type=7)
+
+
+def test_png_decompression_bomb_rejected_before_inflate():
+    """A CRC-valid IDAT under a huge IHDR must be rejected by the
+    declared-geometry limit BEFORE zlib allocates anything (deflate
+    expands ~1032:1, so megabytes of IDAT could claim tens of GB)."""
+    import zlib
+
+    import pytest as _pytest
+
+    from acled_spark.multimodal import _png_chunk, decode_image_pixels
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = (65535).to_bytes(4, "big") + (65535).to_bytes(4, "big") + bytes(
+        [8, 2, 0, 0, 0]
+    )
+    bomb = (
+        sig
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 1024))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="decode limit"):
+        decode_image_pixels(bomb)
+
+
+def test_png_corrupt_zlib_stream_is_valueerror():
+    """CRC-valid chunks wrapping a non-zlib IDAT keep the malformed-
+    payload contract: ValueError, never a raw zlib.error leaking."""
+    import pytest as _pytest
+
+    from acled_spark.multimodal import _png_chunk, decode_image_pixels
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = (1).to_bytes(4, "big") + (1).to_bytes(4, "big") + bytes(
+        [8, 2, 0, 0, 0]
+    )
+    evil = (
+        sig
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", b"this is not deflate")
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="zlib"):
+        decode_image_pixels(evil)
+
+
+def test_png_encoder_rejects_degenerate_dims():
+    import pytest as _pytest
+
+    from acled_spark.multimodal import encode_png
+
+    with _pytest.raises(ValueError, match="degenerate"):
+        encode_png(b"", 0, 5)
+    with _pytest.raises(ValueError, match="degenerate"):
+        encode_png(bytes(9), -1, -3)  # (-1*-3*3 == 9 passes a size check)

@@ -26,9 +26,6 @@ lands between them).
 
 from __future__ import annotations
 
-import os
-
-import pytest
 from pyspark.sql import functions as F
 
 from acled_spark.tables import load

@@ -26,6 +26,7 @@ def measure(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from acled_spark.queries.multimodal_q import (
+        _PHASH_NEAR,
         phash_band_pairs,
         phash_source_docs,
     )
@@ -40,9 +41,9 @@ def measure(spark, sf_dir):
             phash_band_pairs(docs)
             .agg(
                 F.count("*").alias("pairs"),
-                F.sum(F.when(F.col("hamming") <= 6, 1).otherwise(0)).alias(
-                    "near"
-                ),
+                F.sum(
+                    F.when(F.col("hamming") <= _PHASH_NEAR, 1).otherwise(0)
+                ).alias("near"),
             )
             .collect()[0]
         )
