@@ -175,13 +175,21 @@ def value_range(
     # NaN is out-of-range for ANY bounds: `NaN < lo` is false, so a
     # lower-bound-only check would otherwise pass a column of 0/0
     # garbage (NaN > hi happens to be true, masking the gap when an
-    # upper bound is set).  The double cast makes the probe total:
-    # non-float numerics can't be NaN and cast cleanly.
-    bad = F.isnan(c.cast("double"))
+    # upper bound is set).  try_cast makes the probe AND the bound
+    # comparisons total under BOTH ANSI modes: over a string column
+    # (the raw-bronze shape) a plain cast — or the implicit one inside
+    # `c < lo` — aborts the whole fused check job under ANSI=true with
+    # CAST_INVALID_INPUT, while try_cast yields NULL there exactly as
+    # the non-ANSI cast always did; un-castable values are therefore
+    # not range-violations (pair with a domain/regex check for those).
+    # Caveat of comparing through double: integral values beyond 2^53
+    # compare with double precision (r11 session-conf-drift review).
+    cd = c.try_cast("double")
+    bad = F.isnan(cd)
     if lo is not None:
-        bad = bad | (c < lo)
+        bad = bad | (cd < lo)
     if hi is not None:
-        bad = bad | (c > hi)
+        bad = bad | (cd > hi)
     aggs = {
         "out_of_range": F.count(F.when(bad, 1)),
         "nulls": F.count(F.when(c.isNull(), 1)),

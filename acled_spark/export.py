@@ -212,8 +212,23 @@ def _shard_stats(df: DataFrame) -> DataFrame:
     (every task writes ``part-00000-<uuid>...`` under its own
     ``lang=…/``), so a basename key would silently merge distinct
     files.  The tiny result is relativized/decoded driver-side."""
+    # to_json options pinned: LTZ timestamps render through the SESSION
+    # timezone by default, so a manifest written under a UTC session
+    # would never verify from a non-UTC one (every per-row digest
+    # shifts) — the integrity gate must not depend on who reads it.
+    # ignoreNullFields pinned to its default so the digest is also
+    # immune to a session that flipped spark.sql.jsonGenerator.*.
     row_digest = F.conv(
-        F.substring(F.md5(F.to_json(F.struct(*df.columns))), 1, _DIGEST_HEX_DIGITS),
+        F.substring(
+            F.md5(
+                F.to_json(
+                    F.struct(*df.columns),
+                    {"timeZone": "UTC", "ignoreNullFields": "true"},
+                )
+            ),
+            1,
+            _DIGEST_HEX_DIGITS,
+        ),
         16,
         10,
     ).cast("decimal(20,0)")

@@ -47,7 +47,20 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
-    """Build (or fetch) a SparkSession with scale-aware defaults."""
+    """Build (or fetch) a SparkSession with scale-aware defaults.
+
+    When a session ALREADY exists in this process, it is returned
+    untouched: ``getOrCreate`` would otherwise apply every modifiable
+    builder conf to the foreign session — pinning a cluster user's
+    ``shuffle.partitions`` to this harness's local sizing and flipping
+    their session timezone — which is a local[32]-ism this library
+    must never write into a session it didn't build.  The confs
+    correctness actually depends on (``PARITY_CONF``) self-heal per
+    read via :func:`acled_spark.tables.configure`.
+    """
+    existing = SparkSession.getActiveSession()
+    if existing is not None:
+        return existing
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"

@@ -15,11 +15,20 @@ Two mitigations, both exposed here:
 from __future__ import annotations
 
 from collections.abc import Sequence
+from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DEFAULT_SALT_BUCKETS = 16
+
+
+_SKEW_CONF_KEYS = (
+    "spark.sql.adaptive.enabled",
+    "spark.sql.adaptive.skewJoin.enabled",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+)
 
 
 def enable_skew_handling(
@@ -29,8 +38,14 @@ def enable_skew_handling(
 ) -> None:
     """Turn on (and optionally re-tune) AQE skew-join splitting.
 
-    Defaults target production partition sizes; tests pass tiny
-    thresholds so splitting triggers on toy data.
+    SESSION-GLOBAL and unscoped by design — call it once as deliberate
+    session setup.  Every conf it touches applies to ALL subsequent
+    queries on the session: a test-scale ``threshold_bytes`` (which
+    also derives a tiny ``advisoryPartitionSizeInBytes``) would make
+    every later query target byte-sized post-shuffle partitions, and
+    it re-enables AQE on sessions where a user disabled it.  For a
+    bounded tuning window (one skewed join, a test body), use
+    :func:`skew_handling` — the set/restore context manager.
     """
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -46,6 +61,34 @@ def enable_skew_handling(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             str(advisory_bytes),
         )
+
+
+@contextmanager
+def skew_handling(
+    spark: SparkSession,
+    threshold_bytes: int | None = None,
+    advisory_bytes: int | None = None,
+):
+    """Scoped :func:`enable_skew_handling`: snapshots the four AQE
+    confs, applies the tuning for the ``with`` body, and restores the
+    previous values (unsetting ones that were unset) on exit — so a
+    test-scale threshold can never poison the shared session's later
+    queries (r11 session-conf-drift review)."""
+    before = {}
+    for k in _SKEW_CONF_KEYS:
+        try:
+            before[k] = spark.conf.get(k)
+        except Exception:
+            before[k] = None
+    enable_skew_handling(spark, threshold_bytes, advisory_bytes)
+    try:
+        yield spark
+    finally:
+        for k, v in before.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 _MERGERS = {"sum": F.sum, "min": F.min, "max": F.max}

@@ -51,6 +51,24 @@ def configure(spark: SparkSession) -> None:
     from acled_spark.session import PARITY_CONF
 
     for k, v in PARITY_CONF.items():
+        if k == "spark.sql.session.timeZone":
+            # the UTC pin is load-bearing (events.ts parity, window
+            # bucketing) but it is a SESSION-WIDE mutation of a session
+            # we may not own — surface it the one time it actually
+            # changes something, so a user whose session was
+            # deliberately non-UTC learns their other queries' rendering
+            # shifted (r11 session-conf-drift review)
+            prev = spark.conf.get(k, None)
+            if prev is not None and prev.lower() != v.lower():
+                import warnings
+
+                warnings.warn(
+                    f"acled_spark pinned {k}={v} on this session (was "
+                    f"{prev}): engine/oracle timestamp parity requires "
+                    "UTC; unrelated queries on this session now render "
+                    "timestamps in UTC too",
+                    stacklevel=3,
+                )
         try:
             spark.conf.set(k, v)
         except Exception:

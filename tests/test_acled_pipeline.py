@@ -286,3 +286,38 @@ def test_run_day_blocks_wrong_day_rows(spark, tmp_path):
         run_day(spark, poisoned, day, bronze, silver, page_limit=50)
     # the victim partition survived untouched
     assert spark.read.parquet(bronze).count() == victim_rows
+
+
+def test_get_spark_never_retunes_an_existing_session(spark):
+    """r11 session-conf-drift review: getOrCreate applies modifiable
+    builder confs to whatever session exists — get_spark must instead
+    return a pre-existing (possibly foreign) session untouched rather
+    than pin the harness's local shuffle sizing onto it."""
+    from acled_spark.session import get_spark
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    got = get_spark(app_name="would-retune", shuffle_partitions=3)
+    assert got is spark
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_configure_warns_once_when_flipping_session_timezone(spark):
+    """The UTC pin is load-bearing but session-global: when it actually
+    CHANGES a session's timezone the user must hear about it."""
+    import warnings as _w
+
+    import pytest as _pytest
+
+    from acled_spark.tables import configure
+
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with _pytest.warns(UserWarning, match="pinned"):
+            configure(spark)
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        # already-UTC sessions reconfigure silently
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            configure(spark)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")

@@ -422,3 +422,22 @@ def test_run_checks_preserves_caller_cache(spark):
     fresh = load(spark, "/root/testdata/sf0.001", "events").limit(50)
     run_checks(fresh, suite, raise_on_blocking=False)
     assert not fresh.is_cached
+
+
+def test_value_range_total_over_string_columns_any_ansi_mode(spark):
+    """r11 session-conf-drift review: value_range over a STRING column
+    (the raw-bronze shape the reference validated) must neither abort
+    the fused job under ANSI=true (implicit casts in isnan/bounds) nor
+    count un-castable garbage as out-of-range — garbage is a domain
+    check's job; numeric strings still range-check."""
+    df = spark.createDataFrame(
+        [("12.5",), ("999.0",), ("abc",), (None,), ("nan",)],
+        "latitude string",
+    )
+    res = run_checks(df, [value_range("latitude", lo=-90.0, hi=90.0)])[0]
+    assert not res.passed
+    # 999.0 out of range; 'nan' casts to NaN -> out of range; 'abc'
+    # is NULL after try_cast (not counted); the literal NULL counts
+    # via the nulls leg
+    assert res.metrics["out_of_range"] == 2
+    assert res.metrics["nulls"] == 1

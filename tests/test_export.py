@@ -395,3 +395,33 @@ def test_text_pass_only_failure_surfaces_as_problem(spark, tmp_path, monkeypatch
     assert len(problems) == 1
     assert problems[0]["problem"] == "text_pass_failed"
     assert "text pass exploded" in problems[0]["error"]
+
+
+def test_manifest_digests_survive_session_timezone_change(spark, tmp_path):
+    """r11 session-conf-drift review: manifest row digests render
+    timestamps through to_json, which follows the SESSION timezone
+    unless pinned — a manifest written under UTC must still verify
+    from a session whose timezone changed (and vice versa), or the
+    integrity gate false-alarms on every intact export."""
+    from datetime import datetime
+
+    from acled_spark.export import verify_manifest, write_manifest
+
+    df = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 5, 10, 30, 0), "alpha"),
+            (2, datetime(2024, 6, 5, 23, 59, 59), "beta"),
+        ],
+        "id long, ts timestamp, note string",
+    )
+    out = str(tmp_path / "tz_export")
+    write_jsonl(df, out, shards=1, sort_col="id", compression="none")
+    schema = "id long, ts timestamp, note string"
+    write_manifest(read_jsonl(spark, out, schema), out)
+    assert verify_manifest(spark, out, schema) == []
+
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        assert verify_manifest(spark, out, schema) == []
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")

@@ -131,3 +131,35 @@ def test_salted_join_rejects_right_and_full(spark):
     for how in ("right", "right_outer", "full", "full_outer", "outer"):
         with _pytest.raises(ValueError, match="salted_join"):
             salted_join(big, small, "k", buckets=4, how=how)
+
+
+def test_skew_handling_context_manager_restores_confs(spark):
+    """r11 session-conf-drift review: a test-scale AQE tuning must not
+    outlive its scope — the CM snapshots and restores every conf it
+    touches, including unsetting ones that were unset before."""
+    from acled_spark.skew import _SKEW_CONF_KEYS, skew_handling
+
+    def snap():
+        out = {}
+        for k in _SKEW_CONF_KEYS:
+            try:
+                out[k] = spark.conf.get(k)
+            except Exception:
+                out[k] = None
+        return out
+
+    before = snap()
+    with skew_handling(spark, threshold_bytes=100):
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+        assert (
+            spark.conf.get(
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+            )
+            == "100"
+        )
+        # the derived advisory size is the poison the CM exists to scope
+        assert (
+            spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+            == "25"
+        )
+    assert snap() == before
