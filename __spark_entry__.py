@@ -104,7 +104,14 @@ _ALL_KNOWN = _R8_DRIVER_VERIFIED | _R9_DRIVER_VERIFIED | _R10_DRIVER_VERIFIED
 # them.  mm_phash_dedup: r11 switched odd docs to the PNG round-trip
 # inside its Arrow hash pass (hash values unchanged by design — the
 # driver row re-proves it).
-_RECERT_PRIORITY: frozenset[str] = frozenset({"mm_phash_dedup"})
+_RECERT_PRIORITY: frozenset[str] = frozenset({
+    "mm_phash_dedup",  # certifies over BOTH codecs since the PNG round
+    # degenerate-corpus lens touched these three builders (rel-err
+    # guard / validity gate + k clamp / n>=2 eigen gate):
+    "a19_approx_distinct",
+    "sim_ann_ivf",
+    "sim_pca_top_component",
+})
 
 # Cheap-first hint within the stale block: scalar/filter one-scan
 # queries ahead of heavier dedup/text-class plans, so a wall-clock-capped

@@ -95,23 +95,43 @@ def build_ivf_index(
     and released when the fit is done.  ``persist`` additionally leaves
     the cell ASSIGNMENT cached — right when the index will serve many
     searches; pass False for one-shot use so nothing outlives the call.
+
+    Degenerate corpora (round-11 sweep): rows failing the embedding
+    validity contract (NULL / empty / ragged / NULL-element vectors —
+    each crashes ``KMeans.fit`` deep in MLlib) are excluded up front;
+    an empty corpus raises the module's documented ``ValueError``; and
+    ``k`` is clamped to the corpus size, so a corpus smaller than
+    ``nlist`` fits one cell per vector instead of aborting the fit.
     """
+    from acled_spark.embedding import valid_vectors
+
     with_vec = (
-        with_normalized(embeddings, vec_col)
+        with_normalized(valid_vectors(embeddings, vec_col), vec_col)
         .withColumn("__vec", array_to_vector(F.col("__n")))
         .drop("__n")
         .cache()
     )
+    # the count below re-pays one cached pass; it was already spent on
+    # base_cost, and it gates the k clamp before the fit can abort
+    n = with_vec.count()
+    if n < 2:
+        with_vec.unpersist()
+        # MLlib's KMeans param validation requires k >= 2, and a
+        # 1-vector "index" answers nothing brute force doesn't
+        raise ValueError(
+            f"build_ivf_index: {n} valid vector(s) in column "
+            f"{vec_col!r} — need at least 2 to quantize into cells"
+        )
     km = KMeans(
-        k=nlist, seed=SEED, maxIter=max_iter,
+        k=min(nlist, n), seed=SEED, maxIter=max_iter,
         featuresCol="__vec", predictionCol="cell",
     )
     model = km.fit(with_vec)
     assigned = model.transform(with_vec).select(id_col, vec_col, "cell")
     # Mean squared centroid distance at fit time — the staleness
     # baseline for incremental maintenance (trainingCost is the sum over
-    # the cached build frame, so the count is one cheap cached pass).
-    base_cost = model.summary.trainingCost / max(with_vec.count(), 1)
+    # the cached build frame).
+    base_cost = model.summary.trainingCost / n
     if persist:
         assigned = assigned.cache()
         assigned.count()  # materialize the index before freeing the build frame

@@ -47,7 +47,7 @@ def _dot_lit(vec_col: str, lit_vec: list[float]) -> F.Column:
     )
 
 
-def _valid_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+def valid_vectors(df: DataFrame, vec_col: str) -> DataFrame:
     """Rows carrying a FULLY-valid vector: non-empty, no NULL element,
     exactly the corpus's modal width.
 
@@ -79,6 +79,11 @@ def _valid_vectors(df: DataFrame, vec_col: str) -> DataFrame:
         (F.size(F.col(vec_col)) == d)
         & ~F.exists(F.col(vec_col), lambda x: x.isNull())
     )
+
+
+# public since round 11: ann.build_ivf_index shares the same validity
+# contract (a NULL/ragged vector crashes KMeans.fit deep in MLlib)
+_valid_vectors = valid_vectors
 
 
 def mean_vector(df: DataFrame, vec_col: str = "embedding") -> list[float]:
@@ -208,8 +213,19 @@ def top_component(df: DataFrame, vec_col: str = "embedding") -> dict:
     from pyspark.ml.functions import array_to_vector
 
     # one validity contract for PCA.fit AND every aggregate below (see
-    # _valid_vectors): NULL/empty/ragged/NULL-element vectors excluded
+    # valid_vectors): NULL/empty/ragged/NULL-element vectors excluded
     df = _valid_vectors(df, vec_col)
+    # moments first: n gates the covariance itself.  A 1-vector corpus
+    # has a zero covariance matrix — MLlib's PCA surfaces that as an
+    # opaque JVM IllegalArgumentException (RowMatrix.computeCovariance
+    # "<= 1 row"); fail with the module's documented error class
+    # instead (round-11 degenerate-corpus sweep).
+    mu, total_var, n = _moments(df, vec_col)
+    if n < 2:
+        raise ValueError(
+            f"top_component: covariance is undefined for {n} valid "
+            f"vector(s) in column {vec_col!r} — need at least 2"
+        )
     vec = df.select(
         array_to_vector(
             F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -223,7 +239,6 @@ def top_component(df: DataFrame, vec_col: str = "embedding") -> dict:
     k = max(range(d), key=lambda i: abs(v[i]))
     if v[k] < 0:
         v = [-x for x in v]
-    mu, total_var, n = _moments(df, vec_col)
     # Rayleigh quotient on the population covariance (model.explainedVariance
     # is the sample-covariance ratio; recomputing keeps one convention)
     cv = _cov_vec_product(df, vec_col, mu, v, n)
@@ -262,6 +277,15 @@ def power_iteration_top_component(
     """
     df = _valid_vectors(df, vec_col)
     mu, total_var, n = _moments(df, vec_col)
+    if n < 2:
+        # same contract as top_component: a 1-vector covariance is the
+        # zero matrix — the iteration would silently emit a zero
+        # eigenpair with residual=inf instead of naming the problem
+        raise ValueError(
+            f"power_iteration_top_component: covariance is undefined "
+            f"for {n} valid vector(s) in column {vec_col!r} — need at "
+            "least 2"
+        )
     d = len(mu)
 
     v = [1.0 / math.sqrt(d)] * d

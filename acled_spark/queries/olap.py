@@ -191,9 +191,14 @@ def a19_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
 
     def rel_err(approx: str, exact: str):
-        return F.round(
-            F.abs(F.col(approx) - F.col(exact)) / F.col(exact), 4
-        )
+        # exact == 0 only on an empty corpus (both estimators see zero
+        # values): vacuously exact, not ANSI DIVIDE_BY_ZERO (round-11
+        # degenerate-corpus sweep).  A sketch that invents values on an
+        # empty input falls through to NULL, which trips within_bound.
+        return F.when(
+            F.col(exact) > 0,
+            F.round(F.abs(F.col(approx) - F.col(exact)) / F.col(exact), 4),
+        ).otherwise(F.when(F.col(approx) == 0, F.lit(0.0)))
 
     return (
         ev.agg(
@@ -207,7 +212,10 @@ def a19_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rel_err_types", rel_err("approx_types", "exact_types"))
         .withColumn(
             "within_bound",
-            (F.col("rel_err_users") <= 0.05) & (F.col("rel_err_types") <= 0.05),
+            # NULL rel_err (sketch invented values on an empty corpus)
+            # must read as a certification FAILURE, not three-valued NULL
+            F.coalesce(F.col("rel_err_users") <= 0.05, F.lit(False))
+            & F.coalesce(F.col("rel_err_types") <= 0.05, F.lit(False)),
         )
     )
 

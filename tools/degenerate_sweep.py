@@ -1,0 +1,103 @@
+"""Degenerate-corpus sweep: run every registered query against an
+EMPTY tier (0-row tables, real schemas) and a TINY tier (1 row per
+table) and report, per query, whether it (a) returns a well-formed
+DataFrame, (b) raises a documented ValueError, or (c) crashes with an
+undocumented error class (IndexError / TypeError / AttributeError /
+Py4J internals) -- class (c) is the bug list for the degenerate-data
+review lens.
+
+Usage: python tools/degenerate_sweep.py [--tier empty|tiny|both] [--only a,b]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+import traceback
+
+sys.path.insert(0, ".")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+SRC = "/root/testdata/sf0.001"
+
+
+def materialize(spark, base: str) -> dict[str, str]:
+    """Write empty/tiny tiers derived from sf0.001 schemas."""
+    out = {}
+    for tier, n in (("empty", 0), ("tiny", 1)):
+        d = os.path.join(base, tier)
+        if os.path.isdir(d):
+            out[tier] = d
+            continue
+        os.makedirs(d, exist_ok=True)
+        for t in TABLES:
+            df = spark.read.parquet(f"{SRC}/{t}.parquet").limit(n)
+            df.coalesce(1).write.mode("overwrite").parquet(f"{d}/{t}.parquet")
+        out[tier] = d
+    return out
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as E
+
+    args = sys.argv[1:]
+    tier_arg = "both"
+    only = None
+    if "--tier" in args:
+        i = args.index("--tier")
+        tier_arg = args[i + 1]
+        del args[i : i + 2]
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i : i + 2]
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("degenerate-sweep")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = "/tmp/degenerate_tiers"
+    tiers = materialize(spark, base)
+    if tier_arg != "both":
+        tiers = {tier_arg: tiers[tier_arg]}
+
+    qs = E.queries()
+    if only:
+        qs = {n: qs[n] for n in qs if n in only}
+
+    bugs = []
+    for tier, sf in tiers.items():
+        print(f"=== tier {tier} ({sf}) ===", flush=True)
+        for name in qs:
+            t0 = time.time()
+            try:
+                sdf = qs[name](spark, sf)
+                rows = sdf.collect()
+                status = f"ok rows={len(rows)}"
+            except ValueError as exc:
+                status = f"ValueError: {str(exc)[:90]}"
+            except Exception as exc:  # noqa: BLE001
+                status = f"BUG {type(exc).__name__}: {str(exc)[:200]}"
+                bugs.append((tier, name, type(exc).__name__, str(exc)[:400]))
+            print(f"  {name:34s} {status}  ({time.time()-t0:.1f}s)", flush=True)
+
+    print(f"\n{len(bugs)} undocumented-crash bugs")
+    for tier, name, cls, msg in bugs:
+        print(f"  [{tier}] {name}: {cls}: {msg}")
+    return 1 if bugs else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
