@@ -53,6 +53,28 @@ def tiny_tier(spark, tmp_path_factory):
     return str(d)
 
 
+@pytest.fixture(scope="session")
+def nulls_tier(spark, tmp_path_factory):
+    """3 rows per table, every column except the leading id NULL — the
+    'bad ingest day' shape: NULL timestamps under windows, NULL text
+    under tokenizers, NULL embeddings under vector math, NULL join
+    keys.  The round-11 sweep found this tier already clean (prior NULL
+    lenses); this fixture keeps it that way."""
+    d = tmp_path_factory.mktemp("tier_nulls")
+    for t in TABLES:
+        src = spark.read.parquet(f"{SRC}/{t}.parquet").limit(3)
+        keep = src.columns[0]
+        nulled = src.select(
+            keep,
+            *[
+                F.lit(None).cast(src.schema[c].dataType).alias(c)
+                for c in src.columns[1:]
+            ],
+        )
+        nulled.coalesce(1).write.parquet(f"{d}/{t}.parquet")
+    return str(d)
+
+
 def test_every_query_survives_an_empty_corpus(spark, empty_tier):
     """All 123 registered queries over 0-row tables: a DataFrame (any
     row count) or a documented ValueError.  One test, failures
@@ -68,6 +90,19 @@ def test_every_query_survives_an_empty_corpus(spark, empty_tier):
         except Exception as exc:  # noqa: BLE001
             crashes.append(f"{name}: {type(exc).__name__}: {str(exc)[:120]}")
     assert not crashes, "undocumented empty-corpus crashes:\n" + "\n".join(crashes)
+
+
+def test_every_query_survives_an_all_null_corpus(spark, nulls_tier):
+    """Same contract over rows whose non-key columns are ALL NULL."""
+    crashes = []
+    for name, fn in E.queries().items():
+        try:
+            fn(spark, nulls_tier).collect()
+        except ValueError:
+            pass
+        except Exception as exc:  # noqa: BLE001
+            crashes.append(f"{name}: {type(exc).__name__}: {str(exc)[:120]}")
+    assert not crashes, "undocumented all-NULL crashes:\n" + "\n".join(crashes)
 
 
 def test_a19_empty_corpus_is_vacuously_within_bound(spark, empty_tier):

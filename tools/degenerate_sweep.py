@@ -28,9 +28,17 @@ SRC = "/root/testdata/sf0.001"
 
 
 def materialize(spark, base: str) -> dict[str, str]:
-    """Write empty/tiny tiers derived from sf0.001 schemas."""
+    """Write empty/tiny/nulls tiers derived from sf0.001 schemas.
+
+    nulls = 3 rows per table with every column except the first (the
+    table's id/key) set to NULL — the "bad ingest day" shape: NULL
+    timestamps under windows, NULL text under tokenizers, NULL
+    embeddings under vector math, NULL join keys.
+    """
+    from pyspark.sql import functions as F
+
     out = {}
-    for tier, n in (("empty", 0), ("tiny", 1)):
+    for tier, n in (("empty", 0), ("tiny", 1), ("nulls", 3)):
         d = os.path.join(base, tier)
         if os.path.isdir(d):
             out[tier] = d
@@ -38,6 +46,15 @@ def materialize(spark, base: str) -> dict[str, str]:
         os.makedirs(d, exist_ok=True)
         for t in TABLES:
             df = spark.read.parquet(f"{SRC}/{t}.parquet").limit(n)
+            if tier == "nulls":
+                keep = df.columns[0]
+                df = df.select(
+                    keep,
+                    *[
+                        F.lit(None).cast(df.schema[c].dataType).alias(c)
+                        for c in df.columns[1:]
+                    ],
+                )
             df.coalesce(1).write.mode("overwrite").parquet(f"{d}/{t}.parquet")
         out[tier] = d
     return out
