@@ -14,9 +14,11 @@ the image decode for the stdlib-decodable formats (VERDICT r7 #1):
   :func:`encode_png` are the matching writers (round-trips pinned in
   tests and by the mm_decode_real / mm_decode_png driver oracles'
   independent header-byte arithmetic);
-- the remaining compressed formats (JPEG, palette/alpha/16-bit/
-  interlaced PNG, ...) still raise ``NotImplementedError`` with a
-  narrowed message — plug Pillow/ffmpeg there;
+- baseline JPEG (4:4:4 / grayscale) decodes through
+  :mod:`acled_spark.jpeg` (stdlib + numpy DCT, round 11); the
+  remaining variants (progressive/subsampled JPEG, palette/alpha/
+  16-bit/interlaced PNG, ...) still raise ``NotImplementedError``
+  with a narrowed message — plug Pillow/ffmpeg there;
 - :func:`fake_decode` remains the deterministic test double for
   payloads that are not images at all (text-derived bytes).
 
@@ -405,10 +407,13 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, bytes]:
 
     Returns ``(width, height, pixels)`` where ``pixels`` is the
     top-down unpadded per-pixel byte sequence — BGR for BMP (the
-    format's storage order), RGB for PPM and PNG.  Pure byte
-    arithmetic plus stdlib zlib for PNG's IDAT inflate; no media
-    library.  Unknown/unsupported formats raise
-    ``NotImplementedError`` naming the gap (plug Pillow/ffmpeg there).
+    format's storage order), RGB for PPM, PNG, and JPEG.  Pure byte
+    arithmetic plus stdlib zlib for PNG's IDAT inflate and numpy for
+    JPEG's DCT; no media library.  JPEG is the one LOSSY format:
+    decoded pixels are within a small quantization error of the
+    encoder's input, not byte-identical.  Unknown/unsupported formats
+    raise ``NotImplementedError`` naming the gap (plug Pillow/ffmpeg
+    there).
     """
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
@@ -416,10 +421,14 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, bytes]:
         return _decode_ppm(payload)
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from acled_spark.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "only uncompressed BMP ('BM'), binary PPM ('P6'), and 8-bit RGB "
-        f"PNG decode without a media library (payload starts "
-        f"{payload[:2]!r}); plug Pillow/ffmpeg for JPEG and the rest"
+        "only uncompressed BMP ('BM'), binary PPM ('P6'), 8-bit RGB PNG, "
+        f"and baseline JPEG decode without a media library (payload "
+        f"starts {payload[:2]!r}); plug Pillow/ffmpeg for the rest"
     )
 
 

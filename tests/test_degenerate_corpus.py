@@ -7,8 +7,8 @@ IllegalArgumentException, ANSI ArithmeticException, IndexError off an
 empty ``collect()``) are exactly what greets a user who points the
 engine at a corpus that hasn't ingested yet.
 
-The round-11 sweep (tools/degenerate_sweep.py, both tiers x 123
-queries) found three such crashes, each pinned below after the fix:
+The round-11 sweep (tools/degenerate_sweep.py, every registered query
+x all tiers) found three such crashes, each pinned below after the fix:
 
 - ``a19_approx_distinct``: ANSI DIVIDE_BY_ZERO — rel-err divided by an
   exact distinct count of 0 (olap.py).
@@ -76,7 +76,7 @@ def nulls_tier(spark, tmp_path_factory):
 
 
 def test_every_query_survives_an_empty_corpus(spark, empty_tier):
-    """All 123 registered queries over 0-row tables: a DataFrame (any
+    """Every registered query over 0-row tables: a DataFrame (any
     row count) or a documented ValueError.  One test, failures
     aggregated, so a regression names every affected query at once.
     (The tiny tier is swept by tools/degenerate_sweep.py; its three

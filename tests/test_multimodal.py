@@ -46,13 +46,16 @@ def test_extract_features_matches_local_compute(spark):
 def test_compressed_formats_stay_explicitly_stubbed():
     """Only the stdlib-decodable formats decode; the rest raise a
     NARROWED NotImplementedError naming the gap (VERDICT r7 #1).
-    PNG graduated to a real decode in r11, so JPEG is the stub
-    representative now — and a MALFORMED PNG is a ValueError (it IS a
-    supported format), never a NotImplementedError."""
+    PNG and baseline JPEG graduated to real decodes in r11, so GIF is
+    the stub representative now — and a MALFORMED PNG or JPEG is a
+    ValueError (they ARE supported formats), never a
+    NotImplementedError."""
     with pytest.raises(NotImplementedError, match="plug Pillow"):
-        decode_image(b"\xff\xd8\xff\xe0JFIF...")
+        decode_image(b"GIF89a not decodable here")
     with pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n...")
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0JFIF...")  # truncated JPEG segment
     # BMP variants outside 24-bpp BI_RGB name the gap too
     from acled_spark.multimodal import encode_bmp
 

@@ -298,6 +298,18 @@ def test_mm_decode_png_single_scan_no_join(spark):
     assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan[:2000]
 
 
+def test_mm_decode_jpeg_single_scan_no_join(spark):
+    """The JPEG-codec certification pass mirrors mm_decode_real's
+    shape: one documents scan feeding a single narrow Arrow stage,
+    no join anywhere."""
+    import re
+
+    plan = _plan(spark, "mm_decode_jpeg")
+    assert _scan_count(plan) == 1, plan[:2000]
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan[:2000]
+
+
 def test_drift_psi_single_scan(spark):
     """PSI = one corpus scan to (type, bin) partials, consumed eagerly
     by the localCheckpoint; the executed plan must contain ZERO parquet
