@@ -13,15 +13,16 @@ decode must run inside Arrow batches with no native dependency.
 Scope (narrowed exactly like the PNG reader):
 
 - :func:`encode_jpeg` writes baseline sequential JPEGs: 8-bit, YCbCr
-  4:4:4 (or single-component grayscale), Annex-K quantization tables
-  scaled by the libjpeg quality formula, Annex-K Huffman tables,
-  optional restart intervals.
+  4:4:4 / 4:2:2 / 4:2:0 (or single-component grayscale), Annex-K
+  quantization tables scaled by the libjpeg quality formula, Annex-K
+  Huffman tables, optional restart intervals.
 - :func:`decode_jpeg` reads baseline sequential JPEGs with 8-bit
-  precision, 1 or 3 components, 1x1 sampling (4:4:4), multi-table
-  DQT/DHT segments, DRI/RSTn restart markers, and 0xFF00 byte
-  stuffing.  Progressive (SOF2), arithmetic coding, 12-bit precision,
-  16-bit quant tables, and subsampled (4:2:0/4:2:2) streams raise the
-  module's narrowed ``NotImplementedError`` — plug Pillow there.
+  precision, 1 or 3 components, sampling factors 1..2 (4:4:4, 4:2:2,
+  4:2:0 — nearest-neighbor chroma upsampling), multi-table DQT/DHT
+  segments, DRI/RSTn restart markers, and 0xFF00 byte stuffing.
+  Progressive (SOF2), arithmetic coding, 12-bit precision, 16-bit
+  quant tables, and sampling factors above 2 raise the module's
+  narrowed ``NotImplementedError`` — plug Pillow there.
 - Malformed payloads of an accepted shape raise ``ValueError``
   (truncated segments, CRC-class garbage, out-of-table Huffman codes,
   coefficient overruns, degenerate dimensions), never a library error
@@ -275,6 +276,31 @@ def _encode_blocks(
     return dc
 
 
+#: supported chroma layouts: (h, v) sampling factors per component
+SUBSAMPLING = {
+    "4:4:4": ((1, 1), (1, 1), (1, 1)),
+    "4:2:2": ((2, 1), (1, 1), (1, 1)),
+    "4:2:0": ((2, 2), (1, 1), (1, 1)),
+}
+
+
+def _mcu_block_order(
+    mcux: int, mcuy: int, hi: int, vi: int
+) -> np.ndarray:
+    """Raster-order block indices listed in MCU interleave order (T.81
+    A.2.3): per MCU (row-major), the component's v x h blocks
+    row-major within the MCU."""
+    cols = mcux * hi
+    idx = [
+        (my * vi + by) * cols + mx * hi + bx
+        for my in range(mcuy)
+        for mx in range(mcux)
+        for by in range(vi)
+        for bx in range(hi)
+    ]
+    return np.array(idx)
+
+
 def encode_jpeg(
     pixels: bytes,
     width: int,
@@ -282,13 +308,18 @@ def encode_jpeg(
     quality: int = 90,
     restart_interval: int = 0,
     grayscale: bool = False,
+    subsampling: str = "4:4:4",
 ) -> bytes:
     """Write a baseline sequential JPEG (JFIF) from top-down RGB bytes.
 
-    4:4:4 (no chroma subsampling — every MCU is one 8x8 block per
-    component), Annex-K tables scaled by ``quality``, optional DRI/RSTn
-    restart markers every ``restart_interval`` MCUs.  ``grayscale``
-    writes a single-component stream from the RGB input's luma.
+    ``subsampling`` picks the chroma layout: "4:4:4" (one 8x8 block per
+    component per MCU), "4:2:2" (2x1 luma blocks, half-width chroma),
+    or "4:2:0" (2x2 luma blocks, half-width half-height chroma — the
+    common camera/web shape).  Chroma planes are box-averaged down.
+    Annex-K tables scaled by ``quality``; optional DRI/RSTn restart
+    markers every ``restart_interval`` MCUs.  ``grayscale`` writes a
+    single-component stream from the RGB input's luma (subsampling is
+    then irrelevant and ignored).
     """
     if width <= 0 or height <= 0:
         raise ValueError(f"degenerate JPEG dimensions {width}x{height}")
@@ -299,6 +330,11 @@ def encode_jpeg(
         )
     if restart_interval < 0 or restart_interval > 0xFFFF:
         raise ValueError(f"restart interval must be 0..65535, got {restart_interval}")
+    if subsampling not in SUBSAMPLING:
+        raise ValueError(
+            f"subsampling must be one of {sorted(SUBSAMPLING)}, got "
+            f"{subsampling!r}"
+        )
 
     rgb = (
         np.frombuffer(pixels, dtype=np.uint8)
@@ -311,24 +347,35 @@ def encode_jpeg(
     if not grayscale:
         planes.append(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0)
         planes.append(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0)
+    samp = ((1, 1),) if grayscale else SUBSAMPLING[subsampling]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    n_mcu = mcux * mcuy
 
     q_luma = scaled_quant_table(BASE_QUANT_LUMA, quality)
     q_chroma = scaled_quant_table(BASE_QUANT_CHROMA, quality)
     zig = np.array(ZIGZAG)
     a = _dct_matrix()
-    pad_h = (8 - height % 8) % 8
-    pad_w = (8 - width % 8) % 8
+    pad_h = mcuy * 8 * vmax - height
+    pad_w = mcux * 8 * hmax - width
 
-    comp_zz = []  # per component: (n_blocks, 64) zigzag-quantized ints
+    comp_zz = []  # per component: (n_mcu * hi*vi, 64) in MCU order
     for ci, plane in enumerate(planes):
+        hi, vi = samp[ci]
         qtab = np.array(q_luma if ci == 0 else q_chroma, dtype=np.float64)
         padded = np.pad(plane, ((0, pad_h), (0, pad_w)), mode="edge")
+        if (hi, vi) != (hmax, vmax):
+            fv, fh = vmax // vi, hmax // hi
+            ph, pw = padded.shape
+            padded = padded.reshape(ph // fv, fv, pw // fh, fh).mean(axis=(1, 3))
         blocks = _to_blocks(padded) - 128.0
         coef = np.einsum("ij,njk,lk->nil", a, blocks, a)
         # qtab and the flattened coefficients are both natural order;
         # zigzag reordering happens once, on the quantized ints
         quant = np.round(coef.reshape(-1, 64) / qtab).astype(np.int32)
-        comp_zz.append(quant[:, zig])
+        comp_zz.append(quant[_mcu_block_order(mcux, mcuy, hi, vi)][:, zig])
     ncomp = len(planes)
 
     out = bytearray(b"\xFF\xD8" + _JFIF_APP0)
@@ -344,7 +391,8 @@ def encode_jpeg(
         + bytes([ncomp])
     )
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        hi, vi = samp[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
     out += sof
     huff_specs = [(0x00, DC_LUMA), (0x10, AC_LUMA)]
     if not grayscale:
@@ -371,7 +419,6 @@ def encode_jpeg(
     ac_codes = [_huff_codes(AC_LUMA)] + [_huff_codes(AC_CHROMA)] * (ncomp - 1)
     writer = _BitWriter()
     prev = [0] * ncomp
-    n_mcu = comp_zz[0].shape[0]
     rst = 0
     for m in range(n_mcu):
         if restart_interval and m and m % restart_interval == 0:
@@ -380,9 +427,11 @@ def encode_jpeg(
             rst = (rst + 1) % 8
             prev = [0] * ncomp
         for ci in range(ncomp):
-            prev[ci] = _encode_blocks(
-                writer, comp_zz[ci][m], dc_codes[ci], ac_codes[ci], prev[ci]
-            )
+            hi, vi = samp[ci]
+            for bk in range(m * hi * vi, (m + 1) * hi * vi):
+                prev[ci] = _encode_blocks(
+                    writer, comp_zz[ci][bk], dc_codes[ci], ac_codes[ci], prev[ci]
+                )
     writer.align()
     out += writer.buf + b"\xFF\xD9"
     return bytes(out)
@@ -601,17 +650,28 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
         )
     if len(sof) != 6 + 3 * ncomp:
         raise ValueError("JPEG SOF component list malformed")
-    comps = []
+    comps = []  # (cid, tq, h, v)
     for ci in range(ncomp):
         cid, sampling, tq = sof[6 + 3 * ci : 9 + 3 * ci]
-        if sampling != 0x11:
+        hi, vi = sampling >> 4, sampling & 0x0F
+        if ncomp == 1:
+            # sampling factors are meaningless in a single-component
+            # scan (T.81 A.2.2: non-interleaved, MCU = one block)
+            hi, vi = 1, 1
+        if not (1 <= hi <= 2 and 1 <= vi <= 2):
             raise NotImplementedError(
-                "chroma-subsampled JPEG (4:2:0 / 4:2:2) not supported "
-                "(4:4:4 / single-component only); plug Pillow"
+                f"JPEG sampling factor {hi}x{vi} not supported "
+                "(1..2 only — 4:4:4/4:2:2/4:2:0); plug Pillow"
             )
         if tq not in qtabs:
             raise ValueError(f"JPEG component {cid} references missing DQT {tq}")
-        comps.append((cid, tq))
+        comps.append((cid, tq, hi, vi))
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    if any(hmax % c[2] or vmax % c[3] for c in comps):
+        raise NotImplementedError(
+            "non-integer JPEG sampling ratios not supported; plug Pillow"
+        )
 
     sos, data_pos = scan
     if sos[0] != ncomp:
@@ -626,11 +686,13 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
             raise ValueError(f"JPEG component {cid} references missing DHT")
         comp_tabs.append((htabs[(0, td)], htabs[(1, ta)]))
 
-    mcux = (width + 7) // 8
-    mcuy = (height + 7) // 8
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
     n_mcu = mcux * mcuy
     reader = _BitReader(payload, data_pos)
-    comp_blocks = [np.zeros((n_mcu, 64), dtype=np.int32) for _ in range(ncomp)]
+    comp_blocks = [
+        np.zeros((n_mcu * c[2] * c[3], 64), dtype=np.int32) for c in comps
+    ]
     prev = [0] * ncomp
     expected_rst = 0
     for m in range(n_mcu):
@@ -644,24 +706,36 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
             expected_rst = (expected_rst + 1) % 8
             prev = [0] * ncomp
         for ci in range(ncomp):
-            zz, prev[ci] = _decode_block(
-                reader, comp_tabs[ci][0], comp_tabs[ci][1], prev[ci]
-            )
-            comp_blocks[ci][m] = zz
+            nb = comps[ci][2] * comps[ci][3]
+            for bk in range(m * nb, (m + 1) * nb):
+                zz, prev[ci] = _decode_block(
+                    reader, comp_tabs[ci][0], comp_tabs[ci][1], prev[ci]
+                )
+                comp_blocks[ci][bk] = zz
 
     a = _dct_matrix()
     planes = []
-    for ci, (_, tq) in enumerate(comps):
+    for ci, (_, tq, hi, vi) in enumerate(comps):
         dz = comp_blocks[ci] * qtabs[tq][zig]  # dequantize in zigzag order
         nat = np.zeros_like(dz)
         nat[:, zig] = dz
-        blocks = nat.reshape(-1, 8, 8).astype(np.float64)
+        # blocks arrive in MCU interleave order; scatter back to the
+        # component plane's raster block grid
+        raster = np.empty_like(nat)
+        raster[_mcu_block_order(mcux, mcuy, hi, vi)] = nat
+        blocks = raster.reshape(-1, 8, 8).astype(np.float64)
         spatial = np.einsum("ji,njk,kl->nil", a, blocks, a) + 128.0
+        rows, cols = mcuy * vi, mcux * hi
         plane = (
-            spatial.reshape(mcuy, mcux, 8, 8)
+            spatial.reshape(rows, cols, 8, 8)
             .transpose(0, 2, 1, 3)
-            .reshape(mcuy * 8, mcux * 8)
+            .reshape(rows * 8, cols * 8)
         )
+        if (hi, vi) != (hmax, vmax):
+            # nearest-neighbor chroma upsampling back to full resolution
+            plane = np.repeat(
+                np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
+            )
         planes.append(plane[:height, :width])
 
     if ncomp == 1:

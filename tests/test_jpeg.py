@@ -101,6 +101,34 @@ def test_restart_marker_out_of_order_raises():
         decode_jpeg(bytes(payload))
 
 
+@pytest.mark.parametrize("ss,tol", [("4:2:2", 24), ("4:2:0", 32)])
+@pytest.mark.parametrize("w,h", [(16, 16), (17, 9), (32, 24)])
+def test_subsampled_roundtrip_bound(ss, tol, w, h):
+    """4:2:2 / 4:2:0: chroma box-down + nearest-up adds bounded error
+    on smooth content; odd dims exercise the fractional chroma crop."""
+    pix = _gradient(w, h)
+    dw, dh, dec = decode_jpeg(encode_jpeg(pix, w, h, quality=90, subsampling=ss))
+    assert (dw, dh) == (w, h)
+    assert _max_err(dec, pix) <= tol
+
+
+def test_subsampled_with_restart_interval():
+    pix = _gradient(48, 32)
+    payload = encode_jpeg(
+        pix, 48, 32, quality=90, subsampling="4:2:0", restart_interval=2
+    )
+    w, h, dec = decode_jpeg(payload)
+    assert (w, h) == (48, 32)
+    assert _max_err(dec, pix) <= 32
+    # 4:2:0 shrinks the stream vs 4:4:4 on real (chroma-smooth) content
+    assert len(payload) < len(encode_jpeg(pix, 48, 32, quality=90))
+
+
+def test_unknown_subsampling_rejected():
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(_gradient(8, 8), 8, 8, subsampling="4:1:1")
+
+
 def test_grayscale_single_component():
     pix = _gradient(16, 16)
     payload = encode_jpeg(pix, 16, 16, grayscale=True)
@@ -160,11 +188,11 @@ def test_16bit_quant_table_narrowed():
         decode_jpeg(bytes(payload))
 
 
-def test_subsampled_sof_narrowed():
+def test_sampling_factor_above_two_narrowed():
     payload = bytearray(_valid())
     # SOF0 seg: FFC0 len(2) prec(1) h(2) w(2) ncomp(1) then id,samp,tq
-    payload[payload.index(b"\xff\xc0") + 11] = 0x22
-    with pytest.raises(NotImplementedError, match="subsampled"):
+    payload[payload.index(b"\xff\xc0") + 11] = 0x33
+    with pytest.raises(NotImplementedError, match="sampling factor"):
         decode_jpeg(bytes(payload))
 
 
