@@ -170,10 +170,18 @@ def _huff_codes(spec: tuple[tuple[int, ...], tuple[int, ...]]) -> dict:
 
 
 def _huff_decoder(counts: list[int], symbols: list[int]) -> dict:
-    """(length, code) -> symbol for the decode side."""
+    """(length, code) -> symbol for the decode side.
+
+    Rejects overfull tables (more codes at a length than the canonical
+    space holds): building them silently assigns colliding codes and
+    decodes garbage pixels instead of failing."""
     out, code, k = {}, 0, 0
     for length in range(1, 17):
         for _ in range(counts[length - 1]):
+            if code >= (1 << length):
+                raise ValueError(
+                    f"JPEG Huffman table overfull at code length {length}"
+                )
             out[(length, code)] = symbols[k]
             code += 1
             k += 1
@@ -562,14 +570,22 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
     scan = None
     zig = np.array(ZIGZAG)
 
-    while pos + 4 <= len(payload):
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"JPEG marker expected at byte {pos}")
         marker = payload[pos + 1]
+        if marker == 0xFF:
+            pos += 1  # fill byte (T.81 B.1.1.2: FF padding before markers)
+            continue
         if marker == 0xD8:
             raise ValueError("unexpected second SOI")
         if marker == 0xD9:
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / stray RSTn: standalone markers carry no length —
+            # parsing one as a segment would misread the next two bytes
+            pos += 2
+            continue
         ln = _read_u16(payload, pos + 2)
         seg = payload[pos + 4 : pos + 2 + ln]
         if len(seg) != ln - 2:
@@ -678,9 +694,19 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
         raise NotImplementedError(
             "multi-scan JPEG (SOS components != SOF components) not supported"
         )
+    if len(sos) != 4 + 2 * ncomp:
+        raise ValueError("JPEG SOS component list malformed")
     comp_tabs = []
     for ci in range(ncomp):
         cid, tsel = sos[1 + 2 * ci], sos[2 + 2 * ci]
+        if cid != comps[ci][0]:
+            # positional decode below assumes SOS lists components in
+            # SOF order (the only order baseline-interleaved streams
+            # use); a reordered scan would silently swap planes
+            raise NotImplementedError(
+                f"SOS component order differs from SOF (component "
+                f"{cid} at position {ci}); plug Pillow"
+            )
         td, ta = tsel >> 4, tsel & 0x0F
         if (0, td) not in htabs or (1, ta) not in htabs:
             raise ValueError(f"JPEG component {cid} references missing DHT")

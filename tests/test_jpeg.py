@@ -225,6 +225,43 @@ def test_missing_sos_raises():
         decode_jpeg(payload[: payload.index(b"\xff\xda")] + b"\xff\xd9")
 
 
+def test_fill_bytes_and_standalone_markers_in_header_walk():
+    """FF fill padding and length-less markers (TEM, stray RSTn)
+    between segments must be skipped, not parsed as segments — a
+    misparse reads the next two bytes as a length and derails the
+    walk (T.81 B.1.1.2)."""
+    payload = _valid()
+    padded = payload[:2] + b"\xff\xff\xff\x01\xff\xd3" + payload[2:]
+    assert decode_jpeg(padded) == decode_jpeg(payload)
+
+
+def test_overfull_huffman_table_rejected():
+    """A DHT claiming more codes at a length than the canonical space
+    holds must fail loudly — building it assigns colliding codes and
+    decodes garbage pixels silently.  (A payload-level oversized count
+    trips the segment-length ValueError first; the canonical-space
+    check is the table builder's own contract.)"""
+    from acled_spark.jpeg import _huff_decoder
+
+    # both length-1 codes used, so the length-2 space is exhausted at
+    # 4 — a fifth code there must be rejected
+    with pytest.raises(ValueError, match="overfull"):
+        _huff_decoder([2, 5] + [0] * 14, list(range(7)))
+    payload = bytearray(_valid())
+    i = payload.index(b"\xff\xc4")
+    payload[i + 5] = 0xFF  # 255 codes of length 1: dies at segment length
+    with pytest.raises(ValueError, match="DHT symbols truncated"):
+        decode_jpeg(bytes(payload))
+
+
+def test_sos_component_reorder_narrowed():
+    payload = bytearray(_valid())
+    i = payload.index(b"\xff\xda")
+    payload[i + 5], payload[i + 7] = payload[i + 7], payload[i + 5]  # swap cids
+    with pytest.raises(NotImplementedError, match="SOS component order"):
+        decode_jpeg(bytes(payload))
+
+
 def test_encoder_input_validation():
     with pytest.raises(ValueError, match="degenerate"):
         encode_jpeg(b"", 0, 8)
