@@ -463,7 +463,21 @@ def _assign_cells(
     """(id, vec, cell) for new vectors against the FROZEN quantizer —
     byte-identical normalization + model.transform as the build path,
     so an upserted vector lands in exactly the cell a full rebuild
-    would give it (given unchanged centroids)."""
+    would give it (given unchanged centroids).
+
+    Same validity contract as the build (round-11 degenerate lens),
+    but anchored to the INDEX's width, not the batch's modal width: an
+    upsert batch is small and possibly all-garbage, so its mode proves
+    nothing — the frozen centroids define the one width that can be
+    assigned.  NULL / ragged / NULL-element vectors are excluded, as
+    at build time (they would crash ``model.transform`` deep in
+    MLlib); they can never be index members, so exclusion here is the
+    contract, not data loss."""
+    d = int(index.model.clusterCenters()[0].shape[0])
+    vectors = vectors.filter(
+        (F.size(F.col(vec_col)) == d)
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+    )
     with_vec = with_normalized(vectors, vec_col).withColumn(
         "__vec", array_to_vector(F.col("__n"))
     )

@@ -163,6 +163,29 @@ def test_ivf_invalid_vectors_excluded_from_index(spark):
     assert {r["vec_id"] for r in index.assigned.collect()} == {0, 1, 2}
 
 
+def test_ivf_upsert_excludes_invalid_vectors(spark):
+    """The upsert/assign path shares the build's validity contract but
+    anchored to the INDEX width: a maintainer batch carrying NULL /
+    ragged / NULL-element vectors folds in only the assignable ones
+    instead of crashing model.transform mid-stream."""
+    from acled_spark.ann import build_ivf_index, ivf_upsert
+
+    base = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    emb = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    index = build_ivf_index(emb, nlist=2, max_iter=2, persist=False)
+    batch = spark.createDataFrame(
+        [
+            (10, [0.5, 0.5, 0.0, 0.0]),
+            (11, None),
+            (12, [1.0, 2.0]),  # wrong width for this index
+            (13, [1.0, None, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    folded = ivf_upsert(index, batch, persist=False)
+    assert {r["vec_id"] for r in folded.assigned.collect()} == {0, 1, 2, 3, 10}
+
+
 def test_pca_single_vector_raises_value_error(spark):
     from acled_spark.embedding import (
         power_iteration_top_component,
