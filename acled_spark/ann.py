@@ -524,6 +524,15 @@ def ivf_upsert(
     upsert(upsert(i, a), b) == upsert(i, a+b) for disjoint ids.
     """
     fresh = _assign_cells(index, vectors, vec_col, id_col)
+    if fresh.isEmpty():
+        # A batch that is non-empty raw but empty after the validity
+        # filter (a bad-ingest micro-batch of NULL/ragged embeddings)
+        # would otherwise rematerialize the whole index — or commit a
+        # byte-identical durable epoch, advancing the GC window toward
+        # in-flight readers — for zero change.  Same economics as the
+        # maintainer's round-7 empty-batch guard, which the filter now
+        # bypasses (round-11 review).
+        return index
     # One surviving row per id WITHIN the batch too — a micro-batch
     # carrying two updates for one key would otherwise leave duplicate
     # ids in the index (double-counted in search results and drift

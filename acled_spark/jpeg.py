@@ -137,9 +137,18 @@ AC_CHROMA = (
 )
 
 #: decode-side pixel-count ceiling — same role as PNG_MAX_RAW_BYTES: a
-#: 19-byte SOF0 can declare 65535x65535 and a tiny scan would otherwise
-#: allocate ~12 GiB of component planes before any data check fires
-JPEG_MAX_PIXELS = 1 << 24  # 16 Mpx == 48 MiB of RGB
+#: 19-byte SOF0 can declare 65535x65535 (~12 GiB of planes) over a
+#: tiny scan.  The cap prices the WORST case a passing payload can
+#: still cost, not just the output bytes: a minimal entropy stream
+#: (~1 bit/block) that declares the cap runs the pure-Python Huffman
+#: loop over every block (~0.2 ms/block/core measured) and allocates
+#: int32+float64 block arrays (~25 bytes/pixel transient).  At 4 Mpx
+#: that is ~15 s CPU and ~100 MiB per hostile payload per worker —
+#: bounded noise; at 16 Mpx it would be minutes, so the default stays
+#: low.  Trusted pipelines decoding genuinely larger images should
+#: raise this consciously (or plug Pillow, whose native loop is ~100x
+#: faster).
+JPEG_MAX_PIXELS = 1 << 22  # 4 Mpx == 12 MiB of RGB out
 
 _JFIF_APP0 = (
     b"\xFF\xE0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
@@ -540,6 +549,12 @@ def _decode_block(
                 break
             if r == 15:  # ZRL
                 k += 16
+                if k > 64:
+                    # a ZRL at k >= 49 overruns the block; accepting it
+                    # desynchronizes the bit stream and decodes garbage
+                    raise ValueError(
+                        "JPEG AC coefficient index past 63 (corrupt scan)"
+                    )
                 continue
             raise ValueError(f"JPEG AC symbol {rs:#x} invalid (run without size)")
         k += r
@@ -690,6 +705,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
         )
 
     sos, data_pos = scan
+    if not sos:
+        # SOS with segment length 2 carries no component count at all —
+        # indexing it would surface as an opaque IndexError
+        raise ValueError("JPEG SOS segment malformed")
     if sos[0] != ncomp:
         raise NotImplementedError(
             "multi-scan JPEG (SOS components != SOF components) not supported"

@@ -14,9 +14,9 @@ the image decode for the stdlib-decodable formats (VERDICT r7 #1):
   :func:`encode_png` are the matching writers (round-trips pinned in
   tests and by the mm_decode_real / mm_decode_png driver oracles'
   independent header-byte arithmetic);
-- baseline JPEG (4:4:4 / grayscale) decodes through
+- baseline JPEG (4:4:4 / 4:2:2 / 4:2:0 / grayscale) decodes through
   :mod:`acled_spark.jpeg` (stdlib + numpy DCT, round 11); the
-  remaining variants (progressive/subsampled JPEG, palette/alpha/
+  remaining variants (progressive JPEG, palette/alpha/
   16-bit/interlaced PNG, ...) still raise ``NotImplementedError``
   with a narrowed message — plug Pillow/ffmpeg there;
 - :func:`fake_decode` remains the deterministic test double for

@@ -26,53 +26,29 @@ import pytest
 from pyspark.sql import functions as F
 
 import __spark_entry__ as E
-
-TABLES = (
-    "region nation customer supplier part orders lineitem "
-    "events documents embeddings"
-).split()
-
-SRC = "/root/testdata/sf0.001"
+# ONE tier definition, shared with the sweep tool — two hand-maintained
+# copies would let the lens and these pins cover different corpora
+from tools.degenerate_sweep import write_tier
 
 
 @pytest.fixture(scope="session")
 def empty_tier(spark, tmp_path_factory):
-    d = tmp_path_factory.mktemp("tier_empty")
-    for t in TABLES:
-        src = spark.read.parquet(f"{SRC}/{t}.parquet")
-        src.limit(0).coalesce(1).write.parquet(f"{d}/{t}.parquet")
-    return str(d)
+    return write_tier(spark, str(tmp_path_factory.mktemp("tier_empty")), "empty")
 
 
 @pytest.fixture(scope="session")
 def tiny_tier(spark, tmp_path_factory):
-    d = tmp_path_factory.mktemp("tier_tiny")
-    for t in TABLES:
-        src = spark.read.parquet(f"{SRC}/{t}.parquet")
-        src.limit(1).coalesce(1).write.parquet(f"{d}/{t}.parquet")
-    return str(d)
+    return write_tier(spark, str(tmp_path_factory.mktemp("tier_tiny")), "tiny")
 
 
 @pytest.fixture(scope="session")
 def nulls_tier(spark, tmp_path_factory):
-    """3 rows per table, every column except the leading id NULL — the
-    'bad ingest day' shape: NULL timestamps under windows, NULL text
-    under tokenizers, NULL embeddings under vector math, NULL join
-    keys.  The round-11 sweep found this tier already clean (prior NULL
-    lenses); this fixture keeps it that way."""
-    d = tmp_path_factory.mktemp("tier_nulls")
-    for t in TABLES:
-        src = spark.read.parquet(f"{SRC}/{t}.parquet").limit(3)
-        keep = src.columns[0]
-        nulled = src.select(
-            keep,
-            *[
-                F.lit(None).cast(src.schema[c].dataType).alias(c)
-                for c in src.columns[1:]
-            ],
-        )
-        nulled.coalesce(1).write.parquet(f"{d}/{t}.parquet")
-    return str(d)
+    """Non-key columns ALL NULL — the 'bad ingest day' shape: NULL
+    timestamps under windows, NULL text under tokenizers, NULL
+    embeddings under vector math, NULL join keys.  The round-11 sweep
+    found this tier already clean (prior NULL lenses); this fixture
+    keeps it that way."""
+    return write_tier(spark, str(tmp_path_factory.mktemp("tier_nulls")), "nulls")
 
 
 def test_every_query_survives_an_empty_corpus(spark, empty_tier):
@@ -184,6 +160,14 @@ def test_ivf_upsert_excludes_invalid_vectors(spark):
     )
     folded = ivf_upsert(index, batch, persist=False)
     assert {r["vec_id"] for r in folded.assigned.collect()} == {0, 1, 2, 3, 10}
+    # an ALL-invalid batch is a no-op: same index back, no
+    # rematerialization / no durable epoch advance (round-11 review —
+    # the validity filter would otherwise bypass the maintainer's
+    # empty-batch guard)
+    junk = spark.createDataFrame(
+        [(20, None), (21, [1.0])], "vec_id long, embedding array<double>"
+    )
+    assert ivf_upsert(index, junk, persist=False) is index
 
 
 def test_pca_single_vector_raises_value_error(spark):

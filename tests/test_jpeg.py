@@ -262,6 +262,43 @@ def test_sos_component_reorder_narrowed():
         decode_jpeg(bytes(payload))
 
 
+def test_empty_sos_segment_raises_value_error():
+    """An SOS with segment length 2 (no component count byte) must be
+    the documented ValueError, not an IndexError off sos[0]."""
+    payload = _valid()
+    i = payload.index(b"\xff\xda")
+    sos_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+    crafted = payload[:i] + b"\xff\xda\x00\x02" + payload[i + 2 + sos_len :]
+    with pytest.raises(ValueError, match="SOS segment malformed"):
+        decode_jpeg(crafted)
+
+
+def test_zrl_past_block_end_rejected():
+    """A corrupt scan whose ZRL symbols push the AC index past 63 must
+    raise, not silently desynchronize the bit stream (the run+size
+    path already checks; the bare-ZRL path did not)."""
+    from acled_spark.jpeg import (
+        _BitReader,
+        _BitWriter,
+        _decode_block,
+        _huff_codes,
+        _huff_decoder,
+    )
+
+    w = _BitWriter()
+    code, ln = _huff_codes(DC_LUMA)[0]
+    w.write(code, ln)  # DC diff category 0 (no magnitude bits)
+    code, ln = _huff_codes(AC_LUMA)[0xF0]
+    for _ in range(4):  # 4 ZRLs from k=1 -> k=65
+        w.write(code, ln)
+    w.align()
+    reader = _BitReader(bytes(w.buf), 0)
+    dc_tab = _huff_decoder(list(DC_LUMA[0]), list(DC_LUMA[1]))
+    ac_tab = _huff_decoder(list(AC_LUMA[0]), list(AC_LUMA[1]))
+    with pytest.raises(ValueError, match="past 63"):
+        _decode_block(reader, dc_tab, ac_tab, 0)
+
+
 def test_encoder_input_validation():
     with pytest.raises(ValueError, match="degenerate"):
         encode_jpeg(b"", 0, 8)

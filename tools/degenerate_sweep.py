@@ -1,18 +1,17 @@
 """Degenerate-corpus sweep: run every registered query against an
-EMPTY tier (0-row tables, real schemas) and a TINY tier (1 row per
-table) and report, per query, whether it (a) returns a well-formed
-DataFrame, (b) raises a documented ValueError, or (c) crashes with an
-undocumented error class (IndexError / TypeError / AttributeError /
-Py4J internals) -- class (c) is the bug list for the degenerate-data
-review lens.
+EMPTY tier (0-row tables, real schemas), a TINY tier (1 row per
+table), and an all-NULLS tier (non-key columns NULL) and report, per
+query, whether it (a) returns a well-formed DataFrame, (b) raises a
+documented ValueError, or (c) crashes with an undocumented error
+class (IndexError / TypeError / AttributeError / Py4J internals) --
+class (c) is the bug list for the degenerate-data review lens.
 
-Usage: python tools/degenerate_sweep.py [--tier empty|tiny|both] [--only a,b]
+Usage: python tools/degenerate_sweep.py [--tier empty|tiny|nulls|all] [--only a,b]
 """
 
 from __future__ import annotations
 
 import os
-import shutil
 import sys
 import time
 import traceback
@@ -27,35 +26,48 @@ TABLES = (
 SRC = "/root/testdata/sf0.001"
 
 
-def materialize(spark, base: str) -> dict[str, str]:
-    """Write empty/tiny/nulls tiers derived from sf0.001 schemas.
+TIERS = ("empty", "tiny", "nulls")
 
-    nulls = 3 rows per table with every column except the first (the
-    table's id/key) set to NULL — the "bad ingest day" shape: NULL
-    timestamps under windows, NULL text under tokenizers, NULL
-    embeddings under vector math, NULL join keys.
+
+def write_tier(spark, out_dir: str, tier: str) -> str:
+    """Materialize ONE degenerate tier derived from sf0.001 schemas —
+    the single definition shared with tests/test_degenerate_corpus.py
+    (round-11 review: two hand-maintained copies would let the lens
+    and its regression pins silently cover different corpora).
+
+    empty = 0 rows; tiny = 1 row; nulls = 3 rows per table with every
+    column except the first (the table's id/key) set to NULL — the
+    "bad ingest day" shape: NULL timestamps under windows, NULL text
+    under tokenizers, NULL embeddings under vector math, NULL join
+    keys.
     """
     from pyspark.sql import functions as F
 
+    if tier not in TIERS:
+        raise ValueError(f"unknown tier {tier!r}; expected one of {TIERS}")
+    n = {"empty": 0, "tiny": 1, "nulls": 3}[tier]
+    for t in TABLES:
+        df = spark.read.parquet(f"{SRC}/{t}.parquet").limit(n)
+        if tier == "nulls":
+            keep = df.columns[0]
+            df = df.select(
+                keep,
+                *[
+                    F.lit(None).cast(df.schema[c].dataType).alias(c)
+                    for c in df.columns[1:]
+                ],
+            )
+        df.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+    return out_dir
+
+
+def materialize(spark, base: str) -> dict[str, str]:
     out = {}
-    for tier, n in (("empty", 0), ("tiny", 1), ("nulls", 3)):
+    for tier in TIERS:
         d = os.path.join(base, tier)
-        if os.path.isdir(d):
-            out[tier] = d
-            continue
-        os.makedirs(d, exist_ok=True)
-        for t in TABLES:
-            df = spark.read.parquet(f"{SRC}/{t}.parquet").limit(n)
-            if tier == "nulls":
-                keep = df.columns[0]
-                df = df.select(
-                    keep,
-                    *[
-                        F.lit(None).cast(df.schema[c].dataType).alias(c)
-                        for c in df.columns[1:]
-                    ],
-                )
-            df.coalesce(1).write.mode("overwrite").parquet(f"{d}/{t}.parquet")
+        if not os.path.isdir(d):
+            os.makedirs(d, exist_ok=True)
+            write_tier(spark, d, tier)
         out[tier] = d
     return out
 
@@ -66,7 +78,7 @@ def main() -> int:
     import __spark_entry__ as E
 
     args = sys.argv[1:]
-    tier_arg = "both"
+    tier_arg = "all"
     only = None
     if "--tier" in args:
         i = args.index("--tier")
@@ -87,7 +99,11 @@ def main() -> int:
 
     base = "/tmp/degenerate_tiers"
     tiers = materialize(spark, base)
-    if tier_arg != "both":
+    if tier_arg != "all":
+        if tier_arg not in tiers:
+            raise SystemExit(
+                f"--tier must be one of {sorted(tiers)} or 'all', got {tier_arg!r}"
+            )
         tiers = {tier_arg: tiers[tier_arg]}
 
     qs = E.queries()
