@@ -941,6 +941,105 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_bigram_logprob",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang,
+             string_split_regex(lower(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')), '[ \t\n\x0B\f\r]+') AS arr
+      FROM documents
+      WHERE length(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')) > 0
+    ),
+    b2 AS (SELECT doc_id, lang, arr FROM base WHERE len(arr) >= 2),
+    bg AS (
+      SELECT doc_id, lang, arr[i] AS w1, arr[i + 1] AS w2
+      FROM b2, unnest(range(1, len(arr))) AS t(i)
+    ),
+    lm AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+    pfx AS (SELECT w1, SUM(c12) AS c1 FROM lm GROUP BY w1),
+    v AS (
+      SELECT COUNT(DISTINCT w) AS vsz
+      FROM (SELECT unnest(arr) AS w FROM base)
+    )
+    SELECT bg.doc_id, bg.lang,
+           COUNT(*) AS n_bigrams,
+           ROUND(AVG(-ln((lm.c12 + 1.0) / (pfx.c1 + v.vsz))), 4) AS avg_nll,
+           ROUND(EXP(AVG(-ln((lm.c12 + 1.0) / (pfx.c1 + v.vsz)))), 2) AS ppl
+    FROM bg
+    JOIN lm USING (w1, w2) JOIN pfx USING (w1) CROSS JOIN v
+    GROUP BY bg.doc_id, bg.lang
+    ORDER BY avg_nll DESC, doc_id LIMIT 20
+    """,
+    tags=("text", "quality", "extended"),
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-surprising documents by bigram-LM perplexity — the
+    CCNet-style quality filter (Wenzek et al. 2020 rank documents by
+    LM perplexity; the reference's quality gates are heuristic, this
+    is the statistical rung above :func:`text_unigram_logprob`).
+
+    p(w2|w1) = (c(w1,w2) + 1) / (c(w1,·) + V) — Laplace smoothing over
+    the corpus's own bigram table, V = unigram vocabulary size.  All
+    counts are exact ints and the score rounds to 4 decimals (ppl to
+    2) on both engines before the top-k ordering, so ln()/exp() last-
+    ulp differences can't flip ranks.  Docs with fewer than 2 tokens
+    have no bigrams and drop out (they are the length gate's job, not
+    the LM's).
+
+    Scale: the bigram stream is formed SCAN-SIDE by zipping the token
+    array against its own tail (slice+arrays_zip in codegen) — zero
+    shuffle until the LM aggregate, unlike a lag-window formulation
+    that would shuffle the whole token stream by doc_id first.  The LM
+    is a bigram-vocabulary-sized artifact built with partial aggs; at
+    100 TB the documented lever is a frequency floor on c12 (drop
+    hapax bigrams before the scoring join — the same floor KenLM
+    applies) plus hashing grams to 64-bit like dup-spans.  The scoring
+    joins are left to Catalyst/AQE (no forced broadcast: the LM side
+    is vocab-scaled, not constant).
+    """
+    docs = load(spark, sf_dir, "documents")
+    arr = F.split(F.lower(ws_trim(F.col("text"))), f"{WS}+")
+    base = docs.filter(F.length(ws_trim(F.col("text"))) > 0).select(
+        "doc_id", "lang", arr.alias("arr")
+    )
+    b2 = base.filter(F.size("arr") >= 2)
+    bg = b2.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(arr, 1, size(arr) - 1)").alias("w1"),
+                F.expr("slice(arr, 2, size(arr) - 1)").alias("w2"),
+            )
+        ).alias("b"),
+    ).select("doc_id", "lang", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    # lazy checkpoint (materializes once, at the first action): the LM
+    # feeds BOTH the prefix rollup and the scoring join — without it
+    # each consumer re-runs the bigram aggregation from the parquet
+    # scan (4 corpus scans total; checkpointed: 3, plan-pinned)
+    lm = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12")).localCheckpoint(
+        eager=False
+    )
+    pfx = lm.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vsz = base.select(F.explode("arr").alias("w")).agg(
+        F.countDistinct("w").alias("vsz")
+    )
+    nll = -F.log((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("vsz")))
+    return (
+        bg.join(lm, ["w1", "w2"])
+        .join(pfx, "w1")
+        .crossJoin(F.broadcast(vsz))  # 1 row — the only forced broadcast
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(nll), 4).alias("avg_nll"),
+            F.round(F.exp(F.avg(nll)), 2).alias("ppl"),
+        )
+        .orderBy(F.desc("avg_nll"), "doc_id")
+        .limit(20)
+    )
+
+
 # --- BPE-ish regex tokenization ----------------------------------------------
 # Letter runs / digit runs / single non-space punctuation — the
 # pre-tokenizer split (GPT-2-style without unicode classes, identical

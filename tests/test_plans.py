@@ -310,6 +310,21 @@ def test_mm_decode_jpeg_single_scan_no_join(spark):
     assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan[:2000]
 
 
+def test_bigram_lm_checkpointed_three_scans(spark):
+    """Bigram-LM scoring: the LM is a lazily-checkpointed artifact
+    consumed by BOTH the prefix rollup and the scoring join — the
+    final plan carries exactly 2 parquet scans (the scan-side bigram
+    stream + the vocabulary count) plus 2 ExistingRDD reads of the
+    checkpoint; the third corpus scan happens once, materializing the
+    checkpoint.  Without the checkpoint each LM consumer re-runs the
+    bigram aggregation from parquet (4 scans)."""
+    import re
+
+    plan = _plan(spark, "text_bigram_logprob")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan[:2000]
+    assert len(re.findall(r"\(\d+\) Scan ExistingRDD", plan)) == 2, plan[:2000]
+
+
 def test_drift_psi_single_scan(spark):
     """PSI = one corpus scan to (type, bin) partials, consumed eagerly
     by the localCheckpoint; the executed plan must contain ZERO parquet
