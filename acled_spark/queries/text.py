@@ -1040,6 +1040,136 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JS_FLOOR = 5  # support = terms with corpus count >= this (the size lever)
+
+
+@query(
+    "drift_vocab_js",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(lower(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')), '[ \t\n\x0B\f\r]+')) AS w
+      FROM documents
+      WHERE length(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')) > 0
+    ),
+    support AS (
+      SELECT w, COUNT(*) AS c FROM tok GROUP BY w HAVING COUNT(*) >= {_JS_FLOOR}
+    ),
+    sup2 AS (
+      SELECT w, c, CAST(SUM(c) OVER () AS DOUBLE) AS t FROM support
+    ),
+    sc AS (
+      SELECT tok.source, tok.w, COUNT(*) AS cs
+      FROM tok JOIN support ON tok.w = support.w
+      GROUP BY tok.source, tok.w
+    ),
+    grid AS (
+      SELECT s.source, sup2.w, sup2.c, sup2.t, COALESCE(sc.cs, 0) AS cs
+      FROM (SELECT DISTINCT source FROM tok) s
+      CROSS JOIN sup2
+      LEFT JOIN sc ON sc.source IS NOT DISTINCT FROM s.source AND sc.w = sup2.w
+    ),
+    probs AS (
+      SELECT source, w,
+             CAST(SUM(cs) OVER (PARTITION BY source) AS DOUBLE) AS ts,
+             cs, c, t
+      FROM grid
+    ),
+    terms AS (
+      SELECT source, ts,
+             CASE WHEN ts > 0 THEN cs / ts ELSE 0.0 END AS p,
+             c / t AS q
+      FROM probs
+    ),
+    contrib AS (
+      SELECT source, ts,
+             0.5 * CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0.0 END
+             + 0.5 * q * ln(q / ((p + q) / 2)) AS term
+      FROM terms
+    )
+    SELECT source,
+           CAST(MAX(ts) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_support_terms,
+           ROUND(SUM(term), 4) AS jsd,
+           ROUND(SUM(term), 4) >= 0.05 AS drifted
+    FROM contrib GROUP BY source ORDER BY source
+    """,
+    tags=("text", "quality", "drift", "extended"),
+)
+def drift_vocab_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Jensen-Shannon divergence between the source's token
+    distribution and the corpus-wide one — the TEXT face of dataset
+    drift, next to the numeric `drift_psi`: a new crawl whose
+    vocabulary usage diverges from the rest of the mix surfaces here
+    before any quality score moves.
+
+    Distributions are restricted to the shared SUPPORT (terms with
+    corpus count >= {_JS_FLOOR}) and renormalized within it — the
+    floor bounds every downstream frame by the floored vocabulary, so
+    at 100 TB the floor (or a top-K cut) is the documented size lever,
+    exactly like the unigram LM's frequency floor.  JSD is symmetric
+    and bounded (<= ln 2), absent terms contribute only through the
+    corpus side (0*ln0 := 0), and the score rounds to 4 decimals on
+    both engines before the drift threshold so ln() last-ulp
+    differences can't flip the flag.
+
+    Scale: one token-stream shuffle to vocab counts (partial agg), one
+    (source, w) shuffle for per-source counts; everything after is
+    vocab-bounded — the (sources x support) grid, the per-source
+    totals window, the rollup.  No forced broadcasts: the support
+    side is vocab-scaled, left to AQE.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.filter(F.length(ws_trim(F.col("text"))) > 0).select(
+        "source",
+        F.explode(F.split(F.lower(ws_trim(F.col("text"))), f"{WS}+")).alias("w"),
+    )
+    # lazy checkpoint: the vocab-sized support feeds the corpus-prob
+    # projection, the per-source count join, AND the grid — without it
+    # each consumer re-runs the token aggregation from parquet (4
+    # corpus scans; checkpointed: 3, plan-pinned like the bigram LM)
+    support = (
+        tok.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= _JS_FLOOR)
+        .localCheckpoint(eager=False)
+    )
+    sup2 = support.withColumn(
+        "t", F.sum("c").over(Window.partitionBy()).cast("double")
+    )
+    sc = (
+        tok.join(support.select("w"), "w")
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("cs"))
+    )
+    sources = tok.select("source").distinct()
+    grid = (
+        sup2.crossJoin(F.broadcast(sources))  # |sources| rows — tiny
+        .join(sc, ["source", "w"], "left")
+        .withColumn("cs", F.coalesce("cs", F.lit(0)))
+    )
+    probs = grid.withColumn(
+        "ts", F.sum("cs").over(Window.partitionBy("source")).cast("double")
+    )
+    p = F.when(F.col("ts") > 0, F.col("cs") / F.col("ts")).otherwise(F.lit(0.0))
+    q = F.col("c") / F.col("t")
+    m = (p + q) / F.lit(2.0)
+    term = (
+        F.lit(0.5) * F.when(p > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.lit(0.5) * q * F.log(q / m)
+    )
+    return (
+        probs.select("source", F.col("ts"), term.alias("term"))
+        .groupBy("source")
+        .agg(
+            F.max("ts").cast("long").alias("n_tokens"),
+            F.count("*").alias("n_support_terms"),
+            F.round(F.sum("term"), 4).alias("jsd"),
+            (F.round(F.sum("term"), 4) >= 0.05).alias("drifted"),
+        )
+        .orderBy("source")
+    )
+
+
 # --- BPE-ish regex tokenization ----------------------------------------------
 # Letter runs / digit runs / single non-space punctuation — the
 # pre-tokenizer split (GPT-2-style without unicode classes, identical

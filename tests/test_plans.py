@@ -325,6 +325,19 @@ def test_bigram_lm_checkpointed_three_scans(spark):
     assert len(re.findall(r"\(\d+\) Scan ExistingRDD", plan)) == 2, plan[:2000]
 
 
+def test_vocab_js_checkpointed_three_scans(spark):
+    """Vocabulary-JSD drift: the floored support vocabulary is a
+    lazily-checkpointed artifact consumed by the corpus-prob
+    projection, the per-source count join, and the grid — final plan
+    = 2 parquet scans + 2 ExistingRDD reads; the third corpus scan
+    materializes the checkpoint once."""
+    import re
+
+    plan = _plan(spark, "drift_vocab_js")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan[:2000]
+    assert len(re.findall(r"\(\d+\) Scan ExistingRDD", plan)) == 2, plan[:2000]
+
+
 def test_drift_psi_single_scan(spark):
     """PSI = one corpus scan to (type, bin) partials, consumed eagerly
     by the localCheckpoint; the executed plan must contain ZERO parquet
