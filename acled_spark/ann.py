@@ -523,7 +523,14 @@ def ivf_upsert(
     corpus beyond the one merge, and batches compose:
     upsert(upsert(i, a), b) == upsert(i, a+b) for disjoint ids.
     """
-    fresh = _assign_cells(index, vectors, vec_col, id_col)
+    # Checkpoint BEFORE the emptiness probe (ADVICE r11): _assign_cells
+    # is a normalization + model.transform pass, and an uncached
+    # isEmpty() runs it once for the probe and again for the fold — an
+    # extra Spark job per upsert batch.  localCheckpoint materializes
+    # it exactly once; the blocks are freed by the ContextCleaner when
+    # `fresh` is unreachable (same no-eager-unpersist discipline as the
+    # merged assignment below).
+    fresh = _assign_cells(index, vectors, vec_col, id_col).localCheckpoint()
     if fresh.isEmpty():
         # A batch that is non-empty raw but empty after the validity
         # filter (a bad-ingest micro-batch of NULL/ragged embeddings)

@@ -53,7 +53,18 @@ _OPS = {
 
 @dataclass(frozen=True)
 class Predicate:
-    """One column predicate: (column, operator, value)."""
+    """One column predicate: (column, operator, value).
+
+    Value types accepted BY CONTRACT (not accident): any
+    :class:`numbers.Integral` / :class:`numbers.Real` — including numpy
+    scalars (``np.int64``, ``np.float32``) as they come off a pandas or
+    Spark ``collect()`` — plus ``str``, ``bool``, ``date``/``datetime``
+    and ``None``.  Numeric abstract-base-class dispatch happens in the
+    shared literal emitters (:func:`_spark_lit` / :func:`_sql_lit`), so
+    both the Spark column and the generated SQL/API fragment render a
+    plain numeric literal; exotic Real subtypes with lossy ``float()``
+    conversions are the caller's responsibility.
+    """
 
     column: str
     op: str

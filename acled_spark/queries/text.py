@@ -1041,6 +1041,9 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _JS_FLOOR = 5  # support = terms with corpus count >= this (the size lever)
+# NULL-source sentinel (ADVICE r11): folds NULL into a plain-equi key so
+# the per-source join needs no eqNullSafe; \x00 cannot occur in a real tag
+_NULL_SOURCE = "\x00<null-source>"
 
 
 @query(
@@ -1091,7 +1094,7 @@ _JS_FLOOR = 5  # support = terms with corpus count >= this (the size lever)
            COUNT(*) AS n_support_terms,
            ROUND(SUM(term), 4) AS jsd,
            ROUND(SUM(term), 4) >= 0.05 AS drifted
-    FROM contrib GROUP BY source ORDER BY source
+    FROM contrib GROUP BY source ORDER BY source NULLS FIRST
     """,
     tags=("text", "quality", "drift", "extended"),
 )
@@ -1119,8 +1122,18 @@ def drift_vocab_js(spark: SparkSession, sf_dir: str) -> DataFrame:
     side is vocab-scaled, left to AQE.
     """
     docs = load(spark, sf_dir, "documents")
+    # NULL source is a legitimate per-source bucket (a crawl that lost
+    # its provenance tag; ADVICE r11) — but a null-unsafe equi-join
+    # downstream would zero its counts and report the all-absent
+    # divergence (wrong drift flag), and an eqNullSafe join condition
+    # measured ~1.3x slower than plain string keys here.  So NULL is
+    # folded to a sentinel ONCE at the token stage, every downstream
+    # group/join stays plain-equi (the oracle's IS NOT DISTINCT FROM
+    # is then equivalent), and the sentinel maps back to NULL in the
+    # final projection.  \x00 cannot appear in a whitespace-delimited
+    # source tag, so the sentinel cannot collide with a real source.
     tok = docs.filter(F.length(ws_trim(F.col("text"))) > 0).select(
-        "source",
+        F.coalesce(F.col("source"), F.lit(_NULL_SOURCE)).alias("source"),
         F.explode(F.split(F.lower(ws_trim(F.col("text"))), f"{WS}+")).alias("w"),
     )
     # lazy checkpoint: the vocab-sized support feeds the corpus-prob
@@ -1166,6 +1179,9 @@ def drift_vocab_js(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("term"), 4).alias("jsd"),
             (F.round(F.sum("term"), 4) >= 0.05).alias("drifted"),
         )
+        # sentinel back to NULL; \x00... sorts before every real tag so
+        # asc ordering matches the oracle's ORDER BY source NULLS FIRST
+        .withColumn("source", F.nullif(F.col("source"), F.lit(_NULL_SOURCE)))
         .orderBy("source")
     )
 

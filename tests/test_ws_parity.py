@@ -31,6 +31,13 @@ ROWS = [
     # testdata) doc had uppercase text; 'The'/'THE'/'the' must collapse
     # to ONE token in both engines
     (9, "The THE the Repeat repeat REPEAT Tokens tokens", "en", "s2", 47),
+    # NULL source with REAL text (ADVICE r11: drift_vocab_js zeroed this
+    # bucket through a null-unsafe equi-join — wrong drift flag; the
+    # all-NULLs degenerate tier can't catch it because it nulls text
+    # along with source).  Tokens chosen so 'the'(6) and 'repeat'(5)
+    # clear the _JS_FLOOR=5 support floor and the NULL bucket has
+    # non-zero mass; s0/s1 then exercise the zero-mass (p=0) branch.
+    (10, "The repeat the repeat the words tokens", "en", None, 38),
 ]
 SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 
@@ -45,6 +52,7 @@ _WS_QUERIES = [
     "pack_sequences", "pack_materialize", "mix_weights",
     "prep_corpus_stats", "cdc_snapshot_diff", "release_delta_audit",
     "text_quality_classifier", "doc_filter_funnel",
+    "text_bigram_logprob", "drift_vocab_js",
     # NULL-text row 6 exercises the worker's NULL-payload tolerance
     # against the oracle's mirrored contract (round-7 regression: the
     # oracle hard-coded TRUE cert flags and NULL n_bytes on NULL text)
@@ -75,6 +83,21 @@ def edge_duck(edge_dir):
 @pytest.mark.parametrize("name", _WS_QUERIES)
 def test_ws_edge_corpus_parity(spark, edge_duck, edge_dir, name):
     assert_parity(spark, edge_duck, all_specs()[name], sf_dir=edge_dir)
+
+
+def test_null_source_drift_bucket_pinned(spark, edge_dir):
+    """ADVICE r11 regression: the NULL-source doc (row 10) is a real
+    per-source bucket — its support-term mass must be counted, not
+    zeroed by a null-unsafe join.  With the bug, this bucket reported
+    n_tokens=0 and the all-absent divergence (jsd ~= 0.3466,
+    drifted=true)."""
+    from acled_spark.queries.text import drift_vocab_js
+
+    rows = {r["source"]: r for r in drift_vocab_js(spark, edge_dir).collect()}
+    null_row = rows[None]
+    # row 10 holds the*3 + repeat*2 of the {the:6, repeat:5} support
+    assert null_row["n_tokens"] == 5
+    assert not null_row["drifted"]
 
 
 def test_blank_and_vtab_tokenization_pinned(spark):
