@@ -972,7 +972,9 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("text", "quality", "extended"),
 )
-def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_bigram_logprob(
+    spark: SparkSession, sf_dir: str, min_count: int = 1
+) -> DataFrame:
     """Top-20 most-surprising documents by bigram-LM perplexity — the
     CCNet-style quality filter (Wenzek et al. 2020 rank documents by
     LM perplexity; the reference's quality gates are heuristic, this
@@ -991,12 +993,31 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle until the LM aggregate, unlike a lag-window formulation
     that would shuffle the whole token stream by doc_id first.  The LM
     is a bigram-vocabulary-sized artifact built with partial aggs; at
-    100 TB the documented lever is a frequency floor on c12 (drop
-    hapax bigrams before the scoring join — the same floor KenLM
-    applies) plus hashing grams to 64-bit like dup-spans.  The scoring
+    100 TB the MEASURED lever is ``min_count`` — the KenLM-style
+    frequency floor: bigrams with ``c12 < min_count`` are dropped from
+    the LM table BEFORE the scoring join and score as unseen
+    (p = 1/(c1 + V); the +1 numerator is the Laplace mass every unseen
+    bigram already gets), while the prefix totals ``c1`` stay
+    unfloored so the conditional distribution still normalizes over
+    the real counts (KenLM likewise prunes n-grams without touching
+    lower-order stats).  Measured (SCALE.md §bigram-floor): on a
+    planted hapax-majority corpus — the real-crawl shape — the floor
+    cuts the LM artifact 1,250x (1.45M -> 1,210 rows) with the top-20
+    set and top-1 doc IDENTICAL; the only score movement is the
+    floored docs' own bigrams shifting hapax->unseen, a uniform
+    +ln 2 that preserves order.  It is an ARTIFACT-size lever, not a
+    wall-clock one, at bench scale (the full bigram aggregate still
+    runs before the floor can apply); what it bounds at 100 TB is the
+    table that checkpoints, ships to the scoring join, and persists
+    as the model.  (Second lever, unmeasured: hashing grams to 64-bit
+    like dup-spans.)  The scoring
     joins are left to Catalyst/AQE (no forced broadcast: the LM side
-    is vocab-scaled, not constant).
+    is vocab-scaled, not constant).  Default ``min_count=1`` floors
+    nothing — bit-identical to the unpruned model, which is what the
+    DuckDB oracle certifies.
     """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
     docs = load(spark, sf_dir, "documents")
     arr = F.split(F.lower(ws_trim(F.col("text"))), f"{WS}+")
     base = docs.filter(F.length(ws_trim(F.col("text"))) > 0).select(
@@ -1017,16 +1038,25 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # feeds BOTH the prefix rollup and the scoring join — without it
     # each consumer re-runs the bigram aggregation from the parquet
     # scan (4 corpus scans total; checkpointed: 3, plan-pinned)
-    lm = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12")).localCheckpoint(
+    lm_full = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12")).localCheckpoint(
         eager=False
     )
-    pfx = lm.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    # prefix totals from the UNFLOORED counts — pruning the LM must not
+    # re-normalize the conditionals it keeps
+    pfx = lm_full.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    lm = lm_full.filter(F.col("c12") >= min_count) if min_count > 1 else lm_full
     vsz = base.select(F.explode("arr").alias("w")).agg(
         F.countDistinct("w").alias("vsz")
     )
-    nll = -F.log((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("vsz")))
+    # left join + coalesce(c12, 0): a floored-out bigram scores as
+    # unseen, (0 + 1)/(c1 + V).  At min_count=1 nothing is floored and
+    # the left join is row-identical to the old inner join.
+    nll = -F.log(
+        (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1.0))
+        / (F.col("c1") + F.col("vsz"))
+    )
     return (
-        bg.join(lm, ["w1", "w2"])
+        bg.join(lm, ["w1", "w2"], "left")
         .join(pfx, "w1")
         .crossJoin(F.broadcast(vsz))  # 1 row — the only forced broadcast
         .groupBy("doc_id", "lang")
@@ -1098,7 +1128,9 @@ _NULL_SOURCE = "\x00<null-source>"
     """,
     tags=("text", "quality", "drift", "extended"),
 )
-def drift_vocab_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+def drift_vocab_js(
+    spark: SparkSession, sf_dir: str, support_floor: int = _JS_FLOOR
+) -> DataFrame:
     """Per-source Jensen-Shannon divergence between the source's token
     distribution and the corpus-wide one — the TEXT face of dataset
     drift, next to the numeric `drift_psi`: a new crawl whose
@@ -1106,10 +1138,19 @@ def drift_vocab_js(spark: SparkSession, sf_dir: str) -> DataFrame:
     before any quality score moves.
 
     Distributions are restricted to the shared SUPPORT (terms with
-    corpus count >= {_JS_FLOOR}) and renormalized within it — the
-    floor bounds every downstream frame by the floored vocabulary, so
-    at 100 TB the floor (or a top-K cut) is the documented size lever,
-    exactly like the unigram LM's frequency floor.  JSD is symmetric
+    corpus count >= ``support_floor``, default {_JS_FLOOR}) and
+    renormalized within it — the floor bounds every downstream frame
+    by the floored vocabulary, the MEASURED size lever (SCALE.md
+    §bigram-floor, second table): on a planted hapax-flood corpus
+    floor=1 admits 1.5M hapax terms into a 16.5M-row
+    (sources x support) grid (30.8 s) while floor=5 bounds it by the
+    repeated vocabulary (1.9 s — 16x).  The floor also LOCALIZES
+    drift: with a flooding source in-corpus at floor=1 every OTHER
+    source reads drifted (the flood owns the corpus mixture), while
+    at floor>=5 the flood's vocabulary leaves the shared support, the
+    flooding source alone stays flagged (all-absent bound 0.5 ln 2),
+    and natural sources read ~0 again — the per-source verdict a
+    drift monitor needs when some source is always flooding.  JSD is symmetric
     and bounded (<= ln 2), absent terms contribute only through the
     corpus side (0*ln0 := 0), and the score rounds to 4 decimals on
     both engines before the drift threshold so ln() last-ulp
@@ -1121,6 +1162,8 @@ def drift_vocab_js(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals window, the rollup.  No forced broadcasts: the support
     side is vocab-scaled, left to AQE.
     """
+    if support_floor < 1:
+        raise ValueError(f"support_floor must be >= 1, got {support_floor}")
     docs = load(spark, sf_dir, "documents")
     # NULL source is a legitimate per-source bucket (a crawl that lost
     # its provenance tag; ADVICE r11) — but a null-unsafe equi-join
@@ -1143,7 +1186,7 @@ def drift_vocab_js(spark: SparkSession, sf_dir: str) -> DataFrame:
     support = (
         tok.groupBy("w")
         .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= _JS_FLOOR)
+        .filter(F.col("c") >= support_floor)
         .localCheckpoint(eager=False)
     )
     sup2 = support.withColumn(
