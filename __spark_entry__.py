@@ -22,54 +22,28 @@ from acled_spark.registry import oracle_map, spark_queries
 # round to newest.  Registry names/signatures are unchanged — only the
 # emission order here rotates.
 #
-# Round-11 rotation state (folded from CORRECTNESS_r10.json): round
-# 10's 50-row check re-verified the whole r07 tier (retired) plus 25
-# r08 rows.  Freshness is now r10×50 / r9×50 / r8×22 — no row older
-# than r08.  The 22 r08-fresh rows lead this round (VERDICT r10 #7),
-# then oldest-r09.  After CORRECTNESS_r11 lands, fold its names into
-# a _R11 tier and retire the empties.
+# Round-12 rotation state (folded from CORRECTNESS_r11.json): round
+# 11's 50-row check re-verified the whole r08 tier (retired), 24 r09
+# rows, and the four round-11 newcomers.  Freshness is now r11×50 /
+# r10×50 / r9×26 — no row older than r09.  The 26 r09-fresh rows lead
+# this round, then oldest-r10.  After CORRECTNESS_r12 lands, fold its
+# names into a _R12 tier and retire the empties.
 #
-# Queries whose freshest driver rows were written by the round-8 check
-# (CORRECTNESS_r08.json) — the stale block, emitted first.
-# sim_pca_top_component / sim_ann_ivf rows are the by-design rows-only
-# checks (no_oracle) whose invariants ride the output columns.
-_R8_DRIVER_VERIFIED: frozenset[str] = frozenset(
-    {
-        "cdc_snapshot_diff", "chk_validation_summary", "cohort_retention",
-        "j1_target_stat_lookup", "j8_interval_join", "j9_band_join",
-        "ml_distance_from_center", "ml_onehot_pivot", "mm_decode_real",
-        "mm_payload_metadata", "pack_materialize", "prep_corpus_stats",
-        "release_delta_audit", "sess_transitions", "sim_ann_ivf",
-        "sim_dim_stats", "sim_pca_top_component", "so1_set_ops",
-        "t3_tumbling_window", "text_bpe_token_stats", "text_chunking",
-        "text_contamination",
-    }
-)
-
-# Queries verified by the round-9 check (CORRECTNESS_r09.json) — the
-# FRESH block, emitted last.  a19_approx_distinct / a26 rows are the
-# by-design rows-only checks (no_oracle) whose invariants ride the
-# output columns.
+# Queries whose freshest driver rows were written by the round-9 check
+# (CORRECTNESS_r09.json) — the stale block, emitted first.
 _R9_DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
-        "a1_value_counts", "a2_conditional_counts", "a3_null_empty_audit",
-        "a4_daily_rollup", "a5_topk_groups", "a6_dim_rollup",
-        "a10_descriptive_stats", "a11_distinct_counts",
-        "a12_duplicate_keys", "a14_group_deviation", "a17_rollup",
-        "a18_cube", "a19_approx_distinct", "a20_ranking_suite",
-        "a21_unpivot", "a26_approx_quantiles", "dedup_canonical_pick",
-        "dedup_cluster_census", "dedup_embedding_cosine", "dedup_exact",
+        "dedup_canonical_pick", "dedup_cluster_census",
+        "dedup_embedding_cosine", "dedup_exact",
         "dedup_incremental_check", "doc_filter_funnel",
-        "f16_regexp_extract", "f1_try_cast_json", "f6_string_cleanup",
         "j2_static_map_lookup", "j3_anti_join", "j4_semi_join",
-        "j5_multiway_revenue", "j6_snowflake_dims", "mm_phash_dedup",
-        "p2_filter_dsl", "p3_date_range", "p4_null_threshold",
+        "j5_multiway_revenue", "j6_snowflake_dims",
         "p5_eq_filter", "p6_threshold_topk", "p7_hash_split",
         "p8_stratified_sample", "text_bm25_topk", "text_fingerprints",
         "text_langid_confusion", "text_quality_classifier",
         "text_quality_scores", "text_tfidf_terms", "text_token_stats",
         "text_unigram_logprob", "text_vocab_growth", "text_winnow_pairs",
-        "text_zipf_slope", "w6_cumulative_distinct",
+        "text_zipf_slope",
     }
 )
 
@@ -97,20 +71,44 @@ _R10_DRIVER_VERIFIED: frozenset[str] = frozenset(
         "w4_lag_delta", "w5_range_frame",
     }
 )
-_ALL_KNOWN = _R8_DRIVER_VERIFIED | _R9_DRIVER_VERIFIED | _R10_DRIVER_VERIFIED
 
-# Queries whose round-11 source/oracle edits POSTDATE their freshest
+# Queries verified by the round-11 check (CORRECTNESS_r11.json) — the
+# FRESH block, emitted last.  a19/a26/sim_ann_ivf/sim_pca rows are the
+# by-design rows-only checks (no_oracle) whose invariants ride the
+# output columns.
+_R11_DRIVER_VERIFIED: frozenset[str] = frozenset(
+    {
+        "a1_value_counts", "a2_conditional_counts", "a3_null_empty_audit",
+        "a4_daily_rollup", "a5_topk_groups", "a6_dim_rollup",
+        "a10_descriptive_stats", "a11_distinct_counts",
+        "a12_duplicate_keys", "a14_group_deviation", "a17_rollup",
+        "a18_cube", "a19_approx_distinct", "a20_ranking_suite",
+        "a21_unpivot", "a26_approx_quantiles", "cdc_snapshot_diff",
+        "chk_validation_summary", "cohort_retention", "drift_vocab_js",
+        "f16_regexp_extract", "f1_try_cast_json", "f6_string_cleanup",
+        "j1_target_stat_lookup", "j8_interval_join", "j9_band_join",
+        "ml_distance_from_center", "ml_onehot_pivot", "mm_decode_jpeg",
+        "mm_decode_png", "mm_decode_real", "mm_payload_metadata",
+        "mm_phash_dedup", "p2_filter_dsl", "p3_date_range",
+        "p4_null_threshold", "pack_materialize", "prep_corpus_stats",
+        "release_delta_audit", "sess_transitions", "sim_ann_ivf",
+        "sim_dim_stats", "sim_pca_top_component", "so1_set_ops",
+        "t3_tumbling_window", "text_bigram_logprob",
+        "text_bpe_token_stats", "text_chunking", "text_contamination",
+        "w6_cumulative_distinct",
+    }
+)
+_ALL_KNOWN = _R9_DRIVER_VERIFIED | _R10_DRIVER_VERIFIED | _R11_DRIVER_VERIFIED
+
+# Queries whose round-12 source/oracle edits POSTDATE their freshest
 # driver row — these lead their blocks so the ~50-query cap can't drop
-# them.  mm_phash_dedup: r11 switched odd docs to the PNG round-trip
-# inside its Arrow hash pass (hash values unchanged by design — the
-# driver row re-proves it).
+# them.  Both builders changed in round 12: drift_vocab_js gained the
+# NULL-source sentinel fold + support_floor param (ADVICE r11 / VERDICT
+# r11 #1); text_bigram_logprob gained the min_count floor (left-join
+# scoring path, default-identical).
 _RECERT_PRIORITY: frozenset[str] = frozenset({
-    "mm_phash_dedup",  # certifies over BOTH codecs since the PNG round
-    # degenerate-corpus lens touched these three builders (rel-err
-    # guard / validity gate + k clamp / n>=2 eigen gate):
-    "a19_approx_distinct",
-    "sim_ann_ivf",
-    "sim_pca_top_component",
+    "drift_vocab_js",
+    "text_bigram_logprob",
 })
 
 # Cheap-first hint within the stale block: scalar/filter one-scan
@@ -135,7 +133,7 @@ def _ordered(names: list[str]) -> list[str]:
     taken = set(never) | set(priority)
     blocks = [never, priority] + [
         [n for n in names if n in tier and n not in taken]
-        for tier in (_R8_DRIVER_VERIFIED, _R9_DRIVER_VERIFIED, _R10_DRIVER_VERIFIED)
+        for tier in (_R9_DRIVER_VERIFIED, _R10_DRIVER_VERIFIED, _R11_DRIVER_VERIFIED)
     ]
     for block in blocks:
         block.sort(key=lambda n: (_family_rank(n), names.index(n)))
