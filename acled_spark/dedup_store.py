@@ -38,6 +38,7 @@ partitioning or a bucket-join otherwise.
 from __future__ import annotations
 
 import posixpath
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -55,6 +56,48 @@ from acled_spark.queries.text import fingerprint_spark
 #: (both scans plan-asserted in tests/test_dedup_store.py).
 _TABLE_PREFIX = "table:"
 _N_BUCKETS = 64
+
+# Store writes are single-writer BY CONTRACT (see append_batch); within
+# one driver that contract is now ENFORCED, not assumed: every write
+# face (init/append/process/retire) serializes on a per-root lock, so
+# the realistic local shape — a streaming DedupMaintainer thread plus
+# an ad-hoc batch append or release-time retire on another thread —
+# cannot interleave half-written verdicts with a staging swap or
+# double-append a replayed batch (r11 VERDICT #6; real-thread pins in
+# tests/test_dedup_store.py).  CROSS-driver writers remain the
+# deployment's responsibility (one writer job per store root — the
+# same single-writer rule Delta/Hudi table maintenance assumes);
+# in-process locks cannot span drivers.
+_WRITER_LOCKS: dict[str, threading.RLock] = {}
+_WRITER_LOCKS_GUARD = threading.Lock()
+
+
+def _writer_lock(root: str) -> threading.RLock:
+    key = root if _is_table(root) else posixpath.normpath(root)
+    with _WRITER_LOCKS_GUARD:
+        return _WRITER_LOCKS.setdefault(key, threading.RLock())
+
+
+def _single_writer(root_arg: int):
+    """Serialize a store-write face on the per-root lock.
+
+    ``root_arg`` is the positional index of ``root`` in the wrapped
+    signature (it may also arrive as a keyword).  RLock, so a write
+    face may call another write face for the same root if that ever
+    becomes useful; distinct roots never contend.
+    """
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            root = kwargs["root"] if "root" in kwargs else args[root_arg]
+            with _writer_lock(root):
+                return fn(*args, **kwargs)
+
+        return wrapper
+
+    return deco
 
 
 def _is_table(root: str) -> bool:
@@ -144,6 +187,7 @@ def signatures(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return exact, minhash_bands_spark(docs)
 
 
+@_single_writer(1)
 def init_store(docs: DataFrame, root: str) -> None:
     """Materialize the signature store for an initial corpus.
 
@@ -287,6 +331,7 @@ def _append_signatures(
     return n
 
 
+@_single_writer(2)
 def append_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -432,6 +477,7 @@ def _writer_promote(spark: SparkSession, src: str, dest: str) -> None:
             raise
 
 
+@_single_writer(2)
 def retire_ids(
     spark: SparkSession,
     ids: DataFrame,
@@ -547,6 +593,7 @@ def retire_ids(
     return before - kept_exact.count()
 
 
+@_single_writer(2)
 def process_batch(
     spark: SparkSession,
     batch: DataFrame,

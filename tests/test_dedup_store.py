@@ -507,3 +507,177 @@ def test_retire_empty_id_set_is_a_cheap_noop(spark, store, tmp_path):
     assert retire_ids(spark, empty, root) == 0
     assert not os.path.exists(root + "._retire_staging")  # no swap walked
     assert check_batch(spark, corpus.limit(5), root).count() == before
+
+
+# --- single-writer enforcement under real threads (VERDICT r11 #6) ----------
+# The r11 restart lens proved SERIAL exactly-once; these pin the remaining
+# untested production shape: two concurrent writers against ONE store in
+# one driver (streaming DedupMaintainer thread + ad-hoc batch/retire on
+# another).  The write faces serialize on a per-root lock, so the store's
+# invariants (one signature per distinct text, exactly-once growth, no
+# lost update across append/retire) must hold under either thread order.
+
+
+def _run_threads(fns, timeout=300):
+    import threading
+
+    errs, results = [], [None] * len(fns)
+    barrier = threading.Barrier(len(fns))
+
+    def call(i, fn):
+        try:
+            barrier.wait(timeout=60)
+            results[i] = fn()
+        except Exception as exc:  # noqa: BLE001 — surfaced via assert
+            errs.append(exc)
+
+    ts = [
+        threading.Thread(target=call, args=(i, f), daemon=True)
+        for i, f in enumerate(fns)
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=timeout)
+    assert not any(t.is_alive() for t in ts), "writer thread hung"
+    return results, errs
+
+
+def _guard_mutual_exclusion(monkeypatch):
+    """Wrap the append critical section with an in-flight probe: two
+    writers inside it at once fails the test even if the final state
+    happens to come out right."""
+    import threading
+
+    import acled_spark.dedup_store as ds
+
+    orig = ds._append_signatures
+    active = threading.Semaphore(1)
+    violations = []
+
+    def guarded(*args, **kwargs):
+        if not active.acquire(blocking=False):
+            violations.append("concurrent entry into _append_signatures")
+            return orig(*args, **kwargs)
+        try:
+            return orig(*args, **kwargs)
+        finally:
+            active.release()
+
+    monkeypatch.setattr(ds, "_append_signatures", guarded)
+    return violations
+
+
+def test_concurrent_disjoint_writers_on_bucketed_table_store(
+    spark, monkeypatch
+):
+    """Two threads process_batch disjoint batches — sharing ONE text
+    across batches — against one table: store.  Exactly one of the two
+    shared-text docs survives (whichever writer ran second saw it in
+    the store), every other doc appends exactly once, and the writers
+    never overlap inside the critical section."""
+    from acled_spark.dedup_store import _read_exact, process_batch
+
+    troot = "table:sig_conc"
+    for t in ("sig_conc_exact", "sig_conc_bands"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    violations = _guard_mutual_exclusion(monkeypatch)
+    try:
+        init_store(
+            _mk_batch(spark, [(1, "seed text one", "en", "s0", 13)]), troot
+        )
+        shared = "both batches carry this exact text payload"
+        batch_a = _mk_batch(
+            spark,
+            [(200 + i, f"alpha unique text {i}", "en", "s0", 20) for i in range(4)]
+            + [(204, shared, "en", "s0", len(shared))],
+        )
+        batch_b = _mk_batch(
+            spark,
+            [(210 + i, f"beta unique text {i}", "en", "s1", 19) for i in range(4)]
+            + [(214, shared, "en", "s1", len(shared))],
+        )
+        results, errs = _run_threads(
+            [
+                lambda: process_batch(spark, batch_a, troot),
+                lambda: process_batch(spark, batch_b, troot),
+            ]
+        )
+        assert errs == [], errs
+        assert not violations, violations
+        # 8 unique texts + ONE survivor of the shared text
+        assert sum(n for _, n in results) == 9
+        exact = _read_exact(spark, troot)
+        assert exact.count() == 1 + 9
+        # one signature per distinct text — the invariant concurrency
+        # would have broken without the writer lock
+        assert (
+            exact.groupBy("fingerprint").count().filter("count > 1").count()
+            == 0
+        )
+        # exactly one of the two shared-text ids made it in
+        holders = {
+            r["doc_id"]
+            for r in exact.filter(F.col("doc_id").isin(204, 214)).collect()
+        }
+        assert len(holders) == 1, holders
+    finally:
+        for t in ("sig_conc_exact", "sig_conc_bands"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_concurrent_replay_of_same_batch_appends_once(
+    spark, store, monkeypatch
+):
+    """At-least-once delivery can hand the SAME micro-batch to two
+    workers at once; the store must grow exactly once (the loser's
+    append replays as a no-op through the overlap anti-join)."""
+    from acled_spark.dedup_store import _read_exact, process_batch
+
+    root, _ = store
+    violations = _guard_mutual_exclusion(monkeypatch)
+    before = _read_exact(spark, root).count()
+    batch = _mk_batch(
+        spark,
+        [(900 + i, f"replayed fresh text {i}", "en", "s9", 21) for i in range(6)],
+    )
+    results, errs = _run_threads(
+        [
+            lambda: process_batch(spark, batch, root),
+            lambda: process_batch(spark, batch, root),
+        ]
+    )
+    assert errs == [], errs
+    assert not violations, violations
+    assert sum(n for _, n in results) == 6  # one appends 6, one appends 0
+    assert _read_exact(spark, root).count() == before + 6
+
+
+def test_concurrent_append_and_retire_commute(spark, store, monkeypatch):
+    """A release-time retire_ids and an ingest process_batch on DISJOINT
+    ids race one store; serialized writes make the two orders
+    equivalent, so the final id set must be (initial - retired + new)
+    either way — no lost append, no resurrected retiree."""
+    from acled_spark.dedup_store import _read_exact, process_batch, retire_ids
+
+    root, corpus = store
+    _guard_mutual_exclusion(monkeypatch)
+    initial_ids = {r["doc_id"] for r in _read_exact(spark, root).collect()}
+    retire = sorted(initial_ids)[:5]
+    post = corpus.filter(~F.col("doc_id").isin(*retire))
+    batch = _mk_batch(
+        spark,
+        [(950 + i, f"raced ingest text {i}", "en", "s9", 19) for i in range(4)],
+    )
+    _, errs = _run_threads(
+        [
+            lambda: retire_ids(
+                spark, spark.createDataFrame([(i,) for i in retire], "doc_id long"),
+                root, corpus=post,
+            ),
+            lambda: process_batch(spark, batch, root),
+        ]
+    )
+    assert errs == [], errs
+    final_ids = {r["doc_id"] for r in _read_exact(spark, root).collect()}
+    assert final_ids == (initial_ids - set(retire)) | {950, 951, 952, 953}
