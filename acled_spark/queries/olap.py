@@ -287,6 +287,31 @@ def a22_time_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GK_ACCURACY = 10000
 
 
+def _interval_err(p: str, q: float) -> F.Column:
+    """Distance from target rank q to the realized interval
+    [lo_<p>, hi_<p>]; 0 when q lies inside."""
+    return F.greatest(
+        F.lit(0.0), F.col(f"lo_{p}") - F.lit(q), F.lit(q) - F.col(f"hi_{p}")
+    )
+
+
+def max_rank_err_expr() -> F.Column:
+    """Worst realized rank error across the three probed quantiles.
+
+    Module-level (not inlined in the builder) so its max-of-three
+    semantics are unit-testable on planted literal rows: on every
+    corpus small enough to test end-to-end the GK sketch is EXACT and
+    all three errors are 0.0, where max and min coincide — the r12
+    mutation lens swapped greatest->least inside the builder and no
+    value-level gate could tell (tests/test_approx_accuracy.py pins
+    this expression on asymmetric planted errors instead)."""
+    return F.greatest(
+        _interval_err("p50", 0.5),
+        _interval_err("p90", 0.9),
+        _interval_err("p99", 0.99),
+    )
+
+
 @query(
     "a26_approx_quantiles",
     oracle=None,  # sketch internals are engine-specific (Spark: Greenwald-
@@ -364,19 +389,8 @@ def a26_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def _interval_err(p: str, q: float) -> F.Column:
-        # distance from target rank q to [lo, hi]; 0 when q lies inside
-        return F.greatest(
-            F.lit(0.0), F.col(f"lo_{p}") - F.lit(q), F.lit(q) - F.col(f"hi_{p}")
-        )
-
-    max_err = F.greatest(
-        _interval_err("p50", 0.5),
-        _interval_err("p90", 0.9),
-        _interval_err("p99", 0.99),
-    )
     return (
-        ranked.withColumn("max_rank_err", F.round(max_err, 6))
+        ranked.withColumn("max_rank_err", F.round(max_rank_err_expr(), 6))
         .withColumn(
             # a group whose values are ALL NULL has n=0 (count of
             # non-null): no sketch, no realized ranks — certification

@@ -72,11 +72,19 @@ def test_sim_ann_ivf_registry_recall_floor(spark):
     for r in exact:
         by_q_exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     assert set(by_q_approx) == set(by_q_exact)
-    recalls = [
-        len(by_q_approx[q] & by_q_exact[q]) / len(by_q_exact[q])
+    recalls = {
+        q: len(by_q_approx[q] & by_q_exact[q]) / len(by_q_exact[q])
         for q in by_q_exact
-    ]
-    assert sum(recalls) / len(recalls) >= 0.8, recalls
+    }
+    assert sum(recalls.values()) / len(recalls) >= 0.8, recalls
+    # the recall_at_k COLUMN must equal this externally computed recall
+    # per query — the r12 mutation lens planted a wrong-base recall
+    # (count/count == 1.0) and every read-back-only assertion passed;
+    # the invariant column is only an invariant if something that does
+    # not trust it recomputes it.
+    col = {r["query_id"]: r["recall_at_k"] for r in approx}
+    for q, ext in recalls.items():
+        assert col[q] == pytest.approx(ext, abs=1e-9), (q, col[q], ext)
 
 
 def test_ivf_salted_join_identical_results(spark, index):

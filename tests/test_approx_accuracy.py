@@ -134,25 +134,78 @@ def test_approx_quantiles_close_to_exact(spark):
 
 def test_a19_self_certifies_within_bound(spark):
     """The registry query's own output carries rel-err vs exact and a
-    within_bound flag — the invariant the driver's rows-only check pins."""
+    within_bound flag — the invariant the driver's rows-only check pins.
+
+    The rel-err columns are RECOMPUTED here from the approx/exact
+    columns in the same row, not just read back: the r12 mutation lens
+    planted a wrong-base rel_err (approx vs approx == 0, within_bound
+    vacuously true) and the read-back-only assertions passed — a
+    self-certifying column must be certified by something that does
+    not trust it."""
     from acled_spark.registry import all_specs
 
-    row = all_specs()["a19_approx_distinct"].builder(
-        spark, "/root/testdata/sf0.001"
-    ).collect()[0]
+    # sf0.01, NOT sf0.001: at 15 distinct users the HLL estimate is
+    # exact and a wrong-base rel_err of 0 equals the true 0 — the
+    # recompute only discriminates where the sketch actually errs
+    # (151 vs 150 here, rel_err 0.0067)
+    row = all_specs()["a19_approx_distinct"].builder(spark, SF_DIR).collect()[0]
     assert row["within_bound"] is True
     assert row["rel_err_users"] <= 0.05
     assert row["rel_err_types"] <= 0.05
     assert row["exact_users"] > 0
+    nonzero = 0
+    for kind in ("users", "types"):
+        ext = abs(row[f"approx_{kind}"] - row[f"exact_{kind}"]) / row[
+            f"exact_{kind}"
+        ]
+        nonzero += ext > 0
+        assert row[f"rel_err_{kind}"] == pytest.approx(ext, abs=1e-4), kind
+    # the corpus must keep exercising a REAL sketch error, or the
+    # recompute above degenerates back into 0 == 0
+    assert nonzero >= 1
 
 
 def test_a26_self_certifies_rank_error(spark):
+    """max_rank_err is RECOMPUTED externally from the query's own
+    sketch quantiles against the raw events — the r12 mutation lens
+    planted max->least in the error rollup and the read-back-only
+    assertions passed (a smaller wrong error still clears the bound)."""
     from acled_spark.registry import all_specs
 
-    rows = all_specs()["a26_approx_quantiles"].builder(
-        spark, "/root/testdata/sf0.001"
-    ).collect()
+    sf = "/root/testdata/sf0.001"
+    rows = all_specs()["a26_approx_quantiles"].builder(spark, sf).collect()
     assert rows
+    vals = {}  # event_type -> sorted non-null values
+    for v in load(spark, sf, "events").select("event_type", "value").collect():
+        if v["value"] is not None:
+            vals.setdefault(v["event_type"], []).append(v["value"])
     for r in rows:
         assert r["within_bound"] is True, (r["event_type"], r["max_rank_err"])
         assert r["max_rank_err"] <= 1 / 10000 + 1 / r["n"]
+        xs = sorted(vals[r["event_type"]])
+        errs = []
+        for col, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            lo = sum(1 for x in xs if x < r[col]) / len(xs)
+            hi = sum(1 for x in xs if x <= r[col]) / len(xs)
+            errs.append(max(0.0, lo - q, q - hi))
+        assert r["max_rank_err"] == pytest.approx(max(errs), abs=1e-6), (
+            r["event_type"], errs,
+        )
+
+
+def test_max_rank_err_rollup_is_the_maximum(spark):
+    """Planted asymmetric interval errors: (p50, p90, p99) realized
+    errors (0.3, 0.05, 0.009) must roll up to 0.3.  On any corpus
+    small enough for an end-to-end test the GK sketch is exact and all
+    three errors are 0.0 — max, min, and first coincide, so only a
+    planted-literal pin can catch a wrong rollup (r12 mutation lens:
+    greatest->least slipped every value-level gate)."""
+    from acled_spark.queries.olap import max_rank_err_expr
+
+    df = spark.createDataFrame(
+        [(0.8, 0.9, 0.95, 0.95, 0.999, 1.0)],
+        "lo_p50 double, hi_p50 double, lo_p90 double, hi_p90 double,"
+        " lo_p99 double, hi_p99 double",
+    )
+    got = df.select(max_rank_err_expr().alias("e")).collect()[0]["e"]
+    assert got == pytest.approx(0.3, abs=1e-12)

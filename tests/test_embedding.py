@@ -206,3 +206,25 @@ def test_null_element_and_ragged_vectors_excluded_consistently(spark):
     assert got["explained_ratio"] == pytest.approx(
         ref["explained_ratio"], rel=1e-9
     )
+
+
+def test_eigen_residual_known_answer(spark):
+    """Hand-computed pin of the residual DEFINITION ‖C·v − λv‖ / λ —
+    the r12 mutation lens dropped the /λ normalization and every
+    existing assertion passed: true-eigenpair residuals are ~0 under
+    either normalization, and the self-comparison at line ~76 computes
+    ext with the SAME function.  A known-answer on a deliberately
+    WRONG λ pins the base: C = diag(0.5, 2.0) for these four vectors,
+    so (v=[1,0], λ=0.25) has ‖Cv−λv‖ = 0.25 and residual 0.25/0.25=1."""
+    from acled_spark.embedding import eigen_residual
+
+    df = spark.createDataFrame(
+        [([1.0, 0.0],), ([-1.0, 0.0],), ([0.0, 2.0],), ([0.0, -2.0],)],
+        "embedding array<double>",
+    )
+    assert eigen_residual(df, "embedding", [1.0, 0.0], 0.5) == pytest.approx(
+        0.0, abs=1e-12
+    )
+    assert eigen_residual(df, "embedding", [1.0, 0.0], 0.25) == pytest.approx(
+        1.0, abs=1e-9
+    )

@@ -597,3 +597,37 @@ def test_png_encoder_rejects_degenerate_dims():
         encode_png(b"", 0, 5)
     with _pytest.raises(ValueError, match="degenerate"):
         encode_png(bytes(9), -1, -3)  # (-1*-3*3 == 9 passes a size check)
+
+
+def test_paeth_predictor_spec_tie_break_table():
+    """RFC 2083 §6.6 tie-break order (left, then up, then upper-left),
+    pinned by known answers.  The r12 mutation lens changed <= to < in
+    the predictor and NOTHING failed: encoder and decoder share
+    _paeth, so every round-trip stays self-consistent, and the driver
+    corpus never produced a tie — but a spec-compliant external PNG
+    would decode WRONG.  (4,1,2): p=3, pa=pc=1 < pb=2 -> left must win
+    the pa==pc tie; (1,4,2): pb==pc=1 < pa=2 -> up wins over
+    upper-left; (2,0,1): pc strictly smallest -> upper-left."""
+    from acled_spark.multimodal import _paeth
+
+    assert _paeth(4, 1, 2) == 4
+    assert _paeth(1, 4, 2) == 4
+    assert _paeth(2, 0, 1) == 1
+    assert _paeth(0, 0, 0) == 0
+
+
+def test_paeth_golden_bytes_decode():
+    """A FROZEN spec-correct Paeth-filtered PNG whose second row's
+    second pixel reconstructs through the (left=4, up=1, upper-left=2)
+    tie neighborhood — a consistently mutated predictor misdecodes
+    these bytes even though its own round-trips stay clean."""
+    from acled_spark.multimodal import decode_image_pixels
+
+    golden = bytes.fromhex(
+        "89504e470d0a1a0a0000000d4948445200000002000000020802000000fd"
+        "d49a730000001549444154789c63616262faffff3f0b9062666606001bbf"
+        "031ba2a5af710000000049454e44ae426082"
+    )
+    w, h, px = decode_image_pixels(golden)
+    assert (w, h) == (2, 2)
+    assert px == bytes([2, 2, 2, 1, 1, 1, 4, 4, 4, 7, 7, 7])

@@ -314,3 +314,28 @@ def test_windowed_counts_batch_face_drops_null_ts(spark):
     assert out[0]["event_count"] == 2          # the NULL-ts row is gone
     assert out[0]["total_value"] == 12.0
     assert out[0]["window_start"] is not None
+
+
+def test_t3_certification_is_sensitive_to_value_diffs(spark, monkeypatch):
+    """The in-query stream-batch certificate must compare VALUES, not
+    row counts: the r12 mutation lens planted len(stream)==len(batch)
+    and no gate failed (the oracle emits TRUE and no corpus produces a
+    same-count value diff).  Forcing one here — the batch face's
+    event_count shifted by +1, stream face untouched — must drop the
+    flag on every row; the len() mutation keeps it TRUE and fails this
+    test."""
+    import acled_spark.streaming as streaming
+    from acled_spark.queries.pipeline import t3_tumbling_window
+
+    orig = streaming.windowed_counts
+
+    def skewed(df):
+        out = orig(df)
+        if not df.isStreaming:
+            out = out.withColumn("event_count", F.col("event_count") + F.lit(1))
+        return out
+
+    monkeypatch.setattr(streaming, "windowed_counts", skewed)
+    rows = t3_tumbling_window(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    assert all(r["stream_matches_batch"] is False for r in rows)
