@@ -151,6 +151,75 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_ngram_novelty",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents
+    ),
+    sh AS (SELECT doc_id, md5(s) AS g FROM raw),
+    first AS (SELECT g, MIN(doc_id) AS first_seen FROM sh GROUP BY g)
+    SELECT sh.doc_id,
+           COUNT(*) AS n_grams,
+           ROUND(AVG(CASE WHEN f.first_seen = sh.doc_id
+                          THEN 1.0 ELSE 0.0 END), 4) AS novelty
+    FROM sh JOIN first f USING (g)
+    GROUP BY sh.doc_id
+    ORDER BY novelty, doc_id LIMIT 20
+    """,
+    tags=("dedup", "text", "extended"),
+)
+def dedup_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20 most-REDUNDANT documents by n-gram novelty: the fraction of a
+    doc's distinct word 3-grams first introduced BY that doc, under the
+    corpus's doc_id order (ingest order in this pipeline).
+
+    The census face of Lee et al.'s "deduplicating training data"
+    observation: near-duplicate and boilerplate documents contribute
+    almost no first-seen n-grams, so novelty ~ 0 ranks them for
+    down-weighting or curriculum placement even when no single pair
+    crosses a dedup threshold — redundancy against the WHOLE preceding
+    corpus, not pairwise similarity.  Same gram definition as the
+    jaccard/containment family (:func:`shingles_spark`, distinct
+    3-grams, <3-word docs drop out), so its verdicts compose with
+    theirs.
+
+    Scale: grams are md5-hashed scan-side, so the two shuffles (the
+    first-seen aggregate and the rejoin) move constant-width 32-hex
+    digests, never gram text — the dup-spans discipline.  first-seen
+    is a partial-aggregated, gram-vocabulary-sized frame, lazily
+    checkpointed so its two consumers share one materialization; the
+    rejoin is digest-keyed and left to AQE (the vocab side is not
+    constant-sized — no forced broadcast).  2 scans, plan-pinned.
+    At 100 TB the levers are the dedup family's ``max_doc_freq``-style
+    stopword-gram floor (a gram in every doc is first-seen exactly
+    once and never moves a verdict) and sharding the first-seen
+    aggregate by gram prefix.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(shingles_spark(F.col("text"))).alias("s")
+    ).select("doc_id", F.md5(F.col("s")).alias("g"))
+    first = (
+        sh.groupBy("g")
+        .agg(F.min("doc_id").alias("first_seen"))
+        .localCheckpoint(eager=False)
+    )
+    return (
+        sh.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.round(
+                F.avg((F.col("first_seen") == F.col("doc_id")).cast("double")),
+                4,
+            ).alias("novelty"),
+        )
+        .orderBy("novelty", "doc_id")
+        .limit(20)
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, max_doc_freq: int | None = None
 ) -> DataFrame:

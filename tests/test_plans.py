@@ -467,3 +467,17 @@ def test_multiprobe_broadcasts_probe_set(spark):
     plan = _plan(spark, "sim_ann_multiprobe")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ngram_novelty_digest_only_two_scans(spark):
+    """Novelty census: grams md5-hashed scan-side, first-seen table
+    lazily checkpointed — final plan = 1 parquet scan (the rejoin
+    side) + 1 ExistingRDD read (the materialized vocab frame); the
+    second corpus scan materializes the checkpoint.  No cartesian, no
+    gram TEXT in any exchange (the join key is the md5 column)."""
+    import re
+
+    plan = _plan(spark, "dedup_ngram_novelty")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
+    assert len(re.findall(r"\(\d+\) Scan ExistingRDD", plan)) == 1, plan[:2000]
+    assert "CartesianProduct" not in plan

@@ -52,7 +52,7 @@ _WS_QUERIES = [
     "pack_sequences", "pack_materialize", "mix_weights",
     "prep_corpus_stats", "cdc_snapshot_diff", "release_delta_audit",
     "text_quality_classifier", "doc_filter_funnel",
-    "text_bigram_logprob", "drift_vocab_js",
+    "text_bigram_logprob", "drift_vocab_js", "dedup_ngram_novelty",
     # NULL-text row 6 exercises the worker's NULL-payload tolerance
     # against the oracle's mirrored contract (round-7 regression: the
     # oracle hard-coded TRUE cert flags and NULL n_bytes on NULL text)
@@ -178,3 +178,17 @@ def test_shingles_and_word_ngrams_builders_agree(spark, edge_dir):
         ~F.col("a").eqNullSafe(F.col("b"))
     ).count()
     assert diverged == 0
+
+
+def test_ngram_novelty_semantics_pinned(spark, edge_dir):
+    """Row 8 duplicates row 1's text exactly: every one of its grams
+    was first seen in doc 1, so its novelty is 0.0 and doc 1's is 1.0
+    (its text is unique to the pair and it is the earlier id)."""
+    from acled_spark.queries.dedup import dedup_ngram_novelty
+
+    rows = {
+        r["doc_id"]: r for r in dedup_ngram_novelty(spark, edge_dir).collect()
+    }
+    assert rows[8]["novelty"] == 0.0
+    assert rows[1]["novelty"] == 1.0
+    assert rows[1]["n_grams"] == rows[8]["n_grams"]
