@@ -169,7 +169,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("dedup", "text", "extended"),
 )
-def dedup_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_novelty(
+    spark: SparkSession, sf_dir: str, max_doc_freq: int | None = None
+) -> DataFrame:
     """20 most-REDUNDANT documents by n-gram novelty: the fraction of a
     doc's distinct word 3-grams first introduced BY that doc, under the
     corpus's doc_id order (ingest order in this pipeline).
@@ -191,10 +193,22 @@ def dedup_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointed so its two consumers share one materialization; the
     rejoin is digest-keyed and left to AQE (the vocab side is not
     constant-sized — no forced broadcast).  2 scans, plan-pinned.
-    At 100 TB the levers are the dedup family's ``max_doc_freq``-style
-    stopword-gram floor (a gram in every doc is first-seen exactly
-    once and never moves a verdict) and sharding the first-seen
-    aggregate by gram prefix.
+    At 100 TB the lever is ``max_doc_freq`` — the same stopword-gram
+    cap as :func:`ngram_jaccard_pairs`, with the same DROP semantics:
+    a gram in more than ``max_doc_freq`` docs leaves BOTH the
+    first-seen table and every doc's denominator, so novelty is then
+    measured over discriminative grams only (a universal boilerplate
+    gram says nothing about which doc introduced content); a doc whose
+    every gram is capped leaves the census.  The df rides the same
+    aggregate as first-seen — the cap costs no extra pass.  Measured
+    (SCALE.md §novelty-cap): wall-clock flat on both tiers (scan +
+    first-seen aggregate dominate and run before the cap can apply);
+    the cap bounds the checkpointed first-seen ARTIFACT 4.3x on a
+    boilerplate-heavy corpus and is a no-op on a hapax flood (df=1
+    grams survive any cap — that side's lever is upstream quality
+    gates).  This is a SEMANTIC knob with drop semantics, not an
+    approximation: capped verdicts re-rank by design.  Default None
+    is the exact, oracle-certified face.
     """
     docs = load(spark, sf_dir, "documents")
     sh = docs.select(
@@ -202,11 +216,13 @@ def dedup_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.md5(F.col("s")).alias("g"))
     first = (
         sh.groupBy("g")
-        .agg(F.min("doc_id").alias("first_seen"))
+        .agg(F.min("doc_id").alias("first_seen"), F.count("*").alias("df"))
         .localCheckpoint(eager=False)
     )
+    if max_doc_freq is not None:
+        first = first.filter(F.col("df") <= max_doc_freq)
     return (
-        sh.join(first, "g")
+        sh.join(first.drop("df"), "g")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),

@@ -192,3 +192,23 @@ def test_ngram_novelty_semantics_pinned(spark, edge_dir):
     assert rows[8]["novelty"] == 0.0
     assert rows[1]["novelty"] == 1.0
     assert rows[1]["n_grams"] == rows[8]["n_grams"]
+
+
+def test_ngram_novelty_max_doc_freq_drop_semantics(spark, edge_dir):
+    """With the cap at 1, the duplicated baseline text's grams (df=2,
+    rows 1 and 8) leave both the first-seen table and the denominators:
+    docs 1 and 8 vanish from the census entirely (no surviving grams)
+    while single-doc texts keep novelty 1.0 over their own grams."""
+    from acled_spark.queries.dedup import dedup_ngram_novelty
+
+    rows = {
+        r["doc_id"]: r
+        for r in dedup_ngram_novelty(spark, edge_dir, max_doc_freq=1).collect()
+    }
+    assert 1 not in rows and 8 not in rows
+    assert rows[2]["novelty"] == 1.0
+    # default face unchanged: both dup docs present, dup scored 0
+    base = {
+        r["doc_id"]: r for r in dedup_ngram_novelty(spark, edge_dir).collect()
+    }
+    assert base[8]["novelty"] == 0.0
