@@ -973,7 +973,10 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "quality", "extended"),
 )
 def text_bigram_logprob(
-    spark: SparkSession, sf_dir: str, min_count: int = 1
+    spark: SparkSession,
+    sf_dir: str,
+    min_count: int = 1,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Top-20 most-surprising documents by bigram-LM perplexity — the
     CCNet-style quality filter (Wenzek et al. 2020 rank documents by
@@ -1009,8 +1012,12 @@ def text_bigram_logprob(
     wall-clock one, at bench scale (the full bigram aggregate still
     runs before the floor can apply); what it bounds at 100 TB is the
     table that checkpoints, ships to the scoring join, and persists
-    as the model.  (Second lever, unmeasured: hashing grams to 64-bit
-    like dup-spans.)  The scoring
+    as the model.  The second lever is ``hash_grams=True`` — scan-side
+    xxhash64 gram keys, so every exchange/join moves fixed 8-byte
+    longs instead of variable gram text: measured 1.4x wall-clock on
+    both heavy tiers with results identical to the string face
+    (SCALE.md §bigram-floor; non-oracled — xxhash64 has no DuckDB
+    twin, default False stays certified).  The scoring
     joins are left to Catalyst/AQE (no forced broadcast: the LM side
     is vocab-scaled, not constant).  Default ``min_count=1`` floors
     nothing — bit-identical to the unpruned model, which is what the
@@ -1034,6 +1041,20 @@ def text_bigram_logprob(
             )
         ).alias("b"),
     ).select("doc_id", "lang", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    if hash_grams:
+        # 64-bit gram keys (xxhash64, scan-side): every downstream
+        # shuffle/join key is a fixed 8-byte long instead of variable
+        # gram text.  Results are identical to the string face modulo
+        # 64-bit collisions (~n²/2⁶⁵ expected colliding pairs —
+        # negligible below ~10¹² distinct grams; identity pinned in
+        # tests/test_floor_levers.py).  xxhash64 has no DuckDB twin, so
+        # this face is the SCALE path, not the oracled default.
+        bg = bg.select(
+            "doc_id",
+            "lang",
+            F.xxhash64("w1", "w2").alias("w1w2"),
+            F.xxhash64("w1").alias("w1"),
+        ).withColumnRenamed("w1w2", "w2")  # (w1, w2) now = (h(w1), h(w1,w2))
     # lazy checkpoint (materializes once, at the first action): the LM
     # feeds BOTH the prefix rollup and the scoring join — without it
     # each consumer re-runs the bigram aggregation from the parquet

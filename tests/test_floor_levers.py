@@ -144,3 +144,22 @@ def test_floor_knobs_reject_nonpositive(spark, tail_dir):
         text_bigram_logprob(spark, tail_dir, min_count=0)
     with pytest.raises(ValueError):
         drift_vocab_js(spark, tail_dir, support_floor=0)
+
+
+def test_hash_grams_face_is_result_identical(spark, tail_dir):
+    """hash_grams=True swaps gram-text join/shuffle keys for 8-byte
+    xxhash64 longs; on any corpus whose distinct-gram count is far
+    below the 64-bit birthday bound the results must be IDENTICAL to
+    the string face, floored or not."""
+    for kw in ({}, {"min_count": 2}):
+        a = [
+            tuple(r)
+            for r in text_bigram_logprob(spark, tail_dir, **kw).collect()
+        ]
+        b = [
+            tuple(r)
+            for r in text_bigram_logprob(
+                spark, tail_dir, hash_grams=True, **kw
+            ).collect()
+        ]
+        assert a == b, kw
