@@ -94,3 +94,46 @@ def test_lsh_zero_projection_signs_positive_both_engines(spark):
         f"SELECT {_bucket_sql()} FROM (SELECT {zero!r}::DOUBLE[] AS e)"
     ).fetchone()[0]
     assert duck == got
+
+
+def test_funnel_same_instant_step_is_not_after(spark, tmp_path):
+    """Funnel advancement is STRICTLY-after (t1 > t0): a first view at
+    the exact same instant as the signup does not count as
+    viewed-after.  No corpus user has two same-instant first steps, so
+    a >= mutation slipped the driver gate."""
+    from acled_spark.queries.sessions import funnel_user_journey
+
+    t0 = datetime.datetime(2024, 3, 1, 9, 0, 0)
+    rows = [
+        # user 1: view at EXACTLY the signup instant -> not "after"
+        (1, t0, 1, "signup", 1.0, None),
+        (2, t0, 1, "view", 1.0, None),
+        # user 2: view strictly after -> counts
+        (3, t0, 2, "signup", 1.0, None),
+        (4, t0 + datetime.timedelta(seconds=1), 2, "view", 1.0, None),
+    ]
+    d = _events(spark, tmp_path, rows)
+    row = funnel_user_journey(spark, d).collect()[0]
+    assert row["signed_up"] == 2
+    assert row["viewed_after"] == 1  # user 2 only
+
+
+def test_asof_join_same_instant_click_is_included(spark, tmp_path):
+    """The as-of contract is t.ts >= q.ts (INCLUSIVE): a click at the
+    exact purchase instant is that purchase's most-recent click (the
+    sort places side 0 before side 1 at equal ts).  Pinned against the
+    tiebreak flip the driver corpus cannot see (no same-instant
+    click+purchase pair), and against DuckDB's native ASOF JOIN which
+    defines the oracle semantics."""
+    from acled_spark.queries.joins import j7_asof_join
+
+    t0 = datetime.datetime(2024, 3, 1, 9, 0, 0)
+    rows = [
+        (1, t0 - datetime.timedelta(seconds=60), 7, "click", 5.0, None),
+        (2, t0, 7, "click", 9.0, None),     # same instant as the purchase
+        (3, t0, 7, "purchase", 1.0, None),  # must see click 2, gap 0
+    ]
+    d = _events(spark, tmp_path, rows)
+    row = j7_asof_join(spark, d).collect()[0]
+    assert row["gap_us"] == 0
+    assert row["click_value"] == 9.0
