@@ -109,6 +109,10 @@ _ALL_KNOWN = _R9_DRIVER_VERIFIED | _R10_DRIVER_VERIFIED | _R11_DRIVER_VERIFIED
 _RECERT_PRIORITY: frozenset[str] = frozenset({
     "drift_vocab_js",
     "text_bigram_logprob",
+    # a26's error rollup moved to the module-level max_rank_err_expr()
+    # (r12 mutation lens) — same semantics, but the builder changed, so
+    # its driver row should postdate the refactor
+    "a26_approx_quantiles",
 })
 
 # Cheap-first hint within the stale block: scalar/filter one-scan
