@@ -67,12 +67,9 @@ SPECS = [
          PYT + ["tests/test_ws_parity.py::"
                 "test_ws_edge_corpus_parity[text_token_stats]"]),
     spec("M7", "dedup", "acled_spark/queries/dedup.py",
-         # first occurrence only would need index targeting; the jaccard
-         # and containment denominators share this string, so target via
-         # the jaccard-only ROUND wrapper context
-         'F.col("inter").cast("double")\n            '
+         # the jaccard and a second family share this denominator string;
+         # FIRST occurrence (ngram_jaccard_pairs) is the target
          '/ (F.col("n_sh1") + F.col("n_sh2") - F.col("inter")),',
-         'F.col("inter").cast("double")\n            '
          '/ (F.col("n_sh1") + F.col("n_sh2")),',
          SIM + ["dedup_ngram_jaccard"], "caught"),
     spec("M8", "png-paeth", "acled_spark/multimodal.py",
@@ -198,12 +195,12 @@ def _apply(path: str, old: str, new: str, first_only: bool = False) -> None:
     n = src.count(old)
     if first_only:
         if n < 1:
-            raise SystemExit(f"target not found in {path}")
+            raise LookupError(f"target not found in {path}")
         i = src.index(old)
         src = src[:i] + new + src[i + len(old):]
     else:
         if n != 1:
-            raise SystemExit(f"target not unique in {path} ({n} occurrences)")
+            raise LookupError(f"target not unique in {path} ({n} occurrences)")
         src = src.replace(old, new)
     open(full, "w").write(src)
 
@@ -212,9 +209,9 @@ def run_spec(s: dict, fixed: bool) -> tuple[str, bool | None]:
     gate = s["fixed_gate"] if fixed else s["gate"]
     if gate is None:
         return "no-fixed-gate", None
-    old, new, first_only = s["old"], s["new"], False
+    old, new, first_only = s["old"], s["new"], s["id"] in ("M7", "M16")
     if s["id"] == "M16":
-        old, new, first_only = _M16_OLD, _M16_NEW, True
+        old, new = _M16_OLD, _M16_NEW
     _apply(s["path"], old, new, first_only)
     try:
         p = subprocess.run(gate, cwd=REPO, capture_output=True, text=True,
@@ -237,6 +234,11 @@ def main() -> int:
         ["git", "status", "--porcelain", "--untracked-files=no"],
         cwd=REPO, capture_output=True, text=True,
     ).stdout.strip()
+    # the driver appends to PROGRESS.jsonl between commits; the lens
+    # never touches it, so it must not block a run
+    dirty = "\n".join(
+        ln for ln in dirty.splitlines() if not ln.endswith("PROGRESS.jsonl")
+    ).strip()
     if dirty:
         raise SystemExit(
             "working tree has uncommitted tracked changes — the lens "
@@ -249,7 +251,12 @@ def main() -> int:
             continue
         if args.fixed and s["expect"] != "slipped":
             continue
-        outcome, _ = run_spec(s, fixed=args.fixed)
+        try:
+            outcome, _ = run_spec(s, fixed=args.fixed)
+        except LookupError as exc:
+            print(f"{s['id']:4s} [{s['family']}] -> SPEC-ERROR: {exc}")
+            bad.append(s["id"])
+            continue
         want = "caught" if args.fixed else s["expect"]
         # an 'equivalent' mutant is EXPECTED to slip its primary gate
         want = "slipped" if want == "equivalent" else want
