@@ -22,60 +22,35 @@ from acled_spark.registry import oracle_map, spark_queries
 # round to newest.  Registry names/signatures are unchanged — only the
 # emission order here rotates.
 #
-# Round-12 rotation state (folded from CORRECTNESS_r11.json): round
-# 11's 50-row check re-verified the whole r08 tier (retired), 24 r09
-# rows, and the four round-11 newcomers.  Freshness is now r11×50 /
-# r10×50 / r9×26 — no row older than r09.  The 26 r09-fresh rows lead
-# this round, then oldest-r10.  After CORRECTNESS_r12 lands, fold its
-# names into a _R12 tier and retire the empties.
+# Round-13 rotation state (folded from CORRECTNESS_r12.json): round
+# 12's 50-row check re-verified the whole r09 tier (retired), 20 r10
+# rows, 3 r11 rows, and the round-12 newcomer dedup_ngram_novelty.
+# Freshness is now r12×50 / r11×47 / r10×30 — no row older than r10.
+# The 30 r10-fresh rows lead this round, then oldest-r11.  After
+# CORRECTNESS_r13 lands, fold its names into a _R13 tier and retire
+# the empties.
 #
-# Queries whose freshest driver rows were written by the round-9 check
-# (CORRECTNESS_r09.json) — the stale block, emitted first.
-_R9_DRIVER_VERIFIED: frozenset[str] = frozenset(
-    {
-        "dedup_canonical_pick", "dedup_cluster_census",
-        "dedup_embedding_cosine", "dedup_exact",
-        "dedup_incremental_check", "doc_filter_funnel",
-        "j2_static_map_lookup", "j3_anti_join", "j4_semi_join",
-        "j5_multiway_revenue", "j6_snowflake_dims",
-        "p5_eq_filter", "p6_threshold_topk", "p7_hash_split",
-        "p8_stratified_sample", "text_bm25_topk", "text_fingerprints",
-        "text_langid_confusion", "text_quality_classifier",
-        "text_quality_scores", "text_tfidf_terms", "text_token_stats",
-        "text_unigram_logprob", "text_vocab_growth", "text_winnow_pairs",
-        "text_zipf_slope",
-    }
-)
-
-# Queries verified by the round-10 check (CORRECTNESS_r10.json) — the
-# FRESH block, emitted last.
+# Queries whose freshest driver rows were written by the round-10 check
+# (CORRECTNESS_r10.json) — the stale block, emitted first.
 _R10_DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
-        "a7_multi_measure_rollup", "a8_weekly_rollup", "a9_monthly_rollup",
-        "a13_histogram", "a15_risk_buckets", "a16_percent_of_total",
-        "a22_time_grouping_sets", "a23_daily_anomaly",
-        "a24_time_to_convert", "a25_hour_profile",
+        "a16_percent_of_total", "a22_time_grouping_sets",
+        "a23_daily_anomaly", "a24_time_to_convert", "a25_hour_profile",
         "dedup_components_exact", "dedup_containment",
         "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-        "drift_psi", "f2_time_extract", "f4_date_arithmetic",
-        "f9_math_suite", "f9b_vector_norm", "f13_correlation",
-        "f14_levenshtein", "f15_bool_aggs", "funnel_user_journey",
-        "j7_asof_join", "mix_weights", "ml_label_encode",
+        "drift_psi", "j7_asof_join", "mix_weights", "ml_label_encode",
         "ml_target_encode_cv", "mm_feature_extract", "p9_weighted_sample",
-        "pack_sequences", "q1_pricing_summary", "s8_upsert_merge",
-        "sess_user_sessions", "sim_ann_lsh", "sim_ann_multiprobe",
-        "sim_label_centroids", "sim_norm_outliers", "sim_quantize_error",
-        "sim_topk_bruteforce", "sql1_region_revenue", "text_dup_spans",
-        "text_pii_scrub", "text_repetition", "train_shuffle",
-        "w1_moving_avg_7d", "w2_global_share", "w3_rank_rows",
-        "w4_lag_delta", "w5_range_frame",
+        "pack_sequences", "s8_upsert_merge", "sess_user_sessions",
+        "sim_ann_lsh", "sim_ann_multiprobe", "sim_label_centroids",
+        "sim_norm_outliers", "sim_quantize_error", "sim_topk_bruteforce",
+        "text_dup_spans", "text_pii_scrub", "text_repetition",
+        "train_shuffle",
     }
 )
 
-# Queries verified by the round-11 check (CORRECTNESS_r11.json) — the
-# FRESH block, emitted last.  a19/a26/sim_ann_ivf/sim_pca rows are the
-# by-design rows-only checks (no_oracle) whose invariants ride the
-# output columns.
+# Queries verified by the round-11 check (CORRECTNESS_r11.json).
+# a19/sim_ann_ivf/sim_pca rows are by-design rows-only checks
+# (no_oracle) whose invariants ride the output columns.
 _R11_DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
         "a1_value_counts", "a2_conditional_counts", "a3_null_empty_audit",
@@ -83,37 +58,55 @@ _R11_DRIVER_VERIFIED: frozenset[str] = frozenset(
         "a10_descriptive_stats", "a11_distinct_counts",
         "a12_duplicate_keys", "a14_group_deviation", "a17_rollup",
         "a18_cube", "a19_approx_distinct", "a20_ranking_suite",
-        "a21_unpivot", "a26_approx_quantiles", "cdc_snapshot_diff",
-        "chk_validation_summary", "cohort_retention", "drift_vocab_js",
-        "f16_regexp_extract", "f1_try_cast_json", "f6_string_cleanup",
-        "j1_target_stat_lookup", "j8_interval_join", "j9_band_join",
-        "ml_distance_from_center", "ml_onehot_pivot", "mm_decode_jpeg",
-        "mm_decode_png", "mm_decode_real", "mm_payload_metadata",
-        "mm_phash_dedup", "p2_filter_dsl", "p3_date_range",
-        "p4_null_threshold", "pack_materialize", "prep_corpus_stats",
-        "release_delta_audit", "sess_transitions", "sim_ann_ivf",
-        "sim_dim_stats", "sim_pca_top_component", "so1_set_ops",
-        "t3_tumbling_window", "text_bigram_logprob",
-        "text_bpe_token_stats", "text_chunking", "text_contamination",
-        "w6_cumulative_distinct",
+        "a21_unpivot", "cdc_snapshot_diff", "chk_validation_summary",
+        "cohort_retention", "f16_regexp_extract", "f1_try_cast_json",
+        "f6_string_cleanup", "j1_target_stat_lookup", "j8_interval_join",
+        "j9_band_join", "ml_distance_from_center", "ml_onehot_pivot",
+        "mm_decode_jpeg", "mm_decode_png", "mm_decode_real",
+        "mm_payload_metadata", "mm_phash_dedup", "p2_filter_dsl",
+        "p3_date_range", "p4_null_threshold", "pack_materialize",
+        "prep_corpus_stats", "release_delta_audit", "sess_transitions",
+        "sim_ann_ivf", "sim_dim_stats", "sim_pca_top_component",
+        "so1_set_ops", "t3_tumbling_window", "text_bpe_token_stats",
+        "text_chunking", "text_contamination", "w6_cumulative_distinct",
     }
 )
-_ALL_KNOWN = _R9_DRIVER_VERIFIED | _R10_DRIVER_VERIFIED | _R11_DRIVER_VERIFIED
 
-# Queries whose round-12 source/oracle edits POSTDATE their freshest
+# Queries verified by the round-12 check (CORRECTNESS_r12.json) — the
+# FRESH block, emitted last.  a26's row is the by-design rows-only
+# check (no_oracle) whose externally-pinned error rollup rides the
+# output columns.
+_R12_DRIVER_VERIFIED: frozenset[str] = frozenset(
+    {
+        "a7_multi_measure_rollup", "a8_weekly_rollup", "a9_monthly_rollup",
+        "a13_histogram", "a15_risk_buckets", "a26_approx_quantiles",
+        "dedup_canonical_pick", "dedup_cluster_census",
+        "dedup_embedding_cosine", "dedup_exact",
+        "dedup_incremental_check", "dedup_ngram_novelty",
+        "doc_filter_funnel", "drift_vocab_js", "f2_time_extract",
+        "f4_date_arithmetic", "f9_math_suite", "f9b_vector_norm",
+        "f13_correlation", "f14_levenshtein", "f15_bool_aggs",
+        "funnel_user_journey", "j2_static_map_lookup", "j3_anti_join",
+        "j4_semi_join", "j5_multiway_revenue", "j6_snowflake_dims",
+        "p5_eq_filter", "p6_threshold_topk", "p7_hash_split",
+        "p8_stratified_sample", "q1_pricing_summary",
+        "sql1_region_revenue", "text_bigram_logprob", "text_bm25_topk",
+        "text_fingerprints", "text_langid_confusion",
+        "text_quality_classifier", "text_quality_scores",
+        "text_tfidf_terms", "text_token_stats", "text_unigram_logprob",
+        "text_vocab_growth", "text_winnow_pairs", "text_zipf_slope",
+        "w1_moving_avg_7d", "w2_global_share", "w3_rank_rows",
+        "w4_lag_delta", "w5_range_frame",
+    }
+)
+_ALL_KNOWN = _R10_DRIVER_VERIFIED | _R11_DRIVER_VERIFIED | _R12_DRIVER_VERIFIED
+
+# Queries whose round-13 source/oracle edits POSTDATE their freshest
 # driver row — these lead their blocks so the ~50-query cap can't drop
-# them.  Both builders changed in round 12: drift_vocab_js gained the
-# NULL-source sentinel fold + support_floor param (ADVICE r11 / VERDICT
-# r11 #1); text_bigram_logprob gained the min_count floor (left-join
-# scoring path, default-identical).
-_RECERT_PRIORITY: frozenset[str] = frozenset({
-    "drift_vocab_js",
-    "text_bigram_logprob",
-    # a26's error rollup moved to the module-level max_rank_err_expr()
-    # (r12 mutation lens) — same semantics, but the builder changed, so
-    # its driver row should postdate the refactor
-    "a26_approx_quantiles",
-})
+# them.  All three round-12 recert entries (drift_vocab_js,
+# text_bigram_logprob, a26_approx_quantiles) landed green rows in
+# CORRECTNESS_r12, so the set resets; repopulate as r13 edits land.
+_RECERT_PRIORITY: frozenset[str] = frozenset()
 
 # Cheap-first hint within the stale block: scalar/filter one-scan
 # queries ahead of heavier dedup/text-class plans, so a wall-clock-capped
@@ -137,7 +130,7 @@ def _ordered(names: list[str]) -> list[str]:
     taken = set(never) | set(priority)
     blocks = [never, priority] + [
         [n for n in names if n in tier and n not in taken]
-        for tier in (_R9_DRIVER_VERIFIED, _R10_DRIVER_VERIFIED, _R11_DRIVER_VERIFIED)
+        for tier in (_R10_DRIVER_VERIFIED, _R11_DRIVER_VERIFIED, _R12_DRIVER_VERIFIED)
     ]
     for block in blocks:
         block.sort(key=lambda n: (_family_rank(n), names.index(n)))
