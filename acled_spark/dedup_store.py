@@ -72,10 +72,31 @@ _WRITER_LOCKS: dict[str, threading.RLock] = {}
 _WRITER_LOCKS_GUARD = threading.Lock()
 
 
+def _lock_key(root: str) -> str:
+    """Canonical lock key so aliased spellings of ONE store root share
+    ONE lock (ADVICE r12): ``file://``-scheme URIs fold into plain
+    local paths, local paths resolve symlinks via ``os.path.realpath``
+    (lexical normalization when the path doesn't exist yet), and
+    remote-scheme URIs normalize their path part.  Aliases an
+    in-process canonicalizer CANNOT see (bind mounts, hardlinked
+    dirs, distinct mounts of one remote bucket) remain the
+    deployment's single-writer responsibility, same as cross-driver
+    writers."""
+    import os
+
+    if _is_table(root):
+        return root
+    if "://" in root:
+        scheme, _, rest = root.partition("://")
+        if scheme.lower() == "file":
+            return os.path.realpath("/" + rest.lstrip("/"))
+        return f"{scheme.lower()}://{posixpath.normpath(rest)}"
+    return os.path.realpath(root)
+
+
 def _writer_lock(root: str) -> threading.RLock:
-    key = root if _is_table(root) else posixpath.normpath(root)
     with _WRITER_LOCKS_GUARD:
-        return _WRITER_LOCKS.setdefault(key, threading.RLock())
+        return _WRITER_LOCKS.setdefault(_lock_key(root), threading.RLock())
 
 
 def _single_writer(root_arg: int):

@@ -190,9 +190,13 @@ def dedup_ngram_novelty(
     first-seen aggregate and the rejoin) move constant-width 32-hex
     digests, never gram text — the dup-spans discipline.  first-seen
     is a partial-aggregated, gram-vocabulary-sized frame, lazily
-    checkpointed so its two consumers share one materialization; the
-    rejoin is digest-keyed and left to AQE (the vocab side is not
-    constant-sized — no forced broadcast).  2 scans, plan-pinned.
+    checkpointed to PIN the 2-scan plan: its sole consumer is the
+    digest rejoin, and the truncation guarantees the aggregate subtree
+    cannot be re-expanded into extra corpus scans by a future rewrite
+    (test-verified scan count; ADVICE r12 corrected an earlier
+    "two consumers" claim here); the rejoin is digest-keyed and left
+    to AQE (the vocab side is not constant-sized — no forced
+    broadcast).  2 scans, plan-pinned.
     At 100 TB the lever is ``max_doc_freq`` — the same stopword-gram
     cap as :func:`ngram_jaccard_pairs`, with the same DROP semantics:
     a gram in more than ``max_doc_freq`` docs leaves BOTH the

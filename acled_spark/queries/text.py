@@ -1194,8 +1194,12 @@ def drift_vocab_js(
     # folded to a sentinel ONCE at the token stage, every downstream
     # group/join stays plain-equi (the oracle's IS NOT DISTINCT FROM
     # is then equivalent), and the sentinel maps back to NULL in the
-    # final projection.  \x00 cannot appear in a whitespace-delimited
-    # source tag, so the sentinel cannot collide with a real source.
+    # final projection.  The non-collision assumption is about the
+    # PROVENANCE TAG (the source column), not tokenized text: no real
+    # ingest writes NUL bytes into a provenance label (parquet string
+    # columns from any sane crawler/loader are NUL-free), so a tag
+    # literally equal to the sentinel cannot occur (ADVICE r12
+    # corrected the earlier "whitespace-delimited" mis-description).
     tok = docs.filter(F.length(ws_trim(F.col("text"))) > 0).select(
         F.coalesce(F.col("source"), F.lit(_NULL_SOURCE)).alias("source"),
         F.explode(F.split(F.lower(ws_trim(F.col("text"))), f"{WS}+")).alias("w"),

@@ -681,3 +681,36 @@ def test_concurrent_append_and_retire_commute(spark, store, monkeypatch):
     assert errs == [], errs
     final_ids = {r["doc_id"] for r in _read_exact(spark, root).collect()}
     assert final_ids == (initial_ids - set(retire)) | {950, 951, 952, 953}
+
+
+def test_writer_lock_key_canonicalizes_aliased_roots(tmp_path):
+    """ADVICE r12: aliased spellings of ONE store root must share ONE
+    writer lock — file:// URIs fold into plain paths, symlinks resolve
+    via realpath, trailing slashes normalize — or the in-process
+    single-writer enforcement is silently void for mixed call sites."""
+    import os
+
+    from acled_spark.dedup_store import _lock_key, _writer_lock
+
+    root = tmp_path / "store"
+    root.mkdir()
+    link = tmp_path / "alias"
+    os.symlink(root, link)
+
+    spellings = [
+        str(root),
+        str(root) + "/",
+        f"file://{root}",
+        str(link),
+        f"{tmp_path}/./store",
+    ]
+    keys = {_lock_key(s) for s in spellings}
+    assert keys == {os.path.realpath(str(root))}
+    locks = {id(_writer_lock(s)) for s in spellings}
+    assert len(locks) == 1
+
+    # distinct roots never contend; table: roots key on the name
+    assert _lock_key("table:census") == "table:census"
+    assert _writer_lock("table:census") is not _writer_lock(str(root))
+    # remote schemes normalize their path part, case-folding the scheme
+    assert _lock_key("s3a://bucket/a/../b/") == _lock_key("S3A://bucket/b")

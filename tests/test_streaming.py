@@ -316,6 +316,29 @@ def test_windowed_counts_batch_face_drops_null_ts(spark):
     assert out[0]["window_start"] is not None
 
 
+def test_dedup_stream_batch_face_drops_null_ts(spark):
+    """ADVICE r12 / M30 fixed gate: the shared event-time preamble's
+    NULL-ts filter is engine-equivalent on the WINDOW faces (the
+    streaming watermark drops NULLs anyway), but NOT on dedup_stream's
+    batch face — without the filter, a key whose rows ALL have NULL ts
+    would emit a survivor via asc_nulls_last instead of being dropped,
+    and a mixed key would still dedup but emit a row the streaming
+    face (watermark drop) never sees.  Pin both shapes so the filter
+    can't regress silently."""
+    from acled_spark.streaming import dedup_stream
+
+    rows = [
+        (1, "2024-01-05 10:00:00", "kept"),
+        (1, None, "null-dup"),          # mixed key: NULL row must not win
+        (2, None, "all-null-a"),        # all-NULL key: must vanish entirely
+        (2, None, "all-null-b"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts string, tag string")
+    out = {r["event_id"]: r["tag"]
+           for r in dedup_stream(df, key_cols=("event_id",)).collect()}
+    assert out == {1: "kept"}
+
+
 def test_t3_certification_is_sensitive_to_value_diffs(spark, monkeypatch):
     """The in-query stream-batch certificate must compare VALUES, not
     row counts: the r12 mutation lens planted len(stream)==len(batch)

@@ -174,10 +174,18 @@ SPECS = [
          '"n_bytes": [\n                    len(p) + 1 if p is not None else 0 for p in pdf["payload"]',
          SIM + ["mm_feature_extract"], "caught"),
     # --- wave 5: streaming shared expression --------------------------------
-    spec("M30", "streaming-null-ts-EQUIVALENT", "acled_spark/streaming.py",
+    # M30 re-adjudicated (ADVICE r12): equivalent on the WINDOW faces
+    # only (watermark drops NULLs anyway) — NOT equivalent on
+    # dedup_stream's batch face (an all-NULL-ts key would emit a
+    # survivor via asc_nulls_last).  The primary sim gate still slips
+    # (window-face query, boundary absent); the fixed gate pins the
+    # dedup batch face directly.
+    spec("M30", "streaming-null-ts", "acled_spark/streaming.py",
          "    events = events.filter(F.col(ts_col).isNotNull())",
          "    events = events  # filter dropped",
-         SIM + ["t3_tumbling_window"], "equivalent"),
+         SIM + ["t3_tumbling_window"], "slipped",
+         PYT + ["tests/test_streaming.py::"
+                "test_dedup_stream_batch_face_drops_null_ts"]),
     spec("M29", "pii-shared-constant", "acled_spark/pii.py",
          r'("ssn", r"\b\d{3}-\d{2}-\d{4}\b")',
          r'("ssn", r"\b\d{3}-\d{2}-\d{3}\b")',
