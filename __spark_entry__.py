@@ -103,10 +103,18 @@ _ALL_KNOWN = _R10_DRIVER_VERIFIED | _R11_DRIVER_VERIFIED | _R12_DRIVER_VERIFIED
 
 # Queries whose round-13 source/oracle edits POSTDATE their freshest
 # driver row — these lead their blocks so the ~50-query cap can't drop
-# them.  All three round-12 recert entries (drift_vocab_js,
-# text_bigram_logprob, a26_approx_quantiles) landed green rows in
-# CORRECTNESS_r12, so the set resets; repopulate as r13 edits land.
-_RECERT_PRIORITY: frozenset[str] = frozenset()
+# them.  All five changed for the adversarial-corpus parity tier
+# (VERDICT r12 #1): sim_quantize_error's intrinsically-safe scale,
+# f1's json_valid oracle guard, s8's DISTINCT-base oracle, w3/a20's
+# NULLS LAST rank tiebreaks.  All five re-verified MATCH on the
+# natural sf0.01 tier this session.
+_RECERT_PRIORITY: frozenset[str] = frozenset({
+    "sim_quantize_error",
+    "f1_try_cast_json",
+    "s8_upsert_merge",
+    "w3_rank_rows",
+    "a20_ranking_suite",
+})
 
 # Cheap-first hint within the stale block: scalar/filter one-scan
 # queries ahead of heavier dedup/text-class plans, so a wall-clock-capped

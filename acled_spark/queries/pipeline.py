@@ -31,17 +31,27 @@ def _updates(ev: DataFrame) -> DataFrame:
 @query(
     "s8_upsert_merge",
     oracle=f"""
-    WITH updates AS (
+    -- base is deduped first (r13 adversarial tier): merge_updates
+    -- guarantees ONE surviving row per key even when the EXISTING side
+    -- carries duplicate keys, an assumption the natural tiers never
+    -- tested (zero duplicate event_ids).  DISTINCT reproduces the
+    -- collapse exactly for identical-content duplicates; the survivor
+    -- pick among DIFFERING-content duplicates rides Spark's xxhash64
+    -- tiebreak, which no oracle SQL can express — that shape is pinned
+    -- by tests/test_merge_property.py instead and the adversarial tier
+    -- deliberately plants it on lineitem (a12's census), not events.
+    WITH base AS (SELECT DISTINCT * FROM events),
+    updates AS (
       SELECT event_id, ts, user_id, event_type, value + 100.0 AS value, props
-      FROM events WHERE user_id % 7 = 0
+      FROM base WHERE user_id % 7 = 0
       UNION ALL
       SELECT event_id + {_NEW_KEY_OFFSET} AS event_id, ts, user_id, event_type, value, props
-      FROM events WHERE event_id % 13 = 0
+      FROM base WHERE event_id % 13 = 0
     ),
     merged AS (
       SELECT * FROM updates
       UNION ALL
-      SELECT e.* FROM events e
+      SELECT e.* FROM base e
       WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.event_id = e.event_id)
     )
     SELECT COUNT(*) AS n_rows,

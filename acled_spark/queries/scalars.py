@@ -21,12 +21,24 @@ from acled_spark.tables import load
 @query(
     "f1_try_cast_json",
     oracle="""
+    -- json_valid guard (r13 adversarial tier): Spark's get_json_object
+    -- is null-on-error for malformed JSON, but DuckDB's
+    -- json_extract_string THROWS on it — the whole oracle died on one
+    -- planted 'not json' props row.  Guarding the input (not TRY around
+    -- the call) keeps the expression null-on-error like the builder.
+    WITH k AS (
+      SELECT TRY_CAST(json_extract_string(
+               CASE WHEN json_valid(props) THEN props END, '$.k')
+             AS INTEGER) AS k,
+             event_type
+      FROM events
+    )
     SELECT
       COUNT(*) AS n_rows,
-      CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
-      ROUND(AVG(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS k_avg,
+      CAST(SUM(k) AS BIGINT) AS k_sum,
+      ROUND(AVG(k), 4) AS k_avg,
       COUNT(CASE WHEN TRY_CAST(event_type AS INTEGER) IS NULL THEN 1 END) AS non_numeric_types
-    FROM events
+    FROM k
     """,
     tags=("scalar", "json"),
 )

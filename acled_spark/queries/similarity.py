@@ -380,7 +380,19 @@ def sim_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dbl("embedding").alias("e"),
         F.array_max(F.transform(_dbl("embedding"), F.abs)).alias("maxabs"),
     )
-    scale = F.col("maxabs") / 127
+    # The scale must be INTRINSICALLY nonzero, not conditionally skipped
+    # (r13 adversarial tier): the zero-vector row has maxabs=0, and the
+    # outer `when(maxabs == 0, 0.0)` guard does NOT reliably prevent the
+    # else branch from evaluating — under TakeOrderedAndProject, Spark's
+    # subexpression elimination hoists the CodegenFallback aggregate
+    # (higher-order functions don't codegen) OUT of the CaseWhen branch,
+    # and ANSI mode throws DIVIDE_BY_ZERO on double x/0 (reproduced
+    # directly; plain project without the top-K sort did guard).  With
+    # scale pinned to 1.0 on that branch the hoisted expression is safe
+    # for every row, and the guarded output value (0.0) is unchanged.
+    scale = F.when(F.col("maxabs") == 0, F.lit(1.0)).otherwise(
+        F.col("maxabs") / 127
+    )
     recon_err = lambda x: F.abs(  # noqa: E731
         F.greatest(F.least(F.floor(x / scale + 0.5), F.lit(127)), F.lit(-127))
         * scale

@@ -87,16 +87,22 @@ def w2_global_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type)
     SELECT event_type, cnt,
-           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, event_type) AS BIGINT) AS rnk
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, event_type NULLS LAST) AS BIGINT) AS rnk
     FROM s ORDER BY rnk
     """,
     tags=("window",),
 )
 def w3_rank_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """row_number rank over sorted aggregate (ref report.py:432-459)."""
+    """row_number rank over sorted aggregate (ref report.py:432-459).
+
+    The ascending tiebreak pins NULLS LAST on BOTH engines (r13
+    adversarial tier): Spark's ASC default is NULLS FIRST, DuckDB's is
+    NULLS LAST, so a NULL group key tied on cnt ranked differently per
+    engine — the missing-type bucket now always ranks after real types.
+    """
     ev = load(spark, sf_dir, "events")
     s = ev.groupBy("event_type").agg(F.count("*").alias("cnt"))
-    w = Window.orderBy(F.desc("cnt"), "event_type")
+    w = Window.orderBy(F.desc("cnt"), F.asc_nulls_last("event_type"))
     return s.select(
         "event_type",
         "cnt",
@@ -115,7 +121,7 @@ def w3_rank_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, cnt, total,
            CAST(RANK() OVER (ORDER BY cnt DESC) AS BIGINT) AS rnk,
            CAST(DENSE_RANK() OVER (ORDER BY cnt DESC) AS BIGINT) AS drnk,
-           CAST(NTILE(4) OVER (ORDER BY total DESC, user_id) AS BIGINT) AS quartile
+           CAST(NTILE(4) OVER (ORDER BY total DESC, user_id NULLS LAST) AS BIGINT) AS quartile
     FROM s ORDER BY user_id
     """,
     tags=("window", "extended"),
@@ -127,7 +133,7 @@ def a20_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total")
     )
     by_cnt = Window.orderBy(F.desc("cnt"))
-    by_total = Window.orderBy(F.desc("total"), "user_id")
+    by_total = Window.orderBy(F.desc("total"), F.asc_nulls_last("user_id"))
     return s.select(
         "user_id",
         "cnt",

@@ -4,6 +4,12 @@ shape of the driver's correctness gate, run before each round closes so
 oracle breakage is caught before CORRECTNESS_r0N does.
 
 Usage: python tools/driver_sim.py [sf_dir] [--only name1,name2,...]
+       python tools/driver_sim.py --tier adversarial [--only ...]
+
+``--tier adversarial`` resolves (and lazily generates) the planted
+boundary corpus from tools/gen_adversarial_tier.py and runs the same
+full parity suite against it — the standing structural answer to the
+r12 mutation lens's corpus-shaped-blindness finding.
 """
 
 from __future__ import annotations
@@ -28,7 +34,19 @@ def main() -> int:
         i = args.index("--only")
         only = set(args[i + 1].split(","))
         del args[i : i + 2]
-    sf = args[0] if args else "/root/testdata/sf0.01"
+    tier = None
+    if "--tier" in args:
+        i = args.index("--tier")
+        tier = args[i + 1]
+        del args[i : i + 2]
+    if tier is not None:
+        if tier != "adversarial":
+            raise SystemExit(f"unknown tier: {tier}")
+        from tools.gen_adversarial_tier import ensure
+
+        sf = ensure()
+    else:
+        sf = args[0] if args else "/root/testdata/sf0.01"
     spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -53,14 +71,30 @@ def main() -> int:
     t0 = time.time()
     failed = []
     for i, name in enumerate(qs):
-        sdf = qs[name](spark, sf)
-        s_cols, s_rows = normalize(
-            list(sdf.columns), [tuple(r) for r in sdf.collect()]
-        )
+        # per-query error capture: one crashing query must not abort the
+        # suite — on the adversarial tier a planted boundary row CAN
+        # surface a genuine runtime error (e.g. ANSI divide-by-zero),
+        # and that error is a finding to record, not a reason to stop
+        try:
+            sdf = qs[name](spark, sf)
+            s_cols, s_rows = normalize(
+                list(sdf.columns), [tuple(r) for r in sdf.collect()]
+            )
+        except Exception as exc:  # noqa: BLE001 - triage tool
+            msg = str(exc).splitlines()[0][:160]
+            print(f"[{i + 1}/{len(qs)}] {name}: ERROR {msg}", flush=True)
+            failed.append(name)
+            continue
         if name not in osql:
             print(f"[{i + 1}/{len(qs)}] {name}: rows-only ({len(s_rows)})", flush=True)
             continue
-        res = con.execute(osql[name])
+        try:
+            res = con.execute(osql[name])
+        except Exception as exc:  # noqa: BLE001 - triage tool
+            msg = str(exc).splitlines()[0][:160]
+            print(f"[{i + 1}/{len(qs)}] {name}: ORACLE-ERROR {msg}", flush=True)
+            failed.append(name)
+            continue
         d_cols, d_rows = normalize(
             [d[0] for d in res.description], [tuple(r) for r in res.fetchall()]
         )
