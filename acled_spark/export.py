@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import posixpath
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 CORRUPT_COL = "_corrupt_record"
@@ -205,24 +205,31 @@ MANIFEST_NAME = "_manifest.json"
 _DIGEST_HEX_DIGITS = 15
 
 
-def _shard_stats(df: DataFrame) -> DataFrame:
-    """(file URI, rows, digest) per input file of an already-loaded
-    export.  Grouped on the FULL ``input_file_name()`` URI, not the
-    basename: partitioned layouts reuse basenames across subdirectories
-    (every task writes ``part-00000-<uuid>...`` under its own
-    ``lang=…/``), so a basename key would silently merge distinct
-    files.  The tiny result is relativized/decoded driver-side."""
-    # to_json options pinned: LTZ timestamps render through the SESSION
-    # timezone by default, so a manifest written under a UTC session
-    # would never verify from a non-UTC one (every per-row digest
-    # shifts) — the integrity gate must not depend on who reads it.
-    # ignoreNullFields pinned to its default so the digest is also
-    # immune to a session that flipped spark.sql.jsonGenerator.*.
-    row_digest = F.conv(
+def row_digest_expr(columns: list[str]) -> Column:
+    """Per-row manifest digest: decimal value of the first
+    ``_DIGEST_HEX_DIGITS`` hex digits of md5(to_json(row)).
+
+    Module-level and known-answer-pinned (r13 mutation lens, M31): the
+    write and verify faces share this expression, so any
+    self-consistent change (a different hex window, a different base, a
+    different digit count) round-trips cleanly through every
+    write→verify gate while silently changing what the manifest
+    certifies — the M8 codec class.  The external pin is
+    ``tests/test_export.py::test_row_digest_known_answer``, which
+    recomputes the digest with python hashlib on a frozen row.
+
+    to_json options pinned: LTZ timestamps render through the SESSION
+    timezone by default, so a manifest written under a UTC session
+    would never verify from a non-UTC one (every per-row digest
+    shifts) — the integrity gate must not depend on who reads it.
+    ignoreNullFields pinned to its default so the digest is also
+    immune to a session that flipped spark.sql.jsonGenerator.*.
+    """
+    return F.conv(
         F.substring(
             F.md5(
                 F.to_json(
-                    F.struct(*df.columns),
+                    F.struct(*columns),
                     {"timeZone": "UTC", "ignoreNullFields": "true"},
                 )
             ),
@@ -232,6 +239,16 @@ def _shard_stats(df: DataFrame) -> DataFrame:
         16,
         10,
     ).cast("decimal(20,0)")
+
+
+def _shard_stats(df: DataFrame) -> DataFrame:
+    """(file URI, rows, digest) per input file of an already-loaded
+    export.  Grouped on the FULL ``input_file_name()`` URI, not the
+    basename: partitioned layouts reuse basenames across subdirectories
+    (every task writes ``part-00000-<uuid>...`` under its own
+    ``lang=…/``), so a basename key would silently merge distinct
+    files.  The tiny result is relativized/decoded driver-side."""
+    row_digest = row_digest_expr(df.columns)
     return (
         df.withColumn("_file", F.input_file_name())
         .groupBy("_file")

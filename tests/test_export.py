@@ -425,3 +425,30 @@ def test_manifest_digests_survive_session_timezone_change(spark, tmp_path):
         assert verify_manifest(spark, out, schema) == []
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_row_digest_known_answer(spark):
+    """M31 fixed gate (r13 mutation lens): the manifest row digest is
+    pinned against an INDEPENDENT recompute — python hashlib over the
+    exact JSON Spark renders — so any self-consistent change to the
+    digest definition (hex window, base, digit count) fails here even
+    though every write->verify round-trip stays green (the M8
+    self-consistent-codec class, now in the export family)."""
+    import hashlib
+
+    from acled_spark.export import _DIGEST_HEX_DIGITS, row_digest_expr
+
+    df = spark.createDataFrame([(1, "a"), (2, None)], "doc_id long, text string")
+    got = {
+        r["doc_id"]: int(r["d"])
+        for r in df.select(
+            "doc_id", row_digest_expr(df.columns).alias("d")
+        ).collect()
+    }
+    # ignoreNullFields=true drops the NULL text key entirely
+    expected_json = {1: '{"doc_id":1,"text":"a"}', 2: '{"doc_id":2}'}
+    expected = {
+        k: int(hashlib.md5(v.encode()).hexdigest()[:_DIGEST_HEX_DIGITS], 16)
+        for k, v in expected_json.items()
+    }
+    assert got == expected

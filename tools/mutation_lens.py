@@ -191,6 +191,40 @@ SPECS = [
          r'("ssn", r"\b\d{3}-\d{2}-\d{3}\b")',
          SIM + ["text_pii_scrub"], "slipped",
          PYT + ["tests/test_pii.py"]),
+    # --- wave 6 (r13): export / silver / release / skew ----------------------
+    # M31: a self-consistent digest-definition change (hex window shifts
+    # by one digit) — the write and verify faces share row_digest_expr,
+    # so every write→verify round-trip stays green (the M8 codec class,
+    # export edition).  Fixed gate: the hashlib known-answer pin.
+    spec("M31", "export-digest-window", "acled_spark/export.py",
+         "            1,\n            _DIGEST_HEX_DIGITS,\n        ),"
+         "\n        16,\n        10,",
+         "            2,\n            _DIGEST_HEX_DIGITS,\n        ),"
+         "\n        16,\n        10,",
+         PYT + ["tests/test_export.py::"
+                "test_manifest_roundtrip_and_corruption_detection"],
+         "slipped",
+         PYT + ["tests/test_export.py::test_row_digest_known_answer"]),
+    # M32: MERGE keep-old-on-match — updates lose to existing rows
+    spec("M32", "silver-merge-priority", "acled_spark/silver.py",
+         "    order = [F.desc(_SRC_COL)]",
+         "    order = [F.asc(_SRC_COL)]",
+         SIM + ["s8_upsert_merge"], "caught"),
+    # M33: release retire scope — changed docs never retired before
+    # their re-append (the harmful half of a retire-after-dedup reorder)
+    spec("M33", "release-retire-scope", "acled_spark/release.py",
+         'retire_set = diff.filter(F.col("status").isin("changed", "removed"))',
+         'retire_set = diff.filter(F.col("status").isin("removed"))',
+         PYT + ["tests/test_release_e2e.py::"
+                "test_incremental_release_end_to_end"],
+         "caught"),
+    # M34: salt dropped from the replicated side — only salt-0 big rows
+    # keep their join matches
+    spec("M34", "skew-salt-one-side", "acled_spark/skew.py",
+         '"__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))',
+         '"__salt", F.explode(F.sequence(F.lit(0), F.lit(0)))',
+         PYT + ["tests/test_skew.py::test_salted_join_matches_plain"],
+         "caught"),
 ]
 
 # M16's target is not unique in its file; resolved by first-occurrence
