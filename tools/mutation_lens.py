@@ -212,11 +212,17 @@ SPECS = [
          SIM + ["s8_upsert_merge"], "caught"),
     # M33: release retire scope — changed docs never retired before
     # their re-append (the harmful half of a retire-after-dedup reorder)
+    # NOTE the first spec draft aimed this at the MANUAL five-stage
+    # composition test, which slipped — trivially, because that test
+    # builds its own retire_set and never executes CorpusRelease.apply's
+    # wiring.  The gate that owns apply() is the API test below; the
+    # miss is recorded in MUTATION.md as a lesson about gate OWNERSHIP
+    # (a unit's test must drive the unit, not a lookalike composition).
     spec("M33", "release-retire-scope", "acled_spark/release.py",
          'retire_set = diff.filter(F.col("status").isin("changed", "removed"))',
          'retire_set = diff.filter(F.col("status").isin("removed"))',
          PYT + ["tests/test_release_e2e.py::"
-                "test_incremental_release_end_to_end"],
+                "test_corpus_release_api_matches_manual_composition"],
          "caught"),
     # M34: salt dropped from the replicated side — only salt-0 big rows
     # keep their join matches
