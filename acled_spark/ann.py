@@ -141,13 +141,20 @@ def build_ivf_index(
 
 def _centroid_frame(spark, model) -> DataFrame:
     """The nlist-row ``(cell, centroid)`` table off a fitted KMeans
-    model — ONE spelling for probe selection (:func:`ivf_search`) and
-    drift measurement (:func:`ivf_staleness`), so a centroid-
-    representation change can never desynchronize the two (r7 review)."""
+    model — ONE spelling for probe selection (:func:`ivf_search`),
+    drift measurement (:func:`ivf_staleness`), and the semantic dedup
+    census (:func:`acled_spark.queries.dedup.dedup_semantic`), so a
+    centroid-representation change can never desynchronize the
+    consumers (r7 review)."""
     return spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cell int, centroid array<double>",
     )
+
+
+#: public name for consumers outside this module (the private spelling
+#: predates them; both refer to the same function)
+centroid_frame = _centroid_frame
 
 
 def ivf_search(

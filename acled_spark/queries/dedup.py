@@ -1478,3 +1478,192 @@ def dedup_incremental_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             (~F.col("is_exact_dup") & ~F.col("is_batch_dup")).cast("long")
         ).alias("new_docs"),
     )
+
+
+# --- semantic dedup census (SemDeDup) ----------------------------------------
+#: within-cell cosine at/above this flags a SEMANTIC duplicate pair
+#: (Abbas et al. 2023, "SemDeDup", use 0.95-0.99+ on web embeddings;
+#: the census's eps parameter is the lever — 0.99 keeps only
+#: near-identical meanings flagged)
+SEMANTIC_EPS = 0.99
+#: target vectors per quantizer cell for dedup_semantic's nlist sizing
+#: (see the in-function comment: linear total pair work, explicit
+#: cross-cell recall tradeoff)
+CELL_TARGET = 64
+
+
+def semantic_dedup_census(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    eps: float = SEMANTIC_EPS,
+    max_block: int | None = None,
+) -> DataFrame:
+    """SemDeDup keep/drop census over pre-clustered vectors.
+
+    ``vectors``: (vec_id, embedding, cell); ``centroids``: (cell,
+    centroid).  Within each cell, pairs with cosine >= ``eps`` are
+    semantic duplicates; of a duplicate group, the census KEEPS the
+    vector LEAST similar to its cell centroid (SemDeDup's keep rule:
+    the cluster-edge example carries the most marginal information)
+    and DROPS the rest.
+
+    Drop semantics are DOMINATION, not sequential-greedy: a vector is
+    dropped iff SOME higher-keep-priority vector in its cell (priority
+    = ascending centroid-cosine, vec_id tiebreak) sits within ``eps``
+    of it.  Greedy SemDeDup removes dropped vectors from the witness
+    set as it walks the priority order — a sequential dependence with
+    no bounded-round set formulation; domination is one join, fully
+    parallel, and strictly more conservative (it can only drop MORE
+    than greedy, never keep a greedy-dropped vector).  The variant is
+    pinned by a hand-computed known answer
+    (tests/test_dedup_semantic.py).
+
+    Output per input vector: ``cell``, ``cent_cos`` (cosine to own
+    centroid, NULL for a zero vector), ``rnk`` (keep priority within
+    the cell, 1 = kept first), ``action`` ('keep'/'drop'), and for
+    dropped rows ``dup_of``/``dup_cos`` — the highest-priority
+    dominating vector and the exact cosine to it, both externally
+    recomputable from the raw vectors (the M14 self-certification
+    rule: the pytest recomputes them with numpy, trusting nothing).
+    ``dup_of`` rows compose directly with
+    :func:`dedup_canonical_pick`-style survivor joins.
+
+    Scale: centroids are an nlist-row broadcast; the per-cell
+    quadratic pair join reuses :func:`embedding_cosine_pairs` and its
+    profiled ``max_block`` cap (SCALE.md §max_block — the same
+    runaway-cell lever, same drop semantics); priorities are one
+    window over the vectors frame partitioned by cell (cell-sized
+    partitions by construction of the quantizer); the domination
+    rollup groups the PAIR frame (pairs above eps only).  The vectors
+    frame is lazily checkpointed: the pair self-join's two aliases and
+    the priority scan would otherwise re-run the upstream cell
+    assignment three times.
+    """
+    from acled_spark.vector import as_double, dot as vdot, l2_norm
+
+    vectors = vectors.localCheckpoint(eager=False)
+    c = centroids.select(
+        "cell",
+        as_double("centroid").alias("__ce"),
+        l2_norm("centroid").alias("__cnrm"),
+    )
+    v = vectors.select(
+        "vec_id",
+        "cell",
+        as_double("embedding").alias("__e"),
+        l2_norm("embedding").alias("__nrm"),
+    )
+    cent_cos = F.when(
+        F.col("__nrm") * F.col("__cnrm") > 0,
+        vdot(F.col("__e"), F.col("__ce")) / (F.col("__nrm") * F.col("__cnrm")),
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.asc_nulls_last("cent_cos"), "vec_id"
+    )
+    scored = (
+        v.join(F.broadcast(c), "cell")
+        .select("vec_id", "cell", F.round(cent_cos, 6).alias("cent_cos"))
+        .withColumn("rnk", F.row_number().over(w))
+    )
+    pairs = embedding_cosine_pairs(
+        vectors.select("vec_id", F.col("cell").alias("label"), "embedding"),
+        max_block=max_block,
+    ).filter(F.col("cosine") >= eps)
+    r1 = scored.select(F.col("vec_id").alias("vec1"), F.col("rnk").alias("rnk1"))
+    r2 = scored.select(F.col("vec_id").alias("vec2"), F.col("rnk").alias("rnk2"))
+    ranked = pairs.join(r1, "vec1").join(r2, "vec2")
+    dom = ranked.select(
+        F.when(F.col("rnk1") < F.col("rnk2"), F.col("vec2"))
+        .otherwise(F.col("vec1"))
+        .alias("dropped"),
+        F.when(F.col("rnk1") < F.col("rnk2"), F.col("vec1"))
+        .otherwise(F.col("vec2"))
+        .alias("dominator"),
+        F.least("rnk1", "rnk2").alias("dom_rnk"),
+        "cosine",
+    )
+    # one dominator per dropped vector: the highest-priority one
+    # (row_number is unique within a cell, so min_by is deterministic)
+    dup = dom.groupBy("dropped").agg(
+        F.min_by("dominator", "dom_rnk").alias("dup_of"),
+        F.min_by("cosine", "dom_rnk").alias("dup_cos"),
+    )
+    return (
+        scored.join(dup, scored.vec_id == dup.dropped, "left")
+        .select(
+            "vec_id",
+            "cell",
+            "cent_cos",
+            "rnk",
+            F.when(F.col("dup_of").isNotNull(), "drop")
+            .otherwise("keep")
+            .alias("action"),
+            "dup_of",
+            "dup_cos",
+        )
+    )
+
+
+@query(
+    "dedup_semantic",
+    oracle=None,  # the KMeans coarse quantizer is not DuckDB-expressible
+    # (same trajectory argument as sim_ann_ivf); the census instead
+    # carries externally-recomputable columns — dup_cos is the exact
+    # cosine between two raw vectors and dup_of/rnk encode the keep
+    # rule — and tests/test_dedup_semantic.py recomputes ALL of them
+    # with numpy (full per-cell cosine matrices) plus a hand-computed
+    # known answer for the keep-rule direction, trusting no output
+    # column (the M14 self-certification rule).
+    tags=("dedup", "vector", "scale", "extended"),
+)
+def dedup_semantic(
+    spark: SparkSession, sf_dir: str, eps: float = SEMANTIC_EPS,
+    max_block: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic duplicate census over the embeddings
+    table: quantize to cells (the certified IVF core, seeded KMeans),
+    then within-cell cosine pairs at/above ``eps`` mark semantic
+    duplicates and the cluster-edge member of each group is kept.
+
+    The published gap this fills (VERDICT r12 #5): the dedup family
+    covers lexical duplicates (exact/shingle/MinHash/SimHash) and
+    metric near-dups under a GIVEN blocking label
+    (dedup_embedding_cosine); SemDeDup (Abbas et al. 2023) dedups by
+    MEANING — two documents phrased differently but embedded together
+    — which needs the quantizer to CREATE the blocking.  Rides two
+    certified cores: build_ivf_index (normalization, validity
+    filtering, k clamp, determinism all inherited) and
+    embedding_cosine_pairs (exact cosine, zero-norm guard, max_block
+    cap).
+
+    Scale: one seeded KMeans fit (sample the fit at 100 TB; assignment
+    stays full-corpus and is a narrow map), nlist-row centroid
+    broadcast, per-cell quadratic pair join bounded by ``max_block``
+    (SCALE.md §max_block), pair-sized domination rollup.  Invalid
+    vectors (NULL/ragged/empty) are excluded by the index's validity
+    contract — they cannot be semantically deduped; route them to the
+    validity checks instead.
+    """
+    from acled_spark.ann import build_ivf_index, centroid_frame
+    from acled_spark.embedding import valid_vectors
+
+    emb = load(spark, sf_dir, "embeddings")
+    # nlist sizes cells to ~CELL_TARGET vectors: within-cell pairing is
+    # quadratic PER CELL, so with even cells the total pair count is
+    # ~n*cell/2 — LINEAR in n once nlist scales with the corpus
+    # (measured at sf0.1: nlist=8 -> 260k pairs / 3.7 s pair stage,
+    # nlist=32 -> 76k pairs / ~1.1 s; cells from the seeded quantizer
+    # stay near-uniform).  The SemDeDup tradeoff is explicit: a
+    # duplicate pair SPLIT by a cell boundary is missed — smaller cells
+    # trade recall for the linear bound, exactly as in the paper (their
+    # k is chosen the same way).  The count is one cheap pass over ids.
+    n = valid_vectors(emb, "embedding").count()
+    nlist = max(8, min(4096, n // CELL_TARGET))
+    index = build_ivf_index(emb, nlist=nlist, max_iter=5, persist=False)
+    census = semantic_dedup_census(
+        index.assigned,
+        centroid_frame(spark, index.model),
+        eps=eps,
+        max_block=max_block,
+    )
+    return census.orderBy("vec_id")

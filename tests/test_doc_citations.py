@@ -82,7 +82,7 @@ def test_documented_query_counts_match_registry():
         # (file, regex with ONE capture group, expected value)
         ("README.md", r"\((\d+) queries, \d+ oracle-checked", total),
         ("README.md", r"\(\d+ queries, (\d+) oracle-checked", oracled),
-        ("COVERAGE.md", r"Four of (\d+) registered queries", total),
+        ("COVERAGE.md", r"Five of (\d+) registered queries", total),
     ]
     bad = []
     for fname, pat, want in claims:
@@ -94,8 +94,8 @@ def test_documented_query_counts_match_registry():
             bad.append(f"{fname}: documents {m.group(1)}, registry has {want}")
     assert not bad, "stale documented query counts:\n" + "\n".join(bad)
 
-    # the rows-only set is also documented as exactly four
-    assert total - oracled == 4, (
+    # the rows-only set is also documented as exactly five
+    assert total - oracled == 5, (
         f"rows-only query count changed ({total - oracled}); update "
         "COVERAGE.md §self-certifying and this guard together"
     )

@@ -481,3 +481,18 @@ def test_ngram_novelty_digest_only_two_scans(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
     assert len(re.findall(r"\(\d+\) Scan ExistingRDD", plan)) == 1, plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_semantic_census_broadcasts_centroids_no_cartesian(spark):
+    """dedup_semantic: the nlist-row centroid table must broadcast onto
+    the vector frame (never the reverse), the within-cell pair join is
+    an equi-join on the cell with the id inequality as a residual (no
+    cartesian product), and the keep-set stays distributed (no collect
+    anywhere in the plan)."""
+    from acled_spark.queries.dedup import dedup_semantic
+    from tests.conftest import formatted_plan
+
+    plan = formatted_plan(spark, dedup_semantic(spark, SF_DIR))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
