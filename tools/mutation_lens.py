@@ -231,6 +231,21 @@ SPECS = [
          '"__salt", F.explode(F.sequence(F.lit(0), F.lit(0)))',
          PYT + ["tests/test_skew.py::test_salted_join_matches_plain"],
          "caught"),
+    # --- round-13 newcomers: every new unit ships with a lens spec ----------
+    # M35: dominator pick flipped to the LOWEST-priority dominator
+    spec("M35", "semantic-dominator-pick", "acled_spark/queries/dedup.py",
+         '        F.min_by("dominator", "dom_rnk").alias("dup_of"),\n'
+         '        F.min_by("cosine", "dom_rnk").alias("dup_cos"),',
+         '        F.max_by("dominator", "dom_rnk").alias("dup_of"),\n'
+         '        F.max_by("cosine", "dom_rnk").alias("dup_cos"),',
+         PYT + ["tests/test_dedup_semantic.py"], "caught"),
+    # M36: SemDeDup keep rule flipped (keep the cluster-CENTER member)
+    spec("M36", "semantic-keep-rule", "acled_spark/queries/dedup.py",
+         '    w = Window.partitionBy("cell").orderBy(\n'
+         '        F.asc_nulls_last("cent_cos"), "vec_id"\n    )',
+         '    w = Window.partitionBy("cell").orderBy(\n'
+         '        F.desc_nulls_last("cent_cos"), "vec_id"\n    )',
+         PYT + ["tests/test_dedup_semantic.py"], "caught"),
 ]
 
 # M16's target is not unique in its file; resolved by first-occurrence
