@@ -1618,7 +1618,7 @@ def semantic_dedup_census(
 )
 def dedup_semantic(
     spark: SparkSession, sf_dir: str, eps: float = SEMANTIC_EPS,
-    max_block: int | None = None,
+    max_block: int | None = None, cell_target: int = CELL_TARGET,
 ) -> DataFrame:
     """SemDeDup-style semantic duplicate census over the embeddings
     table: quantize to cells (the certified IVF core, seeded KMeans),
@@ -1639,7 +1639,12 @@ def dedup_semantic(
     Scale: one seeded KMeans fit (sample the fit at 100 TB; assignment
     stays full-corpus and is a narrow map), nlist-row centroid
     broadcast, per-cell quadratic pair join bounded by ``max_block``
-    (SCALE.md §max_block), pair-sized domination rollup.  Invalid
+    (SCALE.md §max_block), pair-sized domination rollup.  Both levers
+    are MEASURED against known ground truth at the heavy tier
+    (SCALE.md §semdedup, tools/measure_semdedup.py): ``eps`` is the
+    sharp artifact lever (0.95 flags 99.9% of planted near-dup copies,
+    0.99 the tightest 47%), ``cell_target`` trades pair wall against
+    cross-cell recall in the predicted directions.  Invalid
     vectors (NULL/ragged/empty) are excluded by the index's validity
     contract — they cannot be semantically deduped; route them to the
     validity checks instead.
@@ -1658,7 +1663,7 @@ def dedup_semantic(
     # trade recall for the linear bound, exactly as in the paper (their
     # k is chosen the same way).  The count is one cheap pass over ids.
     n = valid_vectors(emb, "embedding").count()
-    nlist = max(8, min(4096, n // CELL_TARGET))
+    nlist = max(8, min(4096, n // cell_target))
     index = build_ivf_index(emb, nlist=nlist, max_iter=5, persist=False)
     census = semantic_dedup_census(
         index.assigned,
