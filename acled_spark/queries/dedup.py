@@ -1672,3 +1672,143 @@ def dedup_semantic(
         max_block=max_block,
     )
     return census.orderBy("vec_id")
+
+
+def semantic_classify_batch(
+    index,
+    batch: DataFrame,
+    kept: DataFrame,
+    eps: float = SEMANTIC_EPS,
+    max_block: int | None = None,
+) -> DataFrame:
+    """Incremental SemDeDup: verdicts for a NEW batch against the
+    current canonical (kept) set — the semantic twin of
+    :func:`incremental_classify`, so a streaming/batch ingest can
+    semantic-dedup each delta without re-pairing the corpus.
+
+    ``index`` is the frozen :class:`acled_spark.ann.IvfIndex` (cells
+    must mean the same thing for both sides); ``batch`` is
+    (vec_id, embedding); ``kept`` is (vec_id, embedding, cell) — the
+    keepers from a prior :func:`semantic_dedup_census` run and/or
+    prior batches.  One verdict row per VALID batch vector (the
+    index's width/validity contract, as in ``_assign_cells``):
+
+    - ``is_semantic_dup`` / ``dup_of`` / ``dup_cos`` — within ``eps``
+      of a kept vector in the same cell; dup_of is the MOST-similar
+      kept vector (cosine desc, vec_id tiebreak) — kept always beats
+      batch, mirroring the lexical store's precedence.  A kept row
+      holding the batch vector's OWN id (a replay) is NOT a dup —
+      the self-rule shared with the lexical face.
+    - ``is_batch_dup`` / ``batch_dup_of`` — dominated within the
+      batch under census priority (centroid-cosine ascending, the
+      SemDeDup keep rule), by a dominator that is itself a batch
+      SURVIVOR of the store face.  A batch vector whose only
+      dominator was absorbed by the store is conservatively KEPT
+      (within eps of a store-dup does not prove within eps of the
+      keeper — the same strictly-conservative posture as the census's
+      domination variant).
+
+    Survivors (neither flag) are the rows to append to ``kept`` —
+    exactly :func:`acled_spark.dedup_store.process_batch`'s shape.
+    Scale: batch-vs-kept is an equi-join on the cell (batch-sized ×
+    cell-local kept rows; ``max_block`` drops runaway cells on the
+    KEPT side before pairing, same lever as §max_block); the batch
+    face reuses :func:`semantic_dedup_census` on the batch alone.
+    The frozen quantizer drifts as the corpus grows — watch
+    ``ivf_staleness`` and refit on its threshold, exactly as the ANN
+    maintenance story prescribes.
+    """
+    from acled_spark.ann import _assign_cells, centroid_frame
+    from acled_spark.vector import as_double, dot as vdot, l2_norm
+
+    spark = batch.sparkSession
+    assigned = _assign_cells(index, batch, "embedding", "vec_id").select(
+        "vec_id", "embedding", "cell"
+    ).localCheckpoint(eager=False)
+
+    keep_side = kept
+    if max_block is not None:
+        big = (
+            kept.groupBy("cell")
+            .agg(F.count("*").alias("_bs"))
+            .filter(F.col("_bs") <= max_block)
+            .select("cell")
+        )
+        keep_side = kept.join(F.broadcast(big), "cell", "left_semi")
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"),
+        "cell",
+        as_double("embedding").alias("b_e"),
+        l2_norm("embedding").alias("b_nrm"),
+    )
+    k = keep_side.select(
+        F.col("vec_id").alias("k_id"),
+        "cell",
+        as_double("embedding").alias("k_e"),
+        l2_norm("embedding").alias("k_nrm"),
+    )
+    cos = F.when(
+        F.col("b_nrm") * F.col("k_nrm") > 0,
+        vdot(F.col("b_e"), F.col("k_e")) / (F.col("b_nrm") * F.col("k_nrm")),
+    )
+    store_hits = (
+        b.join(k, ["cell"])
+        .filter(F.col("b_id") != F.col("k_id"))  # self-rule: replays
+        .select("b_id", "k_id", F.round(cos, 4).alias("cos"))
+        .filter(F.col("cos") >= eps)
+    )
+    best = store_hits.groupBy("b_id").agg(
+        F.max_by(
+            F.struct(F.col("cos"), (-F.col("k_id")).alias("nk"), "k_id"),
+            F.struct(F.col("cos"), (-F.col("k_id")).alias("nk")),
+        ).alias("w")
+    ).select(
+        "b_id",
+        F.col("w.k_id").alias("dup_of"),
+        F.col("w.cos").alias("dup_cos"),
+    )
+
+    # batch face: census semantics over the batch alone, then restrict
+    # dominators to store-face survivors (conservative keep otherwise)
+    batch_census = semantic_dedup_census(
+        assigned, centroid_frame(spark, index.model), eps=eps
+    ).select(
+        "vec_id", "cell", "cent_cos",
+        F.col("dup_of").alias("b_dom"), F.col("dup_cos").alias("b_dom_cos"),
+    )
+    store_dup_ids = best.select(F.col("b_id").alias("b_dom"))
+    verdicts = (
+        batch_census.join(
+            best, batch_census.vec_id == best.b_id, "left"
+        )
+        .drop("b_id")
+        .withColumn(
+            "is_semantic_dup", F.col("dup_of").isNotNull()
+        )
+        # a batch dominator that the store absorbed cannot witness a drop
+        .join(
+            store_dup_ids.withColumn("_dom_is_store_dup", F.lit(True)),
+            "b_dom",
+            "left",
+        )
+        .select(
+            "vec_id",
+            "cell",
+            "cent_cos",
+            "is_semantic_dup",
+            "dup_of",
+            "dup_cos",
+            (
+                F.col("b_dom").isNotNull()
+                & ~F.col("is_semantic_dup")
+                & F.col("_dom_is_store_dup").isNull()
+            ).alias("is_batch_dup"),
+            F.when(
+                F.col("b_dom").isNotNull()
+                & ~F.col("is_semantic_dup")
+                & F.col("_dom_is_store_dup").isNull(),
+                F.col("b_dom"),
+            ).alias("batch_dup_of"),
+        )
+    )
+    return verdicts

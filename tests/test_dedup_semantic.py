@@ -13,7 +13,11 @@ columns must be certified by something that does not trust them):
    every drop/keep decision, every dup_of choice, and every dup_cos
    value from nothing but the census's cell/priority assignment;
 3. the composability contract: dropped rows join back onto the source
-   frame by dup_of like any canonical-pick survivor map.
+   frame by dup_of like any canonical-pick survivor map;
+4. the INCREMENTAL face (:func:`semantic_classify_batch`): the
+   lexical store's contract mirrored semantically (self-rule,
+   keeper precedence, conservative store-absorbed dominators) plus
+   agreement with the full census on a frozen quantizer.
 """
 
 from __future__ import annotations
@@ -151,3 +155,129 @@ def test_census_composes_as_survivor_map(spark):
         kept.select(F.col("vec_id").alias("dup_of")), "dup_of", "left_anti"
     ).count() == 0
     assert kept.count() + remap.count() == census.count()
+
+
+def _mk_index(spark, vectors):
+    from acled_spark.ann import build_ivf_index
+
+    df = spark.createDataFrame(
+        vectors, "vec_id long, embedding array<float>"
+    )
+    return build_ivf_index(df, nlist=2, max_iter=5, persist=False), df
+
+
+def test_incremental_classify_batch_faces(spark):
+    """semantic_classify_batch mirrors the lexical store's contract:
+    replays are not dups (self-rule), near-copies of kept vectors flag
+    is_semantic_dup with the most-similar keeper, novel vectors
+    survive, within-batch near-pairs resolve by census priority, and a
+    batch vector whose only dominator was store-absorbed is
+    conservatively KEPT."""
+    from acled_spark.queries.dedup import (
+        semantic_classify_batch,
+        semantic_dedup_census,
+    )
+    from acled_spark.ann import centroid_frame
+
+    base = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    index, corpus = _mk_index(spark, base)
+    kept = semantic_dedup_census(
+        index.assigned, centroid_frame(spark, index.model)
+    ).filter("action = 'keep'").select("vec_id", "cell").join(
+        corpus, "vec_id"
+    ).select("vec_id", "embedding", "cell")
+    assert kept.count() == 4  # orthogonal basis: nothing drops
+
+    batch = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),          # replay of kept id 1
+            (10, [0.999, 0.01, 0.0, 0.0]),      # near-copy of kept 1
+            (11, [0.9995, 0.005, 0.0, 0.0]),    # near kept 1 AND near 10
+            (12, [0.5, 0.5, 0.5, 0.5]),         # novel direction
+            (13, [0.51, 0.5, 0.5, 0.49]),       # near-copy of 12, in-batch
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    v = {
+        r["vec_id"]: r
+        for r in semantic_classify_batch(index, batch, kept, eps=0.99).collect()
+    }
+    assert len(v) == 5
+    # self-rule: the replay is NOT a store dup of itself...
+    assert not v[1]["is_semantic_dup"]
+    # ...but near-copies of a kept vector are, with the keeper as dup_of
+    assert v[10]["is_semantic_dup"] and v[10]["dup_of"] == 1
+    assert v[11]["is_semantic_dup"] and v[11]["dup_of"] == 1
+    assert v[10]["dup_cos"] >= 0.99 and v[11]["dup_cos"] >= 0.99
+    # store-absorbed dominators can't witness a batch drop: 10/11 both
+    # left via the store face, so neither flags is_batch_dup
+    assert not v[10]["is_batch_dup"] and not v[11]["is_batch_dup"]
+    # novel pair: one survives, the other is a batch dup of it
+    pair = {12: v[12], 13: v[13]}
+    dropped = [i for i, r in pair.items() if r["is_batch_dup"]]
+    survived = [i for i, r in pair.items() if not r["is_batch_dup"]]
+    assert len(dropped) == 1 and len(survived) == 1
+    assert not pair[dropped[0]]["is_semantic_dup"]
+    assert pair[dropped[0]]["batch_dup_of"] == survived[0]
+    # survivors = the append set: replay + one of the novel pair
+    survivors = {
+        i for i, r in v.items()
+        if not r["is_semantic_dup"] and not r["is_batch_dup"]
+    }
+    assert survivors == {1, 12, 13} - {dropped[0]}
+
+
+def test_incremental_agrees_with_full_census_on_disjoint_content(spark):
+    """For a batch with no within-eps relation to the kept set, the
+    incremental verdicts must agree with running the full census over
+    old ∪ batch (restricted to the batch rows): same drop set, same
+    within-batch dominators."""
+    from acled_spark.ann import centroid_frame
+    from acled_spark.queries.dedup import (
+        semantic_classify_batch,
+        semantic_dedup_census,
+    )
+
+    base = [(i, [float(i == j) for j in range(8)]) for i in range(4)]
+    index, corpus = _mk_index(spark, base)
+    kept = index.assigned.select("vec_id", "embedding", "cell")
+
+    batch_rows = [
+        (20, [0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0]),
+        (21, [0.0, 0.0, 0.0, 0.0, 0.999, 0.01, 0.0, 0.0]),
+        (22, [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0]),
+    ]
+    batch = spark.createDataFrame(
+        batch_rows, "vec_id long, embedding array<float>"
+    )
+    inc = {
+        r["vec_id"]: r
+        for r in semantic_classify_batch(index, batch, kept, eps=0.99).collect()
+    }
+    # full census over the union, same frozen cells
+    from acled_spark.ann import _assign_cells
+
+    union = corpus.unionByName(batch)
+    assigned = _assign_cells(index, union, "embedding", "vec_id").select(
+        "vec_id", "embedding", "cell"
+    )
+    full = {
+        r["vec_id"]: r
+        for r in semantic_dedup_census(
+            assigned, centroid_frame(spark, index.model), eps=0.99
+        ).collect()
+        if r["vec_id"] >= 20
+    }
+    for vid in (20, 21, 22):
+        inc_dropped = inc[vid]["is_semantic_dup"] or inc[vid]["is_batch_dup"]
+        assert inc_dropped == (full[vid]["action"] == "drop"), vid
+    # the 20/21 near-pair resolves to the same dominator both ways
+    dropped = [i for i in (20, 21) if inc[i]["is_batch_dup"]]
+    assert len(dropped) == 1
+    assert full[dropped[0]]["action"] == "drop"
+    assert inc[dropped[0]]["batch_dup_of"] == full[dropped[0]]["dup_of"]
