@@ -246,6 +246,15 @@ SPECS = [
          '    w = Window.partitionBy("cell").orderBy(\n'
          '        F.desc_nulls_last("cent_cos"), "vec_id"\n    )',
          PYT + ["tests/test_dedup_semantic.py"], "caught"),
+    # M37: incremental self-rule dropped (a replayed keeper id becomes
+    # a store dup of itself — the lexical store's round-7 bug class,
+    # planted on the semantic twin)
+    spec("M37", "semantic-incremental-self-rule",
+         "acled_spark/queries/dedup.py",
+         '        .filter(F.col("b_id") != F.col("k_id"))  # self-rule: replays',
+         '        .filter(F.lit(True))  # self-rule dropped',
+         PYT + ["tests/test_dedup_semantic.py::"
+                "test_incremental_classify_batch_faces"], "caught"),
 ]
 
 # M16's target is not unique in its file; resolved by first-occurrence
