@@ -87,5 +87,74 @@ def main() -> int:
     return 0
 
 
+
+
+def measure_incremental() -> None:
+    """Incremental-vs-recensus cost at the heavy tier: classify the
+    2,000 sf0.1 vectors (ids offset to avoid the replay self-rule) as
+    a delta batch against the sf1 keeper set, vs re-running the full
+    census over the union — the wall-clock argument for the
+    incremental face.  Usage: python tools/measure_semdedup.py --incremental
+    """
+    from pyspark.sql import functions as F
+
+    from acled_spark.ann import build_ivf_index, centroid_frame
+    from acled_spark.queries.dedup import (
+        SEMANTIC_EPS,
+        semantic_classify_batch,
+        semantic_dedup_census,
+    )
+    from acled_spark.session import get_spark
+    from acled_spark.tables import load
+
+    spark = get_spark(app_name="measure-semdedup-inc")
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = load(spark, ".benchdata/sf1", "embeddings")
+    n = corpus.count()
+    index = build_ivf_index(
+        corpus, nlist=max(8, n // 64), max_iter=5, persist=True
+    )
+    cents = centroid_frame(spark, index.model)
+    kept = (
+        semantic_dedup_census(index.assigned, cents, eps=SEMANTIC_EPS)
+        .filter("action = 'keep'")
+        .select("vec_id")
+        .join(index.assigned, "vec_id")
+        .select("vec_id", "embedding", "cell")
+        .localCheckpoint()
+    )
+    print(f"kept set: {kept.count()} of {n}")
+    batch = load(spark, "/root/testdata/sf0.1", "embeddings").select(
+        (F.col("vec_id") + 5_000_000).alias("vec_id"), "embedding"
+    )
+    for label, run in (
+        ("incremental classify (2k batch vs kept)",
+         lambda: semantic_classify_batch(index, batch, kept)),
+        ("full re-census over union (22k)",
+         lambda: semantic_dedup_census(
+             _assign_union(index, corpus, batch), cents)),
+    ):
+        times = []
+        for _ in range(PASSES):
+            t0 = time.perf_counter()
+            run().write.mode("overwrite").format("noop").save()
+            times.append(time.perf_counter() - t0)
+        print(f"{label}: min {min(times):.2f} s over {PASSES}")
+    index.unpersist()
+    spark.stop()
+
+
+def _assign_union(index, corpus, batch):
+    from acled_spark.ann import _assign_cells
+
+    union = corpus.select("vec_id", "embedding").unionByName(batch)
+    return _assign_cells(index, union, "embedding", "vec_id").select(
+        "vec_id", "embedding", "cell"
+    )
+
+
 if __name__ == "__main__":
+    if "--incremental" in sys.argv:
+        measure_incremental()
+        raise SystemExit(0)
     raise SystemExit(main())
