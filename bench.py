@@ -28,6 +28,23 @@ re-runs the bench and exits 1 if any query is BOTH >1.5x slower than the
 baseline (default: the committed BENCH_FULL.json) AND >0.5s absolute
 slower — the double gate keeps the known +-20% run-to-run variance of
 sub-second queries from flagging noise (see SCALE.md).
+
+Drift-aware canary (VERDICT r13 #1): two frozen probes — one CPU-bound,
+one shuffle-bound, both built from ``spark.range`` so they touch no
+repo query, no input file, and no code path a round's diff can change —
+run at session start AND end under the same min-of-2-adaptive-3
+protocol.  Their committed floor rides BENCH_FULL.json
+(``canary_floor``); every bench output records ``session_speed =
+canary_wall / canary_floor``.  ``--check`` judges each query against
+``baseline x session_speed`` in addition to the raw gate (raw-only
+flags print as DRIFT-SUSPECT, normalized flags as REGRESSION and drive
+the exit code), and a baseline refresh is REFUSED when the session's
+canary is outside +-10% of the committed floor — so a drifted driver
+session can no longer overwrite the standing baseline (the r12 fast
+session silently tightened gates ~13%; the r13 slow session flagged 31
+false >2x regressions, j8_interval_join at 20x).  Methodology and the
+mechanical re-adjudication of the r13 flags: SCALE.md
+§bench-methodology.
 """
 
 from __future__ import annotations
@@ -68,6 +85,90 @@ def adaptive_passes(run_once, clock=time.perf_counter) -> list[float]:
     return passes
 
 
+# --- drift canary (VERDICT r13 #1) -----------------------------------
+# Frozen, plan-stable probes measuring the SESSION, not the repo: pure
+# ``spark.range`` pipelines with no table scan, no registry import in
+# the hot path, and no tunable the query work shares.  A round's diff
+# cannot change what these execute, so their wall-clock moves only when
+# the box does — which is exactly the signal two consecutive rounds of
+# official bench numbers were missing (r12 fast session committed as
+# baseline; r13 drifted session flagging 31 false regressions).
+# Bump CANARY_VERSION whenever a probe's shape or size changes: floors
+# recorded under a different version are not comparable and are ignored.
+CANARY_VERSION = 1
+# Refreshing the committed baseline is only meaningful from a session
+# whose canary agrees with the committed floor to within this band.
+CANARY_REFRESH_BAND = 0.10
+
+
+def _canary_cpu(spark) -> None:
+    """CPU-bound probe: a 32-deep xxhash64 chain over 16M rows, global
+    bit_xor rollup (order-independent, ANSI-overflow-proof — summing
+    full-range longs trips ANSI ARITHMETIC_OVERFLOW) — whole-stage
+    codegen arithmetic, zero I/O, one 32-partition stage, no exchange
+    beyond the single-row final agg."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 16_000_000, 1, 32)
+    expr = F.xxhash64(F.col("id"))
+    for _ in range(32):
+        expr = F.xxhash64(expr, F.col("id"))
+    df.select(F.bit_xor(expr).alias("s")).collect()
+
+
+def _canary_shuffle(spark) -> None:
+    """Shuffle-bound probe: 4M rows hashed onto 200k keys, grouped agg
+    across a full 32->32 exchange, then a second single-row rollup —
+    exercises exchange write/read + hash-agg spill machinery."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 4_000_000, 1, 32)
+    (
+        df.withColumn("k", F.pmod(F.xxhash64("id"), F.lit(200_000)))
+        .withColumn("v", (F.col("id") % 997).cast("double"))
+        .groupBy("k")
+        .agg(F.sum("v").alias("sv"), F.count("*").alias("c"))
+        .select(F.sum(F.col("sv") * F.col("c")).alias("s"))
+        .collect()
+    )
+
+
+CANARY_PROBES = {"cpu": _canary_cpu, "shuffle": _canary_shuffle}
+
+
+def run_canary(spark) -> dict[str, float]:
+    """Time each probe under the same min-of-2-adaptive-3 protocol as
+    the queries; returns ``{"cpu": sec, "shuffle": sec}``."""
+    walls = {}
+    for name in sorted(CANARY_PROBES):
+        passes = adaptive_passes(lambda: CANARY_PROBES[name](spark))
+        walls[name] = round(min(passes), 3)
+    return walls
+
+
+def session_speed(wall: dict | None, floor: dict | None) -> float | None:
+    """``canary_wall / canary_floor`` over the probes both maps carry.
+    None when either side is missing (bootstrap, --only runs, or a
+    baseline recorded under a different CANARY_VERSION)."""
+    if not wall or not floor:
+        return None
+    common = sorted(set(wall) & set(floor))
+    if not common:
+        return None
+    denom = sum(floor[k] for k in common)
+    if denom <= 0:
+        return None
+    return round(sum(wall[k] for k in common) / denom, 3)
+
+
+def baseline_canary_floor(base: dict | None) -> dict | None:
+    """Extract a comparable canary floor from a baseline JSON: the
+    recorded floor, only if it was measured by this CANARY_VERSION."""
+    if not base or base.get("canary_version") != CANARY_VERSION:
+        return None
+    return base.get("canary_floor") or None
+
+
 def run_bench(only: set[str] | None = None) -> tuple[dict, float | str]:
     """Returns ``({"timings", "spread", "passes"}, sf)`` — three maps
     over the SAME key set (failures carry timings -1.0 / spread -1.0 /
@@ -96,6 +197,11 @@ def run_bench(only: set[str] | None = None) -> tuple[dict, float | str]:
     for warm in ("q1_pricing_summary", "w3_rank_rows", "j2_static_map_lookup"):
         if warm in specs:
             _force(specs[warm].builder(spark, sf_dir))
+
+    # Canary, start-of-session placement (after warmup so it measures
+    # the settled JVM, not codegen bring-up — same footing as the
+    # committed floor).
+    canary_start = run_canary(spark)
 
     # Min-of-2 protocol (VERDICT r6 #1): each query is timed twice
     # back-to-back and the MIN is reported.  Round-over-round driver
@@ -142,15 +248,42 @@ def run_bench(only: set[str] | None = None) -> tuple[dict, float | str]:
             f"third-pass queries: {sum(1 for n in n_passes.values() if n == 3)}",
             file=sys.stderr,
         )
+    # Canary, end-of-session placement: whole-session drift shows up in
+    # BOTH readings; late-onset drift only in this one.  The reported
+    # per-probe wall is the MIN of the two placements — the best
+    # evidence of what the box could do during the session, so
+    # normalization never *excuses* a real regression (a drifted min is
+    # still honest: the box never ran faster than it).  Both raw
+    # readings are recorded for A/B readers.
+    canary_end = run_canary(spark)
+    canary_wall = {
+        k: min(canary_start[k], canary_end[k]) for k in canary_start
+    }
+    print(
+        f"bench: canary start={canary_start} end={canary_end} "
+        f"wall={canary_wall}",
+        file=sys.stderr,
+    )
     spark.stop()
     return (
-        {"timings": timings, "spread": spread, "passes": n_passes},
+        {
+            "timings": timings,
+            "spread": spread,
+            "passes": n_passes,
+            "canary_wall": canary_wall,
+            "canary_runs": {"start": canary_start, "end": canary_end},
+        },
         float(sf) if sf.replace(".", "").isdigit() else sf,
     )
 
 
-def summary_line(timings: dict[str, float], sf: float | str) -> str:
-    """One JSON line that fits the driver's stdout-tail capture."""
+def summary_line(
+    timings: dict[str, float], sf: float | str, speed: float | None = None
+) -> str:
+    """One JSON line that fits the driver's stdout-tail capture.
+    ``session_speed`` (canary wall / committed floor; null at bootstrap
+    or for --only runs) rides the line so a driver A/B reader can
+    normalize this session's numbers without the full file."""
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     failed = sorted(k for k, v in timings.items() if v < 0)
     ok_slowest = sorted(
@@ -168,6 +301,7 @@ def summary_line(timings: dict[str, float], sf: float | str) -> str:
                 "queries": qsub,
                 "n_queries": len(timings),
                 "n_failed": len(failed),
+                "session_speed": speed,
                 "full": "BENCH_FULL.json",
                 "sf": sf,
             },
@@ -186,21 +320,52 @@ def summary_line(timings: dict[str, float], sf: float | str) -> str:
     return line
 
 
-def check(timings: dict[str, float], base: dict) -> int:
-    """Exit status 1 if any query regressed >1.5x AND >0.5s vs baseline."""
+def check(
+    timings: dict[str, float], base: dict, speed: float | None = None
+) -> int:
+    """Exit status 1 if any query regressed >1.5x AND >0.5s vs the
+    DRIFT-NORMALIZED baseline (``was * session_speed``).  The raw
+    (unnormalized) gate still runs: queries flagged raw-only print as
+    DRIFT-SUSPECT — visible to a reader, but not a failure, because on
+    a drifted box they are box-state artifacts (r13: 31 such flags on
+    an untouched diff).  With no canary floor (bootstrap, old-format
+    baseline) ``speed`` is None and the raw gate drives the exit code,
+    exactly as before.  Normalization never loosens below the raw gate
+    when the session is FAST (speed < 1 tightens — a fast box must not
+    hide a real regression behind the raw threshold)."""
     base_q = base.get("queries", base)
-    regressions = []
+    norm = speed if speed is not None else 1.0
+    regressions, suspects = [], []
     for name, now in timings.items():
         was = base_q.get(name)
         if was is None or was <= 0 or now < 0:
             continue
-        if now > 1.5 * was and now - was > 0.5:
+        raw_flag = now > 1.5 * was and now - was > 0.5
+        adj = was * norm
+        # The normalized gate drives the exit code both ways: on a slow
+        # box it absorbs box-state inflation; on a fast box (norm < 1,
+        # adj < was — a strictly tighter gate, so raw_flag implies
+        # norm_flag) it catches regressions the raw threshold would
+        # hide, the r12 failure mode.
+        norm_flag = now > 1.5 * adj and now - adj > 0.5
+        if norm_flag:
             regressions.append((name, was, now))
+        elif raw_flag:
+            suspects.append((name, was, now))
     for name, was, now in sorted(regressions, key=lambda r: r[1] - r[2]):
-        print(f"bench_check: REGRESSION {name}: {was:.3f}s -> {now:.3f}s",
+        print(f"bench_check: REGRESSION {name}: {was:.3f}s -> {now:.3f}s"
+              + (f" (>{1.5 * was * norm:.3f}s normalized gate,"
+                 f" session_speed {norm:.3f})" if speed is not None else ""),
+              file=sys.stderr)
+    for name, was, now in sorted(suspects, key=lambda r: r[1] - r[2]):
+        print(f"bench_check: DRIFT-SUSPECT {name}: {was:.3f}s -> {now:.3f}s "
+              f"(raw flag absorbed by session_speed {norm:.3f})",
               file=sys.stderr)
     if not regressions:
-        print(f"bench_check: OK ({len(timings)} queries)", file=sys.stderr)
+        extra = f", {len(suspects)} drift-suspect" if suspects else ""
+        spd = f", session_speed {norm:.3f}" if speed is not None else ""
+        print(f"bench_check: OK ({len(timings)} queries{extra}{spd})",
+              file=sys.stderr)
     return 1 if regressions else 0
 
 
@@ -242,14 +407,56 @@ def main() -> None:
         # Read the baseline up front: the run below rewrites FULL_PATH.
         with open(baseline_path) as fh:
             base = json.load(fh)
+    # The committed floor for the refresh decision always comes from
+    # FULL_PATH (the file the run would overwrite), independent of any
+    # custom --check baseline.  Read it before the run for the same
+    # reason as above.
+    committed = None
+    if os.path.exists(FULL_PATH):
+        try:
+            with open(FULL_PATH) as fh:
+                committed = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            committed = None
 
     result, sf = run_bench(only)
     timings = result["timings"]
-    status = check(timings, base) if check_mode else 0
+    canary_wall = result.get("canary_wall")
+    # --check normalizes against ITS baseline's floor; the refresh
+    # decision uses the committed file's floor.
+    check_speed = session_speed(canary_wall, baseline_canary_floor(base))
+    committed_speed = session_speed(
+        canary_wall, baseline_canary_floor(committed)
+    )
+    # Per-probe speeds to stderr: drift is often FAMILY-CLUSTERED (the
+    # r13 session ran joins 5-20x slow while scan-bound text queries
+    # ran faster), and the cpu-vs-shuffle split is what lets a reader
+    # see that shape — the scalar session_speed alone cannot.
+    committed_floor = baseline_canary_floor(committed)
+    if canary_wall and committed_floor:
+        per_probe = {
+            k: round(canary_wall[k] / committed_floor[k], 3)
+            for k in sorted(set(canary_wall) & set(committed_floor))
+            if committed_floor[k] > 0
+        }
+        print(f"bench: per-probe session speed vs committed floor: "
+              f"{per_probe}", file=sys.stderr)
+    status = check(timings, base, check_speed) if check_mode else 0
     # A FAILED --check must NOT rewrite its own default baseline with
     # the regressed numbers — a naive re-run would then compare against
     # the regression and print OK, defeating the gate (round-7 review).
-    if only is None and status == 0:
+    # A DRIFTED session must not rewrite it either (VERDICT r13 #1):
+    # the refresh is refused when the canary sits outside +-10% of the
+    # committed floor, in EITHER direction — a slow session would
+    # loosen every gate, a fast one would silently tighten them (the
+    # r12 incident).  Bootstrap (no committed floor yet, or a floor
+    # from an older CANARY_VERSION) always refreshes and records the
+    # session's canary as the new floor.
+    drift_refused = (
+        committed_speed is not None
+        and abs(committed_speed - 1.0) > CANARY_REFRESH_BAND
+    )
+    if only is None and status == 0 and not drift_refused:
         with open(FULL_PATH, "w") as fh:
             json.dump(
                 {
@@ -258,16 +465,29 @@ def main() -> None:
                     "queries": timings,
                     "spread": result["spread"],
                     "passes": result["passes"],
+                    "canary_version": CANARY_VERSION,
+                    "canary_floor": canary_wall,
+                    "canary_runs": result.get("canary_runs"),
+                    "session_speed": committed_speed,
                 },
                 fh, indent=1, sort_keys=True,
             )
+    elif drift_refused and status == 0 and only is None:
+        print(
+            f"bench: baseline refresh REFUSED — session_speed "
+            f"{committed_speed:.3f} is outside the +-"
+            f"{CANARY_REFRESH_BAND:.0%} canary band; BENCH_FULL.json "
+            f"left at the committed floor (this session's numbers are "
+            f"box-state, not plan-state)",
+            file=sys.stderr,
+        )
     elif status != 0:
         print(
             "bench_check: FAILED — BENCH_FULL.json left at the baseline "
             "(regressed timings not recorded)",
             file=sys.stderr,
         )
-    print(summary_line(timings, sf))
+    print(summary_line(timings, sf, committed_speed))
     if check_mode:
         sys.exit(status)
 

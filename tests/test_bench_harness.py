@@ -60,6 +60,19 @@ def test_adaptive_third_pass_fires_only_on_disagreement():
     # not the 4.8x the adjudicated outlier would re-introduce
 
 
+def _fake_run(t, canary=None):
+    """run_bench stand-in: timings t, optional canary walls."""
+    result = {
+        "timings": t,
+        "spread": {k: 1.0 for k in t},
+        "passes": {k: 2 for k in t},
+    }
+    if canary is not None:
+        result["canary_wall"] = canary
+        result["canary_runs"] = {"start": canary, "end": canary}
+    return lambda only: (result, 0.1)
+
+
 def test_failed_check_does_not_rewrite_baseline(tmp_path, monkeypatch, capsys):
     """--check exiting 1 must leave BENCH_FULL.json at the baseline:
     rewriting it with the regressed numbers would make a naive re-run
@@ -69,13 +82,7 @@ def test_failed_check_does_not_rewrite_baseline(tmp_path, monkeypatch, capsys):
     full.write_text(json.dumps(baseline))
     monkeypatch.setattr(bench, "FULL_PATH", str(full))
     # q1 regresses past the double gate (>1.5x AND >0.5s)
-    def fake_run(t):
-        return lambda only: (
-            {"timings": t, "spread": {k: 1.0 for k in t}, "passes": {k: 2 for k in t}},
-            0.1,
-        )
-
-    monkeypatch.setattr(bench, "run_bench", fake_run({"q1": 3.0, "q2": 1.0}))
+    monkeypatch.setattr(bench, "run_bench", _fake_run({"q1": 3.0, "q2": 1.0}))
     monkeypatch.setattr("sys.argv", ["bench.py", "--check"])
     try:
         bench.main()
@@ -87,7 +94,7 @@ def test_failed_check_does_not_rewrite_baseline(tmp_path, monkeypatch, capsys):
 
     # and a PASSING run does refresh the baseline — now with the
     # round-8 spread/passes fields for mechanical noise discounting
-    monkeypatch.setattr(bench, "run_bench", fake_run({"q1": 1.1, "q2": 0.9}))
+    monkeypatch.setattr(bench, "run_bench", _fake_run({"q1": 1.1, "q2": 0.9}))
     try:
         bench.main()
         raised = 0
@@ -99,3 +106,131 @@ def test_failed_check_does_not_rewrite_baseline(tmp_path, monkeypatch, capsys):
     assert refreshed["spread"] == {"q1": 1.0, "q2": 1.0}
     assert refreshed["passes"] == {"q1": 2, "q2": 2}
     assert refreshed["protocol"] == "min-of-2-adaptive-3"
+
+
+# --- drift canary (VERDICT r13 #1) -----------------------------------
+
+
+def test_session_speed_math():
+    """session_speed = sum(wall)/sum(floor) over the common probes;
+    None at every bootstrap edge (missing side, disjoint keys, zero
+    floor)."""
+    assert bench.session_speed({"cpu": 1.0, "shuffle": 1.0},
+                               {"cpu": 0.5, "shuffle": 0.5}) == 2.0
+    assert bench.session_speed({"cpu": 0.9, "shuffle": 1.8},
+                               {"cpu": 1.0, "shuffle": 2.0}) == 0.9
+    assert bench.session_speed(None, {"cpu": 1.0}) is None
+    assert bench.session_speed({"cpu": 1.0}, None) is None
+    assert bench.session_speed({"cpu": 1.0}, {"shuffle": 1.0}) is None
+    assert bench.session_speed({"cpu": 1.0}, {"cpu": 0.0}) is None
+
+
+def test_baseline_canary_floor_requires_matching_version():
+    """Floors recorded under a different CANARY_VERSION (or absent)
+    are not comparable and must be ignored, not misapplied."""
+    floor = {"cpu": 0.8, "shuffle": 0.6}
+    good = {"canary_version": bench.CANARY_VERSION, "canary_floor": floor}
+    assert bench.baseline_canary_floor(good) == floor
+    assert bench.baseline_canary_floor({"canary_floor": floor}) is None
+    assert bench.baseline_canary_floor(
+        {"canary_version": bench.CANARY_VERSION + 1, "canary_floor": floor}
+    ) is None
+    assert bench.baseline_canary_floor(None) is None
+    assert bench.baseline_canary_floor(
+        {"canary_version": bench.CANARY_VERSION}
+    ) is None
+
+
+def test_check_normalizes_by_session_speed(capsys):
+    """The exact r13 failure mode: a 1.7x-drifted session raw-flags an
+    untouched query; the normalized gate absorbs it as DRIFT-SUSPECT.
+    A query slow even AFTER normalization still fails."""
+    base = {"queries": {"ok_drifted": 2.0, "real_regression": 2.0}}
+    timings = {"ok_drifted": 3.4,          # 1.7x raw — pure drift
+               "real_regression": 8.0}     # 4x raw, 2.35x normalized
+    # raw gate (speed None): both flag
+    assert bench.check(dict(timings), base, None) == 1
+    # normalized at session_speed 1.7: drift absorbed, real one kept
+    assert bench.check(dict(timings), base, 1.7) == 1
+    err = capsys.readouterr().err
+    assert "DRIFT-SUSPECT ok_drifted" in err
+    assert "REGRESSION real_regression" in err
+    # remove the real regression: normalized check passes outright
+    assert bench.check({"ok_drifted": 3.4}, base, 1.7) == 0
+    err = capsys.readouterr().err
+    assert "OK" in err and "drift-suspect" in err
+
+
+def test_check_fast_session_tightens_gate(capsys):
+    """The r12 failure mode inverted: on a 0.8x FAST box, a query that
+    merely matches the committed baseline has actually regressed 25% —
+    the normalized gate (adj = was * speed) must catch what the raw
+    threshold hides."""
+    base = {"queries": {"hidden": 2.0}}
+    # 2.9s on a 0.8x box = 1.81x the 1.6s normalized floor, +1.3s abs
+    assert bench.check({"hidden": 2.9}, base, 0.8) == 1
+    assert "REGRESSION hidden" in capsys.readouterr().err
+    # raw gate alone would NOT have flagged it (2.9 < 1.5*2.0 + ...)
+    assert bench.check({"hidden": 2.9}, base, None) == 0
+
+
+def test_drifted_session_refuses_baseline_refresh(tmp_path, monkeypatch, capsys):
+    """A session whose canary reads outside +-10% of the committed
+    floor must NOT rewrite BENCH_FULL.json (in either direction); a
+    within-band session refreshes and records its canary as the new
+    floor; a bootstrap (no committed floor) always refreshes."""
+    floor = {"cpu": 1.0, "shuffle": 1.0}
+    baseline = {
+        "sf": 0.1,
+        "queries": {"q1": 1.0},
+        "canary_version": bench.CANARY_VERSION,
+        "canary_floor": floor,
+    }
+    full = tmp_path / "BENCH_FULL.json"
+    full.write_text(json.dumps(baseline))
+    monkeypatch.setattr(bench, "FULL_PATH", str(full))
+    monkeypatch.setattr("sys.argv", ["bench.py"])
+
+    def run_main():
+        try:
+            bench.main()
+        except SystemExit:
+            pass
+
+    # drifted slow (1.5x): refused
+    monkeypatch.setattr(
+        bench, "run_bench",
+        _fake_run({"q1": 1.5}, {"cpu": 1.5, "shuffle": 1.5}))
+    run_main()
+    assert json.loads(full.read_text()) == baseline
+    assert "refresh REFUSED" in capsys.readouterr().err
+    # drifted fast (0.85x): refused too — the r12 silent-tightening
+    monkeypatch.setattr(
+        bench, "run_bench",
+        _fake_run({"q1": 0.85}, {"cpu": 0.85, "shuffle": 0.85}))
+    run_main()
+    assert json.loads(full.read_text()) == baseline
+    assert "refresh REFUSED" in capsys.readouterr().err
+    # within band (1.05x): refreshes, new floor recorded
+    monkeypatch.setattr(
+        bench, "run_bench",
+        _fake_run({"q1": 1.05}, {"cpu": 1.05, "shuffle": 1.05}))
+    run_main()
+    refreshed = json.loads(full.read_text())
+    assert refreshed["queries"] == {"q1": 1.05}
+    assert refreshed["canary_floor"] == {"cpu": 1.05, "shuffle": 1.05}
+    assert refreshed["session_speed"] == 1.05
+    out = capsys.readouterr().out
+    parsed = json.loads(out.strip().splitlines()[-1])
+    assert parsed["session_speed"] == 1.05
+    # bootstrap: no floor in the committed file -> refresh allowed,
+    # canary recorded for the first time
+    full.write_text(json.dumps({"sf": 0.1, "queries": {"q1": 1.0}}))
+    monkeypatch.setattr(
+        bench, "run_bench",
+        _fake_run({"q1": 2.0}, {"cpu": 2.0, "shuffle": 2.0}))
+    run_main()
+    refreshed = json.loads(full.read_text())
+    assert refreshed["canary_floor"] == {"cpu": 2.0, "shuffle": 2.0}
+    assert refreshed["canary_version"] == bench.CANARY_VERSION
+    assert refreshed["session_speed"] is None
