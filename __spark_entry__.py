@@ -22,60 +22,38 @@ from acled_spark.registry import oracle_map, spark_queries
 # round to newest.  Registry names/signatures are unchanged — only the
 # emission order here rotates.
 #
-# Round-13 rotation state (folded from CORRECTNESS_r12.json): round
-# 12's 50-row check re-verified the whole r09 tier (retired), 20 r10
-# rows, 3 r11 rows, and the round-12 newcomer dedup_ngram_novelty.
-# Freshness is now r12×50 / r11×47 / r10×30 — no row older than r10.
-# The 30 r10-fresh rows lead this round, then oldest-r11.  After
-# CORRECTNESS_r13 lands, fold its names into a _R13 tier and retire
+# Round-14 rotation state (folded from CORRECTNESS_r13.json): round
+# 13's 50-row check re-verified the whole r10 tier (retired), 18 r11
+# rows, w3_rank_rows from r12 (recert-priority), the other four
+# recert-priority rows, and the round-13 newcomer dedup_semantic.
+# Freshness is now r13x50 / r12x49 / r11x29 -- no row older than r11.
+# The 29 r11-fresh rows lead this round, then oldest-r12.  After
+# CORRECTNESS_r14 lands, fold its names into a _R14 tier and retire
 # the empties.
 #
-# Queries whose freshest driver rows were written by the round-10 check
-# (CORRECTNESS_r10.json) — the stale block, emitted first.
-_R10_DRIVER_VERIFIED: frozenset[str] = frozenset(
-    {
-        "a16_percent_of_total", "a22_time_grouping_sets",
-        "a23_daily_anomaly", "a24_time_to_convert", "a25_hour_profile",
-        "dedup_components_exact", "dedup_containment",
-        "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-        "drift_psi", "j7_asof_join", "mix_weights", "ml_label_encode",
-        "ml_target_encode_cv", "mm_feature_extract", "p9_weighted_sample",
-        "pack_sequences", "s8_upsert_merge", "sess_user_sessions",
-        "sim_ann_lsh", "sim_ann_multiprobe", "sim_label_centroids",
-        "sim_norm_outliers", "sim_quantize_error", "sim_topk_bruteforce",
-        "text_dup_spans", "text_pii_scrub", "text_repetition",
-        "train_shuffle",
-    }
-)
-
-# Queries verified by the round-11 check (CORRECTNESS_r11.json).
+# Queries whose freshest driver rows were written by the round-11
+# check (CORRECTNESS_r11.json) -- the stale block, emitted first.
 # a19/sim_ann_ivf/sim_pca rows are by-design rows-only checks
 # (no_oracle) whose invariants ride the output columns.
 _R11_DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
-        "a1_value_counts", "a2_conditional_counts", "a3_null_empty_audit",
-        "a4_daily_rollup", "a5_topk_groups", "a6_dim_rollup",
-        "a10_descriptive_stats", "a11_distinct_counts",
-        "a12_duplicate_keys", "a14_group_deviation", "a17_rollup",
-        "a18_cube", "a19_approx_distinct", "a20_ranking_suite",
-        "a21_unpivot", "cdc_snapshot_diff", "chk_validation_summary",
-        "cohort_retention", "f16_regexp_extract", "f1_try_cast_json",
-        "f6_string_cleanup", "j1_target_stat_lookup", "j8_interval_join",
-        "j9_band_join", "ml_distance_from_center", "ml_onehot_pivot",
-        "mm_decode_jpeg", "mm_decode_png", "mm_decode_real",
-        "mm_payload_metadata", "mm_phash_dedup", "p2_filter_dsl",
-        "p3_date_range", "p4_null_threshold", "pack_materialize",
-        "prep_corpus_stats", "release_delta_audit", "sess_transitions",
-        "sim_ann_ivf", "sim_dim_stats", "sim_pca_top_component",
-        "so1_set_ops", "t3_tumbling_window", "text_bpe_token_stats",
-        "text_chunking", "text_contamination", "w6_cumulative_distinct",
+        "a19_approx_distinct", "cdc_snapshot_diff",
+        "chk_validation_summary", "cohort_retention",
+        "j1_target_stat_lookup", "j8_interval_join", "j9_band_join",
+        "ml_distance_from_center", "ml_onehot_pivot", "mm_decode_jpeg",
+        "mm_decode_png", "mm_decode_real", "mm_payload_metadata",
+        "mm_phash_dedup", "p2_filter_dsl", "p3_date_range",
+        "p4_null_threshold", "pack_materialize", "prep_corpus_stats",
+        "release_delta_audit", "sess_transitions", "sim_ann_ivf",
+        "sim_dim_stats", "sim_pca_top_component", "so1_set_ops",
+        "t3_tumbling_window", "text_bpe_token_stats", "text_chunking",
+        "text_contamination",
     }
 )
 
-# Queries verified by the round-12 check (CORRECTNESS_r12.json) — the
-# FRESH block, emitted last.  a26's row is the by-design rows-only
-# check (no_oracle) whose externally-pinned error rollup rides the
-# output columns.
+# Queries verified by the round-12 check (CORRECTNESS_r12.json).
+# a26's row is the by-design rows-only check (no_oracle) whose
+# externally-pinned error rollup rides the output columns.
 _R12_DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
         "a7_multi_measure_rollup", "a8_weekly_rollup", "a9_monthly_rollup",
@@ -95,26 +73,46 @@ _R12_DRIVER_VERIFIED: frozenset[str] = frozenset(
         "text_quality_classifier", "text_quality_scores",
         "text_tfidf_terms", "text_token_stats", "text_unigram_logprob",
         "text_vocab_growth", "text_winnow_pairs", "text_zipf_slope",
-        "w1_moving_avg_7d", "w2_global_share", "w3_rank_rows",
+        "w1_moving_avg_7d", "w2_global_share",
         "w4_lag_delta", "w5_range_frame",
     }
 )
-_ALL_KNOWN = _R10_DRIVER_VERIFIED | _R11_DRIVER_VERIFIED | _R12_DRIVER_VERIFIED
 
-# Queries whose round-13 source/oracle edits POSTDATE their freshest
-# driver row — these lead their blocks so the ~50-query cap can't drop
-# them.  All five changed for the adversarial-corpus parity tier
-# (VERDICT r12 #1): sim_quantize_error's intrinsically-safe scale,
-# f1's json_valid oracle guard, s8's DISTINCT-base oracle, w3/a20's
-# NULLS LAST rank tiebreaks.  All five re-verified MATCH on the
-# natural sf0.01 tier this session.
-_RECERT_PRIORITY: frozenset[str] = frozenset({
-    "sim_quantize_error",
-    "f1_try_cast_json",
-    "s8_upsert_merge",
-    "w3_rank_rows",
-    "a20_ranking_suite",
-})
+# Queries verified by the round-13 check (CORRECTNESS_r13.json) -- the
+# FRESH block, emitted last.  dedup_semantic's row is the by-design
+# rows-only check (no_oracle): the KMeans coarse quantizer is not
+# DuckDB-expressible; every output column is recomputed externally
+# with numpy plus a hand-computed keep-rule known answer
+# (tests/test_dedup_semantic.py).
+_R13_DRIVER_VERIFIED: frozenset[str] = frozenset(
+    {
+        "a1_value_counts", "a2_conditional_counts", "a3_null_empty_audit",
+        "a4_daily_rollup", "a5_topk_groups", "a6_dim_rollup",
+        "a10_descriptive_stats", "a11_distinct_counts",
+        "a12_duplicate_keys", "a14_group_deviation",
+        "a16_percent_of_total", "a17_rollup", "a18_cube",
+        "a20_ranking_suite", "a21_unpivot", "a22_time_grouping_sets",
+        "a23_daily_anomaly", "a24_time_to_convert", "a25_hour_profile",
+        "dedup_components_exact", "dedup_containment",
+        "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_semantic",
+        "dedup_simhash", "drift_psi", "f16_regexp_extract",
+        "f1_try_cast_json", "f6_string_cleanup", "j7_asof_join",
+        "mix_weights", "ml_label_encode", "ml_target_encode_cv",
+        "mm_feature_extract", "p9_weighted_sample", "pack_sequences",
+        "s8_upsert_merge", "sess_user_sessions", "sim_ann_lsh",
+        "sim_ann_multiprobe", "sim_label_centroids", "sim_norm_outliers",
+        "sim_quantize_error", "sim_topk_bruteforce", "text_dup_spans",
+        "text_pii_scrub", "text_repetition", "train_shuffle",
+        "w3_rank_rows", "w6_cumulative_distinct",
+    }
+)
+_ALL_KNOWN = _R11_DRIVER_VERIFIED | _R12_DRIVER_VERIFIED | _R13_DRIVER_VERIFIED
+
+# Queries whose round-14 source/oracle edits POSTDATE their freshest
+# driver row -- these lead their blocks so the ~50-query cap cannot
+# drop them.  (Names are added here as round-14 builder/oracle edits
+# land.)
+_RECERT_PRIORITY: frozenset[str] = frozenset()
 
 # Cheap-first hint within the stale block: scalar/filter one-scan
 # queries ahead of heavier dedup/text-class plans, so a wall-clock-capped
@@ -138,7 +136,7 @@ def _ordered(names: list[str]) -> list[str]:
     taken = set(never) | set(priority)
     blocks = [never, priority] + [
         [n for n in names if n in tier and n not in taken]
-        for tier in (_R10_DRIVER_VERIFIED, _R11_DRIVER_VERIFIED, _R12_DRIVER_VERIFIED)
+        for tier in (_R11_DRIVER_VERIFIED, _R12_DRIVER_VERIFIED, _R13_DRIVER_VERIFIED)
     ]
     for block in blocks:
         block.sort(key=lambda n: (_family_rank(n), names.index(n)))
