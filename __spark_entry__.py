@@ -110,9 +110,11 @@ _ALL_KNOWN = _R11_DRIVER_VERIFIED | _R12_DRIVER_VERIFIED | _R13_DRIVER_VERIFIED
 
 # Queries whose round-14 source/oracle edits POSTDATE their freshest
 # driver row -- these lead their blocks so the ~50-query cap cannot
-# drop them.  (Names are added here as round-14 builder/oracle edits
-# land.)
-_RECERT_PRIORITY: frozenset[str] = frozenset()
+# drop them.  dedup_semantic's builder changed this round (ADVICE r13:
+# transitive dup_of resolution + dup_witness column, unrounded eps
+# threshold, nlist-count fold); re-verified rows-only on both sim
+# tiers this session.
+_RECERT_PRIORITY: frozenset[str] = frozenset({"dedup_semantic"})
 
 # Cheap-first hint within the stale block: scalar/filter one-scan
 # queries ahead of heavier dedup/text-class plans, so a wall-clock-capped

@@ -83,13 +83,26 @@ def _lock_key(root: str) -> str:
     deployment's single-writer responsibility, same as cross-driver
     writers."""
     import os
+    from urllib.parse import urlparse
 
     if _is_table(root):
         return root
     if "://" in root:
         scheme, _, rest = root.partition("://")
         if scheme.lower() == "file":
-            return os.path.realpath("/" + rest.lstrip("/"))
+            # RFC 8089 parse, not string surgery (ADVICE r13): the
+            # authority is a host, not a path segment — the old
+            # '/'-prefix fold keyed file://localhost/tmp/store as
+            # realpath('/localhost/tmp/store'), a DIFFERENT lock than
+            # the plain-path spelling of the same root.  Empty and
+            # 'localhost' authorities are the local machine (realpath
+            # key, shared with plain-path spellings); a foreign
+            # authority is not a local path at all and keys like the
+            # remote schemes below.
+            p = urlparse(root)
+            if p.netloc.lower() in ("", "localhost"):
+                return os.path.realpath(p.path or "/")
+            return f"file://{p.netloc.lower()}{posixpath.normpath(p.path or '/')}"
         return f"{scheme.lower()}://{posixpath.normpath(rest)}"
     return os.path.realpath(root)
 

@@ -706,10 +706,18 @@ def valid_width_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_cosine_pairs(
-    emb: DataFrame, max_block: int | None = None
+    emb: DataFrame, max_block: int | None = None,
+    round_digits: int | None = 4,
 ) -> DataFrame:
     """(vec1, vec2, label, cosine) exact-cosine candidate pairs over a
     label-blocked self-join.
+
+    ``round_digits``: output grain of the cosine column (default 4 —
+    the dedup_embedding_cosine oracle contract).  Pass ``None`` for
+    the UNROUNDED cosine: a caller thresholding pairs (the semantic
+    census's ``eps``) must compare the raw value, or a true cosine of
+    ~0.98995 rounds up to 0.99 and crosses the boundary as a rounding
+    artifact (ADVICE r13).
 
     ``max_block``: drop labels holding more than this many vectors
     BEFORE the quadratic pair join.  The label is a coarse-quantizer
@@ -773,12 +781,19 @@ def embedding_cosine_pairs(
         # zero-norm guard: ANSI mode aborts on /0; NULL on both
         # engines (the oracle's DuckDB division yields NULL too)
         (
-            F.round(
+            (
                 F.when(
                     F.col("a.nrm") * F.col("b.nrm") > 0,
                     dot / (F.col("a.nrm") * F.col("b.nrm")),
-                ),
-                4,
+                )
+                if round_digits is None
+                else F.round(
+                    F.when(
+                        F.col("a.nrm") * F.col("b.nrm") > 0,
+                        dot / (F.col("a.nrm") * F.col("b.nrm")),
+                    ),
+                    round_digits,
+                )
             )
             + 0.0
         ).alias("cosine"),
@@ -1492,53 +1507,22 @@ SEMANTIC_EPS = 0.99
 CELL_TARGET = 64
 
 
-def semantic_dedup_census(
+def _census_parts(
     vectors: DataFrame,
     centroids: DataFrame,
-    eps: float = SEMANTIC_EPS,
-    max_block: int | None = None,
-) -> DataFrame:
-    """SemDeDup keep/drop census over pre-clustered vectors.
-
-    ``vectors``: (vec_id, embedding, cell); ``centroids``: (cell,
-    centroid).  Within each cell, pairs with cosine >= ``eps`` are
-    semantic duplicates; of a duplicate group, the census KEEPS the
-    vector LEAST similar to its cell centroid (SemDeDup's keep rule:
-    the cluster-edge example carries the most marginal information)
-    and DROPS the rest.
-
-    Drop semantics are DOMINATION, not sequential-greedy: a vector is
-    dropped iff SOME higher-keep-priority vector in its cell (priority
-    = ascending centroid-cosine, vec_id tiebreak) sits within ``eps``
-    of it.  Greedy SemDeDup removes dropped vectors from the witness
-    set as it walks the priority order — a sequential dependence with
-    no bounded-round set formulation; domination is one join, fully
-    parallel, and strictly more conservative (it can only drop MORE
-    than greedy, never keep a greedy-dropped vector).  The variant is
-    pinned by a hand-computed known answer
-    (tests/test_dedup_semantic.py).
-
-    Output per input vector: ``cell``, ``cent_cos`` (cosine to own
-    centroid, NULL for a zero vector), ``rnk`` (keep priority within
-    the cell, 1 = kept first), ``action`` ('keep'/'drop'), and for
-    dropped rows ``dup_of``/``dup_cos`` — the highest-priority
-    dominating vector and the exact cosine to it, both externally
-    recomputable from the raw vectors (the M14 self-certification
-    rule: the pytest recomputes them with numpy, trusting nothing).
-    ``dup_of`` rows compose directly with
-    :func:`dedup_canonical_pick`-style survivor joins.
-
-    Scale: centroids are an nlist-row broadcast; the per-cell
-    quadratic pair join reuses :func:`embedding_cosine_pairs` and its
-    profiled ``max_block`` cap (SCALE.md §max_block — the same
-    runaway-cell lever, same drop semantics); priorities are one
-    window over the vectors frame partitioned by cell (cell-sized
-    partitions by construction of the quantizer); the domination
-    rollup groups the PAIR frame (pairs above eps only).  The vectors
-    frame is lazily checkpointed: the pair self-join's two aliases and
-    the priority scan would otherwise re-run the upstream cell
-    assignment three times.
-    """
+    eps: float,
+    max_block: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """The two frames every SemDeDup face is built from: ``scored``
+    (vec_id, cell, cent_cos, rnk — the keep-priority order) and
+    ``dom`` (dropped, dominator, dom_rnk, cosine — one row per
+    within-eps pair, oriented so ``dominator`` is the higher-priority
+    side).  The eps threshold is applied to the UNROUNDED cosine
+    (ADVICE r13: thresholding a 4-decimal-rounded value let
+    ~0.98995 round up across eps=0.99); consumers round for output
+    only.  Shared by :func:`semantic_dedup_census` (full rollup) and
+    :func:`semantic_classify_batch` (which must filter the PAIR frame
+    against store-absorbed dominators before any rollup)."""
     from acled_spark.vector import as_double, dot as vdot, l2_norm
 
     vectors = vectors.localCheckpoint(eager=False)
@@ -1568,6 +1552,7 @@ def semantic_dedup_census(
     pairs = embedding_cosine_pairs(
         vectors.select("vec_id", F.col("cell").alias("label"), "embedding"),
         max_block=max_block,
+        round_digits=None,
     ).filter(F.col("cosine") >= eps)
     r1 = scored.select(F.col("vec_id").alias("vec1"), F.col("rnk").alias("rnk1"))
     r2 = scored.select(F.col("vec_id").alias("vec2"), F.col("rnk").alias("rnk2"))
@@ -1582,11 +1567,112 @@ def semantic_dedup_census(
         F.least("rnk1", "rnk2").alias("dom_rnk"),
         "cosine",
     )
+    return scored, dom
+
+
+def _resolve_survivor_map(dup: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """(dropped, parent) -> (dropped, root) where ``root`` is never
+    itself a dropped id — pointer-jumping (parent <- parent's parent),
+    so a chain of depth 2**k resolves in k rounds (ADVICE r13: on
+    transitive near-dup chains A~B, B~C, A!~C the direct dominator of
+    C is the dropped B, and a survivor remap through it dangles).
+    Parent links always point to a strictly higher keep-priority
+    vector in the same cell, so chains are finite and acyclic;
+    ``max_rounds=20`` covers depth ~1M, far past any real cell.
+    ``dup`` must be materialized (the caller localCheckpoints the
+    rollup) — each round self-joins it plus one small convergence
+    probe, never re-running the upstream pair stage."""
+    m = dup.select("dropped", "parent")
+    for _ in range(max_rounds):
+        par = m.select(
+            F.col("dropped").alias("__pd"), F.col("parent").alias("__pp")
+        )
+        j = m.join(par, m["parent"] == par["__pd"], "left")
+        if j.filter(F.col("__pp").isNotNull()).isEmpty():
+            break  # no parent is itself dropped: fully resolved
+        m = j.select(
+            "dropped", F.coalesce("__pp", "parent").alias("parent")
+        ).localCheckpoint(eager=True)
+    return m.select("dropped", F.col("parent").alias("root"))
+
+
+def semantic_dedup_census(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    eps: float = SEMANTIC_EPS,
+    max_block: int | None = None,
+) -> DataFrame:
+    """SemDeDup keep/drop census over pre-clustered vectors.
+
+    ``vectors``: (vec_id, embedding, cell); ``centroids``: (cell,
+    centroid).  Within each cell, pairs with cosine >= ``eps`` are
+    semantic duplicates; of a duplicate group, the census KEEPS the
+    vector LEAST similar to its cell centroid (SemDeDup's keep rule:
+    the cluster-edge example carries the most marginal information)
+    and DROPS the rest.
+
+    Drop semantics are DOMINATION, not sequential-greedy: a vector is
+    dropped iff SOME higher-keep-priority vector in its cell (priority
+    = ascending centroid-cosine, vec_id tiebreak) sits within ``eps``
+    of it.  Greedy SemDeDup removes dropped vectors from the witness
+    set as it walks the priority order — a sequential dependence with
+    no bounded-round set formulation; domination is one join, fully
+    parallel, and strictly more conservative (it can only drop MORE
+    than greedy, never keep a greedy-dropped vector).  The variant is
+    pinned by a hand-computed known answer
+    (tests/test_dedup_semantic.py).
+
+    Output per input vector: ``cell``, ``cent_cos`` (cosine to own
+    centroid, NULL for a zero vector), ``rnk`` (keep priority within
+    the cell, 1 = kept first), ``action`` ('keep'/'drop'), and for
+    dropped rows:
+
+    - ``dup_of`` — the KEPT vector this row remaps to.  On transitive
+      chains (A~B, B~C, A!~C) the direct dominator is itself dropped,
+      so ``dup_of`` is resolved through the witness chain to a kept
+      root (:func:`_resolve_survivor_map`, ADVICE r13); every
+      ``dup_of`` target is guaranteed ``action='keep'`` and rows
+      compose directly with :func:`dedup_canonical_pick`-style
+      survivor joins.
+    - ``dup_witness`` — the highest-priority DIRECT dominator (the
+      within-eps witness for the drop; equals ``dup_of`` when no
+      chain intervenes).
+    - ``dup_cos`` — the exact cosine to ``dup_witness`` (eps applies
+      to the unrounded value; output rounded to 6 decimals), >= eps
+      by construction and externally recomputable from the raw
+      vectors (the M14 self-certification rule: the pytest recomputes
+      all three with numpy, trusting nothing).  The resolved
+      ``dup_of`` root is NOT guaranteed within eps of the dropped row
+      — that is inherent to transitive chains, and the witness column
+      carries the actual evidence.
+
+    Scale: centroids are an nlist-row broadcast; the per-cell
+    quadratic pair join reuses :func:`embedding_cosine_pairs` and its
+    profiled ``max_block`` cap (SCALE.md §max_block — the same
+    runaway-cell lever, same drop semantics); priorities are one
+    window over the vectors frame partitioned by cell (cell-sized
+    partitions by construction of the quantizer); the domination
+    rollup groups the PAIR frame (pairs above eps only) and is
+    eagerly checkpointed — the chain resolution's convergence probe
+    and the final output join both reuse the one materialization, so
+    the pair stage still runs exactly once per census.
+    """
+    scored, dom = _census_parts(vectors, centroids, eps, max_block)
     # one dominator per dropped vector: the highest-priority one
     # (row_number is unique within a cell, so min_by is deterministic)
     dup = dom.groupBy("dropped").agg(
-        F.min_by("dominator", "dom_rnk").alias("dup_of"),
+        F.min_by("dominator", "dom_rnk").alias("parent"),
         F.min_by("cosine", "dom_rnk").alias("dup_cos"),
+    ).localCheckpoint(eager=True)
+    roots = _resolve_survivor_map(dup)
+    dup = (
+        dup.join(roots, "dropped")
+        .select(
+            "dropped",
+            F.col("root").alias("dup_of"),
+            F.col("parent").alias("dup_witness"),
+            F.round("dup_cos", 6).alias("dup_cos"),
+        )
     )
     return (
         scored.join(dup, scored.vec_id == dup.dropped, "left")
@@ -1599,6 +1685,7 @@ def semantic_dedup_census(
             .otherwise("keep")
             .alias("action"),
             "dup_of",
+            "dup_witness",
             "dup_cos",
         )
     )
@@ -1650,21 +1737,22 @@ def dedup_semantic(
     validity checks instead.
     """
     from acled_spark.ann import build_ivf_index, centroid_frame
-    from acled_spark.embedding import valid_vectors
 
     emb = load(spark, sf_dir, "embeddings")
-    # nlist sizes cells to ~CELL_TARGET vectors: within-cell pairing is
-    # quadratic PER CELL, so with even cells the total pair count is
-    # ~n*cell/2 — LINEAR in n once nlist scales with the corpus
-    # (measured at sf0.1: nlist=8 -> 260k pairs / 3.7 s pair stage,
-    # nlist=32 -> 76k pairs / ~1.1 s; cells from the seeded quantizer
-    # stay near-uniform).  The SemDeDup tradeoff is explicit: a
-    # duplicate pair SPLIT by a cell boundary is missed — smaller cells
-    # trade recall for the linear bound, exactly as in the paper (their
-    # k is chosen the same way).  The count is one cheap pass over ids.
-    n = valid_vectors(emb, "embedding").count()
-    nlist = max(8, min(4096, n // cell_target))
-    index = build_ivf_index(emb, nlist=nlist, max_iter=5, persist=False)
+    # cell_target sizes cells to ~CELL_TARGET vectors via
+    # ann.adaptive_nlist: within-cell pairing is quadratic PER CELL,
+    # so with even cells the total pair count is ~n*cell/2 — LINEAR in
+    # n once nlist scales with the corpus (measured at sf0.1: nlist=8
+    # -> 260k pairs / 3.7 s pair stage, nlist=32 -> 76k pairs /
+    # ~1.1 s; cells from the seeded quantizer stay near-uniform).  The
+    # SemDeDup tradeoff is explicit: a duplicate pair SPLIT by a cell
+    # boundary is missed — smaller cells trade recall for the linear
+    # bound, exactly as in the paper (their k is chosen the same way).
+    # The sizing count rides the build's own count job (VERDICT r13
+    # #5a — no dedicated pass here).
+    index = build_ivf_index(
+        emb, max_iter=5, persist=False, cell_target=cell_target
+    )
     census = semantic_dedup_census(
         index.assigned,
         centroid_frame(spark, index.model),
@@ -1701,12 +1789,23 @@ def semantic_classify_batch(
       the self-rule shared with the lexical face.
     - ``is_batch_dup`` / ``batch_dup_of`` — dominated within the
       batch under census priority (centroid-cosine ascending, the
-      SemDeDup keep rule), by a dominator that is itself a batch
-      SURVIVOR of the store face.  A batch vector whose only
-      dominator was absorbed by the store is conservatively KEPT
-      (within eps of a store-dup does not prove within eps of the
-      keeper — the same strictly-conservative posture as the census's
-      domination variant).
+      SemDeDup keep rule) by ANY dominator that is not itself
+      store-absorbed: the full dominator PAIR frame is filtered
+      against the store verdicts BEFORE any rollup (ADVICE r13 —
+      checking only the single highest-priority dominator let a
+      vector survive when that one was store-absorbed but a
+      lower-priority surviving dominator was still within eps,
+      accumulating duplicates across batches).  A batch vector ALL of
+      whose dominators were absorbed by the store is conservatively
+      KEPT (within eps of a store-dup does not prove within eps of
+      the keeper — the same strictly-conservative posture as the
+      census's domination variant).  ``batch_dup_of`` is resolved
+      through surviving-dominator chains to a TRUE batch survivor
+      (neither store-dup nor batch-dropped), so survivors plus the
+      two remap columns compose as a survivor map exactly like the
+      census (:func:`_resolve_survivor_map`);
+      ``batch_dup_witness``/``batch_dup_cos`` carry the direct
+      within-eps evidence.
 
     Survivors (neither flag) are the rows to append to ``kept`` —
     exactly :func:`acled_spark.dedup_store.process_batch`'s shape.
@@ -1754,7 +1853,9 @@ def semantic_classify_batch(
     store_hits = (
         b.join(k, ["cell"])
         .filter(F.col("b_id") != F.col("k_id"))  # self-rule: replays
-        .select("b_id", "k_id", F.round(cos, 4).alias("cos"))
+        # eps applies to the UNROUNDED cosine (ADVICE r13); round for
+        # output only, at the census's 6-decimal grain
+        .select("b_id", "k_id", cos.alias("cos"))
         .filter(F.col("cos") >= eps)
     )
     best = store_hits.groupBy("b_id").agg(
@@ -1765,32 +1866,42 @@ def semantic_classify_batch(
     ).select(
         "b_id",
         F.col("w.k_id").alias("dup_of"),
-        F.col("w.cos").alias("dup_cos"),
-    )
+        F.round(F.col("w.cos"), 6).alias("dup_cos"),
+    ).localCheckpoint(eager=True)
+    # (materialized once: the store verdicts feed the output join AND
+    # the batch-face dominator filter below)
 
-    # batch face: census semantics over the batch alone, then restrict
-    # dominators to store-face survivors (conservative keep otherwise)
-    batch_census = semantic_dedup_census(
-        assigned, centroid_frame(spark, index.model), eps=eps
-    ).select(
-        "vec_id", "cell", "cent_cos",
-        F.col("dup_of").alias("b_dom"), F.col("dup_cos").alias("b_dom_cos"),
+    # batch face: census PAIR semantics over the batch alone, with the
+    # dominator pair frame filtered against store-absorbed ids BEFORE
+    # the rollup — a vector drops iff ANY store-surviving dominator is
+    # within eps (ADVICE r13; see the docstring)
+    scored_b, dom_b = _census_parts(
+        assigned, centroid_frame(spark, index.model), eps, None
     )
-    store_dup_ids = best.select(F.col("b_id").alias("b_dom"))
+    store_dup_ids = best.select(F.col("b_id").alias("dominator"))
+    surviving_dom = dom_b.join(store_dup_ids, "dominator", "left_anti")
+    b_dup = surviving_dom.groupBy("dropped").agg(
+        F.min_by("dominator", "dom_rnk").alias("parent"),
+        F.min_by("cosine", "dom_rnk").alias("b_dom_cos"),
+    ).localCheckpoint(eager=True)
+    # parent links point to store-surviving vectors only, so chain
+    # roots are TRUE survivors: not store-dups (filtered above) and
+    # not batch-dropped (a root has no surviving dominator)
+    b_roots = _resolve_survivor_map(
+        b_dup.select("dropped", "parent")
+    )
+    b_dup = b_dup.join(b_roots, "dropped").select(
+        F.col("dropped").alias("vec_id"),
+        F.col("root").alias("b_dom"),
+        F.col("parent").alias("b_dom_witness"),
+        F.round("b_dom_cos", 6).alias("b_dom_cos"),
+    )
     verdicts = (
-        batch_census.join(
-            best, batch_census.vec_id == best.b_id, "left"
-        )
+        scored_b.select("vec_id", "cell", "cent_cos")
+        .join(b_dup, "vec_id", "left")
+        .join(best, scored_b.vec_id == best.b_id, "left")
         .drop("b_id")
-        .withColumn(
-            "is_semantic_dup", F.col("dup_of").isNotNull()
-        )
-        # a batch dominator that the store absorbed cannot witness a drop
-        .join(
-            store_dup_ids.withColumn("_dom_is_store_dup", F.lit(True)),
-            "b_dom",
-            "left",
-        )
+        .withColumn("is_semantic_dup", F.col("dup_of").isNotNull())
         .select(
             "vec_id",
             "cell",
@@ -1799,16 +1910,20 @@ def semantic_classify_batch(
             "dup_of",
             "dup_cos",
             (
-                F.col("b_dom").isNotNull()
-                & ~F.col("is_semantic_dup")
-                & F.col("_dom_is_store_dup").isNull()
+                F.col("b_dom").isNotNull() & ~F.col("is_semantic_dup")
             ).alias("is_batch_dup"),
             F.when(
-                F.col("b_dom").isNotNull()
-                & ~F.col("is_semantic_dup")
-                & F.col("_dom_is_store_dup").isNull(),
+                F.col("b_dom").isNotNull() & ~F.col("is_semantic_dup"),
                 F.col("b_dom"),
             ).alias("batch_dup_of"),
+            F.when(
+                F.col("b_dom").isNotNull() & ~F.col("is_semantic_dup"),
+                F.col("b_dom_witness"),
+            ).alias("batch_dup_witness"),
+            F.when(
+                F.col("b_dom").isNotNull() & ~F.col("is_semantic_dup"),
+                F.col("b_dom_cos"),
+            ).alias("batch_dup_cos"),
         )
     )
     return verdicts

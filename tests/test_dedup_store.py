@@ -701,6 +701,10 @@ def test_writer_lock_key_canonicalizes_aliased_roots(tmp_path):
         str(root),
         str(root) + "/",
         f"file://{root}",
+        # non-empty authority spelling of the SAME local root (ADVICE
+        # r13: the old scheme-prefix fold keyed this as
+        # /localhost/<path>, silently voiding the shared lock)
+        f"file://localhost{root}",
         str(link),
         f"{tmp_path}/./store",
     ]
@@ -714,3 +718,7 @@ def test_writer_lock_key_canonicalizes_aliased_roots(tmp_path):
     assert _writer_lock("table:census") is not _writer_lock(str(root))
     # remote schemes normalize their path part, case-folding the scheme
     assert _lock_key("s3a://bucket/a/../b/") == _lock_key("S3A://bucket/b")
+    # a file URI with a FOREIGN authority is not a local path: it must
+    # not collide with a local root that happens to share the suffix
+    assert _lock_key("file://nas01/exports/store") == "file://nas01/exports/store"
+    assert _lock_key("file://nas01/exports/store") != _lock_key("/exports/store")

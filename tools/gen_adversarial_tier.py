@@ -69,7 +69,7 @@ import pyarrow.parquet as pq
 BASE = "/root/testdata/sf0.001"
 DEFAULT_OUT = "/root/repo/.benchdata/adversarial"
 # bump when planted rows change so cached tiers regenerate
-TIER_VERSION = "r13.3"
+TIER_VERSION = "r14.1"
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -389,6 +389,40 @@ def planted_rows() -> dict[str, list[dict]]:
         emb(K + 8, ramp, label=1),
         emb(K + 9, [2.0 * x for x in ramp], label=1),
         emb(K + 10, [-x for x in ramp], label=1),
+    ]
+
+    # transitive near-dup chain (r14, ADVICE r13): three vectors on an
+    # arc at 2/9/16 degrees in the dims-10/11 plane — consecutive
+    # pairs are 7 deg apart (cos ~0.99255, above SEMANTIC_EPS=0.99 ~
+    # 8.11 deg) but the endpoints are 14 deg (cos ~0.97, below), so
+    # the middle vector both drops AND dominates: a survivor remap
+    # through the direct witness dangles unless dup_of resolves to
+    # the kept chain root.  Mutually ~7 deg apart and far from every
+    # other planted/natural direction, the trio quantizes into one
+    # cell (pinned by tests/test_dedup_semantic.py's tier test).
+    def on_arc(deg_angle, d0, d1):
+        import math as _m
+
+        v = [0.0] * dim
+        v[d0] = _m.cos(_m.radians(deg_angle))
+        v[d1] = _m.sin(_m.radians(deg_angle))
+        return v
+
+    rows["embeddings"] += [
+        emb(K + 11, on_arc(2.0, 10, 11), label=2),
+        emb(K + 12, on_arc(9.0, 10, 11), label=2),
+        emb(K + 13, on_arc(16.0, 10, 11), label=2),
+    ]
+    # whole-cell mutual-eps flood (r14, VERDICT r13 #5b): six vectors
+    # within 2.5 deg of one direction (dims 20/21) — EVERY pair is
+    # within eps, the degenerate cell the max_block cap exists for.
+    # Uncapped, the census keeps exactly the cluster-edge member and
+    # drops the rest; capped below the cell size, the whole cell is
+    # excluded from pairing and every member KEEPS (the documented
+    # explicit-exclusion semantics, pinned on this tier).
+    rows["embeddings"] += [
+        emb(K + 14 + j, on_arc(0.5 * j, 20, 21), label=3)
+        for j in range(6)
     ]
 
     return rows

@@ -233,10 +233,12 @@ SPECS = [
          "caught"),
     # --- round-13 newcomers: every new unit ships with a lens spec ----------
     # M35: dominator pick flipped to the LOWEST-priority dominator
+    # (target strings track the r14 refactor: the census rollup aliases
+    # the direct dominator as "parent" since chain resolution landed)
     spec("M35", "semantic-dominator-pick", "acled_spark/queries/dedup.py",
-         '        F.min_by("dominator", "dom_rnk").alias("dup_of"),\n'
+         '        F.min_by("dominator", "dom_rnk").alias("parent"),\n'
          '        F.min_by("cosine", "dom_rnk").alias("dup_cos"),',
-         '        F.max_by("dominator", "dom_rnk").alias("dup_of"),\n'
+         '        F.max_by("dominator", "dom_rnk").alias("parent"),\n'
          '        F.max_by("cosine", "dom_rnk").alias("dup_cos"),',
          PYT + ["tests/test_dedup_semantic.py"], "caught"),
     # M36: SemDeDup keep rule flipped (keep the cluster-CENTER member)
@@ -255,6 +257,37 @@ SPECS = [
          '        .filter(F.lit(True))  # self-rule dropped',
          PYT + ["tests/test_dedup_semantic.py::"
                 "test_incremental_classify_batch_faces"], "caught"),
+    # --- round-14 newcomers: the ADVICE-r13 fixes each ship with a spec ----
+    # M38: the batch face's store-absorption filter inverted — only
+    # ABSORBED dominators survive the pair filter, re-creating the r13
+    # accumulate-duplicates-across-batches shape from the other side
+    spec("M38", "semantic-batch-surviving-dominator",
+         "acled_spark/queries/dedup.py",
+         '    surviving_dom = dom_b.join(store_dup_ids, "dominator", "left_anti")',
+         '    surviving_dom = dom_b.join(store_dup_ids, "dominator", "left_semi")',
+         PYT + ["tests/test_dedup_semantic.py::"
+                "test_batch_drop_on_any_surviving_dominator"], "caught"),
+    # M39: chain resolution skipped — dup_of reverts to the direct
+    # witness, dangling on transitive chains (the exact ADVICE-r13
+    # defect, re-planted to prove the new gates own it)
+    spec("M39", "semantic-chain-resolution",
+         "acled_spark/queries/dedup.py",
+         '            F.col("root").alias("dup_of"),\n'
+         '            F.col("parent").alias("dup_witness"),',
+         '            F.col("parent").alias("dup_of"),\n'
+         '            F.col("parent").alias("dup_witness"),',
+         PYT + ["tests/test_dedup_semantic.py::"
+                "test_census_chain_resolves_dup_of_to_kept_root"], "caught"),
+    # M40: eps threshold applied to the ROUNDED cosine again (the
+    # ADVICE-r13 grain bug: ~0.98995 rounds up across eps=0.99)
+    spec("M40", "semantic-eps-grain",
+         "acled_spark/queries/dedup.py",
+         '        max_block=max_block,\n        round_digits=None,\n'
+         '    ).filter(F.col("cosine") >= eps)',
+         '        max_block=max_block,\n        round_digits=4,\n'
+         '    ).filter(F.col("cosine") >= eps)',
+         PYT + ["tests/test_dedup_semantic.py::"
+                "test_census_eps_thresholds_unrounded_cosine"], "caught"),
 ]
 
 # M16's target is not unique in its file; resolved by first-occurrence
