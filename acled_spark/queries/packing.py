@@ -369,3 +369,206 @@ def train_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --- DSIR importance resampling ----------------------------------------------
+# Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): select raw-pool documents whose hashed-n-gram
+# distribution looks like a TARGET corpus, by (1) estimating bucket
+# distributions p_t / p_r over hashed uni+bigram features, (2) scoring
+# each raw doc's log importance weight sum(ln p_t(b) - ln p_r(b)), and
+# (3) Gumbel-top-k resampling (sampling w/o replacement proportional
+# to the importance weight).  The mixing/selection family (mix_weights,
+# p9_weighted_sample, train_shuffle) consumes GIVEN weights; this is
+# the operator that DERIVES them (VERDICT r13 #4).
+#: feature-hash width: buckets for the hashed n-gram features.  The
+#: SCALE lever (SCALE.md §dsir-buckets): smaller widths collide more
+#: grams per bucket, washing out the likelihood ratio; the bucket
+#: tables and the broadcast stay B-row-sized at any corpus scale.
+DSIR_BUCKETS = 8192
+DSIR_SAMPLE_K = 50
+#: the "target" corpus the resample steers toward: documents with this
+#: lang play the role of DSIR's small high-quality corpus; the raw
+#: pool is the whole table.
+DSIR_TARGET_LANG = "en"
+
+# gram -> bucket: first 8 md5 hex digits mod B (md5 is the one
+# cross-engine hash — see p7_hash_split; xxhash64 has no DuckDB twin)
+_DSIR_BUCKET_SQL = (
+    f"({hex_to_int_sql('md5(g)', 8)}) % {DSIR_BUCKETS}"
+)
+# Gumbel noise from a namespaced deterministic uniform (p9's seeded-
+# sampler idiom; the 'dsir-' prefix keeps this draw independent of
+# p8/p7's md5(doc_id) streams)
+_DSIR_SEED_MD5 = "md5('dsir-' || CAST(doc_id AS VARCHAR))"
+_DSIR_U_SQL = (
+    f"(({hex_to_int_sql(_DSIR_SEED_MD5, 8)})" " + 0.5) / 4294967296.0"
+)
+
+_DSIR_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, lang, {_TOKENS_SQL} AS arr
+      FROM documents
+    ),
+    b AS (SELECT doc_id, lang, arr FROM base WHERE len(arr) > 0),
+    uni AS (SELECT doc_id, lang, unnest(arr) AS g FROM b),
+    big AS (
+      SELECT doc_id, lang, arr[i] || ' ' || arr[i + 1] AS g
+      FROM b, unnest(range(1, len(arr))) AS t(i)
+    ),
+    grams AS (
+      SELECT doc_id, lang, {_DSIR_BUCKET_SQL} AS bucket
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)
+    ),
+    stats AS (
+      SELECT bucket, COUNT(*) AS c_r,
+             COUNT(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 END) AS c_t
+      FROM grams GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(SUM(c_r) AS DOUBLE) AS t_r, CAST(SUM(c_t) AS DOUBLE) AS t_t
+      FROM stats
+    ),
+    sc AS (
+      SELECT g.doc_id, MIN(g.lang) AS lang, COUNT(*) AS n_grams,
+             SUM(ln((s.c_t + 1.0) / (s.c_r + 1.0))) AS s1
+      FROM grams g JOIN stats s USING (bucket)
+      GROUP BY g.doc_id
+    ),
+    keyed AS (
+      SELECT doc_id, lang, n_grams,
+             s1 + n_grams * ln((tot.t_r + {DSIR_BUCKETS}.0)
+                               / (tot.t_t + {DSIR_BUCKETS}.0)) AS lw,
+             -ln(-ln({_DSIR_U_SQL})) AS gum
+      FROM sc CROSS JOIN tot
+    )
+    SELECT doc_id, lang, n_grams,
+           ROUND(lw, 6) + 0.0 AS logw,
+           ROUND(lw + gum, 6) + 0.0 AS sample_key
+    FROM keyed
+    ORDER BY sample_key DESC, doc_id LIMIT {DSIR_SAMPLE_K}
+"""
+
+
+@query(
+    "dsir_resample",
+    oracle=_DSIR_ORACLE,
+    tags=("sampling", "training-prep", "text", "extended"),
+)
+def dsir_resample(
+    spark: SparkSession,
+    sf_dir: str,
+    buckets: int = DSIR_BUCKETS,
+    k: int = DSIR_SAMPLE_K,
+    target_lang: str = DSIR_TARGET_LANG,
+) -> DataFrame:
+    """DSIR: top-{k} raw documents by Gumbel-perturbed hashed-n-gram
+    importance weight against the ``target_lang`` corpus.
+
+    Per document, ``logw = sum over grams of ln p_t(bucket(gram)) -
+    ln p_r(bucket(gram))`` with Laplace-smoothed bucket distributions
+    (p(b) = (c(b)+1)/(T+B)); grams are whitespace unigrams + bigrams
+    (the paper's n=2 hashed features), bucketed by the cross-engine
+    md5-prefix hash.  Rearranged so the constant smoothing-mass term
+    factors out: ``logw = sum ln((c_t+1)/(c_r+1)) + n_grams *
+    ln((T_r+B)/(T_t+B))`` — per-gram work is one broadcast-join lookup
+    plus a ln().  The Gumbel-top-k trick (key = logw + Gumbel(u),
+    u seeded from md5('dsir-'||doc_id)) makes the output an EXACT
+    sample-without-replacement proportional to the importance weights,
+    reproducible across engines, cluster sizes, and retries (the p9
+    seeded-sampler idiom).  Keys round to 6 decimals before ranking
+    (doc_id tiebreak): logw is a sum of hundreds of ln() terms whose
+    cross-engine last-ulp and fold-order differences accumulate to
+    ~1e-13 — four orders under the grain.  Empty documents carry no
+    grams and are excluded (they have no distribution to score).
+
+    Scale: pass 1 builds ONE B-row bucket-stats artifact (c_r and c_t
+    in the same partial-agg rollup — target counting rides the raw
+    scan); totals are an unpartitioned window over the B-row frame;
+    pass 2 re-derives the gram stream scan-side and broadcast-joins
+    the stats into it, aggregating per doc — the only wide exchange is
+    the doc_id rollup, and the final top-k is TakeOrderedAndProject
+    (per-partition partial top-k, k-row driver merge).  ``buckets``
+    is the measured lever (SCALE.md §dsir-buckets): width trades
+    collision noise in the ratio against artifact/broadcast size.
+    """
+    docs = load(spark, sf_dir, "documents")
+    arr = _tokens_spark(F.col("text"))
+    base = docs.select("doc_id", "lang", arr.alias("arr")).filter(
+        F.size("arr") > 0
+    )
+    n = F.size("arr")
+    bigrams = F.zip_with(
+        F.slice("arr", 1, n - 1),
+        F.slice("arr", 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    grams = base.select(
+        "doc_id",
+        "lang",
+        F.explode(F.concat(F.col("arr"), bigrams)).alias("g"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
+            % buckets
+        ).alias("bucket"),
+    )
+    stats = grams.groupBy("bucket").agg(
+        F.count("*").alias("c_r"),
+        F.count(F.when(F.col("lang") == target_lang, 1)).alias("c_t"),
+    )
+    # Corpus totals ride the B-row stats frame as an unpartitioned
+    # window (the unigram_logprob idiom) — a separate totals frame
+    # would re-derive the whole gram aggregation from the scan
+    # (measured: 6 parquet scans vs 2 in this shape)
+    wall = Window.partitionBy()
+    stats = stats.select(
+        "bucket",
+        "c_r",
+        "c_t",
+        F.sum("c_r").over(wall).cast("double").alias("t_r"),
+        F.sum("c_t").over(wall).cast("double").alias("t_t"),
+    )
+    sc = (
+        grams.join(F.broadcast(stats), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.min("lang").alias("lang"),
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.log((F.col("c_t") + 1.0) / (F.col("c_r") + 1.0))
+            ).alias("s1"),
+            F.min("t_r").alias("t_r"),
+            F.min("t_t").alias("t_t"),
+        )
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dsir-"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    lw = F.col("s1") + F.col("n_grams") * F.log(
+        (F.col("t_r") + F.lit(float(buckets)))
+        / (F.col("t_t") + F.lit(float(buckets)))
+    )
+    gum = -F.log(-F.log(u))
+    return (
+        sc.select(
+            "doc_id",
+            "lang",
+            "n_grams",
+            (F.round(lw, 6) + F.lit(0.0)).alias("logw"),
+            (F.round(lw + gum, 6) + F.lit(0.0)).alias("sample_key"),
+        )
+        .orderBy(F.desc("sample_key"), "doc_id")
+        .limit(k)
+    )

@@ -226,3 +226,51 @@ def test_packing_excludes_zero_token_docs(spark, tmp_path):
     mat = all_specs()["pack_materialize"].builder(spark, d).collect()
     assert sum(m["n_docs"] for m in mat) == 40
     assert all(m["n_docs"] <= 21 for m in mat)
+
+
+def test_dsir_enriches_target_like_docs(spark, tmp_path):
+    """DSIR ground truth (VERDICT r13 #4): raw-pool docs written in the
+    TARGET corpus's vocabulary must out-weight docs written in a
+    disjoint junk vocabulary — the likelihood ratio steers the sample
+    toward target-like text.  Planted corpus: 30 'en' target docs over
+    vocab A, 15 'xx' raw docs over vocab A (target-like), 15 'xx' raw
+    docs over a disjoint vocab B (junk).  Every target-like raw doc's
+    logw must exceed every junk doc's logw, and the Gumbel top-k must
+    contain no junk doc (weight gaps this wide dominate the noise)."""
+    import itertools
+
+    from acled_spark.queries.packing import dsir_resample
+
+    voc_a = [f"alpha{i}" for i in range(12)]
+    voc_b = [f"junk{i}" for i in range(12)]
+
+    def doc(i, words, lang):
+        text = " ".join(words[j % len(words)] for j in range(i % 7, i % 7 + 40))
+        return (i, text, lang, "t", len(text))
+
+    rows = [doc(i, voc_a, "en") for i in range(30)]
+    rows += [doc(100 + i, voc_a, "xx") for i in range(15)]   # target-like
+    rows += [doc(200 + i, voc_b, "xx") for i in range(15)]   # junk
+    d = str(tmp_path / "dsir")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    out = dsir_resample(spark, d, k=20).collect()
+    assert len(out) == 20
+    by_id = {r["doc_id"]: r for r in out}
+    assert not any(200 <= i < 300 for i in by_id), sorted(by_id)
+    # weight separation, not just sample membership: score ALL docs
+    full = {
+        r["doc_id"]: r["logw"]
+        for r in dsir_resample(spark, d, k=60).collect()
+    }
+    worst_target_like = min(v for i, v in full.items() if 100 <= i < 200)
+    best_junk = max(v for i, v in full.items() if 200 <= i < 300)
+    # wide-margin separation (measured ~-16 vs ~-294: junk grams hit
+    # zero-target-count buckets, target-like grams near-parity ones;
+    # note logw < 0 even for target-like docs — the raw pool CONTAINS
+    # the target mass and B >> corpus grams flattens both
+    # distributions, so only the RELATIVE ordering is meaningful)
+    assert worst_target_like > best_junk + 100

@@ -288,6 +288,23 @@ SPECS = [
          '    ).filter(F.col("cosine") >= eps)',
          PYT + ["tests/test_dedup_semantic.py::"
                 "test_census_eps_thresholds_unrounded_cosine"], "caught"),
+    # M41: DSIR likelihood-ratio DIRECTION inverted — the resample
+    # steers AWAY from the target corpus (Spark side only; the oracle
+    # keeps the correct ratio, so the driver hash gate must flag it)
+    spec("M41", "dsir-ratio-direction",
+         "acled_spark/queries/packing.py",
+         '                F.log((F.col("c_t") + 1.0) / (F.col("c_r") + 1.0))',
+         '                F.log((F.col("c_r") + 1.0) / (F.col("c_t") + 1.0))',
+         SIM + ["dsir_resample"], "caught"),
+    # M42: DSIR resample seed namespace changed — the Gumbel draw
+    # decouples from the oracle's 'dsir-' stream (a silently different
+    # sample with identical marginal statistics; only exact
+    # cross-engine parity catches it)
+    spec("M42", "dsir-resample-seed",
+         "acled_spark/queries/packing.py",
+         'F.md5(F.concat(F.lit("dsir-"), F.col("doc_id").cast("string")))',
+         'F.md5(F.concat(F.lit("dsir2-"), F.col("doc_id").cast("string")))',
+         SIM + ["dsir_resample"], "caught"),
 ]
 
 # M16's target is not unique in its file; resolved by first-occurrence
