@@ -136,14 +136,31 @@ def _canary_shuffle(spark) -> None:
 CANARY_PROBES = {"cpu": _canary_cpu, "shuffle": _canary_shuffle}
 
 
-def run_canary(spark) -> dict[str, float]:
+def run_canary(spark, single_pass: bool = False) -> dict[str, float]:
     """Time each probe under the same min-of-2-adaptive-3 protocol as
-    the queries; returns ``{"cpu": sec, "shuffle": sec}``."""
+    the queries; returns ``{"cpu": sec, "shuffle": sec}``.
+    ``single_pass`` trades precision for cost — used for the
+    mid-session TIMELINE probes (diagnostic only, never the floor)."""
     walls = {}
     for name in sorted(CANARY_PROBES):
-        passes = adaptive_passes(lambda: CANARY_PROBES[name](spark))
-        walls[name] = round(min(passes), 3)
+        if single_pass:
+            t0 = time.perf_counter()
+            CANARY_PROBES[name](spark)
+            walls[name] = round(time.perf_counter() - t0, 3)
+        else:
+            passes = adaptive_passes(lambda: CANARY_PROBES[name](spark))
+            walls[name] = round(min(passes), 3)
     return walls
+
+
+# A mid-session probe lands after every this-many queries: the first
+# full-bench session after the canary shipped proved the blind spot —
+# start/end both read FAST (0.87x) while a burst during the early
+# dedup block inflated dedup_incremental_check 1.9s -> 28.1s (every
+# flagged reading collapsed 3-8x in isolated re-probes on unchanged
+# plans).  The timeline localizes such bursts mechanically instead of
+# leaving them to after-the-fact A/B forensics.
+CANARY_TIMELINE_EVERY = 32
 
 
 def session_speed(wall: dict | None, floor: dict | None) -> float | None:
@@ -216,7 +233,13 @@ def run_bench(only: set[str] | None = None) -> tuple[dict, float | str]:
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     n_passes: dict[str, int] = {}
-    for name in sorted(specs):
+    timeline: dict[str, dict] = {"start": canary_start}
+    ordered = sorted(specs)
+    for qi, name in enumerate(ordered):
+        if qi and qi % CANARY_TIMELINE_EVERY == 0:
+            timeline[f"after_{qi}_{ordered[qi - 1]}"] = run_canary(
+                spark, single_pass=True
+            )
         spec = specs[name]
         try:
             passes = adaptive_passes(
@@ -256,6 +279,7 @@ def run_bench(only: set[str] | None = None) -> tuple[dict, float | str]:
     # still honest: the box never ran faster than it).  Both raw
     # readings are recorded for A/B readers.
     canary_end = run_canary(spark)
+    timeline["end"] = canary_end
     canary_wall = {
         k: min(canary_start[k], canary_end[k]) for k in canary_start
     }
@@ -264,6 +288,12 @@ def run_bench(only: set[str] | None = None) -> tuple[dict, float | str]:
         f"wall={canary_wall}",
         file=sys.stderr,
     )
+    # The timeline is DIAGNOSTIC: session_speed and the committed floor
+    # use only the full-protocol start/end placements, but a burst
+    # BETWEEN them (invisible to min(start, end)) shows up here as a
+    # spiking mid-probe, telling a reader which query block to re-probe
+    # in isolation before calling its readings a regression.
+    print(f"bench: canary timeline={timeline}", file=sys.stderr)
     spark.stop()
     return (
         {
@@ -271,7 +301,7 @@ def run_bench(only: set[str] | None = None) -> tuple[dict, float | str]:
             "spread": spread,
             "passes": n_passes,
             "canary_wall": canary_wall,
-            "canary_runs": {"start": canary_start, "end": canary_end},
+            "canary_runs": timeline,
         },
         float(sf) if sf.replace(".", "").isdigit() else sf,
     )
