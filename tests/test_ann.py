@@ -766,3 +766,23 @@ def test_ivf_retain_window_is_a_knob(spark, index, tmp_path):
         from acled_spark.ann import ivf_upsert
 
         ivf_upsert(maint.index, batch, durable_path=durable, retain=0)
+
+
+def test_adaptive_nlist_sizing_and_cell_target_fold(spark):
+    """VERDICT r13 #5a: dedup_semantic's nlist sizing rides the index
+    build's own count instead of a dedicated corpus pass.  Pin the
+    shared formula (clamp(n // cell_target, 8, 4096)) and that
+    ``build_ivf_index(cell_target=...)`` actually applies it to ITS
+    counted n (ignoring the nlist param)."""
+    from acled_spark.ann import adaptive_nlist
+
+    assert adaptive_nlist(100, 64) == 8            # floor
+    assert adaptive_nlist(100_000, 64) == 1562
+    assert adaptive_nlist(10**9, 64) == 4096       # broadcast cap
+    assert adaptive_nlist(640, 64) == 10
+
+    emb = load(spark, SF_DIR, "embeddings")        # 500 valid vectors
+    n = emb.filter(F.col("embedding").isNotNull()).count()
+    want = adaptive_nlist(n, 32)
+    idx = build_ivf_index(emb, nlist=2, cell_target=32, persist=False)
+    assert len(idx.model.clusterCenters()) == want  # nlist=2 ignored
