@@ -438,6 +438,105 @@ def containment_pairs(
     )
 
 
+# --- corpus overlap matrix --------------------------------------------------
+@query(
+    "dedup_source_overlap",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT source, unnest({_SHINGLES_SQL}) AS shingle
+      FROM documents
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY source),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS shared_sh
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT s.source_a, s.source_b,
+           sa.n_sh AS sh_a, sb.n_sh AS sh_b, s.shared_sh,
+           ROUND(s.shared_sh / CAST(sa.n_sh + sb.n_sh - s.shared_sh AS DOUBLE), 6) + 0.0 AS jaccard,
+           ROUND(s.shared_sh / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE), 6) + 0.0 AS containment
+    FROM shared s
+    JOIN sizes sa ON s.source_a = sa.source
+    JOIN sizes sb ON s.source_b = sb.source
+    ORDER BY jaccard DESC, source_a, source_b LIMIT 100
+    """,
+    tags=("dedup", "text", "extended"),
+)
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus overlap matrix: top-100 source pairs by word-{NGRAM}-gram
+    set Jaccard, with containment and the raw set sizes.
+
+    The report an LLM data pipeline publishes BEFORE mixing corpora
+    (Dolma/RedPajama-style n-gram overlap tables; the pairwise
+    corpus-level face of the doc-level :func:`dedup_ngram_jaccard`):
+    high Jaccard flags near-redundant sources to downweight in
+    mix_weights, high containment with asymmetric sizes flags one
+    source embedded inside another (a crawl that swallowed a dump) —
+    the between-corpus analog of :func:`dedup_containment`.
+
+    Scale: ONE corpus pass to the distinct (source, shingle) frame
+    (shuffle keyed by source+shingle, map-side combinable), which is
+    lazily checkpointed — it is the vocab-sized artifact all three
+    consumers (sizes, both self-join aliases) read, and without the
+    barrier the alias renames defeat subtree/exchange reuse and the
+    executed plan re-scans the corpus 8x (measured; the
+    dedup_ngram_novelty lesson).  The shingle self-join fans out at
+    most |sources| rows per shingle side, so a universal stopword
+    shingle costs |sources|^2 pair rows — bounded by the SOURCE
+    dimension (a handful of corpora), not the vocab; the matrix
+    itself is |sources|^2/2 rows rolled up with partial aggs, and
+    the top-100 is TakeOrderedAndProject.  A NULL source never pairs
+    (`a.source < b.source` is NULL-false on both engines) — route
+    those docs through drift_vocab_js's NULL-source bucket instead.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sh = (
+        docs.select("source", F.explode(shingles_spark(F.col("text"))).alias("shingle"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("source").alias("source_a"), "shingle")
+    b = sh.select(F.col("source").alias("source_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("shared_sh"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n_sh").alias("sh_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n_sh").alias("sh_b"))
+    return (
+        shared.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "sh_a",
+            "sh_b",
+            "shared_sh",
+            (
+                F.round(
+                    F.col("shared_sh")
+                    / (F.col("sh_a") + F.col("sh_b") - F.col("shared_sh")).cast("double"),
+                    6,
+                )
+                + 0.0
+            ).alias("jaccard"),
+            (
+                F.round(
+                    F.col("shared_sh") / F.least("sh_a", "sh_b").cast("double"), 6
+                )
+                + 0.0
+            ).alias("containment"),
+        )
+        .orderBy(F.desc("jaccard"), "source_a", "source_b")
+        .limit(100)
+    )
+
+
 # --- MinHash + LSH banding --------------------------------------------------
 N_HASHES = 8
 BAND_SIZE = 2  # 4 bands of 2 minhashes

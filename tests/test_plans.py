@@ -518,3 +518,21 @@ def test_dsir_two_scans_broadcast_stats_topk(spark):
     for line in plan.splitlines():
         if "ReadSchema" in line:
             assert "n_chars" not in line and "source" not in line, line
+
+
+def test_source_overlap_single_corpus_scan(spark):
+    """dedup_source_overlap: the distinct (source, shingle) frame is
+    lazily checkpointed, so the final plan reads the materialized
+    vocab-sized frame (ExistingRDD) everywhere — the corpus parquet
+    appears ZERO times in the final plan (the one scan happens inside
+    the checkpoint materialization; without the barrier the alias
+    renames defeat exchange reuse and the executed plan re-scanned the
+    corpus 8x).  Matrix rollup ends in the top-100
+    TakeOrderedAndProject; nothing cross-joins."""
+    import re
+
+    plan = _plan(spark, "dedup_source_overlap")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan[:2000]
+    assert len(re.findall(r"\(\d+\) Scan ExistingRDD", plan)) >= 3
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

@@ -305,6 +305,15 @@ SPECS = [
          'F.md5(F.concat(F.lit("dsir-"), F.col("doc_id").cast("string")))',
          'F.md5(F.concat(F.lit("dsir2-"), F.col("doc_id").cast("string")))',
          SIM + ["dsir_resample"], "caught"),
+    # M43: overlap containment denominator flipped (least -> greatest:
+    # a small corpus fully embedded in a big one reads as LOW
+    # containment, hiding exactly the swallowed-dump signal the
+    # column exists for)
+    spec("M43", "source-overlap-containment",
+         "acled_spark/queries/dedup.py",
+         '                    F.col("shared_sh") / F.least("sh_a", "sh_b").cast("double"), 6',
+         '                    F.col("shared_sh") / F.greatest("sh_a", "sh_b").cast("double"), 6',
+         SIM + ["dedup_source_overlap"], "caught"),
 ]
 
 # M16's target is not unique in its file; resolved by first-occurrence
