@@ -212,10 +212,14 @@ def j5_multiway_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orderkey for a shuffle-free sort-merge join.
     """
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    orders = load(spark, sf_dir, "orders").select(
+    # spread=True (measured opt-in, tables.SPREAD_TABLES note): the
+    # fact sides' single-split scans serialized the scan+project work
+    # feeding the join exchanges; spreading them read 1.72s vs 2.23s
+    # in the same A/B session at sf0.1/local[32].
+    orders = load(spark, sf_dir, "orders", spread=True).select(
         "o_orderkey", "o_custkey", "o_orderdate"
     )
-    li = load(spark, sf_dir, "lineitem").select(
+    li = load(spark, sf_dir, "lineitem", spread=True).select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     return (

@@ -136,19 +136,29 @@ def test_weighted_sample_is_topk_not_full_sort(spark):
 
 
 def test_canonical_pick_single_scan_no_text_in_shuffle(spark):
-    """dedup_canonical_pick: one corpus scan; the exchange carries the
-    digest + scalars, never the document text."""
+    """dedup_canonical_pick: one corpus scan; the query's own exchanges
+    carry the digest + scalars, never the document text.
+
+    The one exemption is the scan-spread's RoundRobinPartitioning
+    exchange (tables.SPREAD_TABLES): it moves the payload exactly once,
+    scan-side, before any derivation — the guide-§8 "heavy bytes move
+    once" shape — and is gated off on any corpus whose scan already
+    parallelizes.  Every KEYED exchange must still be text-free."""
     plan = _plan(spark, "dedup_canonical_pick")
     assert _scan_count(plan) == 1
     # text is consumed by the fingerprint projection below the exchange:
-    # no Exchange's input attribute list may reference the raw text column
+    # no keyed Exchange's input attribute list may reference raw text
     import re
 
     exchange_sections = re.findall(
         r"\(\d+\) Exchange\n(.*?)(?:\n\n|\Z)", plan, flags=re.S
     )
-    assert exchange_sections, plan
-    assert all("text#" not in seg for seg in exchange_sections), exchange_sections
+    keyed = [
+        seg for seg in exchange_sections
+        if "RoundRobinPartitioning" not in seg
+    ]
+    assert keyed, plan
+    assert all("text#" not in seg for seg in keyed), keyed
 
 
 def test_ivf_probe_selection_broadcasts_centroids(spark):
@@ -251,7 +261,14 @@ def test_dataframe_build_runs_no_job(spark):
         for j in tracker.getJobIdsForGroup(group):
             for s in tracker.getJobInfo(j).stageIds:
                 si = tracker.getStageInfo(s)
-                assert si.name.startswith("parquet at") and si.numTasks == 1, (
+                # Allowed build-time stages: spark.read's parquet
+                # schema-inference footer read, and (post scan-spread,
+                # r14) the AQE pre-run of the spread exchange's MAP
+                # side — both are 1-task scan-side stages.  The guard's
+                # point survives: a corpus-scale DERIVATION stage (the
+                # 32-task post-exchange tokenize/aggregate work) must
+                # never run at DataFrame-build time.
+                assert si.numTasks == 1, (
                     f"{name} ran a data job at build time: "
                     f"stage {si.name!r} ({si.numTasks} tasks)"
                 )
@@ -402,8 +419,14 @@ def _shuffle_input_attrs(df) -> list[list[str]]:
             walk(node.initialPlan())
             return
         if "ShuffleExchange" in name:
-            attrs = node.child().output()
-            out.append([attrs.apply(i).name() for i in range(attrs.size())])
+            # the scan-spread's RoundRobinPartitioning exchange
+            # (tables.SPREAD_TABLES) is exempt: it moves the payload
+            # exactly once, scan-side, before any derivation, and is
+            # gated off on any corpus whose scan already parallelizes.
+            # Every KEYED exchange is still audited.
+            if "RoundRobinPartitioning" not in node.outputPartitioning().toString():
+                attrs = node.child().output()
+                out.append([attrs.apply(i).name() for i in range(attrs.size())])
         kids = node.children()
         for i in range(kids.size()):
             walk(kids.apply(i))
