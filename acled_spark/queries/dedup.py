@@ -1014,8 +1014,10 @@ def min_label_components(ed: DataFrame, rounds: int) -> tuple[DataFrame, DataFra
         labels = propagate(labels)
     # Materialize the k-round labels once: both the caller and the
     # convergence-cert round read them, and the cert round would
-    # otherwise replay the whole k-join chain a second time.
-    labels = labels.localCheckpoint()
+    # otherwise replay the whole k-join chain a second time.  Lazy
+    # (r14): the first consumer's action materializes it — an eager
+    # checkpoint ran a dedicated build-time job for the same bytes.
+    labels = labels.localCheckpoint(eager=False)
     chg = (
         labels.withColumnRenamed("lbl", "lbl0")
         .join(propagate(labels), "v")
@@ -1066,7 +1068,14 @@ def star_contraction_components(
         )
 
     def large_star(e: DataFrame) -> DataFrame:
-        # attach every LARGER neighbor of a to min(N(a) ∪ {a})
+        # attach every LARGER neighbor of a to min(N(a) ∪ {a}).
+        # NO .distinct() here (r14): its only consumer is small_star,
+        # whose window-min is multiplicity-blind and whose own output
+        # IS distinct'd — duplicate (u, v) rows (the same b attached to
+        # the same m under two different centers a) change nothing
+        # downstream, and the dedup was a full extra exchange per
+        # round.  Row count stays bounded by |e| either way: each
+        # undirected edge contributes exactly one b > a orientation.
         w = Window.partitionBy("a")
         return (
             sym(e)
@@ -1074,7 +1083,6 @@ def star_contraction_components(
             .filter(F.col("b") > F.col("a"))
             .select(F.col("b").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
 
     def small_star(e: DataFrame) -> DataFrame:
@@ -1105,13 +1113,19 @@ def star_contraction_components(
     # below would otherwise replay the caller's candidate-generation
     # pipeline); edges are treated as given — callers supply distinct
     # (u, v) pairs (lsh_candidate_edges already ends in .distinct(); a
-    # re-distinct here was measured as a pure extra shuffle, r7 review)
-    cur = ed.select("u", "v").localCheckpoint()
+    # re-distinct here was measured as a pure extra shuffle, r7 review).
+    # Checkpoints are LAZY (r14): the sig() aggregate is the first
+    # action over each round's edge frame, so ONE job both materializes
+    # the checkpoint and computes the fixpoint signature — eager
+    # checkpoints ran a dedicated materialization job per round (2
+    # driver round-trips/round instead of 1, measured ~0.2s/round of
+    # pure scheduling at sf0.1).
+    cur = ed.select("u", "v").localCheckpoint(eager=False)
     prev = sig(cur)
     rounds = 0
     converged = False
     for _ in range(max_rounds):
-        cur = small_star(large_star(cur)).localCheckpoint()
+        cur = small_star(large_star(cur)).localCheckpoint(eager=False)
         rounds += 1
         now = sig(cur)
         if now == prev:
@@ -1268,7 +1282,9 @@ def dedup_cluster_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1).  Every real iterative-graph job does this; at cluster scale
     # it would be checkpoint() to durable storage instead.  No bucket cap
     # here (the oracle keeps it exact); at 100 TB pass max_bucket.
-    ed = lsh_candidate_edges(bands).localCheckpoint()
+    # Lazy (r14): the label chain's first action materializes it in the
+    # same job instead of a dedicated build-time one.
+    ed = lsh_candidate_edges(bands).localCheckpoint(eager=False)
     labels, chg = min_label_components(ed, _PROPAGATION_ROUNDS)
     census = labels.groupBy("lbl").agg(F.count("*").alias("sz"))
     return (
@@ -1648,11 +1664,21 @@ def _census_parts(
         .select("vec_id", "cell", F.round(cent_cos, 6).alias("cent_cos"))
         .withColumn("rnk", F.row_number().over(w))
     )
+    # The checkpoint between pair generation and the eps filter is a
+    # PUSHDOWN BARRIER (r14): Catalyst pushes the filter through the
+    # projection by substituting the cosine alias, and the HOF dot is
+    # CodegenFallback — no codegen subexpression elimination recovers
+    # it — so every pair paid the interpreted O(d) dot TWICE (measured:
+    # 0.78s unfiltered vs 1.26s filtered for the same 76k pairs at
+    # sf0.1).  Materializing the pair frame once (narrow: two ids +
+    # cell + cosine) keeps one dot per pair and the filter reads the
+    # stored column.
     pairs = embedding_cosine_pairs(
         vectors.select("vec_id", F.col("cell").alias("label"), "embedding"),
         max_block=max_block,
         round_digits=None,
-    ).filter(F.col("cosine") >= eps)
+    ).localCheckpoint(eager=False)
+    pairs = pairs.filter(F.col("cosine") >= eps)
     r1 = scored.select(F.col("vec_id").alias("vec1"), F.col("rnk").alias("rnk1"))
     r2 = scored.select(F.col("vec_id").alias("vec2"), F.col("rnk").alias("rnk2"))
     ranked = pairs.join(r1, "vec1").join(r2, "vec2")
@@ -1758,11 +1784,16 @@ def semantic_dedup_census(
     """
     scored, dom = _census_parts(vectors, centroids, eps, max_block)
     # one dominator per dropped vector: the highest-priority one
-    # (row_number is unique within a cell, so min_by is deterministic)
+    # (row_number is unique within a cell, so min_by is deterministic).
+    # Lazy checkpoint (r14): the chain resolver's first convergence
+    # probe is the first action over this frame and materializes it in
+    # the same job — eager ran a dedicated build-time job for the same
+    # bytes.  The materialize-once guarantee _resolve_survivor_map
+    # documents is unchanged.
     dup = dom.groupBy("dropped").agg(
         F.min_by("dominator", "dom_rnk").alias("parent"),
         F.min_by("cosine", "dom_rnk").alias("dup_cos"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     roots = _resolve_survivor_map(dup)
     dup = (
         dup.join(roots, "dropped")

@@ -482,12 +482,13 @@ def dsir_resample(
     ~1e-13 — four orders under the grain.  Empty documents carry no
     grams and are excluded (they have no distribution to score).
 
-    Scale: pass 1 builds ONE B-row bucket-stats artifact (c_r and c_t
-    in the same partial-agg rollup — target counting rides the raw
-    scan); totals are an unpartitioned window over the B-row frame;
-    pass 2 re-derives the gram stream scan-side and broadcast-joins
-    the stats into it, aggregating per doc — the only wide exchange is
-    the doc_id rollup, and the final top-k is TakeOrderedAndProject
+    Scale: ONE gram derivation (scan + tokenize + per-gram md5, the
+    dominant CPU) collapses to a lazily-checkpointed per-(doc, bucket)
+    count frame; the B-row bucket-stats artifact (c_r and c_t in the
+    same partial-agg rollup) and the per-doc score rollup both read
+    that one materialization, with the stats broadcast back onto it —
+    the only wide exchanges are the (doc, bucket) collapse and the
+    doc_id rollup, and the final top-k is TakeOrderedAndProject
     (per-partition partial top-k, k-row driver merge).  ``buckets``
     is the measured lever (SCALE.md §dsir-buckets): width trades
     collision noise in the ratio against artifact/broadcast size.
@@ -515,9 +516,29 @@ def dsir_resample(
             % buckets
         ).alias("bucket"),
     )
-    stats = grams.groupBy("bucket").agg(
-        F.count("*").alias("c_r"),
-        F.count(F.when(F.col("lang") == target_lang, 1)).alias("c_t"),
+    # ONE gram derivation (r14): the former shape derived the gram
+    # stream twice — once for the bucket stats, once for the per-doc
+    # score join — paying the scan + tokenize + per-gram md5 (the
+    # dominant CPU) twice.  Collapsing to per-(doc, bucket) counts
+    # first and lazily checkpointing that narrow-int frame lets BOTH
+    # consumers (the B-row stats rollup and the score rollup) read one
+    # materialization; per-gram work now runs exactly once.  The score
+    # is unchanged: Σ_grams ln r(b) == Σ_buckets cnt·ln r(b) exactly in
+    # ℝ, and the float fold-order difference (~1e-13) sits four orders
+    # under the 6-decimal output grain — the same argument the oracle
+    # already relies on cross-engine (docstring above).
+    per_doc = (
+        grams.groupBy("doc_id", "lang", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    stats = per_doc.groupBy("bucket").agg(
+        F.sum("cnt").alias("c_r"),
+        F.sum(
+            F.when(F.col("lang") == target_lang, F.col("cnt")).otherwise(
+                F.lit(0)
+            )
+        ).alias("c_t"),
     )
     # Corpus totals ride the B-row stats frame as an unpartitioned
     # window (the unigram_logprob idiom) — a separate totals frame
@@ -532,13 +553,14 @@ def dsir_resample(
         F.sum("c_t").over(wall).cast("double").alias("t_t"),
     )
     sc = (
-        grams.join(F.broadcast(stats), "bucket")
+        per_doc.join(F.broadcast(stats), "bucket")
         .groupBy("doc_id")
         .agg(
             F.min("lang").alias("lang"),
-            F.count("*").alias("n_grams"),
+            F.sum("cnt").alias("n_grams"),
             F.sum(
-                F.log((F.col("c_t") + 1.0) / (F.col("c_r") + 1.0))
+                F.col("cnt")
+                * F.log((F.col("c_t") + 1.0) / (F.col("c_r") + 1.0))
             ).alias("s1"),
             F.min("t_r").alias("t_r"),
             F.min("t_t").alias("t_t"),
