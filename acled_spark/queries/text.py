@@ -1025,10 +1025,26 @@ def text_bigram_logprob(
     """
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
-    docs = load(spark, sf_dir, "documents")
+    # spread=False (r14): with the tokenize-once barrier below, the
+    # corpus text is read and tokenized in ONE pass, so the documents
+    # spread would pay its full-payload round-robin exchange to
+    # parallelize work that no longer repeats — same-session A/B at
+    # sf0.1: 0.45s unspread vs 0.83s spread (and 1.27s spread without
+    # the barrier, the r13 shape).  At 100 TB the gate never fires.
+    docs = load(spark, sf_dir, "documents", spread=False)
     arr = F.split(F.lower(ws_trim(F.col("text"))), f"{WS}+")
-    base = docs.filter(F.length(ws_trim(F.col("text"))) > 0).select(
-        "doc_id", "lang", arr.alias("arr")
+    # ONE tokenize pass (r14): the plan has three consumers of the
+    # token arrays (the LM aggregate, the vocabulary count, and the
+    # scoring join's bigram re-derivation), and without a barrier each
+    # re-ran scan + ws_trim + lower + regex-split over the full text.
+    # Materializing (doc_id, lang, arr) lazily lets all three read the
+    # tokenized frame; the raw-text scan and the regex tokenizer now
+    # run exactly once — the same trade dup_span_census documents for
+    # the 100 TB case, where the RAW-TEXT scan dominates.
+    base = (
+        docs.filter(F.length(ws_trim(F.col("text"))) > 0)
+        .select("doc_id", "lang", arr.alias("arr"))
+        .localCheckpoint(eager=False)
     )
     b2 = base.filter(F.size("arr") >= 2)
     bg = b2.select(
@@ -1185,7 +1201,12 @@ def drift_vocab_js(
     """
     if support_floor < 1:
         raise ValueError(f"support_floor must be >= 1, got {support_floor}")
-    docs = load(spark, sf_dir, "documents")
+    # spread=False (r14, measured): three scan subtrees re-derive the
+    # token stream here, so the documents spread pays its full-payload
+    # exchange three times for per-pass CPU that is light at the
+    # benched tiers — same-session A/B: 0.76s unspread vs 1.14s
+    # spread.  At 100 TB the gate never fires (multi-file corpus).
+    docs = load(spark, sf_dir, "documents", spread=False)
     # NULL source is a legitimate per-source bucket (a crawl that lost
     # its provenance tag; ADVICE r11) — but a null-unsafe equi-join
     # downstream would zero its counts and report the all-absent
@@ -1200,10 +1221,17 @@ def drift_vocab_js(
     # columns from any sane crawler/loader are NUL-free), so a tag
     # literally equal to the sentinel cannot occur (ADVICE r12
     # corrected the earlier "whitespace-delimited" mis-description).
-    tok = docs.filter(F.length(ws_trim(F.col("text"))) > 0).select(
+    # NOT checkpointed (r14, measured): materializing the tokenized
+    # frame here read 1.3-2.5s vs 0.8s for the re-derived shape in the
+    # same A/B session — the checkpoint's unknown size estimate demotes
+    # the vocab-side joins from broadcast, costing more than the saved
+    # tokenize passes at every benched tier.  The support artifact
+    # below is the one worth pinning (vocab-sized, 3 consumers).
+    base = docs.filter(F.length(ws_trim(F.col("text"))) > 0).select(
         F.coalesce(F.col("source"), F.lit(_NULL_SOURCE)).alias("source"),
-        F.explode(F.split(F.lower(ws_trim(F.col("text"))), f"{WS}+")).alias("w"),
+        F.split(F.lower(ws_trim(F.col("text"))), f"{WS}+").alias("arr"),
     )
+    tok = base.select("source", F.explode("arr").alias("w"))
     # lazy checkpoint: the vocab-sized support feeds the corpus-prob
     # projection, the per-source count join, AND the grid — without it
     # each consumer re-runs the token aggregation from parquet (4
@@ -1222,7 +1250,10 @@ def drift_vocab_js(
         .groupBy("source", "w")
         .agg(F.count("*").alias("cs"))
     )
-    sources = tok.select("source").distinct()
+    # every doc surviving the non-empty filter yields >= 1 token, so
+    # the doc-level source set equals the token-level one — no need to
+    # distinct over the exploded stream
+    sources = base.select("source").distinct()
     grid = (
         sup2.crossJoin(F.broadcast(sources))  # |sources| rows — tiny
         .join(sc, ["source", "w"], "left")
@@ -1870,32 +1901,38 @@ _BM25_ORACLE = f"""
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 documents per pinned query.
 
-    Scale shape (100 TB): exactly TWO corpus-text scans — the exploded
-    token stream (filtered against the BROADCAST query vocabulary
-    BEFORE any aggregation, so the tf shuffle carries only query-term
-    hits, never the corpus vocabulary) and one narrow size()
-    projection for document lengths, localCheckpointed (~16 B/doc) so
-    the avgdl scalar and the score join both read the materialized
-    lengths instead of re-tokenizing the corpus (un-checkpointed, the
-    plan re-evaluated the text scan FOUR times).  df is derived from
-    the already-tiny tf frame.  Per-(query, doc) scores fold term
+    Scale shape (100 TB): exactly ONE corpus-text scan — the tokenized
+    frame (doc_id, toks) is lazily checkpointed and feeds every
+    consumer: the dlen/avgdl rollup and the exploded token stream
+    (filtered against the BROADCAST query vocabulary BEFORE any
+    aggregation, so the tf shuffle carries only query-term hits, never
+    the corpus vocabulary).  The r13 shape checkpointed only the dlen
+    projection and re-tokenized the corpus for tf (two scans); df is
+    derived from the already-tiny tf frame.  Per-(query, doc) scores fold term
     contributions in CANONICAL term order (sort_array + sequential
     aggregate — the vector-kernel discipline), so the rounded score is
     bit-identical across engines and partitionings; rank ties break on
     doc_id.
     """
-    docs = load(spark, sf_dir, "documents").filter(
+    # spread=False (r14, measured with the tokenize-once barrier):
+    # 1.43s unspread vs 2.21s spread same-session — the single
+    # tokenize pass no longer repays the full-payload spread exchange,
+    # and the downstream work is vocabulary-filtered (tiny).
+    docs = load(spark, sf_dir, "documents", spread=False).filter(
         F.length(ws_trim(F.col("text"))) > 0
     )
     toks_col = _tokens_spark(F.lower(F.col("text")))
-    d = docs.select("doc_id", toks_col.alias("toks"))
-    # eager=False: the default eager checkpoint runs the tokenization
-    # job at DataFrame-BUILD time, so explain()/plan gates would
-    # execute a corpus scan; lazy keeps identical reuse semantics once
-    # the first real action runs (same fix as drift_psi, r8)
-    dlen = d.select("doc_id", F.size("toks").alias("dl")).localCheckpoint(
+    # ONE tokenize pass (r14): the token arrays have two derivation
+    # sites (the dlen projection and the tf explode), so checkpointing
+    # only dlen still re-ran scan + tokenize for tf.  Materializing the
+    # tokenized frame itself (lazily — explain()/plan gates must not
+    # run a scan, same contract as the old dlen checkpoint) lets dlen,
+    # stats and tf all read it; the corpus text is scanned and
+    # tokenized exactly once.
+    d = docs.select("doc_id", toks_col.alias("toks")).localCheckpoint(
         eager=False
     )
+    dlen = d.select("doc_id", F.size("toks").alias("dl"))
     stats = dlen.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )

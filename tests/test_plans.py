@@ -219,18 +219,23 @@ def test_mm_feature_extract_single_scan_no_join(spark):
     assert "Join" not in plan
 
 
-def test_bm25_two_scans_broadcast_vocab(spark):
-    """BM25's executed plan: exactly two corpus scans (token explode +
-    the checkpointed length projection), the query vocabulary joined
-    by BROADCAST before any aggregation, and no sort-merge join — the
-    tf shuffle carries query-term hits only."""
+def test_bm25_single_scan_broadcast_vocab(spark):
+    """BM25's executed plan, r14 tokenize-once shape: the tokenized
+    frame (doc_id, toks) is a lazily-checkpointed artifact feeding
+    every consumer (dlen/avgdl rollup, tf explode, and the df
+    broadcast side that used to re-tokenize the corpus), so the final
+    plan reads ONLY the checkpoint — zero parquet scans; the one
+    corpus scan + tokenize materializes it.  The query vocabulary is
+    joined by BROADCAST before any aggregation and nothing sort-merge
+    joins — the tf shuffle carries query-term hits only."""
     import re
 
     from acled_spark.registry import all_specs
 
     df = all_specs()["text_bm25_topk"].builder(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert len(re.findall(r"Scan parquet", plan)) == 2, plan[:2000]
+    assert len(re.findall(r"Scan parquet", plan)) == 0, plan[:2000]
+    assert len(re.findall(r"Scan ExistingRDD", plan)) >= 3, plan[:2000]
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
@@ -327,19 +332,22 @@ def test_mm_decode_jpeg_single_scan_no_join(spark):
     assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan[:2000]
 
 
-def test_bigram_lm_checkpointed_three_scans(spark):
-    """Bigram-LM scoring: the LM is a lazily-checkpointed artifact
-    consumed by BOTH the prefix rollup and the scoring join — the
-    final plan carries exactly 2 parquet scans (the scan-side bigram
-    stream + the vocabulary count) plus 2 ExistingRDD reads of the
-    checkpoint; the third corpus scan happens once, materializing the
-    checkpoint.  Without the checkpoint each LM consumer re-runs the
-    bigram aggregation from parquet (4 scans)."""
+def test_bigram_lm_checkpointed_single_scan(spark):
+    """Bigram-LM scoring, r14 tokenize-once shape: the tokenized base
+    (doc_id, lang, arr) is a lazily-checkpointed artifact feeding all
+    three token consumers (LM aggregate, vocabulary count, scoring
+    join), and the LM itself is a second checkpointed artifact feeding
+    the prefix rollup and the scoring join.  The final plan therefore
+    reads ONLY checkpoints — 0 parquet scans, 4 ExistingRDD reads
+    (bg-from-base, vsz-from-base, lm, pfx-from-lm); the single corpus
+    scan + regex tokenize happens once, materializing base.  The r13
+    shape re-ran the tokenizer in 3 subtrees (2 parquet scans in the
+    final plan + 1 materializing the LM)."""
     import re
 
     plan = _plan(spark, "text_bigram_logprob")
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan[:2000]
-    assert len(re.findall(r"\(\d+\) Scan ExistingRDD", plan)) == 2, plan[:2000]
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan[:2000]
+    assert len(re.findall(r"\(\d+\) Scan ExistingRDD", plan)) == 4, plan[:2000]
 
 
 def test_vocab_js_checkpointed_three_scans(spark):
@@ -521,18 +529,22 @@ def test_semantic_census_broadcasts_centroids_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_dsir_two_scans_broadcast_stats_topk(spark):
-    """dsir_resample (VERDICT r13 #4): pass 1 builds the B-row bucket
-    stats (totals ride the same frame as an unpartitioned window over
-    B rows — a separate totals frame measured 6 corpus scans), pass 2
-    broadcast-joins them into the re-derived gram stream — exactly TWO
-    parquet scans, both column-pruned to (text, lang [, doc_id]); the
-    final top-k is TakeOrderedAndProject (per-partition partial top-k,
-    k-row driver merge), and nothing cross-joins."""
+def test_dsir_single_derivation_broadcast_stats_topk(spark):
+    """dsir_resample, r14 one-derivation shape: the gram stream (scan +
+    tokenize + per-gram md5, the dominant CPU) collapses to a lazily
+    checkpointed per-(doc, bucket) count frame consumed by BOTH the
+    B-row bucket-stats rollup and the per-doc score join — the final
+    plan reads the checkpoint (2 ExistingRDD reads), the corpus
+    parquet appears ZERO times (the one scan materializes the
+    checkpoint; the r13 shape re-derived the grams per consumer = 2
+    scans), stats still broadcast, and the final top-k is
+    TakeOrderedAndProject (per-partition partial top-k, k-row driver
+    merge); nothing cross-joins."""
     import re
 
     plan = _plan(spark, "dsir_resample")
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan[:2000]
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan[:2000]
+    assert len(re.findall(r"\(\d+\) Scan ExistingRDD", plan)) == 2, plan[:2000]
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
