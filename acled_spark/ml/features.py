@@ -58,7 +58,10 @@ class TargetEncoder:
                 F.count(self.target_col).alias("cnt"),
                 F.avg(self.target_col).alias("mean_t"),
             )
-            .localCheckpoint()
+            # lazy (r14): the global-mean collect() on the next line is
+            # the first action and materializes it in the same job; an
+            # eager checkpoint ran a dedicated job for the same bytes
+            .localCheckpoint(eager=False)
         )
         g = raw.agg(
             (F.sum(F.col("cnt") * F.col("mean_t")) / F.sum("cnt")).alias("m")
@@ -141,7 +144,9 @@ def out_of_fold_target_encode(
             F.count(target_col).alias("__oof_cnt"),
             F.sum(target_col).alias("__oof_s"),
         )
-        .localCheckpoint()
+        # lazy (r14): the fold-validation collect() just below is the
+        # first action and materializes it; eager ran an extra job
+        .localCheckpoint(eager=False)
     )
     bad_folds = [
         r["__oof_fold"]
