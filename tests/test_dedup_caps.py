@@ -207,6 +207,50 @@ def test_star_contraction_exact_on_deep_chain(spark):
     assert chg.collect()[0]["chg"] == 1
 
 
+def test_star_contraction_exact_under_duplicate_orientations(spark):
+    """r14 pin for the large_star .distinct() removal: on a triangle,
+    large_star emits the SAME (u, v) attachment under two different
+    centers ((3, 1) via center 1 and via center 2), so without the old
+    per-round dedup the inter-round edge frame genuinely carries
+    duplicate rows.  The removal is sound because the only consumer —
+    small_star's window-min — is multiplicity-blind and small_star's
+    own output IS distinct'd; this test plants exactly that shape (a
+    triangle fused to a chain) and pins the exact fixpoint labels plus
+    the convergence certificate, which depends on the per-round
+    signature (count + xor) that duplicate rows would corrupt if they
+    survived a round boundary."""
+    from pyspark.sql import functions as F
+
+    from acled_spark.queries.dedup import star_contraction_components
+
+    # triangle {1,2,3} + tail 3-4-5; plus an isolated pair {9, 10}
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (9, 10)]
+    ed = spark.createDataFrame(edges, "u long, v long")
+    labels, rounds, converged = star_contraction_components(ed)
+    got = {r["v"]: r["lbl"] for r in labels.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 9: 9, 10: 9}
+    assert converged
+
+    # prove the planted shape really exercises duplicate orientations:
+    # re-run round 1's large_star by hand and count (3, 1) rows
+    sym = ed.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+        ed.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("a")
+    ls = (
+        sym.withColumn("m", F.least(F.min("b").over(w), F.col("a")))
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    dup_rows = (
+        ls.groupBy("u", "v").count().filter(F.col("count") > 1).count()
+    )
+    assert dup_rows >= 1  # the dedup the removal skipped was real
+
+
 def test_star_contraction_empty_and_max_rounds(spark):
     from acled_spark.queries.dedup import star_contraction_components
 
