@@ -162,6 +162,42 @@ def run_canary(spark, single_pass: bool = False) -> dict[str, float]:
 # leaving them to after-the-fact A/B forensics.
 CANARY_TIMELINE_EVERY = 32
 
+# Mid-session single-pass probes are NOISY — healthy blessed sessions
+# read up to ~1.6x cpu / ~3.0x shuffle of the min-of-2 committed floor
+# purely from single-pass variance — so they never feed session_speed.
+# But a real contention burst reads far OUTSIDE that envelope, and
+# min(start, end) cannot see a burst that dies before the end canary:
+# the session that proved the hole (r14 verification) read 4.2x cpu /
+# 13.1x shuffle at its after_32 probe while min(start, end) sat inside
+# the +-10% band, and the refresh gate rewrote the baseline with
+# readings inflated 2-23x (caught by manual A/B, restored from git).
+# A mid probe beyond these factors therefore ALSO refuses the refresh:
+# each threshold sits >1.5x above every observed healthy mid reading
+# and >1.6x below every observed burst reading.  Refusal is the cheap
+# direction — a false refusal just leaves the committed baseline
+# standing for a calmer session to refresh.
+CANARY_BURST_FACTOR = {"cpu": 2.5, "shuffle": 5.0}
+
+
+def burst_probes(timeline: dict | None, floor: dict | None) -> list:
+    """Mid-session timeline probes outside the burst envelope vs the
+    committed floor: ``[(label, probe, ratio), ...]``.  ``start`` /
+    ``end`` are excluded — those are full-protocol placements already
+    governing session_speed; this guards the stretch BETWEEN them that
+    ``min(start, end)`` is blind to."""
+    if not timeline or not floor:
+        return []
+    hits = []
+    for label in sorted(timeline):
+        if label in ("start", "end"):
+            continue
+        probes = timeline[label] or {}
+        for k in sorted(CANARY_BURST_FACTOR):
+            f = floor.get(k)
+            if k in probes and f and f > 0 and probes[k] > CANARY_BURST_FACTOR[k] * f:
+                hits.append((label, k, round(probes[k] / f, 2)))
+    return hits
+
 
 def session_speed(wall: dict | None, floor: dict | None) -> float | None:
     """``canary_wall / canary_floor`` over the probes both maps carry.
@@ -482,10 +518,16 @@ def main() -> None:
     # r12 incident).  Bootstrap (no committed floor yet, or a floor
     # from an older CANARY_VERSION) always refreshes and records the
     # session's canary as the new floor.
+    # A burst BETWEEN the start/end canaries (both possibly in-band)
+    # also refuses: min(start, end) cannot see it, and the one session
+    # that hit this shape rewrote the baseline with 2-23x readings
+    # (see CANARY_BURST_FACTOR).  Bootstrap is unaffected — no
+    # committed floor means no envelope to compare against.
+    burst_hits = burst_probes(result.get("canary_runs"), committed_floor)
     drift_refused = (
         committed_speed is not None
         and abs(committed_speed - 1.0) > CANARY_REFRESH_BAND
-    )
+    ) or bool(burst_hits)
     if only is None and status == 0 and not drift_refused:
         with open(FULL_PATH, "w") as fh:
             json.dump(
@@ -503,12 +545,27 @@ def main() -> None:
                 fh, indent=1, sort_keys=True,
             )
     elif drift_refused and status == 0 and only is None:
+        reasons = []
+        if (
+            committed_speed is not None
+            and abs(committed_speed - 1.0) > CANARY_REFRESH_BAND
+        ):
+            reasons.append(
+                f"session_speed {committed_speed:.3f} is outside the "
+                f"+-{CANARY_REFRESH_BAND:.0%} canary band"
+            )
+        if burst_hits:
+            reasons.append(
+                f"mid-session canary burst {burst_hits} exceeds the "
+                f"single-pass envelope (cpu>"
+                f"{CANARY_BURST_FACTOR['cpu']}x / shuffle>"
+                f"{CANARY_BURST_FACTOR['shuffle']}x the committed "
+                f"floor; re-probe that query block in isolation)"
+            )
         print(
-            f"bench: baseline refresh REFUSED — session_speed "
-            f"{committed_speed:.3f} is outside the +-"
-            f"{CANARY_REFRESH_BAND:.0%} canary band; BENCH_FULL.json "
-            f"left at the committed floor (this session's numbers are "
-            f"box-state, not plan-state)",
+            f"bench: baseline refresh REFUSED — {'; '.join(reasons)}; "
+            f"BENCH_FULL.json left at the committed floor (this "
+            f"session's numbers are box-state, not plan-state)",
             file=sys.stderr,
         )
     elif status != 0:

@@ -60,8 +60,9 @@ def test_adaptive_third_pass_fires_only_on_disagreement():
     # not the 4.8x the adjudicated outlier would re-introduce
 
 
-def _fake_run(t, canary=None):
-    """run_bench stand-in: timings t, optional canary walls."""
+def _fake_run(t, canary=None, timeline=None):
+    """run_bench stand-in: timings t, optional canary walls, optional
+    extra mid-session timeline probes merged over start/end."""
     result = {
         "timings": t,
         "spread": {k: 1.0 for k in t},
@@ -70,6 +71,8 @@ def _fake_run(t, canary=None):
     if canary is not None:
         result["canary_wall"] = canary
         result["canary_runs"] = {"start": canary, "end": canary}
+        if timeline:
+            result["canary_runs"].update(timeline)
     return lambda only: (result, 0.1)
 
 
@@ -234,3 +237,80 @@ def test_drifted_session_refuses_baseline_refresh(tmp_path, monkeypatch, capsys)
     assert refreshed["canary_floor"] == {"cpu": 2.0, "shuffle": 2.0}
     assert refreshed["canary_version"] == bench.CANARY_VERSION
     assert refreshed["session_speed"] is None
+
+
+def test_burst_probes_envelope_math():
+    """Mid-timeline probes are judged per-probe against
+    CANARY_BURST_FACTOR x floor; start/end are exempt (they already
+    govern session_speed via the full protocol); missing maps -> []."""
+    floor = {"cpu": 1.0, "shuffle": 1.0}
+    # healthy single-pass noise (up to ~1.6x cpu / ~3.0x shuffle
+    # observed on blessed sessions) stays inside the envelope
+    healthy = {
+        "start": {"cpu": 1.0, "shuffle": 1.0},
+        "after_32_q": {"cpu": 1.6, "shuffle": 3.0},
+        "end": {"cpu": 0.9, "shuffle": 1.1},
+    }
+    assert bench.burst_probes(healthy, floor) == []
+    # the r14 poisoned-session shape: burst at one mid probe while
+    # start/end both sit in-band
+    burst = {
+        "start": {"cpu": 1.0, "shuffle": 1.0},
+        "after_32_q": {"cpu": 4.2, "shuffle": 13.1},
+        "after_64_q": {"cpu": 1.2, "shuffle": 1.1},
+        "end": {"cpu": 0.95, "shuffle": 1.0},
+    }
+    hits = bench.burst_probes(burst, floor)
+    assert ("after_32_q", "cpu", 4.2) in hits
+    assert ("after_32_q", "shuffle", 13.1) in hits
+    assert not any(label == "after_64_q" for label, _, _ in hits)
+    # a huge START is NOT a burst hit (full-protocol placement; the
+    # session_speed band owns it)
+    assert bench.burst_probes(
+        {"start": {"cpu": 9.0, "shuffle": 9.0}}, floor) == []
+    assert bench.burst_probes(None, floor) == []
+    assert bench.burst_probes(burst, None) == []
+    assert bench.burst_probes(burst, {"cpu": 0.0}) == []
+
+
+def test_mid_session_burst_refuses_refresh(tmp_path, monkeypatch, capsys):
+    """A contention burst BETWEEN the start/end canaries must refuse
+    the baseline refresh even when min(start, end) sits inside the
+    +-10% band — the r14 verification session hit exactly this shape
+    and rewrote the baseline with readings inflated 2-23x before the
+    guard existed."""
+    floor = {"cpu": 1.0, "shuffle": 1.0}
+    baseline = {
+        "sf": 0.1,
+        "queries": {"q1": 1.0},
+        "canary_version": bench.CANARY_VERSION,
+        "canary_floor": floor,
+    }
+    full = tmp_path / "BENCH_FULL.json"
+    full.write_text(json.dumps(baseline))
+    monkeypatch.setattr(bench, "FULL_PATH", str(full))
+    monkeypatch.setattr("sys.argv", ["bench.py"])
+
+    def run_main():
+        try:
+            bench.main()
+        except SystemExit:
+            pass
+
+    # in-band start/end, mid-session burst: refused
+    monkeypatch.setattr(
+        bench, "run_bench",
+        _fake_run({"q1": 4.0}, {"cpu": 1.0, "shuffle": 1.0},
+                  timeline={"after_32_q": {"cpu": 4.2, "shuffle": 13.1}}))
+    run_main()
+    assert json.loads(full.read_text()) == baseline
+    err = capsys.readouterr().err
+    assert "refresh REFUSED" in err
+    assert "burst" in err
+    # same in-band walls with a noisy-but-healthy mid probe: refreshes
+    monkeypatch.setattr(
+        bench, "run_bench",
+        _fake_run({"q1": 1.02}, {"cpu": 1.0, "shuffle": 1.0},
+                  timeline={"after_32_q": {"cpu": 1.6, "shuffle": 3.0}}))
+    run_main()
+    assert json.loads(full.read_text())["queries"] == {"q1": 1.02}
