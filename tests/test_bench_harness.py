@@ -314,3 +314,44 @@ def test_mid_session_burst_refuses_refresh(tmp_path, monkeypatch, capsys):
                   timeline={"after_32_q": {"cpu": 1.6, "shuffle": 3.0}}))
     run_main()
     assert json.loads(full.read_text())["queries"] == {"q1": 1.02}
+
+
+def test_only_runs_still_execute_the_warmup_trio(monkeypatch):
+    """--only probes must warm the same codegen paths as a full run
+    (r14 adjudication fix): a subset that omits the warmup trio
+    otherwise pays JIT/codegen bring-up inside its first TIMED query,
+    inflating sub-second entries 2-3x and making isolated re-probes of
+    --check flags read as regressions the full bench refutes."""
+    from types import SimpleNamespace
+
+    forced = []
+
+    def fake_builder(name):
+        return lambda spark, sf_dir: name
+
+    registry = {
+        n: SimpleNamespace(builder=fake_builder(n))
+        for n in ("q1_pricing_summary", "w3_rank_rows",
+                  "j2_static_map_lookup", "zz_probe_target")
+    }
+    monkeypatch.setattr(bench, "all_specs", lambda: registry)
+    monkeypatch.setattr(bench, "_force", lambda df: forced.append(df))
+    monkeypatch.setattr(bench, "run_canary",
+                        lambda spark, single_pass=False: {"cpu": 0.1,
+                                                          "shuffle": 0.1})
+    # adaptive_passes never invokes the thunk, so timed queries leave
+    # no trace in `forced` — anything recorded there is warmup.
+    monkeypatch.setattr(bench, "adaptive_passes", lambda fn: [0.01, 0.01])
+    monkeypatch.setattr(
+        "acled_spark.tables.TABLE_NAMES", (), raising=True
+    )
+    monkeypatch.setattr(
+        bench, "get_spark",
+        lambda app_name=None: SimpleNamespace(stop=lambda: None),
+    )
+
+    result, _sf = bench.run_bench(only={"zz_probe_target"})
+    assert forced == [
+        "q1_pricing_summary", "w3_rank_rows", "j2_static_map_lookup"
+    ]
+    assert set(result["timings"]) == {"zz_probe_target"}
