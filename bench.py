@@ -222,12 +222,60 @@ def baseline_canary_floor(base: dict | None) -> dict | None:
     return base.get("canary_floor") or None
 
 
-def run_bench(only: set[str] | None = None) -> tuple[dict, float | str]:
+# --- fast-tail pass skipping (VERDICT r14 #6) -------------------------
+# Roughly half the suite is sub-0.5s queries whose two protocol passes
+# agree within a few percent session after session; paying both passes
+# for ~70 such queries is pure wall-clock exposure to host-steal bursts
+# (the r14 rounds lost 6+ full sessions to bursts landing somewhere in
+# the ~14-minute window).  A query qualifies for a SINGLE timed pass
+# when the committed baseline shows it fast (< FAST_TAIL_SEC), clean
+# (exactly 2 passes that agreed within FAST_TAIL_SPREAD), and the same
+# sf.  The single reading is kept only while it stays within
+# FAST_TAIL_ESCALATE x its committed baseline — anything slower
+# ESCALATES to the full min-of-2-adaptive-3 protocol on the spot (the
+# first reading still participates in the min), so a real movement is
+# always measured under the old methodology and the recorded number is
+# never worse than the old protocol's.  Heavy queries keep min-of-2
+# unconditionally; --only probes always run the full protocol.
+# BENCH_FULL.json stays honest: a skipped query records passes=1,
+# spread=1.0 (no residual spread was measured).
+FAST_TAIL_SEC = 0.5
+FAST_TAIL_SPREAD = 1.05
+FAST_TAIL_ESCALATE = 1.08
+
+
+def fast_tail_set(committed: dict | None, sf) -> dict[str, float]:
+    """``{query: committed_sec}`` for queries eligible for the
+    single-pass fast path (see the constants above).  Empty when the
+    committed baseline is missing, from another sf, or pre-protocol."""
+    if not committed or committed.get("sf") != sf:
+        return {}
+    bq = committed.get("queries") or {}
+    bs = committed.get("spread") or {}
+    bp = committed.get("passes") or {}
+    return {
+        k: t
+        for k, t in bq.items()
+        if 0 < t < FAST_TAIL_SEC
+        and bp.get(k) == 2
+        and 1.0 <= (bs.get(k) or 0) <= FAST_TAIL_SPREAD
+    }
+
+
+def run_bench(
+    only: set[str] | None = None, committed: dict | None = None
+) -> tuple[dict, float | str]:
     """Returns ``({"timings", "spread", "passes"}, sf)`` — three maps
     over the SAME key set (failures carry timings -1.0 / spread -1.0 /
-    passes 0, so consumers can zip them without key checks)."""
+    passes 0, so consumers can zip them without key checks).
+
+    ``committed``: the standing BENCH_FULL.json content, used ONLY to
+    qualify queries for the fast-tail single-pass protocol (never to
+    alter what a query computes or how a flagged query is re-measured).
+    """
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     spark = get_spark(app_name="acled-spark-bench")
 
     all_ = all_specs()
@@ -278,6 +326,15 @@ def run_bench(only: set[str] | None = None) -> tuple[dict, float | str]:
     spread: dict[str, float] = {}
     n_passes: dict[str, int] = {}
     timeline: dict[str, dict] = {"start": canary_start}
+    fast_tail = fast_tail_set(committed, sf_val) if only is None else {}
+    if fast_tail:
+        print(
+            f"bench: fast-tail single-pass protocol on "
+            f"{len(fast_tail)} queries (committed baseline <"
+            f"{FAST_TAIL_SEC}s, 2 passes within {FAST_TAIL_SPREAD}x; "
+            f"escalation at {FAST_TAIL_ESCALATE}x)",
+            file=sys.stderr,
+        )
     ordered = sorted(specs)
     for qi, name in enumerate(ordered):
         if qi and qi % CANARY_TIMELINE_EVERY == 0:
@@ -285,16 +342,32 @@ def run_bench(only: set[str] | None = None) -> tuple[dict, float | str]:
                 spark, single_pass=True
             )
         spec = specs[name]
+        run_once = lambda: _force(spec.builder(spark, sf_dir))  # noqa: E731
         try:
-            passes = adaptive_passes(
-                lambda: _force(spec.builder(spark, sf_dir))
-            )
+            base_t = fast_tail.get(name)
+            if base_t is not None:
+                # fast-tail single pass; escalate to the full protocol
+                # the moment the reading moves past the committed
+                # baseline's envelope (the single reading still joins
+                # the min, so escalation can only improve the number)
+                t0 = time.perf_counter()
+                run_once()
+                one = time.perf_counter() - t0
+                if one <= FAST_TAIL_ESCALATE * base_t:
+                    passes = [one]
+                else:
+                    passes = [one] + adaptive_passes(run_once)
+            else:
+                passes = adaptive_passes(run_once)
             best = sorted(passes)
             timings[name] = round(best[0], 3)
             # spread = second-best / best: the residual uncertainty OF
             # the reported min (max/min would re-include the outlier
-            # the third pass just adjudicated)
-            spread[name] = round(best[1] / best[0], 3)
+            # the third pass just adjudicated); 1.0 for a single-pass
+            # fast-tail reading (no residual spread was measured)
+            spread[name] = (
+                round(best[1] / best[0], 3) if len(best) > 1 else 1.0
+            )
             n_passes[name] = len(passes)
         except Exception as exc:  # keep the bench line parseable on failure
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
@@ -347,7 +420,7 @@ def run_bench(only: set[str] | None = None) -> tuple[dict, float | str]:
             "canary_wall": canary_wall,
             "canary_runs": timeline,
         },
-        float(sf) if sf.replace(".", "").isdigit() else sf,
+        sf_val,
     )
 
 
@@ -366,7 +439,14 @@ def summary_line(
     keep = failed + ok_slowest
 
     def render(n: int) -> str:
-        qsub = {k: timings[k] for k in keep[:n]}
+        # 2-decimal per-query times on the LINE only (VERDICT r14 #9:
+        # fit more entries past the driver's tail capture) — the
+        # 3-decimal protocol numbers stay in BENCH_FULL.json.  The
+        # former "full" pointer key is dropped for the same reason.
+        # Arithmetic note: 130 full-length names need ~3.2 KB, so the
+        # line can never carry the whole registry; this buys ~3 more
+        # entries at the current name lengths.
+        qsub = {k: round(timings[k], 2) for k in keep[:n]}
         return json.dumps(
             {
                 "metric": "total_query_runtime",
@@ -376,7 +456,6 @@ def summary_line(
                 "n_queries": len(timings),
                 "n_failed": len(failed),
                 "session_speed": speed,
-                "full": "BENCH_FULL.json",
                 "sf": sf,
             },
             separators=(",", ":"),
@@ -493,7 +572,7 @@ def main() -> None:
         except (OSError, json.JSONDecodeError):
             committed = None
 
-    result, sf = run_bench(only)
+    result, sf = run_bench(only, committed)
     timings = result["timings"]
     canary_wall = result.get("canary_wall")
     # --check normalizes against ITS baseline's floor; the refresh
@@ -532,10 +611,15 @@ def main() -> None:
     # (see CANARY_BURST_FACTOR).  Bootstrap is unaffected — no
     # committed floor means no envelope to compare against.
     burst_hits = burst_probes(result.get("canary_runs"), committed_floor)
+    # A BLESSED baseline (median of N in-band sessions, VERDICT r14 #2:
+    # a single-session refresh drawn from the fast tail made every
+    # honest session read slow) is never auto-refreshed by one run —
+    # re-bless with tools/bless_baseline.py from fresh session dumps.
+    blessed = bool(committed and committed.get("blessed_provenance"))
     drift_refused = (
         committed_speed is not None
         and abs(committed_speed - 1.0) > CANARY_REFRESH_BAND
-    ) or bool(burst_hits)
+    ) or bool(burst_hits) or blessed
     if only is None and status == 0 and not drift_refused:
         with open(FULL_PATH, "w") as fh:
             json.dump(
@@ -570,6 +654,12 @@ def main() -> None:
                 f"{CANARY_BURST_FACTOR['shuffle']}x the committed "
                 f"floor; re-probe that query block in isolation)"
             )
+        if blessed:
+            reasons.append(
+                "baseline is a blessed median-of-N (see its "
+                "blessed_provenance block); re-bless via "
+                "tools/bless_baseline.py from fresh session dumps"
+            )
         print(
             f"bench: baseline refresh REFUSED — {'; '.join(reasons)}; "
             f"BENCH_FULL.json left at the committed floor (this "
@@ -582,6 +672,27 @@ def main() -> None:
             "(regressed timings not recorded)",
             file=sys.stderr,
         )
+    # Side dump for baseline blessing (VERDICT r14 #2): the median-of-N
+    # bless tool needs full session payloads INDEPENDENT of the refresh
+    # decision (a refused session is still an observation).  Opt-in via
+    # env so normal runs leave no extra files.
+    session_out = os.environ.get("SPARK_GRAFT_SESSION_OUT")
+    if session_out and only is None:
+        with open(session_out, "w") as fh:
+            json.dump(
+                {
+                    "sf": sf,
+                    "protocol": "min-of-2-adaptive-3",
+                    "queries": timings,
+                    "spread": result["spread"],
+                    "passes": result["passes"],
+                    "canary_version": CANARY_VERSION,
+                    "canary_floor": canary_wall,
+                    "canary_runs": result.get("canary_runs"),
+                    "session_speed": committed_speed,
+                },
+                fh, indent=1, sort_keys=True,
+            )
     print(summary_line(timings, sf, committed_speed))
     if check_mode:
         sys.exit(status)

@@ -16,6 +16,10 @@ from acled_spark.schema import ACLED_RAW_SCHEMA, ACLED_SCHEMA, VALID_EVENT_TYPES
 from acled_spark.silver import upsert_partitioned
 from acled_spark.source import fetch_day, ingest_day, partition_days
 
+# slow tier (VERDICT r14 #1): ingest-to-silver pipeline e2e (~1.5 min); run with `-m ""`.
+pytestmark = pytest.mark.slow
+
+
 EPOCH = 1735603200  # 2024-12-31 00:00:00 UTC
 
 

@@ -43,6 +43,10 @@ import __spark_entry__ as E
 from tests.conftest import normalize
 from tools.gen_adversarial_tier import TABLES, ensure
 
+# slow tier (VERDICT r14 #1): adversarial driver-sim tier (~6 min): the natural-tier parity suite and the driver's own oracle gate cover the same queries; run with `-m ""`.
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.fixture(scope="session")
 def adv_dir() -> str:

@@ -30,6 +30,10 @@ from acled_spark.ann import (
 )
 from acled_spark.tables import load
 
+# slow tier (VERDICT r14 #1): concurrent fold/GC stress (~1 min); run with `-m ""`.
+pytestmark = pytest.mark.slow
+
+
 SF_DIR = "/root/testdata/sf0.001"
 DIM = 64
 

@@ -5,6 +5,7 @@ own baseline.  Pure-Python — no SparkSession."""
 from __future__ import annotations
 
 import json
+import os
 
 import bench
 
@@ -73,7 +74,7 @@ def _fake_run(t, canary=None, timeline=None):
         result["canary_runs"] = {"start": canary, "end": canary}
         if timeline:
             result["canary_runs"].update(timeline)
-    return lambda only: (result, 0.1)
+    return lambda only, committed=None: (result, 0.1)
 
 
 def test_failed_check_does_not_rewrite_baseline(tmp_path, monkeypatch, capsys):
@@ -314,6 +315,173 @@ def test_mid_session_burst_refuses_refresh(tmp_path, monkeypatch, capsys):
                   timeline={"after_32_q": {"cpu": 1.6, "shuffle": 3.0}}))
     run_main()
     assert json.loads(full.read_text())["queries"] == {"q1": 1.02}
+
+
+# --- fast-tail pass skipping (VERDICT r14 #6) -------------------------
+
+
+def test_fast_tail_set_admission_rules():
+    """Only committed-fast, clean (2 agreeing passes), same-sf entries
+    qualify for the single-pass protocol."""
+    committed = {
+        "sf": 0.1,
+        "queries": {"fast_clean": 0.3, "fast_noisy": 0.3,
+                    "fast_3pass": 0.3, "heavy": 2.0, "failed": -1.0},
+        "spread": {"fast_clean": 1.03, "fast_noisy": 1.4,
+                   "fast_3pass": 1.02, "heavy": 1.01, "failed": -1.0},
+        "passes": {"fast_clean": 2, "fast_noisy": 2,
+                   "fast_3pass": 3, "heavy": 2, "failed": 0},
+    }
+    assert bench.fast_tail_set(committed, 0.1) == {"fast_clean": 0.3}
+    # other sf, missing baseline, or no baseline at all: empty
+    assert bench.fast_tail_set(committed, 0.01) == {}
+    assert bench.fast_tail_set(None, 0.1) == {}
+    assert bench.fast_tail_set({}, 0.1) == {}
+
+
+def test_fast_tail_single_pass_and_escalation(monkeypatch):
+    """A qualifying query runs ONCE while in line with its baseline
+    (passes=1, spread=1.0 recorded honestly); a reading past the
+    escalation envelope re-runs the full protocol and the first
+    reading still joins the min."""
+    from types import SimpleNamespace
+
+    committed = {
+        "sf": 0.1,
+        "queries": {"a_inline": 0.3, "b_moved": 0.3, "c_heavy": 2.0},
+        "spread": {"a_inline": 1.01, "b_moved": 1.01, "c_heavy": 1.0},
+        "passes": {"a_inline": 2, "b_moved": 2, "c_heavy": 2},
+    }
+    registry = {
+        n: SimpleNamespace(builder=lambda spark, sf_dir, n=n: n)
+        for n in ("a_inline", "b_moved", "c_heavy")
+    }
+    monkeypatch.setattr(bench, "all_specs", lambda: registry)
+    runs: list[str] = []
+    # single-pass wall readings come from the fake clock below:
+    # a_inline reads 0.305 (inside 1.08x of 0.3), b_moved 0.9 (escalates)
+    walls = {"a_inline": 0.305, "b_moved": 0.9, "c_heavy": 2.0}
+    clock_t = [0.0]
+
+    def fake_force(df):
+        runs.append(df)
+        clock_t[0] += walls[df]
+
+    def fake_adaptive(run_once, clock=None):
+        run_once()
+        run_once()
+        return [0.5, 0.5]
+
+    monkeypatch.setattr(bench, "_force", fake_force)
+    monkeypatch.setattr(bench.time, "perf_counter", lambda: clock_t[0])
+    monkeypatch.setattr(bench, "adaptive_passes", fake_adaptive)
+    monkeypatch.setattr(
+        bench, "run_canary",
+        lambda spark, single_pass=False: {"cpu": 0.1, "shuffle": 0.1})
+    monkeypatch.setattr(
+        "acled_spark.tables.TABLE_NAMES", (), raising=True)
+    monkeypatch.setattr(
+        bench, "get_spark",
+        lambda app_name=None: SimpleNamespace(stop=lambda: None))
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    result, sf = bench.run_bench(committed=committed)
+    assert result["passes"]["a_inline"] == 1
+    assert result["spread"]["a_inline"] == 1.0
+    assert result["timings"]["a_inline"] == 0.305
+    # b_moved escalated: first reading + the full protocol's passes,
+    # all joining the min
+    assert result["passes"]["b_moved"] == 3
+    assert result["timings"]["b_moved"] == 0.5
+    # heavy stays on the full protocol
+    assert result["passes"]["c_heavy"] == 2
+    assert runs.count("a_inline") == 1
+    assert runs.count("b_moved") == 3
+    assert runs.count("c_heavy") == 2
+
+
+# --- blessed baselines (VERDICT r14 #2) --------------------------------
+
+
+def test_blessed_baseline_refuses_auto_refresh(tmp_path, monkeypatch, capsys):
+    """A median-of-N blessed baseline is never overwritten by a single
+    session's refresh — only tools/bless_baseline.py may move it."""
+    floor = {"cpu": 1.0, "shuffle": 1.0}
+    baseline = {
+        "sf": 0.1,
+        "queries": {"q1": 1.0},
+        "canary_version": bench.CANARY_VERSION,
+        "canary_floor": floor,
+        "blessed_provenance": {"policy": "median", "sessions": []},
+    }
+    full = tmp_path / "BENCH_FULL.json"
+    full.write_text(json.dumps(baseline))
+    monkeypatch.setattr(bench, "FULL_PATH", str(full))
+    monkeypatch.setattr("sys.argv", ["bench.py"])
+    # perfectly in-band session: still refused
+    monkeypatch.setattr(
+        bench, "run_bench",
+        lambda only=None, committed=None: (
+            _fake_run({"q1": 1.0}, {"cpu": 1.0, "shuffle": 1.0})(only)
+        ),
+    )
+    try:
+        bench.main()
+    except SystemExit:
+        pass
+    assert json.loads(full.read_text()) == baseline
+    err = capsys.readouterr().err
+    assert "refresh REFUSED" in err and "blessed" in err
+
+
+def test_bless_baseline_median_math(tmp_path):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bless_baseline",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "bless_baseline.py"),
+    )
+    bb = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bb)
+
+    def sess(q, cpu, shuffle, spread=None, passes=None):
+        return {
+            "sf": 0.1,
+            "queries": q,
+            "spread": spread or {k: 1.0 for k in q},
+            "passes": passes or {k: 2 for k in q},
+            "canary_version": bench.CANARY_VERSION,
+            "canary_floor": {"cpu": cpu, "shuffle": shuffle},
+        }
+
+    s1 = sess({"q1": 1.0, "q2": 0.5}, 1.0, 1.0, spread={"q1": 1.2, "q2": 1.0})
+    s2 = sess({"q1": 1.2, "q2": 0.4}, 1.05, 0.95)
+    s3 = sess({"q1": 0.9, "q2": -1.0}, 0.95, 1.05)
+    blessed = bb.bless([("s1", s1), ("s2", s2), ("s3", s3)])
+    # q1 median of (0.9, 1.0, 1.2) = 1.0, carrying s1's spread
+    assert blessed["queries"]["q1"] == 1.0
+    assert blessed["spread"]["q1"] == 1.2
+    # q2: failure in s3 excluded -> lower median of (0.4, 0.5) = 0.4
+    assert blessed["queries"]["q2"] == 0.4
+    # floor = per-probe median
+    assert blessed["canary_floor"] == {"cpu": 1.0, "shuffle": 1.0}
+    assert blessed["blessed_provenance"]["sessions"][0]["file"] == "s1"
+    # an out-of-band session is rejected by name
+    s4 = sess({"q1": 5.0}, 3.0, 3.0)
+    try:
+        bb.bless([("s1", s1), ("s2", s2), ("s4", s4)])
+        raised = False
+    except ValueError as e:
+        raised = "s4" in str(e)
+    assert raised
+
+
+def test_summary_line_rounds_to_two_decimals():
+    timings = {"q1": 1.2345, "q2": 0.456}
+    parsed = json.loads(bench.summary_line(timings, 0.1))
+    assert parsed["queries"] == {"q1": 1.23, "q2": 0.46}
+    assert parsed["value"] == round(1.2345 + 0.456, 3)  # TOTAL keeps 3 decimals
+    assert "full" not in parsed
 
 
 def test_only_runs_still_execute_the_warmup_trio(monkeypatch):

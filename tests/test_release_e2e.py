@@ -25,6 +25,11 @@ from acled_spark.drift import DriftMonitor, init_reference
 from acled_spark.export import read_jsonl, verify_manifest, write_jsonl, write_manifest
 from acled_spark.queries.cdc import snapshot_diff
 from acled_spark.tables import load
+import pytest
+
+# slow tier (VERDICT r14 #1): release lifecycle e2e (~2 min); run with `-m ""`.
+pytestmark = pytest.mark.slow
+
 
 SF_DIR = "/root/testdata/sf0.001"
 DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]

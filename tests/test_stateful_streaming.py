@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -73,6 +75,7 @@ def test_stateful_totals_accumulate_across_batches(spark, tmp_path):
     assert drain() == expected(ev)
 
 
+@pytest.mark.slow  # ~6.5 min of processing-time TTL waits (VERDICT r14 #1)
 def test_stateful_ttl_evicts_idle_users(spark, tmp_path):
     """r8 lens review: without a TTL the per-user state store grows
     with key cardinality forever.  With ttl set, a user idle past it

@@ -17,6 +17,10 @@ import pytest
 from acled_spark.registry import all_specs
 from tests.conftest import assert_parity
 
+# slow tier (VERDICT r14 #1): whitespace edge-corpus parity replay (~1 min); run with `-m ""`.
+pytestmark = pytest.mark.slow
+
+
 ROWS = [
     (1, "plain words here for a baseline document", "en", "s0", 40),
     (2, "vertical\x0btab inside and der hund lief schnell davon", "de", "s0", 49),

@@ -27,10 +27,13 @@ Usage: python tools/steal_probe.py [n_samples] [sleep_s]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+# Repo root, not cwd: the imports below must resolve regardless of where
+# the probe is invoked from (ADVICE r14).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def steal_ticks() -> tuple[int, int]:
