@@ -96,7 +96,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the exchange carries ~50 bytes/doc.  Canonical row = min
     doc_id per group (deterministic survivor policy).
     """
-    docs = load(spark, sf_dir, "documents")
+    # spread=False (r15 A/B, same-session min-of-3: 0.67->0.31s): the payload
+    # exchange costs more than this plan's post-scan work saves
+    docs = load(spark, sf_dir, "documents", spread=False)
     g = (
         docs.select("doc_id", fingerprint_spark(F.col("text")).alias("fingerprint"))
         .groupBy("fingerprint")
@@ -1338,7 +1340,9 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     only source keys.  Same digest-only-exchange argument as
     dedup_exact (SCALE.md).
     """
-    docs = load(spark, sf_dir, "documents")
+    # spread=False (r15 A/B, same-session min-of-3: 0.90->0.56s): the payload
+    # exchange costs more than this plan's post-scan work saves
+    docs = load(spark, sf_dir, "documents", spread=False)
     w = Window.partitionBy("fingerprint").orderBy(F.desc("n_chars"), "doc_id")
     cw = Window.partitionBy("fingerprint")
     ranked = docs.select(
@@ -1584,7 +1588,9 @@ def dedup_incremental_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-batch shape at 100 TB (see acled_spark/dedup_store.py for the
     parquet-backed store lifecycle; this query oracle-pins the check
     semantics shared via incremental_classify)."""
-    docs = load(spark, sf_dir, "documents")
+    # spread=False (r15 A/B, same-session min-of-3: 2.15->2.01s): the payload
+    # exchange costs more than this plan's post-scan work saves
+    docs = load(spark, sf_dir, "documents", spread=False)
     # Per-half pipelines, deliberately NOT a shared materialized
     # signature frame: each half shingles only its own rows, so total
     # explode/aggregate work equals one full-corpus pass either way,

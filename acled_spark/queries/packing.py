@@ -87,7 +87,9 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream key would be (lang, shard) so no partition exceeds executor
     memory, and bin ids get a shard prefix.
     """
-    docs = load(spark, sf_dir, "documents")
+    # spread=False (r15 A/B, same-session min-of-3: 0.78->0.71s): the payload
+    # exchange costs more than this plan's post-scan work saves
+    docs = load(spark, sf_dir, "documents", spread=False)
     n_tok = _n_tok()
     w = (
         Window.partitionBy("lang")
@@ -158,7 +160,9 @@ def mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     as unpartitioned window aggregates over a handful of rows; the only
     real work is the one pass computing per-source token counts.
     """
-    docs = load(spark, sf_dir, "documents")
+    # spread=False (r15 A/B, same-session min-of-3: 0.49->0.47s): the payload
+    # exchange costs more than this plan's post-scan work saves
+    docs = load(spark, sf_dir, "documents", spread=False)
     n_tok = _n_tok()
     s = docs.select("source", n_tok.alias("n_tok")).groupBy("source").agg(
         F.count("*").alias("docs"), F.sum("n_tok").cast("long").alias("tokens")
@@ -228,7 +232,9 @@ def pack_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     holds ~TOKEN_BUDGET tokens regardless of corpus size, so the group
     payload never outgrows an executor.  One shuffle on (lang, bin).
     """
-    docs = load(spark, sf_dir, "documents")
+    # spread=False (r15 A/B, same-session min-of-3: 0.69->0.66s): the payload
+    # exchange costs more than this plan's post-scan work saves
+    docs = load(spark, sf_dir, "documents", spread=False)
     n_tok = _n_tok()
     w = (
         Window.partitionBy("lang")
@@ -357,7 +363,9 @@ def train_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     count scales with corpus size; at 100 TB you'd raise it so each
     shard stays executor-sized, which only widens the exchange.
     """
-    docs = load(spark, sf_dir, "documents")
+    # spread=False (r15 A/B, same-session min-of-3: 0.78->0.57s): the payload
+    # exchange costs more than this plan's post-scan work saves
+    docs = load(spark, sf_dir, "documents", spread=False)
     assigned = shuffle_assignment(docs.select("doc_id"))
     return (
         assigned.groupBy("shard")

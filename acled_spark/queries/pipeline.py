@@ -229,7 +229,9 @@ def prep_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from acled_spark.queries.text import fingerprint_spark
 
-    docs = load(spark, sf_dir, "documents")
+    # spread=False (r15 A/B, same-session min-of-3: 0.84->0.82s): the payload
+    # exchange costs more than this plan's post-scan work saves
+    docs = load(spark, sf_dir, "documents", spread=False)
     n_tok, dr = gate_exprs(F.col("text"))
     d = docs.select(
         "doc_id",
@@ -357,10 +359,13 @@ def chk_validation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from acled_spark.checks.engine import completeness as completeness_check
 
-    # spread=True (measured opt-in): the fused 31-aggregate check suite
-    # is per-row CPU over a single-split scan; spreading it read 2.01s
-    # vs 2.30s in the same A/B session at sf0.1/local[32].
-    ev = load(spark, sf_dir, "events", spread=True)
+    # spread=False (r15 A/B, same-session min-of-3: 2.26->1.72s, and
+    # 2.42->1.90s in a second session): once the engine splits the two
+    # distinct groups into Expand-free passes, the per-row aggregate
+    # work no longer repays a payload exchange.  (The r14 opt-in was
+    # ~flat even against the fused Expand: 2.01 vs 2.30, then 2.07 vs
+    # 2.11.)
+    ev = load(spark, sf_dir, "events", spread=False)
     results = run_checks(
         ev,
         [

@@ -217,7 +217,9 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language-ID heuristic -> confusion counts vs labels."""
-    docs = load(spark, sf_dir, "documents")
+    # spread=False (r15 A/B, same-session min-of-3: 0.55->0.54s): the payload
+    # exchange costs more than this plan's post-scan work saves
+    docs = load(spark, sf_dir, "documents", spread=False)
     toks = _tokens_spark(F.col("text"))
     def has_marker(marker: str) -> Column:
         # array_contains, not a filter-HOF scan: native, short-circuit,
@@ -257,7 +259,9 @@ def fingerprint_spark(text: Column) -> Column:
 )
 def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document normalized fingerprint (dedup key), value-parity checked."""
-    docs = load(spark, sf_dir, "documents")
+    # spread=False (r15 A/B, same-session min-of-3: 0.24->0.22s): the payload
+    # exchange costs more than this plan's post-scan work saves
+    docs = load(spark, sf_dir, "documents", spread=False)
     return (
         docs.select("doc_id", fingerprint_spark(F.col("text")).alias("fingerprint"))
         .orderBy("doc_id")
@@ -405,7 +409,9 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     no sum-order sensitivity.  Shuffles on (doc_id, word) then doc_id;
     partial aggregation keeps both exchanges narrow.
     """
-    docs = load(spark, sf_dir, "documents")
+    # spread=False (r15 A/B, same-session min-of-3: 0.78->0.63s): the payload
+    # exchange costs more than this plan's post-scan work saves
+    docs = load(spark, sf_dir, "documents", spread=False)
     words = docs.select(
         "doc_id",
         F.explode(_tokens_spark(F.lower(F.col("text")))).alias("word"),
@@ -728,7 +734,9 @@ def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: df is vocabulary-sized (tiny) and broadcast into the score
     join; the only wide shuffle is the (lang, term) partial-agg count.
     """
-    docs = load(spark, sf_dir, "documents")
+    # spread=False (r15 A/B, same-session min-of-3: 1.19->1.10s): the payload
+    # exchange costs more than this plan's post-scan work saves
+    docs = load(spark, sf_dir, "documents", spread=False)
     tok = docs.filter(F.length(ws_trim(F.col("text"))) > 0).select(
         "doc_id",
         "lang",
@@ -916,7 +924,9 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     token stream and aggregates per doc — the only wide exchange is the
     doc_id rollup.
     """
-    docs = load(spark, sf_dir, "documents")
+    # spread=False (r15 A/B, same-session min-of-3: 1.09->0.94s): the payload
+    # exchange costs more than this plan's post-scan work saves
+    docs = load(spark, sf_dir, "documents", spread=False)
     tok = docs.filter(F.length(ws_trim(F.col("text"))) > 0).select(
         "doc_id",
         "lang",
@@ -1325,7 +1335,9 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow map over the scan + source-sized rollup, nothing shuffles
     but partial counts.
     """
-    docs = load(spark, sf_dir, "documents")
+    # spread=False (r15 A/B, same-session min-of-3: 0.58->0.55s): the payload
+    # exchange costs more than this plan's post-scan work saves
+    docs = load(spark, sf_dir, "documents", spread=False)
     n_ws = F.when(F.length(ws_trim(F.col("text"))) == 0, 0).otherwise(
         F.size(F.split(ws_trim(F.col("text")), f"{WS}+"))
     )
@@ -1392,7 +1404,9 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id, so the "growth order" is reproducible on any engine or
     cluster size.
     """
-    docs = load(spark, sf_dir, "documents")
+    # spread=False (r15 A/B, same-session min-of-3: 1.27->1.12s): the payload
+    # exchange costs more than this plan's post-scan work saves
+    docs = load(spark, sf_dir, "documents", spread=False)
     h1 = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
     ).cast("int")
@@ -1464,7 +1478,9 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg; the top-ZIPF_TOP cut is a rank window over vocab-sized data;
     the regression runs over ZIPF_TOP rows.
     """
-    docs = load(spark, sf_dir, "documents")
+    # spread=False (r15 A/B, same-session min-of-3: 0.74->0.53s): the payload
+    # exchange costs more than this plan's post-scan work saves
+    docs = load(spark, sf_dir, "documents", spread=False)
     f = (
         docs.filter(F.length(ws_trim(F.col("text"))) > 0)
         .select(F.explode(F.split(F.lower(ws_trim(F.col("text"))), f"{WS}+")).alias("w"))

@@ -329,6 +329,7 @@ def test_ivf_staleness_without_usable_base_cost_never_nan(spark, index):
         assert IvfMaintainer(idx).needs_refit()
 
 
+@pytest.mark.slow  # ~35 s refit loop (VERDICT r14 #1)
 def test_ivf_refit_policy_closed_loop(spark):
     """The documented refit-at-1.5 policy end-to-end (VERDICT r4 #7):
     off-distribution upserts push drift_ratio past the threshold ->

@@ -288,6 +288,58 @@ def test_fusable_suite_runs_one_aggregation(spark, monkeypatch):
     assert calls["cache"] == 0  # single action -> no cache needed
 
 
+def test_second_distinct_group_splits_into_expand_free_pass(spark, monkeypatch):
+    """VERDICT r14 #7: two distinct-bearing checks (domain + pk_unique)
+    must run as TWO aggregation passes (each Expand-free) instead of
+    one multi-distinct aggregate that Expands every input row — and the
+    split must not trip the cache heuristic (pruned re-scans are
+    narrower than a full-frame cache write)."""
+    from acled_spark.checks.engine import (
+        _expand_free_groups,
+        completeness,
+        domain_membership,
+        non_empty,
+        pk_unique,
+        run_checks,
+        value_range,
+    )
+    from acled_spark.tables import load
+
+    suite = [
+        non_empty(blocking=False),
+        value_range("value", lo=0.0, allow_null=False),
+        domain_membership("event_type", ["view", "click", "purchase"]),
+        pk_unique(["event_id"]),
+        completeness(["event_id", "value"]),
+    ]
+    groups = _expand_free_groups(suite)
+    assert len(groups) == 2
+    assert sum(c.n_distinct > 0 for c in groups[0]) == 1  # first distinct fuses
+    assert [c.name for c in groups[1]] == ["pk_unique[event_id]"]
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").limit(150)
+    cls = type(ev)
+    calls = {"agg": 0, "cache": 0}
+    real_agg, real_cache = cls.agg, cls.cache
+    monkeypatch.setattr(
+        cls, "agg",
+        lambda self, *a, **k: (calls.__setitem__("agg", calls["agg"] + 1),
+                               real_agg(self, *a, **k))[1],
+    )
+    monkeypatch.setattr(
+        cls, "cache",
+        lambda self: (calls.__setitem__("cache", calls["cache"] + 1),
+                      real_cache(self))[1],
+    )
+    fused = run_checks(ev, suite, raise_on_blocking=False)
+    assert calls["agg"] == 2  # one pass per distinct group, no Expand
+    assert calls["cache"] == 0
+    alone = [c.run(ev) for c in suite]
+    assert [(r.name, r.passed, r.metrics) for r in fused] == [
+        (r.name, r.passed, r.metrics) for r in alone
+    ]
+
+
 def test_fused_results_match_standalone_runs(spark):
     """Fused suite results are identical to running each check alone."""
     from acled_spark.checks.engine import (

@@ -13,6 +13,10 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+# slow tier (VERDICT r14 #1): mutation-lens / convergence sweeps (~40 s); run with `-m ""`.
+pytestmark = pytest.mark.slow
+
+
 N_HOT = 60  # docs sharing the planted boilerplate gram / hot bucket
 
 

@@ -11,6 +11,10 @@ from pyspark.sql import functions as F
 from acled_spark.dedup_store import append_batch, check_batch, init_store
 from acled_spark.tables import load
 
+# slow tier (VERDICT r14 #1): store lifecycle replays (~2 min); run with `-m ""`.
+pytestmark = pytest.mark.slow
+
+
 SF_DIR = "/root/testdata/sf0.001"
 
 

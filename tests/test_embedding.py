@@ -50,6 +50,7 @@ def test_top_component_matches_numpy(spark):
     assert res["component"][k] > 0
 
 
+@pytest.mark.slow  # ~17 s iteration loop (VERDICT r14 #1)
 def test_power_iteration_on_gapped_spectrum(spark):
     """The matrix-free variant converges fast when the spectrum has a
     real gap (rate (λ2/λ1)^t) and certifies itself with the same

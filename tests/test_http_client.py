@@ -460,6 +460,7 @@ def test_token_grant_4xx_still_authentication_error(stub_server):
     assert len(StubAcledHandler.grants) == 1
 
 
+@pytest.mark.slow  # ~17 s CLI e2e (VERDICT r14 #1)
 def test_cli_ingest_full_lifecycle_to_silver_and_rollup(
     stub_server, spark, tmp_path, monkeypatch
 ):

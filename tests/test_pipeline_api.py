@@ -14,6 +14,7 @@ from acled_spark.pipeline import run_day
 from tests.test_acled_pipeline import make_fetcher
 
 
+@pytest.mark.slow  # ~19 s run_day e2e (VERDICT r14 #1)
 def test_run_day_full_lifecycle(spark, tmp_path):
     bronze = os.path.join(str(tmp_path), "bronze")
     silver = os.path.join(str(tmp_path), "silver")

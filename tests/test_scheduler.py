@@ -4,6 +4,8 @@ idempotent backfill (T1/T7) + model persistence round-trip (S9)."""
 from __future__ import annotations
 
 import os
+
+import pytest
 from datetime import date
 
 from acled_spark.scheduler import (
@@ -64,6 +66,7 @@ def test_sensor_tick_end_to_end(spark, tmp_path):
     assert materialized_partitions(bronze) == set(done)
 
 
+@pytest.mark.slow  # ~9 s train+persist (VERDICT r14 #1)
 def test_model_save_load_roundtrip(spark, tmp_path):
     """S9: MLlib model persistence replaces the reference's pickle sink
     (ref io_manager.py:248-268)."""
@@ -90,6 +93,7 @@ def test_model_save_load_roundtrip(spark, tmp_path):
     assert before == after
 
 
+@pytest.mark.slow  # ~9 s train+persist (VERDICT r14 #1)
 def test_model_package_sidecar_roundtrip(spark, tmp_path):
     """S9+M8/M9: metadata sidecar persisted next to the model
     (ref assets/ml.py:456-473 model_package) survives a save/load

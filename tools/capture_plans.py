@@ -1,7 +1,7 @@
 """Capture .explain('formatted') for registered queries into plans/<tag>/.
 
 Usage: python tools/capture_plans.py <outdir-suffix: before|after> q1 q2 ...
-Writes plans/r14/<query>_<suffix>.txt.  Explain only — no execution —
+Writes plans/r15/<query>_<suffix>.txt.  Explain only — no execution —
 except that some builders run bounded driver-side jobs while building
 (eager checkpoints); that is inherent to their shape.
 """
@@ -23,13 +23,13 @@ def main() -> int:
 
     spark = get_spark(app_name="capture-plans")
     specs = all_specs()
-    os.makedirs("plans/r14", exist_ok=True)
+    os.makedirs("plans/r15", exist_ok=True)
     for name in names:
         df = specs[name].builder(spark, sf_dir)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
-        out = f"plans/r14/{name}_{suffix}.txt"
+        out = f"plans/r15/{name}_{suffix}.txt"
         with open(out, "w") as fh:
             fh.write(plan)
         print(f"wrote {out} ({len(plan)} chars)")
