@@ -335,7 +335,12 @@ def _append_signatures(
                 "conflict"
             ),
         )
-        .localCheckpoint()  # batch-sized; severs the store-read lineage
+        # batch-sized; severs the store-read lineage.  eager=False
+        # (r15, the r14 components-loop recipe): the conflict count on
+        # the next line is the frame's first action and materializes
+        # the blocks BEFORE any store write — eager ran a dedicated
+        # materialization job per batch for nothing.
+        .localCheckpoint(eager=False)
     )
     conflicts = overlap.filter(F.col("conflict")).count()
     if conflicts:
@@ -352,7 +357,10 @@ def _append_signatures(
     keep_ids = (
         keep_ids.select("doc_id")
         .join(overlap.select("doc_id"), "doc_id", "left_anti")
-        .localCheckpoint()
+        # eager=False: the count below is the first action; its inputs
+        # (verdicts, overlap) are themselves checkpoints, so the
+        # materialized blocks carry no store-read lineage either way
+        .localCheckpoint(eager=False)
     )
     n = keep_ids.count()
     if n:
@@ -650,7 +658,16 @@ def process_batch(
     """
     recover_store(spark, root, discard_uncommitted=True)
     exact_all, bands_all = _checkpointed_signatures(batch)
-    verdicts = _classify(spark, exact_all, bands_all, root).localCheckpoint()
+    # eager=False (r15): _append_signatures' keep_ids count is the
+    # frame's first action and it runs BEFORE the store append, so the
+    # verdict blocks (whose lineage reads the pre-append store) are
+    # frozen exactly as early as the eager checkpoint froze them — one
+    # job per batch cheaper.  The returned frame is materialized by
+    # construction (the count always runs), so the policy sink still
+    # reads pre-append verdicts.
+    verdicts = _classify(spark, exact_all, bands_all, root).localCheckpoint(
+        eager=False
+    )
     n = _append_signatures(
         spark, exact_all, bands_all, verdicts, root, survivors_only
     )
